@@ -1,0 +1,184 @@
+"""Live-catalog JDBC sources for MySQL and PostgreSQL.
+
+Replaces the reference's SQLAlchemy reflection (app.py:27-33), which
+issues ~3-5 round-trips PER TABLE (reflect() plus redundant
+per-table get_indexes/get_foreign_keys — the 2x N+1 pattern,
+SURVEY.md §4.1). Here the whole catalog arrives in THREE set-oriented
+JDBC reads regardless of table count, producing the same three
+DataFrame contracts as ``catalog.schemas``:
+
+    columns_meta / indexes_meta / foreign_keys_meta
+
+Dialect differences live entirely in this module: the rules engine
+never sees them. Type names are normalized to the SQLAlchemy-class-
+name-style uppercase strings the rules compare against (reference
+app.py:39 yields "VARCHAR", "TINYINT", "DATETIME", ...).
+
+No live database exists in this environment, so these readers are
+exercised only through their query text + normalization logic; the
+offline parquet/fixture path (catalog.fixtures) is the tested path.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# information_schema.data_type / pg type names → SQLAlchemy class-name
+# style (reference app.py:39). Anything absent passes through upper().
+_TYPE_NORMALIZATION = {
+    "INT": "INTEGER",
+    "INT4": "INTEGER",
+    "INT8": "BIGINT",
+    "INT2": "SMALLINT",
+    "CHARACTER VARYING": "VARCHAR",
+    "CHARACTER": "CHAR",
+    "TIMESTAMP WITHOUT TIME ZONE": "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
+    "DOUBLE PRECISION": "FLOAT",
+    "REAL": "FLOAT",
+    "BOOL": "BOOLEAN",
+    "SERIAL": "INTEGER",
+    "BIGSERIAL": "BIGINT",
+}
+
+
+def get_database_name(db_url: str) -> str:
+    """Extract the database (schema) name from a connection URL —
+    parity with reference app.py:14-22."""
+    database_name = urlparse(db_url).path.lstrip("/")
+    if database_name:
+        return database_name
+    raise ValueError("Could not extract database name from DB_URL.")
+
+
+def _normalize_type(col: F.Column) -> F.Column:
+    upper = F.upper(col)
+    expr = upper
+    for src, dst in _TYPE_NORMALIZATION.items():
+        expr = F.when(upper == src, F.lit(dst)).otherwise(expr)
+    return expr
+
+
+def _jdbc(spark: SparkSession, url: str, query: str, properties: dict | None = None) -> DataFrame:
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# --- MySQL ----------------------------------------------------------------
+
+_MYSQL_COLUMNS_QUERY = """
+SELECT table_schema      AS `database`,
+       table_name,
+       column_name,
+       ordinal_position  AS ordinal,
+       data_type,
+       character_maximum_length AS char_max_length,
+       (is_nullable = 'YES')    AS is_nullable,
+       NULL                     AS is_unique,
+       (column_key = 'PRI')     AS is_primary_key
+FROM information_schema.columns
+WHERE table_schema = '{db}'
+"""
+
+_MYSQL_INDEXES_QUERY = """
+SELECT table_schema AS `database`,
+       table_name,
+       index_name,
+       column_name,
+       (non_unique = 0) AS is_unique
+FROM information_schema.statistics
+WHERE table_schema = '{db}'
+"""
+
+_MYSQL_FK_QUERY = """
+SELECT kcu.table_schema AS `database`,
+       kcu.table_name,
+       kcu.constraint_name,
+       kcu.column_name,
+       kcu.ordinal_position,
+       kcu.referenced_table_name  AS referred_table,
+       kcu.referenced_column_name AS referred_column
+FROM information_schema.key_column_usage kcu
+JOIN information_schema.table_constraints tc
+  ON  tc.constraint_schema = kcu.constraint_schema
+  AND tc.table_name = kcu.table_name
+  AND tc.constraint_name = kcu.constraint_name
+WHERE tc.constraint_type = 'FOREIGN KEY'
+  AND kcu.table_schema = '{db}'
+"""
+
+# --- PostgreSQL -----------------------------------------------------------
+
+_PG_COLUMNS_QUERY = """
+SELECT c.table_catalog AS database,
+       c.table_name,
+       c.column_name,
+       c.ordinal_position AS ordinal,
+       c.data_type,
+       c.character_maximum_length AS char_max_length,
+       (c.is_nullable = 'YES') AS is_nullable,
+       NULL::boolean AS is_unique,
+       (pk.column_name IS NOT NULL) AS is_primary_key
+FROM information_schema.columns c
+LEFT JOIN (
+    SELECT kcu.table_name, kcu.column_name
+    FROM information_schema.table_constraints tc
+    JOIN information_schema.key_column_usage kcu
+      ON kcu.constraint_name = tc.constraint_name
+    WHERE tc.constraint_type = 'PRIMARY KEY'
+) pk ON pk.table_name = c.table_name AND pk.column_name = c.column_name
+WHERE c.table_schema = 'public'
+"""
+
+_PG_INDEXES_QUERY = """
+SELECT current_database() AS database,
+       t.relname AS table_name,
+       i.relname AS index_name,
+       a.attname AS column_name,
+       ix.indisunique AS is_unique
+FROM pg_class t
+JOIN pg_index ix ON t.oid = ix.indrelid
+JOIN pg_class i ON i.oid = ix.indexrelid
+JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = ANY(ix.indkey)
+WHERE t.relkind = 'r'
+"""
+
+
+def read_columns_meta(spark: SparkSession, jdbc_url: str, database: str, dialect: str = "mysql") -> DataFrame:
+    query = (_MYSQL_COLUMNS_QUERY if dialect == "mysql" else _PG_COLUMNS_QUERY).format(db=database)
+    df = _jdbc(spark, jdbc_url, query)
+    return df.withColumn("data_type", _normalize_type(F.col("data_type")))
+
+
+def read_indexes_meta(spark: SparkSession, jdbc_url: str, database: str, dialect: str = "mysql") -> DataFrame:
+    query = (_MYSQL_INDEXES_QUERY if dialect == "mysql" else _PG_INDEXES_QUERY).format(db=database)
+    return _jdbc(spark, jdbc_url, query)
+
+
+def read_foreign_keys_meta(spark: SparkSession, jdbc_url: str, database: str, dialect: str = "mysql") -> DataFrame:
+    """FKs grouped back to one row per constraint with the ordered
+    ``constrained_columns`` array the rules contract expects —
+    ``sort_array(collect_list(struct(ordinal, col)))`` keeps column
+    order so ``element_at(..., 1)`` matches the reference's
+    ``constrained_columns[0]`` (app.py:35)."""
+    query = _MYSQL_FK_QUERY.format(db=database)
+    df = _jdbc(spark, jdbc_url, query)
+    return (
+        df.groupBy("database", "table_name", "constraint_name")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ordinal_position", "column_name"))),
+                lambda s: s["column_name"],
+            ).alias("constrained_columns"),
+            F.first("referred_table").alias("referred_table"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ordinal_position", "referred_column"))),
+                lambda s: s["referred_column"],
+            ).alias("referred_columns"),
+        )
+    )

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rdbms_metadata_manager_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+def _norm(v):
+    """Normalize a cell for order/engine-insensitive comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str):
+    """Local stand-in for the driver's correctness gate: run the
+    DuckDB oracle on the same parquet tables, compare row count,
+    column names, and order-insensitive normalized values."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    oracle = con.execute(oracle_sql)
+    oracle_cols = [d[0] for d in oracle.description]
+    oracle_rows = oracle.fetchall()
+    con.close()
+
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    assert sorted(spark_cols) == sorted(oracle_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
+    )
+    assert len(spark_rows) == len(oracle_rows), (
+        f"row count mismatch: spark={len(spark_rows)} oracle={len(oracle_rows)}"
+    )
+
+    # Align columns by sorted name, then compare sorted normalized rows.
+    s_order = [spark_cols.index(c) for c in sorted(spark_cols)]
+    o_order = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+    s_set = sorted(
+        tuple(_norm(row[i]) for i in s_order) for row in spark_rows
+    )
+    o_set = sorted(
+        tuple(_norm(row[i]) for i in o_order) for row in oracle_rows
+    )
+    mismatches = [(a, b) for a, b in zip(s_set, o_set) if a != b]
+    assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"
