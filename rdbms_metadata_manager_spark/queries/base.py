@@ -1,0 +1,40 @@
+"""Parquet table loader for the driver testdata star schema.
+
+At 100 TB these reads are partitioned parquet scans; everything the
+query layer does must survive that — so loaders return lazy
+DataFrames (no caching, no collect) and rely on Catalyst to push
+filters/prune columns into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
+        # truncate to micros — the same truncation DuckDB applies when
+        # materializing TIMESTAMP_NS to a Python datetime.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load(spark, sf_dir, n) for n in names]

@@ -1,0 +1,176 @@
+"""The reference's flagship pipeline as a driver-checkable query.
+
+``schema_issues`` runs the full 5-rule engine on the ecommerce_db
+fixture; the oracle is the SAME rule semantics written as one ANSI
+SQL statement over ``VALUES`` clauses generated from the SAME fixture
+tuples (catalog.fixtures) — so Spark and DuckDB provably consume
+identical input. This is the differential test SURVEY.md §5.2(3)
+calls for.
+
+The oracle needs no testdata views: it is fully self-contained SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import fixtures
+from ..rules import detect_schema_flaws
+
+
+def schema_issues(spark: SparkSession, sf_dir: str) -> DataFrame:  # sf_dir unused: metadata fixture input
+    return detect_schema_flaws(
+        fixtures.columns_meta(spark, "ecommerce_db"),
+        fixtures.indexes_meta(spark, "ecommerce_db"),
+        fixtures.foreign_keys_meta(spark, "ecommerce_db"),
+    )
+
+
+def schema_issues_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return detect_schema_flaws(
+        fixtures.columns_meta(spark, "quirks_db"),
+        fixtures.indexes_meta(spark, "quirks_db"),
+        fixtures.foreign_keys_meta(spark, "quirks_db"),
+    )
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(_lit(x) for x in v) + "]"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values(rows: list[tuple]) -> str:
+    return ",\n    ".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
+
+
+def _rules_oracle_sql(columns: list[tuple], indexes: list[tuple], fks: list[tuple]) -> str:
+    """The 5 rules (reference app.py:41-105) as one SQL statement."""
+    return f"""
+WITH columns_meta(database, table_name, column_name, ordinal, data_type,
+                  char_max_length, is_nullable, is_unique, is_primary_key) AS (
+  VALUES
+    {_values(columns)}
+),
+indexes_meta(database, table_name, index_name, column_name, idx_unique) AS (
+  VALUES
+    {_values(indexes)}
+),
+foreign_keys_meta(database, table_name, constraint_name, constrained_columns,
+                  referred_table, referred_columns) AS (
+  VALUES
+    {_values(fks)}
+),
+indexed AS (
+  SELECT DISTINCT database, table_name, column_name FROM indexes_meta
+),
+fk_first AS (
+  SELECT DISTINCT database, table_name, constrained_columns[1] AS column_name
+  FROM foreign_keys_meta
+  WHERE len(constrained_columns) > 0
+),
+r1 AS (
+  SELECT c.table_name, c.column_name,
+         'Query performance - missing index' AS issue_type,
+         'Large ' || c.data_type || ' column ''' || c.column_name || ''' in '''
+            || c.table_name || ''' is not indexed.' AS issue,
+         'Add an index on ''' || c.table_name || '(' || c.column_name
+            || ')'' to improve query performance.' AS recommendation,
+         1 AS rule_id
+  FROM columns_meta c
+  WHERE c.data_type IN ('VARCHAR', 'TEXT')
+    AND c.char_max_length IS NOT NULL AND c.char_max_length >= 255
+    AND COALESCE(c.is_unique, FALSE) = FALSE
+    AND NOT EXISTS (SELECT 1 FROM indexed i
+                    WHERE i.database = c.database AND i.table_name = c.table_name
+                      AND i.column_name = c.column_name)
+),
+r2 AS (
+  SELECT c.table_name, c.column_name,
+         'Normalization - Data integrity' AS issue_type,
+         'Potential foreign key column ''' || c.column_name
+            || ''' is not properly defined.' AS issue,
+         'Define a foreign key constraint and index for ''' || c.column_name
+            || ''' referencing the appropriate table and add the correct kind of index. '
+            AS recommendation,
+         2 AS rule_id
+  FROM columns_meta c
+  WHERE (lower(c.column_name) LIKE '%id' OR lower(c.column_name) LIKE 'id%')
+    AND NOT c.is_primary_key
+    AND NOT EXISTS (SELECT 1 FROM fk_first f
+                    WHERE f.database = c.database AND f.table_name = c.table_name
+                      AND f.column_name = c.column_name)
+    AND NOT EXISTS (SELECT 1 FROM indexed i
+                    WHERE i.database = c.database AND i.table_name = c.table_name
+                      AND i.column_name = c.column_name)
+),
+r3 AS (
+  SELECT c.table_name, c.column_name,
+         'Data type - Precision error' AS issue_type,
+         'Monetary column ''' || c.column_name || ''' is of type ''' || c.data_type
+            || ''', expected DECIMAL or NUMERIC.' AS issue,
+         'Consider changing the column ''' || c.table_name || '(' || c.column_name
+            || ')'' to DECIMAL or NUMERIC for better precision in monetary calculations.'
+            AS recommendation,
+         3 AS rule_id
+  FROM columns_meta c
+  WHERE regexp_matches(lower(c.column_name),
+                       'price|amount|total|cost|value|balance|rate')
+    AND c.data_type NOT IN ('DECIMAL', 'NUMERIC')
+),
+expected(lookup_name, expected_type) AS (
+  VALUES ('rating', 'FLOAT'), ('created_at', 'DATETIME'), ('order_date', 'DATETIME')
+),
+r4 AS (
+  SELECT c.table_name, c.column_name,
+         'Data type mismatch' AS issue_type,
+         'Column ''' || c.column_name || ''' has type ''' || c.data_type
+            || ''', expected ''' || e.expected_type || '''.' AS issue,
+         'Change column ''' || c.table_name || '(' || c.column_name || ')'' to '''
+            || e.expected_type || ''' to match the expected type defined' AS recommendation,
+         4 AS rule_id
+  FROM columns_meta c
+  JOIN expected e ON lower(c.column_name) = e.lookup_name
+  WHERE c.data_type <> e.expected_type
+),
+r5 AS (
+  SELECT c.table_name, c.column_name,
+         'Data Integrity - NULL values not allowed' AS issue_type,
+         'Critical column ''' || c.column_name || ''' allows NULL values.' AS issue,
+         'Alter column ''' || c.table_name || '(' || c.column_name
+            || ')'' to NOT NULL to maintain data integrity.' AS recommendation,
+         5 AS rule_id
+  FROM columns_meta c
+  WHERE lower(c.column_name) IN ('email', 'price', 'total_amount', 'order_date', 'rating')
+    AND c.is_nullable
+)
+SELECT table_name AS "table", column_name AS "column",
+       issue_type, issue, recommendation, rule_id
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
+ORDER BY "table", "column", rule_id
+"""
+
+
+SCHEMA_ISSUES_ORACLE = _rules_oracle_sql(
+    fixtures.ECOMMERCE_COLUMNS, fixtures.ECOMMERCE_INDEXES, fixtures.ECOMMERCE_FOREIGN_KEYS
+)
+SCHEMA_ISSUES_QUIRKS_ORACLE = _rules_oracle_sql(
+    fixtures.QUIRKS_COLUMNS, fixtures.QUIRKS_INDEXES, fixtures.QUIRKS_FOREIGN_KEYS
+)
+
+QUERIES = {
+    "schema_issues": schema_issues,
+    "schema_issues_quirks": schema_issues_quirks,
+}
+
+ORACLES = {
+    "schema_issues": SCHEMA_ISSUES_ORACLE,
+    "schema_issues_quirks": SCHEMA_ISSUES_QUIRKS_ORACLE,
+}

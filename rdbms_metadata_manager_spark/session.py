@@ -29,6 +29,9 @@ def get_spark(app_name: str = "rdbms-metadata-manager-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
+        # parquet reader rejects; read as long and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )

@@ -79,11 +79,14 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str):
     # Align columns by sorted name, then compare sorted normalized rows.
     s_order = [spark_cols.index(c) for c in sorted(spark_cols)]
     o_order = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+    def key(t):
+        return tuple((x is None, str(x)) for x in t)
+
     s_set = sorted(
-        tuple(_norm(row[i]) for i in s_order) for row in spark_rows
+        (tuple(_norm(row[i]) for i in s_order) for row in spark_rows), key=key
     )
     o_set = sorted(
-        tuple(_norm(row[i]) for i in o_order) for row in oracle_rows
+        (tuple(_norm(row[i]) for i in o_order) for row in oracle_rows), key=key
     )
     mismatches = [(a, b) for a, b in zip(s_set, o_set) if a != b]
     assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"
