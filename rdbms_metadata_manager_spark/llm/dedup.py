@@ -1,0 +1,307 @@
+"""Deduplication operators over the ``documents`` table.
+
+[beyond-reference] surface (SURVEY.md §2.2): exact dedup, n-gram
+Jaccard near-dup, MinHash+LSH banding, SimHash. All hashes are
+md5-derived (llm.hashing) so every query has an exact DuckDB oracle.
+
+Scale design (the 100 TB story):
+- Exact dedup is a hash-groupBy — one shuffle on the 128-bit text
+  hash, trivially parallel.
+- N-gram Jaccard uses an INVERTED INDEX join (explode shingles →
+  self-join on shingle → count per pair), not an O(n²) cross join.
+  Cost is Σ freq(shingle)² — at 100 TB you'd additionally drop
+  ultra-frequent shingles (stop-shingles) to kill skew; here the
+  vocabulary is tiny so we keep all and rely on AQE skew splitting.
+- MinHash+LSH replaces the pairwise stage with banding: signature →
+  b band keys → shuffle on band key → pairs only within buckets.
+  This is THE linear-ish-scale near-dup path; the Jaccard verify on
+  candidates keeps precision exact.
+- SimHash buckets by signature prefix, so candidate generation is
+  again a shuffle on a short key rather than a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.base import load
+from .hashing import h32, h32_sql, word_shingles, word_shingles_sql
+
+# MinHash parameters: 16 hash functions in 4 bands of 4 rows.
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5-groupBy keeping the lowest doc_id.
+    One shuffle on the text hash; at 100 TB hash first, group on the
+    hash (never on the raw text — shuffle payload stays 16 bytes)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keeper_doc_id
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select("doc_id", word_shingles(words).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
+_SHINGLED_SQL = f"""
+SELECT doc_id, {word_shingles_sql("string_split(text, ' ')")} AS shingles
+FROM documents
+WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard ≥ 0.5 pairs via inverted-index
+    join. The pair count comes from one groupBy over the shingle
+    join; Jaccard is int/int division → bit-identical to the oracle."""
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (4×4) candidate pairs, verified with
+    exact Jaccard ≥ 0.5. Candidate generation shuffles on the band
+    key only — the linear-scale near-dup path. Hash family i is
+    ``h32(i || '|' || shingle)``, reproducible in SQL.
+
+    Output = verified pairs, so precision is exact; recall is the
+    standard LSH s-curve (J=0.5 → P(candidate) ≈ 1-(1-0.5⁴)⁴ ≈ 23%
+    per band family — parameters chosen for the near-identical
+    planted dups at J≈0.99 where recall ≈ 1)."""
+    sh = _shingled(spark, sf_dir)
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(MINHASH_K)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: h32(F.concat(i.cast("string"), F.lit("|"), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * MINHASH_ROWS + 1, MINHASH_ROWS),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLED_SQL}),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(1, {MINHASH_K + 1}),
+           i -> list_min(list_transform(shingles,
+                  s -> {h32_sql("i::VARCHAR || '|' || s")}))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(sig[b * {MINHASH_ROWS} + 1 : b * {MINHASH_ROWS} + {MINHASH_ROWS}], ',')) AS bucket
+  FROM sig, UNNEST(range(0, {MINHASH_BANDS})) AS t(b)
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM candidates
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+SIMHASH_BITS = 32
+SIMHASH_PREFIX_BITS = 12
+SIMHASH_MAX_HAMMING = 6
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) near-dup: per-word 32-bit hashes vote per bit;
+    candidates are generated within equal 12-bit-prefix buckets
+    (shuffle on the prefix, no cross join), then filtered to hamming
+    distance ≤ 6. Prefix bucketing trades recall for scale — a pair
+    differing inside the prefix is missed; the oracle replicates the
+    same policy so the comparison is exact."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(F.col("text"), " "))
+    hashed = docs.select("doc_id", F.transform(words, h32).alias("hashes"))
+    # bit b of the simhash = majority vote of word-hash bits. Bit
+    # masks are Python-int literals (2**b) — exact for b < 63. The
+    # predicate factory avoids default-arg lambdas, whose extra
+    # parameter confuses PySpark's higher-order-function arity check.
+    def bit_set(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    simhash = sum(
+        (
+            F.when(
+                F.size(F.filter(F.col("hashes"), bit_set(2**b))) * 2 > F.size(F.col("hashes")),
+                F.lit(2**b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for b in range(SIMHASH_BITS)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    sh = hashed.select("doc_id", simhash.alias("simhash")).withColumn(
+        "prefix", F.shiftright(F.col("simhash"), SIMHASH_BITS - SIMHASH_PREFIX_BITS)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        w -> {h32_sql('w')}) AS hashes
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, {SIMHASH_BITS}),
+           b -> CASE WHEN len(list_filter(hashes, h -> (h & (1::BIGINT << b)) != 0)) * 2
+                          > len(hashes)
+                     THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+  FROM hashed
+),
+pre AS (
+  SELECT doc_id, simhash, simhash >> {SIMHASH_BITS - SIMHASH_PREFIX_BITS} AS prefix FROM sh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM pre a JOIN pre b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": _EXACT_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
+}

@@ -1,0 +1,191 @@
+"""Similarity search over the ``embeddings`` table (64-dim float
+vectors). [beyond-reference] surface (SURVEY.md §2.2).
+
+Cosine similarity is computed with explicit fold expressions (same
+element order in both engines → bit-identical doubles, no rounding
+contract needed). Embeddings are cast float32→double first (exact).
+
+Scale design:
+- Brute-force top-k broadcasts the query vector and runs per-partition
+  top-k (TakeOrderedAndProject) — the right baseline up to ~10⁹ rows
+  per query batch; no shuffle except the final k-row merge.
+- The LSH variant buckets vectors by random-hyperplane sign bits:
+  candidate generation becomes a bucket-key equi-join. Hyperplane
+  components are md5-derived pseudo-randoms, so the oracle reproduces
+  them exactly; a production engine would precompute plane literals
+  instead of hashing per (plane, dim).
+- The same-label pair search blocks on the label column — the
+  blocking-key pattern that turns O(n²) into Σ bucket².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.base import load
+from .hashing import h32_sql
+
+N_PLANES = 6
+DIM = 64
+
+
+def _as_double(col) -> Column:
+    return F.transform(col if isinstance(col, Column) else F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# DuckDB renderings of the same folds (same element order → same bits).
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, {DIM + 1}), i -> {a}[i] * {b}[i]))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbours of vec_id=0. The 1-row query
+    side is broadcast; ORDER BY + LIMIT compiles to per-partition
+    top-k, so no full sort at any scale."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, {_cosine_sql("v", "qv")} AS cosine
+FROM e, q
+WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 6 sign bits → bucket id; exact
+    cosine top-5 within the query's bucket. Plane component (p, d) =
+    h32(p||','||d)/2³² − 0.5, reproducible in SQL."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+    def plane_component(p: int, d: Column) -> Column:
+        seed = F.concat(F.lit(f"{p},"), d.cast("string"))
+        return (
+            F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+            - 0.5
+        )
+
+    # Bucket bits built per-plane with Python-int weights; each plane
+    # dot is Σ_d v[d+1]·comp(p,d), the same ascending-d fold as the
+    # SQL. Closure factory, not default-arg lambdas — PySpark reads
+    # lambda arity to bind higher-order-function variables.
+    def plane_merge(p: int):
+        return lambda acc, d: acc + F.element_at(F.col("v"), d + F.lit(1)) * plane_component(p, d)
+
+    bucket = sum(
+        (
+            F.when(
+                F.aggregate(F.sequence(F.lit(0), F.lit(DIM - 1)), F.lit(0.0), plane_merge(p)) > 0,
+                F.lit(2**p),
+            ).otherwise(F.lit(0))
+            for p in range(N_PLANES)
+        ),
+        F.lit(0),
+    )
+    bucketed = emb.withColumn("bucket", bucket)
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "bucket", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+_PLANE_COMP_SQL = "(({h})::DOUBLE / 4294967296.0 - 0.5)".format(
+    h=h32_sql("p::VARCHAR || ',' || d::VARCHAR")
+)
+
+_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(range(0, {N_PLANES}),
+           p -> CASE WHEN list_sum(list_transform(range(0, {DIM}),
+                        d -> v[d + 1] * {_PLANE_COMP_SQL})) > 0
+                     THEN (1 << p) ELSE 0 END))::INT AS bucket
+  FROM e
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+SELECT vec_id, bucket, {_cosine_sql("v", "qv")} AS cosine
+FROM bucketed, q
+WHERE bucket = qbucket AND vec_id != 0
+ORDER BY cosine DESC, vec_id
+LIMIT 5
+"""
+
+
+def similarity_same_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ 0.3 inside the same label block."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("label", "vec_a", "vec_b")
+    )
+
+
+_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cosine_sql("a.v", "b.v")} AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cosine_sql("a.v", "b.v")} >= 0.3
+ORDER BY label, vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_same_label_pairs": similarity_same_label_pairs,
+}
+
+ORACLES = {
+    "similarity_topk_bruteforce": _TOPK_SQL,
+    "similarity_ann_lsh": _ANN_SQL,
+    "similarity_same_label_pairs": _PAIRS_SQL,
+}

@@ -1,0 +1,139 @@
+"""Text-analysis operators over the ``documents`` table.
+
+[beyond-reference] surface (SURVEY.md §2.2): token counting
+(whitespace + regex "BPE-ish" token classes), quality scoring,
+language-ID heuristic, document fingerprinting. Everything is
+built-in Column expressions (JVM codegen, no Python UDFs) with exact
+DuckDB oracles.
+
+Scale: all queries are embarrassingly parallel projections /
+per-row expressions over the parquet scan — no shuffle at all except
+the display sort; at 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.base import load
+from .hashing import h32, h32_sql
+
+STOPWORDS = ["the", "a", "of", "and"]
+TECH_MARKERS = ["table", "query", "row", "column", "join"]
+TOKEN_RX = "[a-z0-9]+"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and regex-class token counts + length stats.
+    avg_token_len is int/int double division → bit-identical."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RX), 0)).alias("n_regex_tokens"),
+        (
+            F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+            / F.size(words)
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+_TOKEN_STATS_SQL = f"""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       length(text)                                   AS n_chars_measured,
+       len(words)                                     AS n_tokens,
+       len(list_distinct(words))                      AS n_distinct_tokens,
+       len(regexp_extract_all(text, '{TOKEN_RX}'))    AS n_regex_tokens,
+       list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words) AS avg_token_len
+FROM w
+ORDER BY doc_id
+"""
+
+
+def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + marker-word language/genre heuristic.
+    Ratios are int/int divisions (bit-identical); the verdicts are
+    threshold CASE expressions over them."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    tech = F.size(F.filter(words, lambda w: w.isin(TECH_MARKERS)))
+    stop_ratio = stop / n
+    tech_ratio = tech / n
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        tech_ratio.alias("tech_marker_ratio"),
+        F.when(n < 20, "too_short")
+        .when(stop_ratio > 0.5, "boilerplate")
+        .otherwise("ok")
+        .alias("quality_band"),
+        F.when(tech_ratio > stop_ratio, "tech").otherwise("prose").alias("genre_guess"),
+    ).orderBy("doc_id")
+
+
+def _sql_list(xs: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+_QUALITY_SQL = f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+m AS (
+  SELECT doc_id, lang, len(words) AS n_tokens,
+         len(list_filter(words, x -> list_contains({_sql_list(STOPWORDS)}, x))) AS n_stop,
+         len(list_filter(words, x -> list_contains({_sql_list(TECH_MARKERS)}, x))) AS n_tech
+  FROM w
+)
+SELECT doc_id, lang, n_tokens,
+       n_stop * 1.0 / n_tokens AS stopword_ratio,
+       n_tech * 1.0 / n_tokens AS tech_marker_ratio,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN n_stop * 1.0 / n_tokens > 0.5 THEN 'boilerplate'
+            ELSE 'ok' END AS quality_band,
+       CASE WHEN n_tech * 1.0 / n_tokens > n_stop * 1.0 / n_tokens
+            THEN 'tech' ELSE 'prose' END AS genre_guess
+FROM m
+ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text plus a 1024-way
+    shard bucket — the key you'd dedup/partition on at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+        (h32(norm) % 1024).alias("shard_bucket"),
+    ).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       substr(md5(lower(trim(text))), 1, 16) AS fingerprint,
+       {h32_sql("lower(trim(text))")} % 1024 AS shard_bucket
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_language": text_quality_language,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "text_quality_language": _QUALITY_SQL,
+    "text_fingerprint": _FINGERPRINT_SQL,
+}

@@ -32,7 +32,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # materializing TIMESTAMP_NS to a Python datetime.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed the
+        # double-exact integer range, so float division mis-truncates
+        # the microsecond by one.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,151 @@
+"""Time-window aggregations over ``events`` — the batch-semantics
+face of the streaming surface.
+
+``window()`` and ``session_window()`` are the SAME expressions
+Structured Streaming uses (streaming/stream.py wires them to
+readStream/writeStream); running them in batch mode gives the driver
+an oracle-checkable result while the streaming tests exercise the
+incremental path with watermarks.
+
+Oracles: tumbling window ↔ date_trunc; session window ↔ the classic
+gaps-and-islands (lag + running flag-sum) construction, with
+session_end = last event + gap to match Spark's session_window
+definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.base import load
+
+SESSION_GAP = "15 minutes"
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type. In batch this is a
+    plain groupBy; in streaming the identical expression maintains
+    incremental state per (window, type)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts)                     AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR   AS window_end,
+       event_type,
+       count(*)                                   AS n_events,
+       round(sum(value), 4)                       AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 15-minute inactivity gap.
+    session_window.end = last event + gap (Spark's definition,
+    replicated in the oracle)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts)                          AS session_start,
+       max(ts) + INTERVAL 15 MINUTE     AS session_end,
+       count(*)                         AS n_events,
+       round(sum(value), 4)             AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2
+    windows. Oracle: explode the two candidate window starts."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
+_SLIDING_SQL = """
+WITH slid AS (
+  SELECT ts,
+         -- ::TIMESTAMP: to_timestamp returns TIMESTAMPTZ in DuckDB
+         unnest([to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP,
+                 to_timestamp(floor(epoch(ts) / 300) * 300 - 300)::TIMESTAMP]) AS window_start
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+       count(*) AS n_events
+FROM slid
+WHERE ts >= window_start AND ts < window_start + INTERVAL 10 MINUTE
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+QUERIES = {
+    "events_tumbling_hourly": events_tumbling_hourly,
+    "events_session_stats": events_session_stats,
+    "events_sliding_10min": events_sliding_10min,
+}
+
+ORACLES = {
+    "events_tumbling_hourly": _TUMBLING_SQL,
+    "events_session_stats": _SESSION_SQL,
+    "events_sliding_10min": _SLIDING_SQL,
+}

@@ -1,0 +1,90 @@
+"""Structured Streaming over the events surface.
+
+The batch queries in events_batch.py use window()/session_window()
+expressions; this module wires the SAME expressions to
+readStream → withWatermark → writeStream, which is how they run
+against a live source (Kafka/files) on a cluster. Tests drive it with
+a file source + ``trigger(availableNow=True)`` + memory sink, so the
+incremental state path (not the batch fast-path) actually executes.
+
+Watermarking: 30 minutes — late events older than the watermark are
+dropped and window state is evicted, bounding state size; that bound
+is what makes a 100 TB/day stream feasible. ``dropDuplicatesWithinWatermark``
+dedups on event_id with the same bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WATERMARK = "30 minutes"
+SESSION_GAP = "15 minutes"
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream with the same ns→µs ts conversion the batch
+    loader applies (see queries/base.py)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("path", source_dir)
+        .load()
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Watermarked 1-hour tumbling aggregation (append-able state)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_counts(events: DataFrame) -> DataFrame:
+    """Watermarked session windows (15-minute gap) per user."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup_events(events: DataFrame) -> DataFrame:
+    """Exactly-once-style dedup on event_id bounded by the watermark."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
+    """Drain the stream with availableNow into an in-memory table;
+    returns the finished StreamingQuery (results via
+    ``spark.table(query_name)``)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
