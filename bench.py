@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Each query materializes through the `noop` write format so the full
+plan executes (a bare count() would let Catalyst prune projection
+columns and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rdbms_metadata_manager_spark.registry import all_queries  # noqa: E402
+from rdbms_metadata_manager_spark.session import get_spark  # noqa: E402
+
+# Representative headline set: one per operator family, weighted
+# toward the scan/join/shuffle-heavy shapes that dominate at scale.
+HEADLINE = [
+    "schema_issues",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customers",
+    "revenue_by_region",
+    "window_topn_orders_per_customer",
+    "rollup_returnflag_status",
+    "topk_orders",
+    "json_event_props",
+    "events_session_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_token_stats",
+    "multimodal_features",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # Warm the JVM once so timings measure the queries, not session
+    # bootstrap: parquet reader, codegen, and the broadcast-join
+    # machinery (thread pools + torrent broadcast init).
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(100)
+    tiny = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["x"]}))
+    materialize(li.join(F.broadcast(tiny), li["l_linenumber"] == tiny["k"], "left"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

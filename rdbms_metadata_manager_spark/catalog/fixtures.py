@@ -123,14 +123,27 @@ QUIRKS_FOREIGN_KEYS = [
 ]
 
 
+def _local_df(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
+    """Small local relations go through pandas+Arrow so Catalyst sees
+    a LocalTableScan. A plain createDataFrame(list) builds a
+    Python-RDD-backed scan (applySchemaToPythonRDD) that launches
+    pyspark workers inside every downstream stage — measured at a
+    flat ~4s per broadcast join in this environment."""
+    import pandas as pd
+
+    pdf = pd.DataFrame.from_records(rows, columns=[f.name for f in schema.fields]).astype(object)
+    pdf = pdf.where(pd.notnull(pdf), None)
+    return spark.createDataFrame(pdf, schema)
+
+
 def columns_meta(spark: SparkSession, database: str = "ecommerce_db") -> DataFrame:
     rows = {"ecommerce_db": ECOMMERCE_COLUMNS, "quirks_db": QUIRKS_COLUMNS}[database]
-    return spark.createDataFrame(rows, COLUMNS_META_SCHEMA)
+    return _local_df(spark, rows, COLUMNS_META_SCHEMA)
 
 
 def indexes_meta(spark: SparkSession, database: str = "ecommerce_db") -> DataFrame:
     rows = {"ecommerce_db": ECOMMERCE_INDEXES, "quirks_db": QUIRKS_INDEXES}[database]
-    return spark.createDataFrame(rows, INDEXES_META_SCHEMA)
+    return _local_df(spark, rows, INDEXES_META_SCHEMA)
 
 
 def foreign_keys_meta(spark: SparkSession, database: str = "ecommerce_db") -> DataFrame:
@@ -138,4 +151,4 @@ def foreign_keys_meta(spark: SparkSession, database: str = "ecommerce_db") -> Da
         "ecommerce_db": ECOMMERCE_FOREIGN_KEYS,
         "quirks_db": QUIRKS_FOREIGN_KEYS,
     }[database]
-    return spark.createDataFrame(rows, FOREIGN_KEYS_META_SCHEMA)
+    return _local_df(spark, rows, FOREIGN_KEYS_META_SCHEMA)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.base import load
+from ..queries.base import load, load_spread
 from .hashing import h32, h32_sql, word_shingles, word_shingles_sql
 
 # MinHash parameters: 16 hash functions in 4 bands of 4 rows.
@@ -33,6 +33,24 @@ MINHASH_K = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 JACCARD_THRESHOLD = 0.5
+
+# Affine hash family over ONE base md5 hash per shingle:
+#   h_i(s) = (a_i * h32(s) + b_i) mod P
+# 16× cheaper than hashing each shingle 16 times, and the constants
+# are md5-derived (not RNG) so the DuckDB oracle reproduces them.
+# a_i < 2^30 keeps a_i * h32 < 2^62 — no BIGINT overflow in either
+# engine.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _const(tag: str, i: int, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:15], 16) % mod
+
+
+MINHASH_A = [(_const("a", i, 2**30 - 1) | 1) for i in range(MINHASH_K)]
+MINHASH_B = [_const("b", i, 2**32) for i in range(MINHASH_K)]
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +75,9 @@ ORDER BY keeper_doc_id
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # Single-row-group parquet → one input split; spread the
+    # CPU-bound shingling across all cores (see base.load_spread).
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     words = F.split(F.col("text"), " ")
     return docs.select("doc_id", word_shingles(words).alias("shingles")).filter(
         F.size("shingles") > 0
@@ -77,8 +97,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; Jaccard is int/int division → bit-identical to the oracle."""
     sh = _shingled(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # Join on the 32-bit shingle hash, not the string: the shuffle
+    # payload drops ~3× and the comparator is a long. The oracle
+    # hashes identically, so any (≈0.1-expected) collision affects
+    # both engines the same way.
+    ex = sh.select("doc_id", F.explode(F.transform("shingles", h32)).alias("shingle"))
+    # Force sort-merge: the posting lists are ~1M rows per side, and a
+    # broadcast build of that is a serial driver-side hash-relation
+    # construction, while SMJ shuffles both sides across all cores and
+    # keeps the 33M-row join output co-partitioned for the pair
+    # groupBy that follows.
+    a, b = ex.alias("a"), ex.hint("shuffle_merge").alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -99,7 +128,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLED_SQL}),
 sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+ex AS (SELECT doc_id, unnest(list_transform(shingles, s -> {h32_sql('s')})) AS shingle FROM sh),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -125,19 +154,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard LSH s-curve (J=0.5 → P(candidate) ≈ 1-(1-0.5⁴)⁴ ≈ 23%
     per band family — parameters chosen for the near-identical
     planted dups at J≈0.99 where recall ≈ 1)."""
+    def affine_min(a: int, b: int):
+        return F.array_min(
+            F.transform(F.col("hashes"), lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)))
+        )
+
     sh = _shingled(spark, sf_dir)
     sig = sh.select(
         "doc_id",
         "shingles",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(MINHASH_K)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s: h32(F.concat(i.cast("string"), F.lit("|"), s)),
-                )
-            ),
-        ).alias("sig"),
+        F.transform(F.col("shingles"), h32).alias("hashes"),
+    ).select(
+        "doc_id",
+        "shingles",
+        F.array(*[affine_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)]).alias("sig"),
     )
     band_structs = [
         F.struct(
@@ -184,14 +214,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_SIG_SQL = ", ".join(
+    f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+    for a, b in zip(MINHASH_A, MINHASH_B)
+)
+
 _MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLED_SQL}),
-sig AS (
+hashed AS (
   SELECT doc_id, shingles,
-         list_transform(range(1, {MINHASH_K + 1}),
-           i -> list_min(list_transform(shingles,
-                  s -> {h32_sql("i::VARCHAR || '|' || s")}))) AS sig
+         list_transform(shingles, s -> {h32_sql('s')}) AS hashes
   FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles, [{_MINHASH_SIG_SQL}] AS sig
+  FROM hashed
 ),
 bands AS (
   SELECT doc_id, b AS band,
@@ -230,7 +267,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ≤ 6. Prefix bucketing trades recall for scale — a pair
     differing inside the prefix is missed; the oracle replicates the
     same policy so the comparison is exact."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     words = F.array_distinct(F.split(F.col("text"), " "))
     hashed = docs.select("doc_id", F.transform(words, h32).alias("hashes"))
     # bit b of the simhash = majority vote of word-hash bits. Bit

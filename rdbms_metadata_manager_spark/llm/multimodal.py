@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.base import load
+from ..queries.base import load_spread
 
 MODALITIES = ["image", "audio", "video"]
 
@@ -81,7 +81,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize blobs from document text (the container ships no
     media files), tag a modality, and run the decode/feature-extract
     stage through mapInPandas."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     blobs = docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("blob"),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.base import load
+from ..queries.base import load_spread
 from .hashing import h32_sql
 
 N_PLANES = 6
@@ -57,7 +57,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbours of vec_id=0. The 1-row query
     side is broadcast; ORDER BY + LIMIT compiles to per-partition
     top-k, so no full sort at any scale."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
@@ -85,7 +85,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 6 sign bits → bucket id; exact
     cosine top-5 within the query's bucket. Plane component (p, d) =
     h32(p||','||d)/2³² − 0.5, reproducible in SQL."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
 
@@ -151,7 +151,7 @@ LIMIT 5
 
 def similarity_same_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ 0.3 inside the same label block."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
     a, b = emb.alias("a"), emb.alias("b")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.base import load
+from ..queries.base import load_spread
 from .hashing import h32, h32_sql
 
 STOPWORDS = ["the", "a", "of", "and"]
@@ -27,7 +27,7 @@ TOKEN_RX = "[a-z0-9]+"
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace and regex-class token counts + length stats.
     avg_token_len is int/int double division → bit-identical."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     words = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
@@ -59,7 +59,7 @@ def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + marker-word language/genre heuristic.
     Ratios are int/int divisions (bit-identical); the verdicts are
     threshold CASE expressions over them."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
@@ -108,7 +108,7 @@ ORDER BY doc_id
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 of the normalized text plus a 1024-way
     shard bucket — the key you'd dedup/partition on at 100 TB."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     norm = F.lower(F.trim(F.col("text")))
     return docs.select(
         "doc_id",

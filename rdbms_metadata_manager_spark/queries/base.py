@@ -41,3 +41,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load(spark, sf_dir, n) for n in names]
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Load + repartition by key across all cores. The testdata
+    parquet files are single row groups (one input split), which
+    serializes CPU-bound per-row kernels (shingling, vector math,
+    Pandas UDFs); a cheap shuffle of the raw rows unlocks full
+    parallelism. On a real multi-file dataset this is a no-op choice —
+    the scan already splits."""
+    return load(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism, key)

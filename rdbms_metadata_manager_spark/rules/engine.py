@@ -176,9 +176,16 @@ def rule4_expected_type_mismatch(
     """Expected-type dictionary mismatch (app.py:78-93). The dict the
     reference re-allocates per column (app.py:79-83) becomes a 3-row
     broadcast lookup joined once."""
+    import pandas as pd
+
     spark = columns_meta.sparkSession
+    # pandas+Arrow → LocalTableScan (a list-based createDataFrame is a
+    # Python-RDD scan that costs seconds per broadcast; see
+    # catalog.fixtures._local_df).
     expected = spark.createDataFrame(
-        [(k, v) for k, v in EXPECTED_TYPES.items()], "lookup_name string, expected_type string"
+        pd.DataFrame(
+            {"lookup_name": list(EXPECTED_TYPES), "expected_type": list(EXPECTED_TYPES.values())}
+        )
     )
     hits = columns_meta.join(
         F.broadcast(expected),

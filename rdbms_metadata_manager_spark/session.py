@@ -27,6 +27,12 @@ def get_spark(app_name: str = "rdbms-metadata-manager-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64 MB broadcast threshold: executors on a modern cluster
+        # hold tens of GB — broadcasting a 64 MB build side beats
+        # shuffling a multi-TB probe side every time. Locally it lets
+        # the inverted-index joins (1M × 16-byte rows) skip the
+        # two-sided exchange.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
