@@ -1,0 +1,409 @@
+"""Advanced relational operators: as-of join, range join, grouping
+sets, keep-latest dedup, percentiles/correlation, extended window
+functions, array/null/datetime scalar coverage.
+
+These are the operators a warehouse user reaches for beyond the
+basics; each has an exact DuckDB oracle. The as-of and range joins
+deliberately use the SCALABLE formulations (union+window, bucketed
+candidate join) rather than non-equi joins, because a non-equi join
+at 100 TB is a cross-join-shaped disaster while these shapes shuffle
+on keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import load, load_spread
+
+
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase event, the most recent click at
+    or before it by the same user.
+
+    Spark-first formulation: NOT a non-equi join — union both event
+    roles into one stream, then a running max of click-ts per user
+    over the time ordering. One shuffle on user_id, linear scan;
+    scales to any stream length."""
+    e = load_spread(spark, sf_dir, "events", "user_id")
+    both = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        both.withColumn("last_click_ts", F.max(click_ts).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+        .orderBy("user_id", "purchase_event_id")
+    )
+
+
+_ASOF_SQL = """
+WITH both_types AS (
+  SELECT * FROM events WHERE event_type IN ('click', 'purchase')
+),
+marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM both_types
+)
+SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts, last_click_ts,
+       epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+FROM marked
+WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_event_id
+"""
+
+
+def range_join_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join: per error event, how many other events the same
+    user produced within ±5 minutes.
+
+    Scalable shape: bucket time into 5-minute cells, explode each
+    error into its 3 candidate cells, equi-join on (user, cell), then
+    refine with the exact predicate — the band-join pattern that
+    keeps a time-range join shuffle-based."""
+    e = load_spread(spark, sf_dir, "events", "user_id")
+    bucket = F.floor(F.unix_micros("ts") / F.lit(300_000_000)).cast("bigint")
+    all_e = e.select("user_id", F.col("event_id").alias("other_id"), F.col("ts").alias("other_ts"), bucket.alias("cell"))
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("cell"),
+    )
+    return (
+        errors.join(all_e, ["user_id", "cell"])
+        .filter(
+            (F.col("other_id") != F.col("error_id"))
+            & (F.abs(F.unix_micros("other_ts") - F.unix_micros("error_ts")) <= 300_000_000)
+        )
+        .groupBy("user_id", "error_id", "error_ts")
+        .agg(F.count("*").alias("n_nearby"))
+        .orderBy("user_id", "error_id")
+    )
+
+
+_RANGE_SQL = """
+SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts, count(*) AS n_nearby
+FROM events e
+JOIN events o
+  ON o.user_id = e.user_id
+ AND o.event_id != e.event_id
+ AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= 300000000
+WHERE e.event_type = 'error'
+GROUP BY e.user_id, e.event_id, e.ts
+ORDER BY e.user_id, error_id
+"""
+
+
+def grouping_sets_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (hypertable-style): per-day, per-month,
+    and grand-total in one pass via GROUPING SETS (SQL API — the DF
+    API exposes only cube/rollup)."""
+    e = load(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts)   AS day_bucket,
+               date_trunc('month', ts) AS month_bucket,
+               count(*)                AS n_events,
+               round(sum(value), 4)    AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((date_trunc('day', ts)), (date_trunc('month', ts)), ())
+        ORDER BY day_bucket ASC NULLS FIRST, month_bucket ASC NULLS FIRST
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)   AS day_bucket,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_bucket,
+       count(*)                AS n_events,
+       round(sum(value), 4)    AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS TIMESTAMP)),
+                        (CAST(date_trunc('month', ts) AS TIMESTAMP)), ())
+ORDER BY day_bucket ASC NULLS FIRST, month_bucket ASC NULLS FIRST
+"""
+
+
+def dedup_keep_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-key dedup policy: the longest document per
+    (lang, source), ties broken by doc_id — the canonical
+    row_number()=1 pattern (dropDuplicates can't express an ordered
+    keep policy)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", "doc_id", "n_chars")
+        .orderBy("lang", "source")
+    )
+
+
+_KEEP_BEST_SQL = """
+SELECT lang, source, doc_id, n_chars
+FROM (SELECT lang, source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) t
+WHERE rn = 1
+ORDER BY lang, source
+"""
+
+
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median definition matches
+    DuckDB's quantile_cont) per order priority."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.round(F.min("o_totalprice"), 2).alias("mn"),
+            F.round(F.max("o_totalprice"), 2).alias("mx"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       round(min(o_totalprice), 2) AS mn,
+       round(max(o_totalprice), 2) AS mx
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def correlation_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp per return flag."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_CORR_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / percent_rank / cume_dist / ntile in one pass."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") <= 5)
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("c_nationkey", "c_custkey")
+
+
+_WINDOW_RANK_SQL = """
+SELECT c_nationkey, c_custkey,
+       dense_rank()   OVER w AS drank,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist()    OVER w, 6) AS cdist,
+       ntile(4)       OVER w AS quartile
+FROM customer
+WHERE c_nationkey <= 5
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_nationkey, c_custkey
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: for each order, count of same-customer orders
+    within ±1,000,000 in total price (value-based frame, not rows)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1_000_000, 1_000_000)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_similar_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_WINDOW_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING)
+         AS n_similar_price
+FROM orders
+WHERE o_custkey <= 30
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def array_posexplode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode + array functions over split part names."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    words = F.split(F.col("p_name"), " ")
+    return (
+        p.select("p_partkey", F.posexplode(words).alias("pos", "word"))
+        .orderBy("p_partkey", "pos")
+    )
+
+
+_ARRAY_SQL = """
+SELECT p_partkey, CAST(g.i - 1 AS INT) AS pos, string_split(p_name, ' ')[g.i] AS word
+FROM part, unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS g(i)
+WHERE p_partkey <= 50
+ORDER BY p_partkey, pos
+"""
+
+
+def null_handling_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / null predicates over a null-producing
+    window (first order per customer has no previous)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(prev, F.lit(0.0)).alias("prev_price_or_zero"),
+        prev.isNull().alias("is_first_order"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_unless_open"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_NULL_SQL = """
+SELECT o_custkey, o_orderkey,
+       coalesce(lag(o_totalprice) OVER w, 0.0) AS prev_price_or_zero,
+       lag(o_totalprice) OVER w IS NULL        AS is_first_order,
+       nullif(o_orderstatus, 'O')              AS status_unless_open
+FROM orders
+WHERE o_custkey <= 30
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def datetime_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_add / add_months / last_day / quarter / day extraction."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 2).alias("plus_2mo"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.dayofmonth(d).alias("dom"),
+    ).orderBy("o_orderkey")
+
+
+_DATETIME_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)                 AS order_date,
+       CAST(o_orderdate AS DATE) + 30            AS due_date,
+       CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+       last_day(CAST(o_orderdate AS DATE))       AS month_end,
+       quarter(o_orderdate)                      AS qtr,
+       day(o_orderdate)                          AS dom
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_or / bool_and / filtered aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.expr("count_if(l_discount > 0.05)").alias("n_discounted"),
+            F.expr("bool_or(l_quantity > 45)").alias("any_bulk"),
+            F.expr("bool_and(l_quantity > 0)").alias("all_positive"),
+            F.round(
+                F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)), 2
+            ).alias("returned_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_CONDITIONAL_SQL = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       bool_or(l_quantity > 45)                  AS any_bulk,
+       bool_and(l_quantity > 0)                  AS all_positive,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END), 2) AS returned_qty
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+QUERIES = {
+    "asof_join_last_click": asof_join_last_click,
+    "range_join_error_bursts": range_join_error_bursts,
+    "grouping_sets_event_rollup": grouping_sets_event_rollup,
+    "dedup_keep_best_per_group": dedup_keep_best_per_group,
+    "percentile_order_values": percentile_order_values,
+    "correlation_quantity_price": correlation_quantity_price,
+    "window_rank_functions": window_rank_functions,
+    "window_range_frame": window_range_frame,
+    "array_posexplode_part_words": array_posexplode_part_words,
+    "null_handling_order_gaps": null_handling_order_gaps,
+    "datetime_functions_orders": datetime_functions_orders,
+    "conditional_aggregates": conditional_aggregates,
+}
+
+ORACLES = {
+    "asof_join_last_click": _ASOF_SQL,
+    "range_join_error_bursts": _RANGE_SQL,
+    "grouping_sets_event_rollup": _GROUPING_SETS_SQL,
+    "dedup_keep_best_per_group": _KEEP_BEST_SQL,
+    "percentile_order_values": _PERCENTILE_SQL,
+    "correlation_quantity_price": _CORR_SQL,
+    "window_rank_functions": _WINDOW_RANK_SQL,
+    "window_range_frame": _WINDOW_RANGE_SQL,
+    "array_posexplode_part_words": _ARRAY_SQL,
+    "null_handling_order_gaps": _NULL_SQL,
+    "datetime_functions_orders": _DATETIME_SQL,
+    "conditional_aggregates": _CONDITIONAL_SQL,
+}

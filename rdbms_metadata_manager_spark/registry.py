@@ -16,9 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from .queries import metadata, relational
+    from .queries import advanced, metadata, relational
 
-    mods = [relational, metadata]
+    mods = [relational, advanced, metadata]
     try:
         from .llm import dedup, multimodal, similarity, text
 

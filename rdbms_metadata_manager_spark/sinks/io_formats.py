@@ -1,0 +1,65 @@
+"""File-format sources/sinks beyond the reference's single CSV write
+(reference app.py:110-119): parquet (partitioned + plain), CSV, JSON,
+and bucketed tables for co-located joins.
+
+Scale notes:
+- Partitioned parquet writes (partitionBy) give partition pruning on
+  read — the first lever against a 100 TB scan.
+- Bucketed tables (bucketBy + saveAsTable) pre-shuffle both join
+  sides once at write time; subsequent equi-joins on the bucket key
+  skip the exchange entirely (verified in tests via the query plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+    Joins/aggregations on ``bucket_col`` between two tables bucketed
+    the same way run shuffle-free."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A crashed previous run can leave the managed location behind
+    # with no catalog entry; saveAsTable then refuses the name.
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
