@@ -1,0 +1,104 @@
+"""UDF surface: vectorized pandas_udf (Arrow scalar path) and a
+Python UDTF (table function) — the two sanctioned escape hatches when
+built-in Column expressions can't express an operator.
+
+Both examples are deterministic and SQL-reproducible, so even the
+Python paths get exact DuckDB oracles. The chunker is the
+training-data-pipeline operator: split documents into fixed-size
+token windows (what an LLM ingestion job does before tokenization).
+
+Scale: pandas_udf processes Arrow batches executor-side (~10-100×
+row-at-a-time Python); the UDTF streams rows out per input row
+without materializing per-doc chunk lists on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+from ..queries.base import load_spread
+
+CHUNK_TOKENS = 32
+
+
+@pandas_udf(DoubleType())
+def vowel_density(texts: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF: vowels per character (pure pandas ops
+    on the Arrow batch — no per-row Python)."""
+    return texts.str.count(r"[aeiou]") / texts.str.len()
+
+
+def pandas_udf_text_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    return d.select(
+        "doc_id",
+        vowel_density(F.col("text")).alias("vowel_density"),
+    ).orderBy("doc_id")
+
+
+_PANDAS_UDF_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[aeiou]')) * 1.0 / length(text) AS vowel_density
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@udtf(returnType="doc_id: bigint, chunk_id: int, n_tokens: int, chunk_text: string")
+class ChunkDocument:
+    """Python UDTF: explode one document into fixed-size token
+    windows. Lazy row generator — nothing accumulates per doc."""
+
+    def eval(self, doc_id: int, text: str) -> Iterator[tuple]:
+        words = text.split(" ")
+        for i in range(0, len(words), CHUNK_TOKENS):
+            chunk = words[i : i + CHUNK_TOKENS]
+            yield doc_id, i // CHUNK_TOKENS, len(chunk), " ".join(chunk)
+
+
+def udtf_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents", "doc_id").filter(F.col("doc_id") < 100)
+    spark.udtf.register("chunk_document", ChunkDocument)
+    d.createOrReplaceTempView("docs_to_chunk")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_text
+        FROM docs_to_chunk d,
+             LATERAL chunk_document(d.doc_id, d.text) c
+        ORDER BY c.doc_id, c.chunk_id
+        """
+    )
+
+
+_UDTF_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 100
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(g.i AS INT) AS chunk_id,
+         words[g.i * {CHUNK_TOKENS} + 1 : g.i * {CHUNK_TOKENS} + {CHUNK_TOKENS}] AS chunk
+  FROM w, unnest(range(0, CAST(ceil(len(words) * 1.0 / {CHUNK_TOKENS}) AS BIGINT))) AS g(i)
+)
+SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+QUERIES = {
+    "pandas_udf_text_scores": pandas_udf_text_scores,
+    "udtf_document_chunks": udtf_document_chunks,
+}
+
+ORACLES = {
+    "pandas_udf_text_scores": _PANDAS_UDF_SQL,
+    "udtf_document_chunks": _UDTF_SQL,
+}

@@ -1,0 +1,241 @@
+"""Classic warehouse query shapes beyond the basics: correlated
+subqueries (decorrelated by Catalyst), disjunctive join predicates,
+conditional-ratio aggregates, distinct-count rollups, and a
+sessionized conversion funnel.
+
+Each has an exact DuckDB oracle (column names + decimal money
+contract as in relational.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load
+from .relational import _money
+
+
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio per month. The
+    ratio divides two exact decimal sums cast to double — identical
+    in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    disc_price = _money("l_extendedprice") * (1 - _money("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", disc_price).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_ratio"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+_Q14_SQL = """
+SELECT year(l_shipdate) AS ship_year,
+       100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+         AS promo_ratio,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY year(l_shipdate)
+ORDER BY ship_year
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) — expressed as an aggregate + self-join, the
+    decorrelated form Catalyst itself would produce; one shuffle on
+    partkey co-partitions both the average and the probe."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    # The threshold test q < 0.2·avg(q) is restated as the exact
+    # decimal inequality 5·q·count < sum: avg() of fractional doubles
+    # differs across engines in the last ulp, which flips borderline
+    # rows; decimal sums are exact in both.
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.sum(_money("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("cnt_qty"),
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == avg_qty["ap_partkey"])
+        .filter(_money("l_quantity") * 5 * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            (F.round(F.sum(_money("l_extendedprice")), 2).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS ap_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+         count(*) AS cnt_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN per_part ON ap_partkey = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND CAST(l_quantity AS DECIMAL(18,6)) * 5 * cnt_qty < sum_qty
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate. The equi-key
+    (partkey) still drives the join; the disjunction is a post-join
+    filter, so no nested-loop blowup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 5))
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 5)
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count rollup per part attribute."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.countDistinct("l_partkey").alias("part_cnt"),
+        )
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS supplier_cnt,
+       count(DISTINCT l_partkey) AS part_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion funnel: per user, first click and first
+    purchase at-or-after it. Two aggregations over the same user_id
+    partitioning — the second groupBy reuses the first's shuffle."""
+    e = load(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("p_ts"))
+    return (
+        first_click.join(purchases, "user_id", "left")
+        .withColumn(
+            "valid_p_ts", F.when(F.col("p_ts") >= F.col("first_click_ts"), F.col("p_ts"))
+        )
+        .groupBy("user_id", "first_click_ts")
+        .agg(F.min("valid_p_ts").alias("first_purchase_ts"))
+        .withColumn("converted", F.col("first_purchase_ts").isNotNull())
+        .orderBy("user_id")
+    )
+
+
+_FUNNEL_SQL = """
+WITH fc AS (
+  SELECT user_id, min(ts) AS first_click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+fp AS (
+  SELECT fc.user_id, fc.first_click_ts, min(e.ts) AS first_purchase_ts
+  FROM fc LEFT JOIN events e
+    ON e.user_id = fc.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= fc.first_click_ts
+  GROUP BY fc.user_id, fc.first_click_ts
+)
+SELECT user_id, first_click_ts, first_purchase_ts,
+       first_purchase_ts IS NOT NULL AS converted
+FROM fp
+ORDER BY user_id
+"""
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HyperLogLog++ / quantile sketch).
+    Engine-specific sketches can't hash-match an oracle — registered
+    rows-only; the exact counterparts are oracle-checked elsewhere
+    (agg_nation_stats, percentile_order_values)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES = {
+    "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q16_supplier_variety": q16_supplier_variety,
+    "funnel_click_to_purchase": funnel_click_to_purchase,
+    "approx_distinct_stats": approx_distinct_stats,
+}
+
+ORACLES = {
+    "q14_promo_revenue_ratio": _Q14_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q19_disjunctive_revenue": _Q19_SQL,
+    "q16_supplier_variety": _Q16_SQL,
+    "funnel_click_to_purchase": _FUNNEL_SQL,
+    # approx_distinct_stats: deliberately no oracle (sketch-based)
+}

@@ -16,13 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from .queries import advanced, metadata, relational
+    from .queries import advanced, metadata, relational, tpch_extra
 
-    mods = [relational, advanced, metadata]
+    mods = [relational, advanced, tpch_extra, metadata]
     try:
-        from .llm import dedup, multimodal, similarity, text
+        from .llm import dedup, multimodal, ranking, similarity, text, udfs
 
-        mods += [dedup, similarity, text, multimodal]
+        mods += [dedup, similarity, text, multimodal, ranking, udfs]
     except ImportError:
         pass
     try:
