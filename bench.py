@@ -41,8 +41,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "similarity_ivf_search",
     "text_token_stats",
     "multimodal_features",
+    "asof_join_last_click",
+    "tfidf_top_terms",
+    "salted_join_revenue",
+    "q17_small_quantity_revenue",
 ]
 
 

@@ -1,0 +1,155 @@
+"""IVF (inverted-file) approximate nearest-neighbour search.
+
+The scale path for similarity search beyond LSH: partition vectors
+into cells around centroids (coarse quantizer), then search only the
+query's nearest ``nprobe`` cells. At 100 TB the cell assignment is a
+write-time partitioning key, so a query touches nprobe/k of the data.
+
+Determinism contract (for the DuckDB oracle):
+- centroid components are per-dimension averages ROUNDED to 6 dp
+  (aggregation order differs across engines in the last ulp);
+- centroids are carried as position-ordered ARRAYS and every dot
+  product is an ordered fold → bit-identical scores;
+- argmax ties break on label order.
+
+Here the quarantizer uses the label groups as training clusters (a
+k-means run would be the production trainer; the search machinery is
+identical). Assignment is by nearest centroid, NOT by label — vectors
+can land in another label's cell, as in real IVF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries.base import load_spread
+from .similarity import DIM, _as_double, _cosine, _cosine_sql, _dot
+
+NPROBE = 2
+TOP_K = 5
+
+
+def _centroid_arrays(emb: DataFrame) -> DataFrame:
+    """label → position-ordered centroid array (components rounded
+    to 6 dp for cross-engine determinism)."""
+    dims = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    per_dim = dims.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    ).select(F.col("label").alias("c_label"), "centroid")
+
+
+def _assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """vec → nearest-centroid cell via ordered-fold dot products."""
+    scored = emb.join(F.broadcast(centroids)).withColumn(
+        "score", _dot(F.col("v"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "c_label")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", F.col("c_label").alias("cell"))
+    )
+
+
+def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    centroids = _centroid_arrays(emb)
+    assigned = _assignments(emb, centroids)
+
+    # Query vector and its nprobe nearest cells.
+    q = assigned.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    q_cells = (
+        emb.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(centroids))
+        .withColumn("score", _dot(F.col("v"), F.col("centroid")))
+        .orderBy(F.col("score").desc(), "c_label")
+        .limit(NPROBE)
+        .select(F.col("c_label").alias("cell"))
+    )
+    return (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "cell", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+_CENTROID_CTE = """
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT label, g.i AS pos, v[g.i] AS x
+  FROM e, unnest(range(1, {dim1})) AS g(i)
+),
+per_dim AS (SELECT label, pos, round(avg(x), 6) AS c FROM dims GROUP BY 1, 2),
+centroids AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM per_dim GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.v, c.label,
+         list_sum(list_transform(range(1, {dim1}), i -> e.v[i] * c.centroid[i])) AS score
+  FROM e CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, v, label AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, label) AS rk
+        FROM scored)
+  WHERE rk = 1
+)
+""".format(dim1=DIM + 1)
+
+_IVF_SQL = f"""
+WITH {_CENTROID_CTE},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+q_cells AS (
+  SELECT label AS cell FROM scored WHERE vec_id = 0
+  ORDER BY score DESC, label LIMIT {NPROBE}
+)
+SELECT a.vec_id, a.cell, {_cosine_sql("a.v", "q.qv")} AS cosine
+FROM assigned a JOIN q_cells USING (cell) CROSS JOIN q
+WHERE a.vec_id != 0
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+
+
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell occupancy — the balance diagnostic you watch before
+    trusting an IVF index (empty/giant cells mean a bad quantizer)."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    assigned = _assignments(emb, _centroid_arrays(emb))
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+_IVF_STATS_SQL = f"""
+WITH {_CENTROID_CTE}
+SELECT cell, count(*) AS n_vectors
+FROM assigned
+GROUP BY cell
+ORDER BY cell
+"""
+
+
+QUERIES = {
+    "similarity_ivf_search": similarity_ivf_search,
+    "ivf_cell_stats": ivf_cell_stats,
+}
+
+ORACLES = {
+    "similarity_ivf_search": _IVF_SQL,
+    "ivf_cell_stats": _IVF_STATS_SQL,
+}

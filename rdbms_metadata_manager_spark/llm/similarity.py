@@ -81,29 +81,27 @@ LIMIT 10
 """
 
 
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: 6 sign bits → bucket id; exact
-    cosine top-5 within the query's bucket. Plane component (p, d) =
-    h32(p||','||d)/2³² − 0.5, reproducible in SQL."""
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
-        "vec_id", _as_double("embedding").alias("v")
+def _plane_component(p: int, d: Column) -> Column:
+    """Hyperplane component (p, d) = h32(p||','||d)/2³² − 0.5 —
+    md5-derived pseudo-random, reproducible in SQL."""
+    seed = F.concat(F.lit(f"{p},"), d.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+        - 0.5
     )
 
-    def plane_component(p: int, d: Column) -> Column:
-        seed = F.concat(F.lit(f"{p},"), d.cast("string"))
-        return (
-            F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
-            - 0.5
-        )
 
-    # Bucket bits built per-plane with Python-int weights; each plane
-    # dot is Σ_d v[d+1]·comp(p,d), the same ascending-d fold as the
-    # SQL. Closure factory, not default-arg lambdas — PySpark reads
-    # lambda arity to bind higher-order-function variables.
+def lsh_bucket(v: str = "v") -> Column:
+    """Random-hyperplane sign-bit bucket of the vector column ``v``.
+    Bucket bits built per-plane with Python-int weights; each plane
+    dot is Σ_d v[d+1]·comp(p,d), the same ascending-d fold as the
+    SQL. Closure factory, not default-arg lambdas — PySpark reads
+    lambda arity to bind higher-order-function variables."""
+
     def plane_merge(p: int):
-        return lambda acc, d: acc + F.element_at(F.col("v"), d + F.lit(1)) * plane_component(p, d)
+        return lambda acc, d: acc + F.element_at(F.col(v), d + F.lit(1)) * _plane_component(p, d)
 
-    bucket = sum(
+    return sum(
         (
             F.when(
                 F.aggregate(F.sequence(F.lit(0), F.lit(DIM - 1)), F.lit(0.0), plane_merge(p)) > 0,
@@ -113,7 +111,15 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    bucketed = emb.withColumn("bucket", bucket)
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 6 sign bits → bucket id; exact
+    cosine top-5 within the query's bucket."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket())
     q = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -146,6 +152,57 @@ FROM bucketed, q
 WHERE bucket = qbucket AND vec_id != 0
 ORDER BY cosine DESC, vec_id
 LIMIT 5
+"""
+
+
+NEAR_DUP_COSINE = 0.4
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs share an LSH bucket
+    (blocking key — no cross join), verified with exact cosine ≥ 0.4;
+    the dedup decision keeps the lower vec_id."""
+    # Each join side gets its OWN scan lineage: a self-join whose
+    # projections contain higher-order-function lambdas hits
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when Spark dedups a shared
+    # plan (the lambda variable binding isn't rewritten). The double
+    # scan is the price; at scale you'd checkpoint the bucketed side.
+    def side(vec_alias: str, v_alias: str, bucket_alias: str):
+        e = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+            F.col("vec_id").alias(vec_alias), _as_double("embedding").alias(v_alias)
+        )
+        return e.withColumn(bucket_alias, lsh_bucket(v_alias))
+
+    l = side("keep_vec", "lv", "bucket")
+    r = side("drop_vec", "rv", "rbucket")
+    return (
+        l.join(r, (F.col("bucket") == F.col("rbucket")) & (F.col("keep_vec") < F.col("drop_vec")))
+        .select(
+            "keep_vec",
+            "drop_vec",
+            _cosine(F.col("lv"), F.col("rv")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .orderBy("keep_vec", "drop_vec")
+    )
+
+
+_EMB_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(range(0, {N_PLANES}),
+           p -> CASE WHEN list_sum(list_transform(range(0, {DIM}),
+                        d -> v[d + 1] * {_PLANE_COMP_SQL})) > 0
+                     THEN (1 << p) ELSE 0 END))::INT AS bucket
+  FROM e
+)
+SELECT l.vec_id AS keep_vec, r.vec_id AS drop_vec,
+       {_cosine_sql("l.v", "r.v")} AS cosine
+FROM bucketed l JOIN bucketed r
+  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {_cosine_sql("l.v", "r.v")} >= {NEAR_DUP_COSINE}
+ORDER BY keep_vec, drop_vec
 """
 
 
@@ -182,10 +239,12 @@ QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_same_label_pairs": similarity_same_label_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
     "similarity_topk_bruteforce": _TOPK_SQL,
     "similarity_ann_lsh": _ANN_SQL,
     "similarity_same_label_pairs": _PAIRS_SQL,
+    "dedup_embedding_cosine": _EMB_DEDUP_SQL,
 }

@@ -16,13 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from .queries import advanced, metadata, relational, tpch_extra
+    from .queries import advanced, metadata, relational, skew, tpch_extra
 
-    mods = [relational, advanced, tpch_extra, metadata]
+    mods = [relational, advanced, tpch_extra, skew, metadata]
     try:
-        from .llm import dedup, multimodal, ranking, similarity, text, udfs
+        from .llm import dedup, ivf, multimodal, ranking, similarity, text, udfs
 
-        mods += [dedup, similarity, text, multimodal, ranking, udfs]
+        mods += [dedup, similarity, text, multimodal, ranking, udfs, ivf]
     except ImportError:
         pass
     try:
