@@ -20,9 +20,9 @@ def _modules():
 
     mods = [relational, advanced, tpch_extra, skew, metadata]
     try:
-        from .llm import dedup, ivf, multimodal, ranking, similarity, text, udfs
+        from .llm import dedup, ivf, multimodal, pipeline, ranking, similarity, text, udfs
 
-        mods += [dedup, similarity, text, multimodal, ranking, udfs, ivf]
+        mods += [dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline]
     except ImportError:
         pass
     try:
