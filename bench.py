@@ -69,6 +69,10 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(100)
     tiny = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["x"]}))
     materialize(li.join(F.broadcast(tiny), li["l_linenumber"] == tiny["k"], "left"))
+    # Spawn the Python worker pool once (first mapInPandas pays ~4s
+    # for 32 workers; they're reused by every later Python-path query).
+    warm = spark.range(0, 64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    materialize(warm.mapInPandas(lambda it: it, "id long"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

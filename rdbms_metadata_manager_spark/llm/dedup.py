@@ -75,17 +75,29 @@ ORDER BY keeper_doc_id
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single-row-group parquet → one input split; spread the
-    # CPU-bound shingling across all cores (see base.load_spread).
+    """doc → distinct 32-bit shingle-hash array. Strings die inside
+    this projection: everything downstream (signatures, joins,
+    verification) runs on bigint arrays, which cuts shuffle payload
+    ~3× and the object churn that made large runs GC-spiky. Hash-set
+    Jaccard ≡ string-set Jaccard modulo ~1e-10 collision probability,
+    and the oracle hashes identically so both engines agree exactly.
+
+    Single-row-group parquet → one input split; load_spread fans the
+    CPU-bound shingling across all cores."""
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
     words = F.split(F.col("text"), " ")
-    return docs.select("doc_id", word_shingles(words).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    shingles = word_shingles(words)
+    return docs.select(
+        "doc_id",
+        F.array_distinct(F.transform(shingles, h32)).alias("hashes"),
+    ).filter(F.size("hashes") > 0)
 
 
 _SHINGLED_SQL = f"""
-SELECT doc_id, {word_shingles_sql("string_split(text, ' ')")} AS shingles
+SELECT doc_id,
+       list_distinct(list_transform(
+           {word_shingles_sql("string_split(text, ' ')")},
+           s -> {h32_sql('s')})) AS hashes
 FROM documents
 WHERE len(string_split(text, ' ')) >= 3
 """
@@ -96,12 +108,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The pair count comes from one groupBy over the shingle
     join; Jaccard is int/int division → bit-identical to the oracle."""
     sh = _shingled(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
-    # Join on the 32-bit shingle hash, not the string: the shuffle
-    # payload drops ~3× and the comparator is a long. The oracle
-    # hashes identically, so any (≈0.1-expected) collision affects
-    # both engines the same way.
-    ex = sh.select("doc_id", F.explode(F.transform("shingles", h32)).alias("shingle"))
+    sizes = sh.select("doc_id", F.size("hashes").alias("n_shingles"))
+    ex = sh.select("doc_id", F.explode("hashes").alias("shingle"))
     # Force sort-merge: the posting lists are ~1M rows per side, and a
     # broadcast build of that is a serial driver-side hash-relation
     # construction, while SMJ shuffles both sides across all cores and
@@ -127,8 +135,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLED_SQL}),
-sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
-ex AS (SELECT doc_id, unnest(list_transform(shingles, s -> {h32_sql('s')})) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(hashes) AS n_shingles FROM sh),
+ex AS (SELECT doc_id, unnest(hashes) AS shingle FROM sh),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -154,6 +162,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard LSH s-curve (J=0.5 → P(candidate) ≈ 1-(1-0.5⁴)⁴ ≈ 23%
     per band family — parameters chosen for the near-identical
     planted dups at J≈0.99 where recall ≈ 1)."""
+    # Unrolled per-hash-function expressions: a nested
+    # transform-over-sequence form re-evaluates the constant lookups
+    # per array element and ran 2.5× slower; scalar literals stay
+    # loop-invariant in codegen.
     def affine_min(a: int, b: int):
         return F.array_min(
             F.transform(F.col("hashes"), lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)))
@@ -162,11 +174,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     sig = sh.select(
         "doc_id",
-        "shingles",
-        F.transform(F.col("shingles"), h32).alias("hashes"),
-    ).select(
-        "doc_id",
-        "shingles",
         F.array(*[affine_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)]).alias("sig"),
     )
     band_structs = [
@@ -198,8 +205,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("sh_b"))
     return (
         candidates.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
@@ -214,21 +221,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_SIG_SQL = ", ".join(
+_MINHASH_SIG_SQL = "[" + ", ".join(
     f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
     for a, b in zip(MINHASH_A, MINHASH_B)
-)
+) + "]"
 
 _MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLED_SQL}),
-hashed AS (
-  SELECT doc_id, shingles,
-         list_transform(shingles, s -> {h32_sql('s')}) AS hashes
-  FROM sh
-),
 sig AS (
-  SELECT doc_id, shingles, [{_MINHASH_SIG_SQL}] AS sig
-  FROM hashed
+  SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+  FROM sh
 ),
 bands AS (
   SELECT doc_id, b AS band,
@@ -242,9 +244,9 @@ candidates AS (
 ),
 verified AS (
   SELECT doc_a, doc_b,
-         len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-           / (len(sa.shingles) + len(sb.shingles)
-              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+         len(list_intersect(sa.hashes, sb.hashes)) * 1.0
+           / (len(sa.hashes) + len(sb.hashes)
+              - len(list_intersect(sa.hashes, sb.hashes))) AS jaccard
   FROM candidates
   JOIN sh sa ON sa.doc_id = doc_a
   JOIN sh sb ON sb.doc_id = doc_b
