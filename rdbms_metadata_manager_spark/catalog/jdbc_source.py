@@ -63,6 +63,11 @@ def _normalize_type(col: F.Column) -> F.Column:
 
 
 def _jdbc(spark: SparkSession, url: str, query: str, properties: dict | None = None) -> DataFrame:
+    """JDBC read. For very large catalogs pass partitioned-read
+    options in ``properties`` (e.g. partitionColumn='ordinal_position',
+    lowerBound/upperBound/numPartitions) so the scan parallelizes
+    across executors instead of a single connection; plain reads are
+    fine up to ~10⁶ catalog rows."""
     reader = spark.read.format("jdbc").option("url", url).option("query", query)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)

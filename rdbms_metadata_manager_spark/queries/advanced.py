@@ -378,8 +378,34 @@ ORDER BY l_linestatus
 """
 
 
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON → map, keys/values/lookup/size."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") <= 200)
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.size(m).alias("n_props"),
+        F.element_at(m, "k").alias("k_value"),
+        F.map_contains_key(m, "missing").alias("has_missing"),
+    ).orderBy("event_id")
+
+
+_MAP_SQL = """
+SELECT event_id,
+       json_keys(props)                                      AS prop_keys,
+       len(json_keys(props))                                 AS n_props,
+       CAST(json_extract_string(props, '$.k') AS INT)        AS k_value,
+       json_extract_string(props, '$.missing') IS NOT NULL   AS has_missing
+FROM events
+WHERE event_id <= 200
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "asof_join_last_click": asof_join_last_click,
+    "map_functions_events": map_functions_events,
     "range_join_error_bursts": range_join_error_bursts,
     "grouping_sets_event_rollup": grouping_sets_event_rollup,
     "dedup_keep_best_per_group": dedup_keep_best_per_group,
@@ -395,6 +421,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_join_last_click": _ASOF_SQL,
+    "map_functions_events": _MAP_SQL,
     "range_join_error_bursts": _RANGE_SQL,
     "grouping_sets_event_rollup": _GROUPING_SETS_SQL,
     "dedup_keep_best_per_group": _KEEP_BEST_SQL,

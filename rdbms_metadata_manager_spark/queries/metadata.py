@@ -165,12 +165,36 @@ SCHEMA_ISSUES_QUIRKS_ORACLE = _rules_oracle_sql(
     fixtures.QUIRKS_COLUMNS, fixtures.QUIRKS_INDEXES, fixtures.QUIRKS_FOREIGN_KEYS
 )
 
+def schema_issue_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Issues-per-table/type rollup — the summary report the
+    reference never had (it printed raw rows only; SURVEY.md §2.2
+    flags this as the natural v1 extension)."""
+    from pyspark.sql import functions as F
+
+    return (
+        schema_issues(spark, sf_dir)
+        .groupBy("table", "issue_type")
+        .agg(F.count("*").alias("n_issues"))
+        .orderBy("table", "issue_type")
+    )
+
+
+_SUMMARY_ORACLE = f"""
+SELECT "table", issue_type, count(*) AS n_issues
+FROM ({SCHEMA_ISSUES_ORACLE})
+GROUP BY "table", issue_type
+ORDER BY "table", issue_type
+"""
+
+
 QUERIES = {
     "schema_issues": schema_issues,
     "schema_issues_quirks": schema_issues_quirks,
+    "schema_issue_summary": schema_issue_summary,
 }
 
 ORACLES = {
     "schema_issues": SCHEMA_ISSUES_ORACLE,
     "schema_issues_quirks": SCHEMA_ISSUES_QUIRKS_ORACLE,
+    "schema_issue_summary": _SUMMARY_ORACLE,
 }

@@ -75,6 +75,25 @@ def streaming_dedup_events(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def run_foreach_batch_to_parquet(stream_df: DataFrame, out_dir: str):
+    """foreachBatch sink: per-micro-batch custom writes — the hook
+    for upserts/merges/multi-sink fan-out that writeStream formats
+    can't express. Batch id + append mode give at-least-once with
+    idempotent-by-path semantics."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drain the stream with availableNow into an in-memory table;
     returns the finished StreamingQuery (results via

@@ -1,0 +1,58 @@
+"""CLI parity + canonical golden artifact.
+
+The CLI is the drop-in for the reference's ``python app.py``
+(env-driven, same report format); the golden CSV pins the canonical
+18-issue output byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "goldens", "ecommerce_db_schema_issues.csv")
+
+
+def test_cli_fixture_mode_and_golden_csv(tmp_path):
+    env = dict(
+        os.environ,
+        DB_URL="fixture://ecommerce_db",
+        EXPORT_TO_CSV="YES",
+        SPARK_GRAFT_CPUS="8",
+        PYTHONPATH=REPO,
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "rdbms_metadata_manager_spark"],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'Schema "ecommerce_db" issues detected:' in out.stdout
+    assert out.stdout.count("Issue Type:") == 18
+    assert "Results exported to exports/ecommerce_db_schema_issues.csv" in out.stdout
+
+    export_dir = tmp_path / "exports" / "ecommerce_db_schema_issues.csv"
+    parts = sorted(export_dir.glob("part-*.csv"))
+    assert len(parts) == 1  # single_file reference-compat mode
+    produced = parts[0].read_text()
+    assert produced == open(GOLDEN).read()
+
+
+def test_cli_requires_db_url(tmp_path):
+    env = {k: v for k, v in os.environ.items() if k != "DB_URL"}
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run(
+        [sys.executable, "-m", "rdbms_metadata_manager_spark"],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=120,
+    )
+    assert out.returncode != 0
+    assert "Connect String (DB_URL) not set" in out.stderr

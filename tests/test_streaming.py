@@ -46,6 +46,22 @@ def test_streaming_sessions_match_batch(spark, sf_dir, events_source):
     assert got == expected
 
 
+def test_foreach_batch_parquet_sink(spark, events_source, tmp_path):
+    out = str(tmp_path / "fb_out")
+    events = stream.read_events_stream(spark, events_source)
+    q = stream.run_foreach_batch_to_parquet(events, out)
+    assert not q.isActive
+    written = spark.read.parquet(out)
+    n_src = spark.read.parquet(events_source).count()
+    assert written.count() == n_src
+    assert "batch_id" in written.columns
+    # Restart with the same checkpoint: availableNow finds nothing new
+    q2 = stream.run_foreach_batch_to_parquet(
+        stream.read_events_stream(spark, events_source), out
+    )
+    assert spark.read.parquet(out).count() == n_src
+
+
 def test_streaming_dedup_drops_duplicate_ids(spark, events_source):
     events = stream.read_events_stream(spark, events_source)
     n_input = spark.read.parquet(events_source).count()
