@@ -148,6 +148,36 @@ def test_multi_rule_hits_on_one_column(quirks):
     assert email_rules == [1, 5]
 
 
+def test_custom_rule_plugs_into_registry(spark, ecommerce):
+    """Rules are data (SURVEY.md §4.2): a user-defined rule composes
+    with the built-ins through the same registry mechanism."""
+    from pyspark.sql import functions as F
+
+    from rdbms_metadata_manager_spark.rules.engine import RULES, Rule, _issue
+
+    def rule6_reserved_word_names(columns_meta, indexes_meta, foreign_keys_meta):
+        hits = columns_meta.filter(F.lower(F.col("column_name")).isin("order", "user", "table"))
+        return _issue(
+            hits,
+            6,
+            "Naming - reserved word",
+            F.format_string("Column '%s' shadows a reserved word.", "column_name"),
+            F.format_string("Rename column '%s(%s)'.", "table_name", "column_name"),
+        )
+
+    extended = RULES + [Rule(6, "reserved_word_names", rule6_reserved_word_names)]
+    issues = detect_schema_flaws(*ecommerce, rules=extended)
+    # fixture has no reserved-word columns → same 18 issues; and the
+    # rule runs (no analysis error), proving composability.
+    assert issues.count() == 18
+
+    quirk_cols = ecommerce[0].withColumn(
+        "column_name", F.when(F.col("column_name") == "user_id", "user").otherwise(F.col("column_name"))
+    )
+    issues2 = detect_schema_flaws(quirk_cols, *ecommerce[1:], rules=extended)
+    assert issues2.filter("rule_id = 6").count() > 0
+
+
 def test_rule_output_subset_of_input_columns(ecommerce):
     """Property: every issue's (table, column) exists in columns_meta."""
     cols_df, _, _ = ecommerce
