@@ -162,19 +162,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard LSH s-curve (J=0.5 → P(candidate) ≈ 1-(1-0.5⁴)⁴ ≈ 23%
     per band family — parameters chosen for the near-identical
     planted dups at J≈0.99 where recall ≈ 1)."""
-    # Unrolled per-hash-function expressions: a nested
-    # transform-over-sequence form re-evaluates the constant lookups
-    # per array element and ran 2.5× slower; scalar literals stay
-    # loop-invariant in codegen.
-    def affine_min(a: int, b: int):
-        return F.array_min(
-            F.transform(F.col("hashes"), lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)))
-        )
-
+    # Signatures as explode + 16 groupBy-min aggregates rather than 16
+    # array_min(transform(...)) expressions over the hashes column:
+    # projection collapsing inlines the (md5-heavy) hashes expression
+    # into every usage, and the resulting mega-expression took ~10 s
+    # of Janino compile per session. The aggregate form is 16 trivial
+    # mins with map-side combine — compiles instantly, same values.
     sh = _shingled(spark, sf_dir)
-    sig = sh.select(
-        "doc_id",
-        F.array(*[affine_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)]).alias("sig"),
+    ex = sh.select("doc_id", F.explode("hashes").alias("h"))
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sig = (
+        ex.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"s{i}") for i in range(MINHASH_K)]).alias("sig"))
     )
     band_structs = [
         F.struct(
