@@ -260,9 +260,12 @@ ORDER BY doc_a, doc_b
 """
 
 
-SIMHASH_BITS = 32
+# 60-bit simhash (15 md5 hex chars → fits BIGINT with headroom): the
+# 32-bit variant produced thousands of collision pairs on this small
+# vocabulary; 60 bits + hamming ≤ 3 keeps precision meaningful.
+SIMHASH_BITS = 60
 SIMHASH_PREFIX_BITS = 12
-SIMHASH_MAX_HAMMING = 6
+SIMHASH_MAX_HAMMING = 3
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,9 +275,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ≤ 6. Prefix bucketing trades recall for scale — a pair
     differing inside the prefix is missed; the oracle replicates the
     same policy so the comparison is exact."""
+    # NON-distinct words: every doc here shares the same small
+    # vocabulary, so distinct-word simhash is degenerate (all docs
+    # vote identically). Keeping duplicates makes each occurrence a
+    # vote — the classic frequency-weighted simhash.
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
-    words = F.array_distinct(F.split(F.col("text"), " "))
-    hashed = docs.select("doc_id", F.transform(words, h32).alias("hashes"))
+    words = F.split(F.col("text"), " ")
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+    hashed = docs.select("doc_id", F.transform(words, h60).alias("hashes"))
     # bit b of the simhash = majority vote of word-hash bits. Bit
     # masks are Python-int literals (2**b) — exact for b < 63. The
     # predicate factory avoids default-arg lambdas, whose extra
@@ -311,8 +322,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_SQL = f"""
 WITH hashed AS (
   SELECT doc_id,
-         list_transform(list_distinct(string_split(text, ' ')),
-                        w -> {h32_sql('w')}) AS hashes
+         list_transform(string_split(text, ' '),
+                        w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hashes
   FROM documents
 ),
 sh AS (
