@@ -20,9 +20,19 @@ def _modules():
 
     mods = [relational, advanced, tpch_extra, skew, metadata]
     try:
-        from .llm import dedup, ivf, multimodal, pipeline, ranking, similarity, text, udfs
+        from .llm import (
+            clustering,
+            dedup,
+            ivf,
+            multimodal,
+            pipeline,
+            ranking,
+            similarity,
+            text,
+            udfs,
+        )
 
-        mods += [dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline]
+        mods += [dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline, clustering]
     except ImportError:
         pass
     try:
