@@ -1,0 +1,137 @@
+"""Deterministic k-means (Lloyd's algorithm) — the trainer for the
+IVF coarse quantizer (llm/ivf.py currently uses label-group
+centroids; this is the unsupervised path).
+
+Determinism contract (full DuckDB oracle despite being iterative):
+- init: centroids = the vectors with vec_id 0..K-1 (no RNG);
+- fixed iteration count (unrolled in the SQL oracle as CTE rounds);
+- per-dimension means ROUNDED to 6 dp after each update step (the
+  aggregation-order float drift dies at the round);
+- assignment argmin tie-breaks on centroid id;
+- distances are ordered folds → bit-identical across engines.
+
+Scale: each iteration is one broadcast (K×DIM centroids ≈ KBs) + one
+groupBy(cluster, dim) mean — the standard distributed Lloyd step;
+iterations are driver-controlled with checkpointed lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries.base import load_spread
+from .similarity import DIM, _as_double
+
+K = 8
+ITERATIONS = 2
+
+
+def _dist2(v, c):
+    """Σ (v_i − c_i)² as an ordered fold (same order as the SQL)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    scored = emb.join(F.broadcast(centroids)).withColumn(
+        "d2", _dist2(F.col("v"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cluster"))
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    dims = assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+    per_dim = dims.groupBy("cluster", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    return per_dim.groupBy("cluster").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias(
+            "centroid"
+        )
+    ).select(F.col("cluster").alias("cid"), "centroid")
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes + centroid norms after 2 Lloyd iterations."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    centroids = (
+        emb.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(ITERATIONS):
+        assigned = _assign(emb, centroids)
+        centroids = _update(assigned).localCheckpoint(eager=True)
+    final = _assign(emb, centroids)
+    norms = centroids.select(
+        "cid",
+        F.round(
+            F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, c: a + c * c)), 6
+        ).alias("centroid_norm"),
+    )
+    return (
+        final.groupBy(F.col("cluster").alias("cid"))
+        .agg(F.count("*").alias("n_vecs"))
+        .join(norms, "cid")
+        .orderBy("cid")
+    )
+
+
+def _sql_assign(cent_cte: str, name: str) -> str:
+    return f"""
+{name}_scored AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_sum(list_transform(range(1, {DIM + 1}),
+                  i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))) AS d2
+  FROM e CROSS JOIN {cent_cte} c
+),
+{name} AS (
+  SELECT vec_id, v, cid AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM {name}_scored)
+  WHERE rk = 1
+)"""
+
+
+def _sql_update(assign_cte: str, name: str) -> str:
+    return f"""
+{name}_dims AS (
+  SELECT cluster, g.i AS pos, v[g.i] AS x
+  FROM {assign_cte}, unnest(range(1, {DIM + 1})) AS g(i)
+),
+{name}_per_dim AS (
+  SELECT cluster, pos, round(avg(x), 6) AS c FROM {name}_dims GROUP BY 1, 2
+),
+{name} AS (
+  SELECT cluster AS cid, list(c ORDER BY pos) AS centroid
+  FROM {name}_per_dim GROUP BY cluster
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM e WHERE vec_id < {K}),
+{_sql_assign('c0', 'a1')},
+{_sql_update('a1', 'c1')},
+{_sql_assign('c1', 'a2')},
+{_sql_update('a2', 'c2')},
+{_sql_assign('c2', 'a3')}
+SELECT a3.cluster AS cid, count(*) AS n_vecs,
+       round(sqrt(list_sum(list_transform(c2.centroid, x -> x * x))), 6) AS centroid_norm
+FROM a3 JOIN c2 ON c2.cid = a3.cluster
+GROUP BY a3.cluster, c2.centroid
+ORDER BY cid
+"""
+
+
+QUERIES = {"kmeans_clusters": kmeans_clusters}
+ORACLES = {"kmeans_clusters": _KMEANS_SQL}

@@ -24,6 +24,7 @@ def _modules():
             clustering,
             dedup,
             ivf,
+            kmeans,
             multimodal,
             pipeline,
             ranking,
@@ -32,7 +33,10 @@ def _modules():
             udfs,
         )
 
-        mods += [dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline, clustering]
+        mods += [
+            dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
+            clustering, kmeans,
+        ]
     except ImportError:
         pass
     try:

@@ -43,6 +43,39 @@ def test_stateful_user_profiles_match_batch(spark, sf_dir, events_source):
     assert got == expected
 
 
+def test_transform_with_state_matches_batch(spark, sf_dir, events_source):
+    """Spark 4 transformWithStateInPandas (typed ValueState) must
+    agree with the batch aggregate.
+
+    The TWS Python runner hard-depends on protobuf (state-server wire
+    protocol); skip where it isn't installed — the operator is still
+    importable and runs on any cluster with standard pyspark deps.
+    """
+    pytest.importorskip("google.protobuf")
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    from rdbms_metadata_manager_spark.streaming import tws
+
+    events = stream.read_events_stream(spark, events_source)
+    stream.run_to_memory(
+        tws.streaming_user_tallies_tws(events), "tws_test", "update"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["n_purchases"])
+        for r in spark.table("tws_test").collect()
+    }
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+        )
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["p"]) for r in batch}
+    assert got == expected
+
+
 def test_stream_static_join(spark, sf_dir, events_source):
     """Streaming events enriched with a static dimension table."""
     events = stream.read_events_stream(spark, events_source)
