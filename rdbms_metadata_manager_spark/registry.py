@@ -16,9 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from .queries import advanced, metadata, relational, skew, tpch_extra
+    from .queries import advanced, metadata, relational, skew, tpch_extra, tpch_rest
 
-    mods = [relational, advanced, tpch_extra, skew, metadata]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata]
     try:
         from .llm import (
             clustering,

@@ -81,3 +81,42 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = physical_plan(advanced.asof_join_last_click(spark, sf_dir))
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles == 1, f"expected 1 hash exchange, got {n_shuffles}:\n{plan}"
+
+
+# --- tpch_rest plan shapes -------------------------------------------------
+
+def test_q7_broadcasts_both_nation_lookups(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries import tpch_rest
+
+    plan = physical_plan(tpch_rest.q7_volume_shipping(spark, sf_dir))
+    # both explicit nation broadcasts survive into the physical plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q10_limit_is_take_ordered(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries import tpch_rest
+
+    plan = physical_plan(tpch_rest.q10_returned_items(spark, sf_dir))
+    # ORDER BY ... LIMIT 20 must be per-partition top-k + merge,
+    # never a full global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    # the returnflag and date filters reach the parquet scans
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_q11_scalar_total_is_broadcast_not_shuffle(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries import tpch_rest
+
+    plan = physical_plan(tpch_rest.q11_part_value_concentration(spark, sf_dir))
+    # the 1-row global total joins via broadcast nested loop, and the
+    # per-part aggregate keeps map-side partials
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_q4_and_q20_are_semi_joins(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries import tpch_rest
+
+    assert "LeftSemi" in physical_plan(tpch_rest.q4_priority_late_ship(spark, sf_dir))
+    assert "LeftSemi" in physical_plan(tpch_rest.q20_heavy_red_suppliers(spark, sf_dir))
