@@ -48,6 +48,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "salted_join_revenue",
     "q17_small_quantity_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
 ]
 
 
