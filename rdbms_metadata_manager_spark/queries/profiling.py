@@ -1,0 +1,219 @@
+"""Data-plane profiling + time-series resampling.
+
+The reference audits *metadata* quality (app.py:41-105); these
+operators extend the same mission to the *data* plane — the natural
+next step for a schema-quality tool and table stakes for a training
+-data pipeline:
+
+- ``profile_orders_columns``: per-column null/distinct/min/max
+  profile in ONE pass over the table (a single aggregate with
+  map-side partials, then a 6-row ``stack`` unpivot — never one scan
+  per column, which at 100 TB would be 6 scans too many).
+- ``resample_events_hourly``: gap-filled hourly rollup (hypertable-
+  style resample) — dense time spine via ``sequence``/``explode``,
+  zero-filled counts for silent hours.
+- ``outlier_orders_iqr``: Tukey-fence outlier detection over exact
+  rank-based quantiles (``percentile_disc`` — actual data values, so
+  the fence arithmetic is bit-identical across engines; interpolated
+  quantiles would differ in the last ulp, see README "Correctness
+  strategy").
+
+Cross-engine repr note: double min/max are reported as
+``floor(x * 10000)`` tick integers — double→string formatting
+differs between engines, and rounding a double to N decimals is
+rounding-mode-dependent at half-boundaries, but ``*`` and ``floor``
+are IEEE-exact in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load
+
+# (column, kind) — kind picks the cross-engine-stable min/max repr.
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _repr_col(c: Column, kind: str) -> Column:
+    if kind == "double":
+        return F.floor(c * 10000).cast("string")
+    if kind == "ts":
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return c.cast("string")
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of ``orders``: rows, nulls, exact
+    distinct, min/max. All per-column aggregates ride one scan
+    (Catalyst plans the multi-countDistinct via a single Expand),
+    then a driver-free ``stack`` unpivots wide→long."""
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, kind in _PROFILE_COLS:
+        c = F.col(name)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls__{name}"),
+            F.count_distinct(c).alias(f"nd__{name}"),
+            _repr_col(F.min(c), kind).alias(f"min__{name}"),
+            _repr_col(F.max(c), kind).alias(f"max__{name}"),
+        ]
+    wide = orders.agg(*aggs)
+    parts = ", ".join(
+        f"'{name}', nulls__{name}, nd__{name}, min__{name}, max__{name}"
+        for name, _ in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {parts}) AS "
+                "(column_name, n_nulls, n_distinct, min_repr, max_repr)"
+            ),
+            "n_rows",
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+        .orderBy("column_name")
+    )
+
+
+def _profile_branch_sql(name: str, kind: str) -> str:
+    if kind == "double":
+        mn = f"CAST(floor(min({name}) * 10000) AS BIGINT)::VARCHAR"
+        mx = f"CAST(floor(max({name}) * 10000) AS BIGINT)::VARCHAR"
+    elif kind == "ts":
+        mn = f"strftime(min({name}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(max({name}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn, mx = f"min({name})::VARCHAR", f"max({name})::VARCHAR"
+    return (
+        f"SELECT '{name}' AS column_name, count(*)::BIGINT AS n_rows, "
+        f"(count(*) - count({name}))::BIGINT AS n_nulls, "
+        f"count(DISTINCT {name})::BIGINT AS n_distinct, "
+        f"{mn} AS min_repr, {mx} AS max_repr FROM orders"
+    )
+
+
+_PROFILE_SQL = (
+    "\nUNION ALL\n".join(_profile_branch_sql(n, k) for n, k in _PROFILE_COLS)
+    + "\nORDER BY column_name"
+)
+
+
+def resample_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup per event type. The dense hour spine
+    comes from re-aggregating the (tiny) rolled-up result — one pass
+    over the raw events, then `sequence`/`explode` on bounded
+    per-type min/max. Silent hours surface as zero rows with
+    ``is_gap`` — the thing a plain groupBy can never show you."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+        )
+    )
+    return (
+        spine.join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            (F.coalesce("n_events", F.lit(0)) == 0).alias("is_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_RESAMPLE_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*)::BIGINT AS n_events,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1),
+s AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM b
+)
+SELECT s.event_type, s.hour,
+       COALESCE(c.n_events, 0)::BIGINT AS n_events,
+       COALESCE(c.n_users, 0)::BIGINT AS n_users,
+       (COALESCE(c.n_events, 0) = 0) AS is_gap
+FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.hour = c.hour
+ORDER BY 1, 2
+"""
+
+
+def outlier_customers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection: customers whose order count
+    exceeds ``q3 + 1.5*IQR``. Quantiles are ``percentile_disc`` —
+    actual data values (no interpolation), here exact integers — so
+    the fence arithmetic is the same IEEE ops on the same bits in
+    both engines and the `>` cut is deterministic. (Raw
+    ``o_totalprice`` is uniform — fences never fire; per-customer
+    activity is Poisson-ish with a real right tail.) At scale: one
+    groupBy over the scan, a 2-value quantile agg on the (much
+    smaller) per-customer rollup, broadcast back — no per-row sort."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    q = per_cust.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_orders)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_orders)").alias("q3"),
+    )
+    fenced = q.select(
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence")
+    )
+    return (
+        per_cust.join(F.broadcast(fenced))
+        .where(F.col("n_orders") > F.col("hi_fence"))
+        .select("o_custkey", "n_orders", "hi_fence")
+        .orderBy("o_custkey")
+    )
+
+
+_OUTLIER_SQL = """
+WITH c AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders GROUP BY 1
+),
+q AS (
+  SELECT quantile_disc(n_orders, 0.25) AS q1,
+         quantile_disc(n_orders, 0.75) AS q3
+  FROM c
+),
+f AS (SELECT q3 + 1.5 * (q3 - q1) AS hi_fence FROM q)
+SELECT o_custkey, n_orders, hi_fence
+FROM c, f
+WHERE n_orders > hi_fence
+ORDER BY o_custkey
+"""
+
+
+QUERIES = {
+    "profile_orders_columns": profile_orders_columns,
+    "resample_events_hourly": resample_events_hourly,
+    "outlier_customers_iqr": outlier_customers_iqr,
+}
+
+ORACLES = {
+    "profile_orders_columns": _PROFILE_SQL,
+    "resample_events_hourly": _RESAMPLE_SQL,
+    "outlier_customers_iqr": _OUTLIER_SQL,
+}

@@ -16,9 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from .queries import advanced, metadata, relational, skew, tpch_extra, tpch_rest
+    from .queries import (
+        advanced,
+        metadata,
+        profiling,
+        relational,
+        skew,
+        tpch_extra,
+        tpch_rest,
+    )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling]
     try:
         from .llm import (
             clustering,
@@ -28,6 +36,7 @@ def _modules():
             multimodal,
             pipeline,
             ranking,
+            sampling,
             similarity,
             text,
             udfs,
@@ -35,7 +44,7 @@ def _modules():
 
         mods += [
             dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
-            clustering, kmeans,
+            clustering, kmeans, sampling,
         ]
     except ImportError:
         pass
