@@ -52,6 +52,9 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q21_waiting_suppliers",
+    "profile_orders_columns",
+    "resample_events_hourly",
+    "pack_training_sequences",
 ]
 
 

@@ -156,14 +156,54 @@ ORDER BY lang, doc_id
 """
 
 
+RESERVOIR_K = 5
+
+
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (k docs per source) — a
+    derandomized reservoir: rank rows by a salted hash and keep the
+    top k per group. Same uniform-without-replacement guarantee as
+    reservoir sampling, but deterministic and mergeable: at 100 TB
+    each partition pre-ranks locally, and re-running on more data
+    only ever *replaces* ranks, never reshuffles past picks."""
+    docs = load(spark, sf_dir, "documents")
+    pri = h32(F.concat(F.lit("reservoir:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    return (
+        docs.select("doc_id", "source", pri.alias("pri"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= RESERVOIR_K)
+        .select("source", "sample_rank", "doc_id")
+        .orderBy("source", "sample_rank")
+    )
+
+
+_RESERVOIR_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         {h32_sql("'reservoir:' || doc_id::VARCHAR")} AS pri,
+         ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY {h32_sql("'reservoir:' || doc_id::VARCHAR")}, doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT source, sample_rank::INT AS sample_rank, doc_id
+FROM r WHERE sample_rank <= {RESERVOIR_K}
+ORDER BY source, sample_rank
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
     "sample_stratified_lang": sample_stratified_lang,
     "pack_training_sequences": pack_training_sequences,
+    "sample_reservoir_per_source": sample_reservoir_per_source,
 }
 
 ORACLES = {
     "split_train_val_test": _SPLIT_SQL,
     "sample_stratified_lang": _STRAT_SQL,
     "pack_training_sequences": _PACK_SQL,
+    "sample_reservoir_per_source": _RESERVOIR_SQL,
 }

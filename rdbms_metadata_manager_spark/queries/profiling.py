@@ -52,21 +52,38 @@ def _repr_col(c: Column, kind: str) -> Column:
 
 
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass column profile of ``orders``: rows, nulls, exact
-    distinct, min/max. All per-column aggregates ride one scan
-    (Catalyst plans the multi-countDistinct via a single Expand),
-    then a driver-free ``stack`` unpivots wide→long."""
+    """Column profile of ``orders``: rows, nulls, exact distinct,
+    min/max, unpivoted wide→long by a driver-free ``stack``.
+
+    Two aggregates, deliberately split by buffer mutability: counts,
+    multi-countDistinct, and min/max of fixed-width types (long,
+    double, timestamp-as-micros) all have mutable primitive buffers →
+    one whole-stage-codegen'd HashAggregate over the Expand. min/max
+    of VARCHAR columns have var-length buffers, which forces an
+    *interpreted* SortAggregate — keeping them in the same aggregate
+    would demote everything AND drag the Expand-multiplied stream
+    (rows × n_cols+1) through the interpreted path (~3 s at sf0.1;
+    split: <1 s). The string-side scan prunes to just the 2 varchar
+    columns; both sides are one-row results, joined by a trivial
+    cross."""
     orders = load(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    hash_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    str_aggs = []
     for name, kind in _PROFILE_COLS:
         c = F.col(name)
-        aggs += [
+        hash_aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"nulls__{name}"),
             F.count_distinct(c).alias(f"nd__{name}"),
+        ]
+        reprs = [
             _repr_col(F.min(c), kind).alias(f"min__{name}"),
             _repr_col(F.max(c), kind).alias(f"max__{name}"),
         ]
-    wide = orders.agg(*aggs)
+        if kind == "str":
+            str_aggs += reprs
+        else:
+            hash_aggs += reprs
+    wide = orders.agg(*hash_aggs).crossJoin(orders.agg(*str_aggs))
     parts = ", ".join(
         f"'{name}', nulls__{name}, nd__{name}, min__{name}, max__{name}"
         for name, _ in _PROFILE_COLS
@@ -206,14 +223,65 @@ ORDER BY o_custkey
 """
 
 
+N_BINS = 20
+
+
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order value: bin edges come from a
+    1-row min/max aggregate broadcast back over the scan — two
+    passes, no sort, shuffle payload = N_BINS rows. The bin index is
+    pure IEEE arithmetic (`sub/div/floor`) on identical inputs, so
+    bucket boundaries agree with DuckDB bit-for-bit (a `round`-based
+    binning would be rounding-mode-dependent; see README
+    "Correctness strategy")."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / N_BINS
+    binned = orders.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+            F.lit(N_BINS - 1),
+        ).alias("bin"),
+        (F.col("lo") + width * F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+            F.lit(N_BINS - 1),
+        )).alias("bin_lo"),
+    )
+    return (
+        binned.groupBy("bin", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bin")
+    )
+
+
+_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+x AS (
+  SELECT LEAST(floor((o_totalprice - lo) / ((hi - lo) / {N_BINS})),
+               {N_BINS - 1})::BIGINT AS bin,
+         lo, (hi - lo) / {N_BINS} AS w
+  FROM orders, b
+)
+SELECT bin, lo + w * bin AS bin_lo, count(*)::BIGINT AS n_orders
+FROM x GROUP BY bin, bin_lo, lo, w
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "profile_orders_columns": profile_orders_columns,
     "resample_events_hourly": resample_events_hourly,
     "outlier_customers_iqr": outlier_customers_iqr,
+    "histogram_order_values": histogram_order_values,
 }
 
 ORACLES = {
     "profile_orders_columns": _PROFILE_SQL,
     "resample_events_hourly": _RESAMPLE_SQL,
     "outlier_customers_iqr": _OUTLIER_SQL,
+    "histogram_order_values": _HISTOGRAM_SQL,
 }

@@ -31,6 +31,7 @@ def _modules():
         from .llm import (
             clustering,
             dedup,
+            hygiene,
             ivf,
             kmeans,
             multimodal,
@@ -44,7 +45,7 @@ def _modules():
 
         mods += [
             dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
-            clustering, kmeans, sampling,
+            clustering, kmeans, sampling, hygiene,
         ]
     except ImportError:
         pass
