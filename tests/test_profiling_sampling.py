@@ -107,3 +107,61 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert prof["o_orderdate"]["min_repr"] == "2024-01-01 00:00:00"
     assert prof["o_orderkey"]["n_nulls"] == 0
     assert prof["o_orderstatus"]["max_repr"] == "O"
+
+
+def test_decontamination_consistent_with_split_and_neardups(spark, sf_dir):
+    """Cross-operator: every contaminated doc is in the train split;
+    ratios are in (0,1]; and any J>=0.9 near-dup pair (from the exact
+    n-gram dedup) that straddles the train/test cut MUST be flagged —
+    a 3-gram Jaccard that high forces shared 4-grams."""
+    from rdbms_metadata_manager_spark.llm.dedup import dedup_ngram_jaccard
+    from rdbms_metadata_manager_spark.llm.hygiene import decontaminate_train_test
+
+    split = {r["doc_id"]: r["split"] for r in split_train_val_test(spark, sf_dir).collect()}
+    flagged = {}
+    for r in decontaminate_train_test(spark, sf_dir).collect():
+        assert split[r["doc_id"]] == "train"
+        assert 0 < r["contamination_ratio"] <= 1.0
+        assert 1 <= r["n_shared_shingles"] <= r["n_shingles"]
+        flagged[r["doc_id"]] = r["n_shared_shingles"]
+    for r in dedup_ngram_jaccard(spark, sf_dir).collect():
+        if r["jaccard"] >= 0.9:
+            pair = {r["doc_a"]: split[r["doc_a"]], r["doc_b"]: split[r["doc_b"]]}
+            trains = [d for d, s in pair.items() if s == "train"]
+            tests = [d for d, s in pair.items() if s == "test"]
+            if trains and tests:
+                assert all(d in flagged for d in trains)
+
+
+def test_repetition_shingle_count_matches_token_stats(spark, sf_dir):
+    """n_shingles is exactly n_tokens - 2 for the 3-gram stream."""
+    from rdbms_metadata_manager_spark.llm.hygiene import text_repetition_stats
+    from rdbms_metadata_manager_spark.llm.text import text_token_stats
+
+    tokens = {r["doc_id"]: r["n_tokens"] for r in text_token_stats(spark, sf_dir).collect()}
+    rows = text_repetition_stats(spark, sf_dir).collect()
+    assert len(rows) == len(tokens)
+    for r in rows:
+        assert r["n_shingles"] == tokens[r["doc_id"]] - 2
+        assert 1 <= r["max_shingle_freq"] <= r["n_shingles"]
+        assert r["n_distinct_shingles"] <= r["n_shingles"]
+
+
+def test_histogram_conserves_mass(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.profiling import histogram_order_values
+
+    rows = histogram_order_values(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == total
+    bins = [r["bin"] for r in rows]
+    assert bins == sorted(bins) and bins[0] >= 0 and bins[-1] <= 19
+
+
+def test_resample_conserves_events(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.profiling import resample_events_hourly
+
+    rows = resample_events_hourly(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == total
+    # gap rows are exactly the zero-count rows
+    assert all((r["n_events"] == 0) == r["is_gap"] for r in rows)
