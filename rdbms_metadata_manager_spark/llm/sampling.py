@@ -194,11 +194,43 @@ ORDER BY source, sample_rank
 """
 
 
+WEIGHTED_K = 100
+
+
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample: k docs with the
+    smallest hash/weight priority (weight = n_chars, so longer docs
+    are proportionally likelier — the hash plays the role of the
+    uniform draw in A-ES weighted reservoir sampling, derandomized).
+    Global top-k by (priority, doc_id) plans as TakeOrderedAndProject
+    — per-partition heaps, merge k rows, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    pri = (
+        h32(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+        / F.col("n_chars")
+    )
+    return (
+        docs.select("doc_id", "n_chars", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_K)
+    )
+
+
+_WEIGHTED_SQL = f"""
+SELECT doc_id, n_chars,
+       {h32_sql("'wsamp:' || doc_id::VARCHAR")} * 1.0 / n_chars AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
     "sample_stratified_lang": sample_stratified_lang,
     "pack_training_sequences": pack_training_sequences,
     "sample_reservoir_per_source": sample_reservoir_per_source,
+    "sample_weighted_topk": sample_weighted_topk,
 }
 
 ORACLES = {
@@ -206,4 +238,5 @@ ORACLES = {
     "sample_stratified_lang": _STRAT_SQL,
     "pack_training_sequences": _PACK_SQL,
     "sample_reservoir_per_source": _RESERVOIR_SQL,
+    "sample_weighted_topk": _WEIGHTED_SQL,
 }

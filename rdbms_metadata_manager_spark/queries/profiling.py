@@ -27,7 +27,7 @@ are IEEE-exact in both.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import load
@@ -272,16 +272,105 @@ ORDER BY bin
 """
 
 
+def resample_events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-filled (last-observation-carried-forward) hourly
+    series: gap hours inherit the most recent real hour's count —
+    the other standard gap policy next to zero-fill. One extra
+    window over the already-dense spine (same partitioning as the
+    spine build, so no additional shuffle of raw data)."""
+    dense = resample_events_hourly(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    observed = F.when(~F.col("is_gap"), F.col("n_events"))
+    return (
+        dense.select(
+            "event_type",
+            "hour",
+            "n_events",
+            "is_gap",
+            F.last(observed, ignorenulls=True).over(w).alias("n_events_locf"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_RESAMPLE_LOCF_SQL = f"""
+WITH dense AS ({_RESAMPLE_SQL.replace("ORDER BY 1, 2", "")})
+SELECT event_type, hour, n_events, is_gap,
+       last_value(CASE WHEN NOT is_gap THEN n_events END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS n_events_locf
+FROM dense
+ORDER BY event_type, hour
+"""
+
+
+MAD_K = 3  # flag hours deviating more than K×MAD from the median
+
+
+def anomaly_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly detection: hours whose event count
+    deviates more than 3×MAD (median absolute deviation) from the
+    per-type median of the gap-filled hourly series. Median/MAD use
+    ``percentile_disc`` — exact data values over integer counts, so
+    the threshold arithmetic is engine-identical (mean/stddev would
+    hit the float-aggregate trap AND be dragged by the very outliers
+    we're hunting). Scale: two tiny quantile aggs over the rolled-up
+    spine (time-range-bound rows), broadcast back — the raw events
+    are scanned once, by the resample."""
+    dense = resample_events_hourly(spark, sf_dir)
+    med = dense.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)").alias("med")
+    )
+    with_med = dense.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(n_events - med))"
+        ).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("n_events") - F.col("med")) > MAD_K * F.col("mad"))
+        .select("event_type", "hour", "n_events", "med", "mad")
+        .orderBy("event_type", "hour")
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH dense AS ({_RESAMPLE_SQL.replace("ORDER BY 1, 2", "")}),
+med AS (
+  SELECT event_type, quantile_disc(n_events, 0.5)::DOUBLE AS med
+  FROM dense GROUP BY 1
+),
+mad AS (
+  SELECT d.event_type, quantile_disc(abs(d.n_events - m.med), 0.5)::DOUBLE AS mad
+  FROM dense d JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT d.event_type, d.hour, d.n_events, m.med, a.mad
+FROM dense d JOIN med m USING (event_type) JOIN mad a USING (event_type)
+WHERE abs(d.n_events - m.med) > {MAD_K} * a.mad
+ORDER BY d.event_type, d.hour
+"""
+
+
 QUERIES = {
     "profile_orders_columns": profile_orders_columns,
     "resample_events_hourly": resample_events_hourly,
+    "resample_events_hourly_locf": resample_events_hourly_locf,
     "outlier_customers_iqr": outlier_customers_iqr,
     "histogram_order_values": histogram_order_values,
+    "anomaly_event_hours": anomaly_event_hours,
 }
 
 ORACLES = {
     "profile_orders_columns": _PROFILE_SQL,
     "resample_events_hourly": _RESAMPLE_SQL,
+    "resample_events_hourly_locf": _RESAMPLE_LOCF_SQL,
     "outlier_customers_iqr": _OUTLIER_SQL,
     "histogram_order_values": _HISTOGRAM_SQL,
+    "anomaly_event_hours": _ANOMALY_SQL,
 }

@@ -120,3 +120,64 @@ def test_q4_and_q20_are_semi_joins(spark, sf_dir):
 
     assert "LeftSemi" in physical_plan(tpch_rest.q4_priority_late_ship(spark, sf_dir))
     assert "LeftSemi" in physical_plan(tpch_rest.q20_heavy_red_suppliers(spark, sf_dir))
+
+
+def test_decontamination_broadcasts_test_shingles(spark, sf_dir):
+    """The benchmark/test side must broadcast — at 100 TB the train
+    side can never afford a shuffle for this join."""
+    from rdbms_metadata_manager_spark.llm.hygiene import decontaminate_train_test
+
+    plan = physical_plan(decontaminate_train_test(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_broadcasts_rate_table(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.sampling import sample_stratified_lang
+
+    plan = physical_plan(sample_stratified_lang(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_split_assignment_is_shuffle_free(spark, sf_dir):
+    """Hash-split is a pure projection: no Exchange except the
+    display sort."""
+    from rdbms_metadata_manager_spark.llm.sampling import split_train_val_test
+
+    plan = physical_plan(split_train_val_test(spark, sf_dir))
+    body = plan.split("Sort [doc_id")[-1]  # everything under the display sort
+    assert "Exchange hashpartitioning" not in body, plan
+
+
+def test_packing_shuffles_once_on_stream_key(spark, sf_dir):
+    """One hash exchange (the lang window) + the display range sort;
+    anything more means the window re-partitioned."""
+    from rdbms_metadata_manager_spark.llm.sampling import pack_training_sequences
+
+    plan = physical_plan(pack_training_sequences(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_profile_keeps_counts_in_hash_aggregate(spark, sf_dir):
+    """The Expand-multiplied distinct stream must stay in codegen'd
+    HashAggregate; only the 2 varchar min/max ride the interpreted
+    SortAggregate, over a scan pruned to those 2 columns."""
+    from rdbms_metadata_manager_spark.queries.profiling import profile_orders_columns
+
+    plan = physical_plan(profile_orders_columns(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    read_schemas = [
+        seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    assert any(
+        "o_orderstatus" in rs and "o_orderkey" not in rs for rs in read_schemas
+    ), f"varchar-side scan not pruned:\n{read_schemas}"
+
+
+def test_histogram_bounds_are_broadcast(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.profiling import histogram_order_values
+
+    plan = physical_plan(histogram_order_values(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine on the bins
