@@ -312,6 +312,22 @@ ORDER BY event_type, hour
 MAD_K = 3  # flag hours deviating more than K×MAD from the median
 
 
+def mad_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type (median, MAD) of the gap-filled hourly series — the
+    offline 'baseline model' both the batch and streaming anomaly
+    faces score against. ``percentile_disc`` keeps it exact."""
+    dense = resample_events_hourly(spark, sf_dir)
+    med = dense.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)").alias("med")
+    )
+    with_med = dense.join(F.broadcast(med), "event_type")
+    return with_med.groupBy("event_type", "med").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(n_events - med))"
+        ).alias("mad")
+    )
+
+
 def anomaly_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust time-series anomaly detection: hours whose event count
     deviates more than 3×MAD (median absolute deviation) from the
@@ -321,19 +337,12 @@ def anomaly_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit the float-aggregate trap AND be dragged by the very outliers
     we're hunting). Scale: two tiny quantile aggs over the rolled-up
     spine (time-range-bound rows), broadcast back — the raw events
-    are scanned once, by the resample."""
+    are scanned once, by the resample. Streaming face:
+    ``streaming/stream.py::streaming_anomaly_alerts`` scores live
+    micro-batches against these same thresholds."""
     dense = resample_events_hourly(spark, sf_dir)
-    med = dense.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)").alias("med")
-    )
-    with_med = dense.join(F.broadcast(med), "event_type")
-    mad = with_med.groupBy("event_type").agg(
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(n_events - med))"
-        ).alias("mad")
-    )
     return (
-        with_med.join(F.broadcast(mad), "event_type")
+        dense.join(F.broadcast(mad_thresholds(spark, sf_dir)), "event_type")
         .where(F.abs(F.col("n_events") - F.col("med")) > MAD_K * F.col("mad"))
         .select("event_type", "hour", "n_events", "med", "mad")
         .orderBy("event_type", "hour")

@@ -107,3 +107,26 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "com
     )
     q.awaitTermination(300)
     return q
+
+
+def streaming_anomaly_alerts(events: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """Streaming face of queries/profiling.py::anomaly_event_hours —
+    the standard deploy shape: baseline (median/MAD per type) is
+    computed offline over history, then live micro-batches are scored
+    against it with a stream-static broadcast join. State is the
+    watermarked hourly aggregation only; the thresholds are a static
+    dim re-broadcast per micro-batch."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    hourly = (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        hourly.join(F.broadcast(thresholds), "event_type")
+        .where(F.abs(F.col("n_events") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n_events", "med", "mad"
+        )
+    )

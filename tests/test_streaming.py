@@ -72,3 +72,34 @@ def test_streaming_dedup_drops_duplicate_ids(spark, events_source):
     n_out = deduped.count()
     assert n_out == deduped.select("event_id").distinct().count()
     assert 0 < n_out <= n_input
+
+
+def test_streaming_anomaly_alerts_match_batch(spark, sf_dir, events_source):
+    """The stream-static anomaly scorer must flag exactly the hours
+    the batch detector flags (minus gap hours, which a stream never
+    materializes — no events, no micro-batch rows)."""
+    from rdbms_metadata_manager_spark.queries.profiling import (
+        anomaly_event_hours,
+        mad_thresholds,
+    )
+    from rdbms_metadata_manager_spark.streaming.stream import (
+        read_events_stream,
+        run_to_memory,
+        streaming_anomaly_alerts,
+    )
+
+    thresholds = mad_thresholds(spark, sf_dir).localCheckpoint(eager=True)
+    stream = streaming_anomaly_alerts(
+        read_events_stream(spark, events_source), thresholds
+    )
+    run_to_memory(stream, "anomaly_alerts", output_mode="complete")
+    streamed = {
+        (r["event_type"], r["hour"], r["n_events"])
+        for r in spark.table("anomaly_alerts").collect()
+    }
+    batch = {
+        (r["event_type"], r["hour"], r["n_events"])
+        for r in anomaly_event_hours(spark, sf_dir).collect()
+        if r["n_events"] > 0
+    }
+    assert streamed == batch
