@@ -77,19 +77,24 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize blobs from document text (the container ships no
-    media files), tag a modality, and run the decode/feature-extract
-    stage through mapInPandas."""
+def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized blob table (the container ships no media files):
+    BinaryType blob + modality tag, doc_id % 3 → image/audio/video."""
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
-    blobs = docs.select(
+    return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("blob"),
         F.element_at(
             F.array(*[F.lit(m) for m in MODALITIES]), (F.col("doc_id") % 3 + 1).cast("int")
         ).alias("modality"),
     )
-    return blobs.mapInPandas(_decode_batches, FEATURES_SCHEMA).orderBy("doc_id")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the decode/feature-extract stage through mapInPandas."""
+    return _blobs(spark, sf_dir).mapInPandas(_decode_batches, FEATURES_SCHEMA).orderBy(
+        "doc_id"
+    )
 
 
 _FEATURES_SQL = """
@@ -104,5 +109,125 @@ ORDER BY doc_id
 """
 
 
-QUERIES = {"multimodal_features": multimodal_features}
-ORACLES = {"multimodal_features": _FEATURES_SQL}
+DST_W, DST_H = 224, 224
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, modality string, src_width int, src_height int, "
+    "dst_width int, dst_height int, scale_x double, scale_y double, "
+    "resized_hash string"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize plumbing: the real pixel resample would live where the
+    fake hash transform is (gated by ``_try_real_decode``); the
+    Spark-visible contract — batch shape, scale arithmetic, output
+    schema — is the production one. Python ``/`` is IEEE double
+    division, bit-identical to the SQL oracle's ``224.0 / width``."""
+    for pdf in batches:
+        rows = []
+        for doc_id, blob, mod in zip(pdf["doc_id"], pdf["blob"], pdf["modality"]):
+            _try_real_decode(blob, mod)
+            h = hashlib.md5(blob).hexdigest()
+            chash, w, hgt = h[:8], 64 + int(h[8:12], 16) % 448, 64 + int(h[12:16], 16) % 448
+            rows.append(
+                (
+                    doc_id, mod, w, hgt, DST_W, DST_H, DST_W / w, DST_H / hgt,
+                    hashlib.md5(f"{chash}:{DST_W}x{DST_H}".encode()).hexdigest()[:8],
+                )
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "modality", "src_width", "src_height",
+                    "dst_width", "dst_height", "scale_x", "scale_y", "resized_hash",
+                ],
+            ).astype({"src_width": "int32", "src_height": "int32",
+                      "dst_width": "int32", "dst_height": "int32"})
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image/frame resize stage (1→1 mapInPandas)."""
+    return _blobs(spark, sf_dir).mapInPandas(_resize_batches, RESIZE_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+_RESIZE_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         substr(md5(text), 1, 8) AS chash,
+         CAST(64 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 448 AS INT)  AS src_width,
+         CAST(64 + ('0x' || substr(md5(text), 13, 4))::BIGINT % 448 AS INT) AS src_height
+  FROM documents
+)
+SELECT doc_id, modality, src_width, src_height,
+       {DST_W} AS dst_width, {DST_H} AS dst_height,
+       {DST_W}.0 / src_width  AS scale_x,
+       {DST_H}.0 / src_height AS scale_y,
+       substr(md5(chash || ':{DST_W}x{DST_H}'), 1, 8) AS resized_hash
+FROM f
+ORDER BY doc_id
+"""
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_hash string"
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling is 1→N: each video blob yields several frame
+    rows — the batch shape a real keyframe sampler needs (rows out ≠
+    rows in). Frame count derives deterministically from the blob."""
+    for pdf in batches:
+        rows = []
+        for doc_id, blob, mod in zip(pdf["doc_id"], pdf["blob"], pdf["modality"]):
+            if mod != "video":
+                continue
+            _try_real_decode(blob, mod)
+            h = hashlib.md5(blob).hexdigest()
+            n_frames = 2 + int(h[16:18], 16) % 3
+            for j in range(n_frames):
+                rows.append(
+                    (doc_id, j, j * 1000,
+                     hashlib.md5(f"{h[:8]}-{j}".encode()).hexdigest()[:8])
+                )
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_hash"]
+            ).astype({"frame_idx": "int32"})
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe sampling stage (1→N mapInPandas)."""
+    return (
+        _blobs(spark, sf_dir)
+        .mapInPandas(_frame_batches, FRAME_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_FRAME_SQL = """
+WITH v AS (
+  SELECT doc_id, substr(md5(text), 1, 8) AS h8,
+         2 + ('0x' || substr(md5(text), 17, 2))::BIGINT % 3 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, j::INT AS frame_idx, (j * 1000)::BIGINT AS frame_ts_ms,
+       substr(md5(h8 || '-' || j), 1, 8) AS frame_hash
+FROM v, LATERAL (SELECT unnest(range(0, n_frames)) AS j) t
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+ORACLES = {
+    "multimodal_features": _FEATURES_SQL,
+    "multimodal_resize": _RESIZE_SQL,
+    "multimodal_frame_sample": _FRAME_SQL,
+}
