@@ -55,6 +55,7 @@ HEADLINE = [
     "profile_orders_columns",
     "resample_events_hourly",
     "pack_training_sequences",
+    "pagerank_trade_graph",
 ]
 
 

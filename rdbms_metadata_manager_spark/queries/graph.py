@@ -1,0 +1,140 @@
+"""Graph analytics: weighted PageRank over the customer→supplier
+trade graph, aggregated from lineitem.
+
+[beyond-reference] third iterative operator (after k-means and
+connected components), and the standard web-scale quality-weighting
+primitive a training-data pipeline uses to score crawl domains: rank
+nodes of a link graph, then weight/sample documents by the rank of
+their source. Here the "link graph" is nations trading with nations
+(customer nation → supplier nation, edge weight = number of line
+items), so the whole surface is oracled exactly.
+
+Determinism contract (full DuckDB oracle despite being iterative —
+same recipe as llm/kmeans.py):
+- edge weights are exact integer counts; out-weight sums are integer;
+- the only float inputs are the damping constants, written as the
+  same decimal literals in both engines (identical IEEE doubles);
+- ranks are ROUNDED to 6 dp after each iteration, so the
+  aggregation-order drift of the ≤25-term inflow sums dies at the
+  round;
+- fixed iteration count, unrolled as CTE rounds in the SQL oracle.
+
+Scale: the expensive part is building the edge list — a
+lineitem⋈orders⋈customer⋈supplier join that partially aggregates
+map-side and shuffles only (src, dst) pairs. The iteration then runs
+on the aggregated graph, which is tiny here (≤625 edges) and in the
+web-graph case is still orders of magnitude smaller than the corpus;
+each step is one broadcast join + one groupBy, driver-controlled
+with checkpointed lineage (no unbounded plan growth). At 100 TB the
+rank loop's cost is independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import tables
+
+N_NATIONS = 25
+DAMPING = 0.85
+BASE = 0.006  # (1 - DAMPING) / N_NATIONS, written as a plain literal
+INIT_RANK = 0.04  # 1 / N_NATIONS
+ITERATIONS = 3
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src=customer nation, dst=supplier nation, w=lineitem count)."""
+    lineitem, orders, customer, supplier = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier"
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation PageRank after 3 damped iterations over the trade graph."""
+    nation = tables(spark, sf_dir, "nation")[0]
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    # edge transition weights never change across iterations
+    trans = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("wout")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = nodes.select("node", F.lit(INIT_RANK).alias("r"))
+    for _ in range(ITERATIONS):
+        inflow = (
+            trans.join(F.broadcast(ranks), F.col("node") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(BASE) + F.lit(DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0)), 6
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nation.join(ranks, F.col("node") == F.col("n_nationkey"))
+        .select("n_nationkey", "n_name", F.col("r").alias("pagerank"))
+        .orderBy("n_nationkey")
+    )
+
+
+def _sql_iter(prev: str, name: str) -> str:
+    return f"""
+{name}_in AS (
+  SELECT t.dst, sum({prev}.r * t.p) AS inflow
+  FROM t JOIN {prev} ON {prev}.node = t.src
+  GROUP BY t.dst
+),
+{name} AS (
+  SELECT nodes.node,
+         round({BASE}::DOUBLE + {DAMPING}::DOUBLE * coalesce({name}_in.inflow, 0.0), 6) AS r
+  FROM nodes LEFT JOIN {name}_in ON {name}_in.dst = nodes.node
+)"""
+
+
+_PAGERANK_SQL = f"""
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w)::BIGINT AS wout FROM e GROUP BY src),
+t AS (SELECT e.src, e.dst, e.w / outw.wout AS p FROM e JOIN outw ON outw.src = e.src),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+r0 AS (SELECT node, {INIT_RANK}::DOUBLE AS r FROM nodes),
+{_sql_iter('r0', 'r1')},
+{_sql_iter('r1', 'r2')},
+{_sql_iter('r2', 'r3')}
+SELECT n.n_nationkey, n.n_name, r3.r AS pagerank
+FROM nation n JOIN r3 ON r3.node = n.n_nationkey
+ORDER BY n.n_nationkey
+"""
+
+
+QUERIES = {"pagerank_trade_graph": pagerank_trade_graph}
+ORACLES = {"pagerank_trade_graph": _PAGERANK_SQL}

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from .queries import (
         advanced,
+        graph,
         metadata,
         profiling,
         relational,
@@ -26,7 +27,7 @@ def _modules():
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph]
     try:
         from .llm import (
             clustering,
@@ -35,6 +36,7 @@ def _modules():
             ivf,
             kmeans,
             multimodal,
+            pii,
             pipeline,
             ranking,
             sampling,
@@ -45,7 +47,7 @@ def _modules():
 
         mods += [
             dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
-            clustering, kmeans, sampling, hygiene,
+            clustering, kmeans, sampling, hygiene, pii,
         ]
     except ImportError:
         pass

@@ -1,6 +1,6 @@
 """File-format sources/sinks beyond the reference's single CSV write
 (reference app.py:110-119): parquet (partitioned + plain), CSV, JSON,
-and bucketed tables for co-located joins.
+ORC, and bucketed tables for co-located joins.
 
 Scale notes:
 - Partitioned parquet writes (partitionBy) give partition pruning on
@@ -41,6 +41,14 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
 
 
 def write_bucketed_table(

@@ -125,6 +125,20 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in json_back.collect()) == rows
 
 
+def test_orc_roundtrip_pushes_filters(spark, sf_dir, tmp_path):
+    orders = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    io_formats.write_orc(orders, path)
+    back = io_formats.read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    # the columnar ORC reader must receive the predicate, same as parquet
+    filtered = back.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan, plan
+    assert filtered.count() == orders.filter(F.col("o_totalprice") > 100000.0).count()
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     orders = load(spark, sf_dir, "orders")
     customers = load(spark, sf_dir, "customer")
