@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..queries.base import load, load_spread
 from .hashing import h32, h32_sql, word_shingles, word_shingles_sql
+from .sampling import _SPLIT_BUCKET_SQL
 
 # MinHash parameters: 16 hash functions in 4 bands of 4 rows.
 MINHASH_K = 16
@@ -345,11 +346,77 @@ ORDER BY doc_a, doc_b
 """
 
 
+PREFIX_TOKENS = 4  # opening-template fingerprint width
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-over-snapshot) dedup: the hash-
+    deterministic 80% split plays the already-ingested corpus, the
+    other 20% the incoming batch. A batch doc is dropped when its
+    opening-``PREFIX_TOKENS``-token template fingerprint is already
+    in the corpus index (the boilerplate-opening key — full-text
+    fingerprints find nothing on this synthetic corpus), or when an
+    earlier batch doc (lowest doc_id) already claimed it.
+
+    Scale: the corpus side is the 16-byte-per-doc fingerprint INDEX a
+    real pipeline maintains incrementally — never a rescan of the
+    100 TB corpus. The anti-join shuffles only (fingerprint) keys;
+    when the batch is small relative to the index, AQE's broadcast
+    threshold flips the batch side to a broadcast instead."""
+    from pyspark.sql import Window
+
+    from .sampling import _split_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, PREFIX_TOKENS), " "
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.md5(prefix), 1, 16).alias("prefix_fp"),
+        _split_bucket(F.col("doc_id")).alias("bucket"),
+    )
+    corpus_index = keyed.filter(F.col("bucket") < 80).select("prefix_fp").distinct()
+    batch = keyed.filter(F.col("bucket") >= 80).select("doc_id", "prefix_fp")
+    w = Window.partitionBy("prefix_fp").orderBy("doc_id")
+    batch_first = (
+        batch.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+    )
+    return (
+        batch_first.join(corpus_index, "prefix_fp", "left_anti")
+        .select("doc_id", "prefix_fp")
+        .orderBy("doc_id")
+    )
+
+
+_INCREMENTAL_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(md5(array_to_string(string_split(lower(trim(text)), ' ')[1:{PREFIX_TOKENS}], ' ')), 1, 16)
+           AS prefix_fp,
+         {_SPLIT_BUCKET_SQL} AS bucket
+  FROM documents
+),
+corpus_index AS (SELECT DISTINCT prefix_fp FROM keyed WHERE bucket < 80),
+batch AS (SELECT doc_id, prefix_fp FROM keyed WHERE bucket >= 80),
+batch_first AS (
+  SELECT doc_id, prefix_fp
+  FROM (SELECT *, row_number() OVER (PARTITION BY prefix_fp ORDER BY doc_id) AS rk FROM batch)
+  WHERE rk = 1
+)
+SELECT b.doc_id, b.prefix_fp
+FROM batch_first b
+WHERE NOT EXISTS (SELECT 1 FROM corpus_index c WHERE c.prefix_fp = b.prefix_fp)
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_incremental_batch": dedup_incremental_batch,
 }
 
 ORACLES = {
@@ -357,4 +424,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
+    "dedup_incremental_batch": _INCREMENTAL_SQL,
 }

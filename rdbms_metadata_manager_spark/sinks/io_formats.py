@@ -43,6 +43,23 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def write_range_clustered_parquet(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> None:
+    """Range-cluster the data on ``cols`` before writing: global range
+    partitioning + an in-partition sort makes every output file own a
+    disjoint key range, so parquet min/max statistics prune whole
+    files/row-groups for range predicates on those keys. This is the
+    sorted-layout lever (z-order-lite) that makes a 100 TB time- or
+    key-range scan touch only the matching slice."""
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 

@@ -181,3 +181,89 @@ def test_histogram_bounds_are_broadcast(spark, sf_dir):
     plan = physical_plan(histogram_order_values(spark, sf_dir))
     assert "BroadcastExchange" in plan, plan
     assert "partial_count" in plan, plan  # map-side combine on the bins
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Joining a lang-partitioned fact with a filtered file-backed dim
+    must inject a dynamic-pruning subquery into the fact scan — at
+    100 TB this is the difference between scanning one partition and
+    scanning the corpus. (useStats is disabled because the rule's
+    benefit estimate refuses at toy scale; the dim must be file-backed
+    — a LocalRelation constant-folds the filter away and disqualifies
+    the pruning side.)"""
+    import pandas as pd
+
+    from rdbms_metadata_manager_spark.sinks import io_formats
+
+    docs = load(spark, sf_dir, "documents")
+    io_formats.write_partitioned_parquet(docs, str(tmp_path / "fact"), ["lang"])
+    spark.createDataFrame(
+        pd.DataFrame({"lang": ["en", "de", "fr", "es", "zh"], "keep": [1, 0, 0, 0, 0]})
+    ).write.parquet(str(tmp_path / "dim"))
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("keep") == 1)
+        joined = fact.join(dim, "lang").select("doc_id", "lang")
+        plan = physical_plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+        assert joined.count() == docs.filter(F.col("lang") == "en").count()
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", old)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """When the dim side of a shuffle join carries a selective filter,
+    Spark must inject a bloom-filter runtime filter (might_contain) on
+    the fact side — rows that can't join die before the exchange. The
+    application-side size threshold (10 GB default) is zeroed because
+    the gate is sized for real clusters, not sf0.001."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = physical_plan(joined)
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_range_clustered_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_range_clustered_parquet must produce files owning
+    disjoint o_orderkey ranges (verified from the parquet footers) —
+    the property that lets min/max stats skip whole files on range
+    predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rdbms_metadata_manager_spark.sinks import io_formats
+
+    orders = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_rc")
+    io_formats.write_range_clustered_parquet(orders, path, ["o_orderkey"], n_files=6)
+    spans = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderkey")
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) >= 2, spans
+    for (_, prev_hi), (lo, _) in zip(spans, spans[1:]):
+        assert lo > prev_hi, spans
+    assert spark.read.parquet(path).count() == orders.count()
