@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from .queries import (
         advanced,
+        cohort,
         graph,
         metadata,
         profiling,
@@ -27,17 +28,19 @@ def _modules():
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph, cohort]
     try:
         from .llm import (
             clustering,
             dedup,
+            entity,
             hygiene,
             ivf,
             kmeans,
             multimodal,
             pii,
             pipeline,
+            quantize,
             ranking,
             sampling,
             similarity,
@@ -47,7 +50,7 @@ def _modules():
 
         mods += [
             dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
-            clustering, kmeans, sampling, hygiene, pii,
+            clustering, kmeans, sampling, hygiene, pii, quantize, entity,
         ]
     except ImportError:
         pass

@@ -60,6 +60,31 @@ def write_range_clustered_parquet(
     )
 
 
+def compact_small_files(
+    spark: SparkSession, in_path: str, out_path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet dataset
+    into ceil(total_bytes / target) files. The small-files problem is
+    the classic operational failure at 100 TB — a streaming or
+    per-batch writer leaves millions of KB-sized files, and every
+    downstream scan then pays per-file open/footer/scheduling costs
+    that dwarf the I/O. Sizing comes from the filesystem's own
+    content summary (works on HDFS/S3A/local alike), and the rewrite
+    is a single round-robin repartition — no skew, no sort, scan
+    speed in and out. Returns the target file count."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-total // target_file_bytes))
+    (
+        spark.read.parquet(in_path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_files
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 

@@ -11,7 +11,7 @@ import pytest
 @pytest.fixture(scope="module")
 def empty_dir(spark, sf_dir, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("empty_sf"))
-    for t in ["orders", "documents", "events", "customer", "lineitem"]:
+    for t in ["orders", "documents", "events", "customer", "lineitem", "embeddings"]:
         (
             spark.read.parquet(f"{sf_dir}/{t}.parquet")
             .limit(0)
@@ -35,6 +35,10 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.sampling", "sample_weighted_topk"),
         ("llm.hygiene", "decontaminate_train_test"),
         ("llm.hygiene", "text_repetition_stats"),
+        ("llm.quantize", "embedding_quantize_int8"),
+        ("llm.quantize", "embedding_quantization_error"),
+        ("llm.entity", "entity_match_fuzzy_names"),
+        ("queries.cohort", "cohort_retention"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
