@@ -1,0 +1,87 @@
+"""Slowly-changing-dimension (SCD Type 2) interval building over
+``events``.
+
+[beyond-reference] the warehouse-dimension operator the reference's
+metadata-only surface never touches (app.py has no temporal logic at
+all). Collapses each user's event stream into validity intervals of
+their current ``event_type`` state: one row per consecutive run, with
+``valid_from``/``valid_to`` half-open bounds and NULL valid_to for
+the current state. This is the gaps-and-islands pattern: a
+change-flag via lag(), a running sum to number the runs, a per-run
+aggregate, then lead() to close each interval with the next run's
+start.
+
+Cross-engine exactness: ordering inside every window is
+(ts, event_id) — a total order, so run numbering is identical in both
+engines; timestamps pass through untouched (micros in parquet both
+sides).
+
+Scale: all three windows and the run aggregate partition by
+``user_id`` — ONE shuffle, reused across the whole plan (Spark plans
+a single Exchange and pipelines the windows and the partial
+aggregate over it). The classic mistake here is a self-join on
+(user, run_id); lead() keeps it linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import load
+
+
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        intervals.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+        .orderBy("user_id", "valid_from")
+    )
+
+
+_SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, (sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS run_id
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, run_id, event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       n_events
+FROM intervals
+ORDER BY user_id, valid_from
+"""
+
+
+QUERIES = {"scd2_user_state_intervals": scd2_user_state_intervals}
+ORACLES = {"scd2_user_state_intervals": _SCD2_SQL}

@@ -55,5 +55,52 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
-QUERIES = {"salted_join_revenue": salted_join_revenue}
-ORACLES = {"salted_join_revenue": _SALTED_SQL}
+HEAVY_K = 10
+
+
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: the top-K heaviest join/grouping keys and the
+    share of all rows each one carries — the report you run BEFORE
+    deciding whether a key needs salting or AQE skew splitting. The
+    per-key count is a map-side-combined aggregate; the top-K plans
+    as TakeOrderedAndProject (per-partition heaps, K rows merged);
+    the grand total is a 1-row broadcast. One double division per
+    output row on integer-exact counts."""
+    events = load(spark, sf_dir, "events")
+    total = events.groupBy().agg(F.count("*").alias("total"))
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return (
+        counts.orderBy(F.desc("n_events"), "user_id")
+        .limit(HEAVY_K)
+        .join(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total").cast("double")).alias(
+                "row_share"
+            ),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+_HEAVY_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+  ORDER BY n_events DESC, user_id LIMIT {HEAVY_K}
+)
+SELECT user_id, n_events,
+       n_events::DOUBLE / (SELECT count(*) FROM events)::DOUBLE AS row_share
+FROM counts
+ORDER BY n_events DESC, user_id
+"""
+
+
+QUERIES = {
+    "salted_join_revenue": salted_join_revenue,
+    "heavy_hitter_users": heavy_hitter_users,
+}
+ORACLES = {
+    "salted_join_revenue": _SALTED_SQL,
+    "heavy_hitter_users": _HEAVY_SQL,
+}

@@ -23,12 +23,13 @@ def _modules():
         metadata,
         profiling,
         relational,
+        scd,
         skew,
         tpch_extra,
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph, cohort]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph, cohort, scd]
     try:
         from .llm import (
             clustering,

@@ -85,6 +85,47 @@ def compact_small_files(
     return n_files
 
 
+def delete_keys_partition_rewrite(
+    spark: SparkSession, path: str, partition_col: str, key_col: str, keys: DataFrame
+) -> list:
+    """Targeted hard-delete (GDPR right-to-be-forgotten shape):
+    remove every row whose ``key_col`` is in ``keys`` from a
+    ``partition_col``-partitioned parquet dataset, rewriting ONLY the
+    partitions that actually contain matches. At 100 TB a full-corpus
+    rewrite for a few thousand keys is the failure mode; this touches
+    the deletion footprint only:
+
+    1. one broadcast semi-join finds the affected partition values;
+    2. each affected partition is anti-joined against the key list
+       and written to a temp dir, then swapped in with a filesystem
+       rename (write-then-swap — readers never see a half-written
+       partition);
+    3. untouched partitions keep their exact bytes (asserted in
+       tests via file listing + mtimes).
+
+    Returns the list of rewritten partition values."""
+    from pyspark.sql import functions as F
+
+    data = spark.read.parquet(path)
+    affected = sorted(
+        r[0]
+        for r in data.join(F.broadcast(keys), key_col)
+        .select(partition_col)
+        .distinct()
+        .collect()
+    )
+    hadoop = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hadoop(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for val in affected:
+        part_dir = f"{path}/{partition_col}={val}"
+        tmp_dir = f"{path}/.rewrite-{partition_col}={val}"
+        remaining = spark.read.parquet(part_dir).join(keys, key_col, "left_anti")
+        remaining.write.mode("overwrite").parquet(tmp_dir)
+        fs.delete(hadoop(part_dir), True)
+        fs.rename(hadoop(tmp_dir), hadoop(part_dir))
+    return affected
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 

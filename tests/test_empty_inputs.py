@@ -39,6 +39,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.quantize", "embedding_quantization_error"),
         ("llm.entity", "entity_match_fuzzy_names"),
         ("queries.cohort", "cohort_retention"),
+        ("queries.scd", "scd2_user_state_intervals"),
+        ("queries.skew", "heavy_hitter_users"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

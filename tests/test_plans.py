@@ -267,3 +267,23 @@ def test_range_clustered_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_pat
     for (_, prev_hi), (lo, _) in zip(spans, spans[1:]):
         assert lo > prev_hi, spans
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_scd2_reuses_one_hash_exchange(spark, sf_dir):
+    """The gaps-and-islands pipeline (2 windows + run aggregate +
+    lead) must all ride ONE user_id hash exchange — the partial/final
+    aggregate pair needs no exchange because user_id prefixes the
+    grouping key. Only the presentation orderBy adds a range
+    exchange."""
+    from rdbms_metadata_manager_spark.queries.scd import scd2_user_state_intervals
+
+    plan = physical_plan(scd2_user_state_intervals(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_heavy_hitters_plan_take_ordered(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.skew import heavy_hitter_users
+
+    plan = physical_plan(heavy_hitter_users(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine before the heap
