@@ -56,6 +56,10 @@ HEADLINE = [
     "resample_events_hourly",
     "pack_training_sequences",
     "pagerank_trade_graph",
+    "scd2_user_state_intervals",
+    "entity_match_fuzzy_names",
+    "cohort_retention",
+    "embedding_quantize_int8",
 ]
 
 
