@@ -287,3 +287,28 @@ def test_heavy_hitters_plan_take_ordered(spark, sf_dir):
     plan = physical_plan(heavy_hitter_users(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_count" in plan, plan  # map-side combine before the heap
+
+
+def test_analyzed_table_stats_drive_auto_broadcast(spark, sf_dir):
+    """ANALYZE TABLE statistics must flow into join planning: after
+    COMPUTE STATISTICS the catalog size estimate (not a file-size
+    guess) qualifies the dim for auto-broadcast with NO explicit
+    hint. On a real cluster this is how nightly-analyzed dims keep
+    100 TB fact joins broadcast-shaped without hand-placed hints."""
+    spark.sql("DROP TABLE IF EXISTS dim_customer_stats")
+    load(spark, sf_dir, "customer").write.saveAsTable("dim_customer_stats")
+    try:
+        spark.sql("ANALYZE TABLE dim_customer_stats COMPUTE STATISTICS")
+        stats = spark.sql("DESCRIBE EXTENDED dim_customer_stats").filter(
+            "col_name = 'Statistics'"
+        )
+        assert stats.count() == 1  # catalog carries the analyzed size
+        dim = spark.table("dim_customer_stats")
+        orders = load(spark, sf_dir, "orders")
+        joined = orders.join(dim, orders["o_custkey"] == dim["c_custkey"]).select(
+            "o_orderkey", "c_name"
+        )
+        plan = physical_plan(joined)
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dim_customer_stats")
