@@ -61,5 +61,47 @@ def main() -> int:
     return 0
 
 
+def query_main(argv: list[str]) -> int:
+    """``python -m rdbms_metadata_manager_spark query`` — run any
+    registered analytics query from the command line (the data-plane
+    face of the CLI; the bare invocation stays the reference-parity
+    schema audit).
+
+      query --list                 list every registered query name
+      query <name> [--sf-dir DIR] [--limit N] [--explain]
+    """
+    import argparse
+
+    from .registry import all_queries
+
+    p = argparse.ArgumentParser(prog="rdbms_metadata_manager_spark query")
+    p.add_argument("name", nargs="?")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="directory with the parquet tables",
+    )
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--explain", action="store_true", help="print the formatted physical plan")
+    p.add_argument("--list", action="store_true", dest="list_names")
+    args = p.parse_args(argv)
+
+    queries = all_queries()
+    if args.list_names or not args.name:
+        for name in sorted(queries):
+            print(name)
+        return 0
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    df = queries[args.name](get_spark("query-cli"), args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "query":
+        sys.exit(query_main(sys.argv[2:]))
     sys.exit(main())

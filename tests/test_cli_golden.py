@@ -56,3 +56,17 @@ def test_cli_requires_db_url(tmp_path):
     )
     assert out.returncode != 0
     assert "Connect String (DB_URL) not set" in out.stderr
+
+
+def test_query_cli_lists_and_runs(spark, sf_dir, capsys):
+    from rdbms_metadata_manager_spark.__main__ import query_main
+
+    assert query_main(["--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert len(names) >= 111 and "topk_orders" in names
+
+    assert query_main(["topk_orders", "--sf-dir", sf_dir, "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "o_orderkey" in out
+
+    assert query_main(["no_such_query"]) == 2
