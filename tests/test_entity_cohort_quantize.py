@@ -94,3 +94,30 @@ def test_compact_small_files_preserves_rows(spark, sf_dir, tmp_path):
     compacted = spark.read.parquet(out)
     assert compacted.count() == docs.count()
     assert set(compacted.columns) == set(docs.columns)
+
+
+def test_quantized_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """ADC over int8 codes + 50-candidate exact rerank must recover
+    most of the true top-10 (64-dim int8 scalar quantization is
+    high-accuracy), and every reported cosine must equal the exact
+    brute-force value for that vector."""
+    import pytest
+
+    from rdbms_metadata_manager_spark.llm.quantize import similarity_quantized_rerank
+    from rdbms_metadata_manager_spark.llm.similarity import similarity_topk_bruteforce
+
+    exact = {r.vec_id: r.cosine for r in similarity_topk_bruteforce(spark, sf_dir).collect()}
+    rerank = similarity_quantized_rerank(spark, sf_dir).collect()
+    hits = [r for r in rerank if r.vec_id in exact]
+    assert len(hits) >= 7  # recall >= 0.7 of the true top-10
+    for r in hits:
+        assert r.cosine == pytest.approx(exact[r.vec_id], abs=1e-12)
+
+
+def test_quantized_rerank_plans_heap_topk(spark, sf_dir):
+    from test_plans import physical_plan
+
+    from rdbms_metadata_manager_spark.llm.quantize import similarity_quantized_rerank
+
+    plan = physical_plan(similarity_quantized_rerank(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
