@@ -19,6 +19,7 @@ def _modules():
     from .queries import (
         advanced,
         cohort,
+        features,
         graph,
         metadata,
         profiling,
@@ -29,7 +30,7 @@ def _modules():
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph, cohort, scd]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph, cohort, scd, features]
     try:
         from .llm import (
             clustering,

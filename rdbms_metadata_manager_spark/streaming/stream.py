@@ -109,6 +109,55 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "com
     return q
 
 
+ATTRIBUTION_WINDOW_S = 300  # purchases credit clicks within 5 minutes
+
+
+def streaming_click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: every (click, purchase) pair for
+    the same user where the purchase lands within 5 minutes after the
+    click — the attribution-join shape. BOTH sides are watermarked
+    and the join condition carries the time range, so each side's
+    buffered state is evicted once the other side's watermark passes
+    the range bound: state is (watermark + window) sized, never
+    unbounded. At 100 TB/day this bound is what makes the join
+    runnable at all; without the range condition Spark rejects the
+    plan outright (unbounded state).
+
+    Inner join; the micro-batch incremental path emits each matched
+    pair exactly once (append mode)."""
+    c = (
+        clicks.withWatermark("ts", WATERMARK)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", WATERMARK)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
 def streaming_anomaly_alerts(events: DataFrame, thresholds: DataFrame) -> DataFrame:
     """Streaming face of queries/profiling.py::anomaly_event_hours —
     the standard deploy shape: baseline (median/MAD per type) is

@@ -41,6 +41,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.cohort", "cohort_retention"),
         ("queries.scd", "scd2_user_state_intervals"),
         ("queries.skew", "heavy_hitter_users"),
+        ("queries.features", "feature_scale_orders"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

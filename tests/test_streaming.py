@@ -103,3 +103,50 @@ def test_streaming_anomaly_alerts_match_batch(spark, sf_dir, events_source):
         if r["n_events"] > 0
     }
     assert streamed == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_source):
+    """The stream-stream attribution join (watermarked both sides,
+    time-range condition) must emit exactly the pairs the equivalent
+    batch join produces."""
+    from pyspark.sql import functions as F
+
+    events = stream.read_events_stream(spark, events_source)
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    stream.run_to_memory(
+        stream.streaming_click_purchase_join(clicks, purchases),
+        "attribution_test",
+        "append",
+    )
+    got = _rows(spark.table("attribution_test"))
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expected = _rows(
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 300 SECONDS")),
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+        )
+    )
+    assert len(got) > 0
+    assert got == expected
