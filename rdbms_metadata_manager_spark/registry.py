@@ -20,6 +20,7 @@ def _modules():
         advanced,
         cohort,
         features,
+        forecast,
         graph,
         metadata,
         profiling,
@@ -30,7 +31,7 @@ def _modules():
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph, cohort, scd, features]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph, cohort, scd, features, forecast]
     try:
         from .llm import (
             clustering,

@@ -42,6 +42,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.scd", "scd2_user_state_intervals"),
         ("queries.skew", "heavy_hitter_users"),
         ("queries.features", "feature_scale_orders"),
+        ("queries.forecast", "forecast_seasonal_naive_backtest"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
