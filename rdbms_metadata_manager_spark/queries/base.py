@@ -27,15 +27,23 @@ TABLE_NAMES = [
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
-        # truncate to micros — the same truncation DuckDB applies when
-        # materializing TIMESTAMP_NS to a Python datetime.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed the
-        # double-exact integer range, so float division mis-truncates
-        # the microsecond by one.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Two on-disk encodings exist across testdata generations:
+        # TIMESTAMP(NANOS) — which spark.sql.legacy.parquet.nanosAsLong
+        # surfaces as a raw BIGINT — and plain TIMESTAMP(MICROS). Only
+        # the former needs conversion; truncate to micros with integer
+        # `div`, NOT `/` (epoch-nanos ~1.7e18 exceed the double-exact
+        # range, so float division mis-truncates the microsecond).
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # TIMESTAMP(MICROS) without UTC-adjustment surfaces as
+            # TIMESTAMP_NTZ; the engine (watermarks, unix_micros paths)
+            # standardizes on TIMESTAMP. Session tz is pinned UTC, so
+            # the cast is an exact identity on the stored micros.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

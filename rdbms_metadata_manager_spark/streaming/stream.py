@@ -21,22 +21,42 @@ from pyspark.sql import functions as F
 WATERMARK = "30 minutes"
 SESSION_GAP = "15 minutes"
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_MICROS = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream with the same ns→µs ts conversion the batch
-    loader applies (see queries/base.py)."""
+    """File-source stream with the same ts normalization the batch
+    loader applies (see queries/base.py). Streaming sources need an
+    explicit schema, so peek at the on-disk encoding with a one-off
+    batch schema read (driver-side, metadata only) and pick the
+    matching fixed schema."""
+    from pyspark.sql.types import LongType
+
+    on_disk = spark.read.parquet(source_dir).schema["ts"].dataType
+    if isinstance(on_disk, LongType):
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .format("parquet")
+            .option("path", source_dir)
+            .load()
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_MICROS)
         .format("parquet")
         .option("path", source_dir)
         .load()
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks require TIMESTAMP (not NTZ); UTC session tz makes
+    # this cast an exact identity on the stored micros.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(events: DataFrame) -> DataFrame:

@@ -121,9 +121,9 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_source)
     )
     got = _rows(spark.table("attribution_test"))
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from rdbms_metadata_manager_spark.queries import base
+
+    batch = base.load(spark, sf_dir, "events")
     c = batch.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
