@@ -60,6 +60,9 @@ HEADLINE = [
     "entity_match_fuzzy_names",
     "cohort_retention",
     "embedding_quantize_int8",
+    "variant_event_props",
+    "recursive_balance_replay",
+    "dedup_winnow_overlap",
 ]
 
 

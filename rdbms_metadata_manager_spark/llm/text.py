@@ -126,14 +126,94 @@ ORDER BY doc_id
 """
 
 
+def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language identification, profiles trained from the
+    corpus itself (the textbook n-gram heuristic, Cavnar & Trenkle '94
+    shape): per-language trigram document-frequency profiles →
+    score(doc, lang) = Σ per-mille df of the doc's distinct trigrams →
+    argmax. Scoring is all-integer (df*1000 div lang-doc-count), so
+    cross-engine exact; ties break to the lexicographically smaller
+    language.
+
+    Scale: trigram explosion is a per-row HOF projection; the profile
+    (langs × distinct trigrams) is tiny and broadcast, so the
+    classify join never shuffles the corpus — one aggregate per
+    (doc, candidate lang), then a per-doc top-1."""
+    from pyspark.sql import Window
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("t")
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(t) - 2), p -> substr(t, p, 3))")
+            )
+        ).alias("gram"),
+    )
+    lang_sizes = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    profile = (
+        grams.groupBy(F.col("lang").alias("cand_lang"), "gram")
+        .agg(F.count("*").alias("df"))
+        .join(lang_sizes.withColumnRenamed("lang", "cand_lang"), "cand_lang")
+        .select("cand_lang", "gram", F.expr("df * 1000 div n_docs").alias("rate_pm"))
+    )
+    scored = (
+        grams.join(F.broadcast(profile), "gram")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.sum("rate_pm").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("cand_lang").alias("predicted_lang"), "score")
+        .orderBy("doc_id")
+    )
+
+
+_LANG_ID_SQL = """
+WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(list_distinct(
+           [substr(t, p, 3) FOR p IN range(1, length(t) - 1)])) AS gram
+  FROM d
+),
+lang_sizes AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY lang),
+profile AS (
+  SELECT g.lang AS cand_lang, g.gram,
+         count(*) * 1000 // any_value(s.n_docs) AS rate_pm
+  FROM grams g JOIN lang_sizes s ON s.lang = g.lang
+  GROUP BY g.lang, g.gram
+),
+scored AS (
+  SELECT g.doc_id, g.lang, p.cand_lang, sum(p.rate_pm)::BIGINT AS score
+  FROM grams g JOIN profile p ON p.gram = g.gram
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand_lang) AS rk
+  FROM scored
+)
+SELECT doc_id, lang, cand_lang AS predicted_lang, score
+FROM ranked WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
     "text_fingerprint": text_fingerprint,
+    "language_id_ngram": language_id_ngram,
 }
 
 ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality_language": _QUALITY_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
+    "language_id_ngram": _LANG_ID_SQL,
 }

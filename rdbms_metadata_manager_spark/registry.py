@@ -23,6 +23,7 @@ def _modules():
         forecast,
         graph,
         metadata,
+        modern,
         profiling,
         relational,
         scd,
@@ -31,12 +32,13 @@ def _modules():
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, profiling, graph, cohort, scd, features, forecast]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast]
     try:
         from .llm import (
             clustering,
             dedup,
             entity,
+            fingerprint,
             hygiene,
             ivf,
             kmeans,
@@ -54,6 +56,7 @@ def _modules():
         mods += [
             dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
             clustering, kmeans, sampling, hygiene, pii, quantize, entity,
+            fingerprint,
         ]
     except ImportError:
         pass

@@ -38,6 +38,10 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.quantize", "embedding_quantize_int8"),
         ("llm.quantize", "embedding_quantization_error"),
         ("llm.entity", "entity_match_fuzzy_names"),
+        ("llm.fingerprint", "text_winnow_fingerprints"),
+        ("llm.fingerprint", "dedup_winnow_overlap"),
+        ("queries.modern", "variant_event_props"),
+        ("queries.modern", "recursive_balance_replay"),
         ("queries.cohort", "cohort_retention"),
         ("queries.scd", "scd2_user_state_intervals"),
         ("queries.skew", "heavy_hitter_users"),

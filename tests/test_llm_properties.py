@@ -64,3 +64,52 @@ def test_chunk_token_conservation(spark, sf_dir):
         if r.doc_id < 100
     }
     assert dict(per_doc) == expected
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark, tmp_path):
+    """The MOSS guarantee: any two documents sharing a substring of
+    length >= K + W - 1 share at least one winnow fingerprint."""
+    import pandas as pd
+
+    from rdbms_metadata_manager_spark.llm.fingerprint import (
+        K,
+        W,
+        _fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"  # len 43 >= K+W-1
+    assert len(shared) >= K + W - 1
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "prefix one alpha beta " + shared + " gamma delta",
+                "совершенно other начало " + shared + " another ending here",
+                "no overlap with anything else at all in this row",
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    fps = {r.doc_id: set(r.fps) for r in _fingerprints(df).collect()}
+    assert fps[0] & fps[1], "docs sharing a long substring must share a fingerprint"
+    assert fps[2], "control doc still yields fingerprints"
+
+
+def test_winnow_fingerprints_subset_of_gram_hashes(spark, sf_dir):
+    """Every selected fingerprint is one of the document's k-gram
+    rolling hashes (winnowing selects, never invents)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from rdbms_metadata_manager_spark.llm.fingerprint import B, K, M, _fingerprints
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for r in _fingerprints(docs).collect():
+        codes = np.fromiter((ord(c) for c in rows[r.doc_id].lower()), dtype=np.int64)
+        grams = sliding_window_view(codes, K)
+        h = np.zeros(grams.shape[0], dtype=np.int64)
+        for j in range(K):
+            h = (h * B + grams[:, j]) % M
+        assert set(r.fps) <= set(h.tolist())

@@ -312,3 +312,29 @@ def test_analyzed_table_stats_drive_auto_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS dim_customer_stats")
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL ORDER BY/LIMIT subquery must decorrelate
+    into a ranked window with group-limit pushdown plus a broadcast
+    join — NOT a per-group nested-loop re-execution."""
+    from rdbms_metadata_manager_spark.queries.modern import (
+        lateral_top_customers_per_nation,
+    )
+
+    plan = physical_plan(lateral_top_customers_per_nation(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnow_overlap_kernel_is_arrow_batched(spark, sf_dir):
+    """The fingerprint kernel must run as one Arrow-batched python
+    eval per scan (no row-at-a-time BatchEvalPython), and the
+    inverted-index join must be an equi hash join."""
+    from rdbms_metadata_manager_spark.llm.fingerprint import dedup_winnow_overlap
+
+    plan = physical_plan(dedup_winnow_overlap(spark, sf_dir))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
