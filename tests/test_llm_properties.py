@@ -113,3 +113,47 @@ def test_winnow_fingerprints_subset_of_gram_hashes(spark, sf_dir):
         for j in range(K):
             h = (h * B + grams[:, j]) % M
         assert set(r.fps) <= set(h.tolist())
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _winnow_reference(text: str) -> set[int]:
+    """Pure-Python winnowing reference (independent of numpy/Spark)."""
+    from rdbms_metadata_manager_spark.llm.fingerprint import B, K, M, W
+
+    codes = [ord(c) for c in text.lower()]
+    if len(codes) < K:
+        return set()
+    hs = []
+    for p in range(len(codes) - K + 1):
+        h = 0
+        for c in codes[p : p + K]:
+            h = (h * B + c) % M
+        hs.append(h)
+    if len(hs) < W:
+        return set()
+    return {min(hs[i : i + W]) for i in range(len(hs) - W + 1)}
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_winnow_kernel_matches_pure_python_reference(spark, texts):
+    import pandas as pd
+
+    from rdbms_metadata_manager_spark.llm.fingerprint import _winnow_kernel
+
+    got = _winnow_kernel(pd.Series(texts))
+    for t, fps in zip(texts, got):
+        assert set(fps) == _winnow_reference(t), repr(t)
