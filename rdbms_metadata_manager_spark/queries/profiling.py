@@ -366,8 +366,48 @@ ORDER BY d.event_type, d.hour
 """
 
 
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native relational UNPIVOT (wide measures → long) + per-measure
+    rollup. Complements the stack()-based unpivot in
+    ``profile_orders_columns`` with the dedicated ``DataFrame.unpivot``
+    operator (SQL ``UNPIVOT`` in DuckDB). min/max restate stored
+    doubles (order statistics); the sum is floor-tick integer.
+    Scale: unpivot is a per-row generator (no shuffle); the 4x row
+    blow-up collapses immediately into the 4-group partial aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum(F.expr("cast(floor(v * 10000 + 0.5) as bigint)")).alias("sum_ticks"),
+        )
+        .orderBy("measure")
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT measure, count(*) AS n,
+       min(v) AS min_v, max(v) AS max_v,
+       sum(CAST(floor(v * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_ticks
+FROM (UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE v)
+GROUP BY measure
+ORDER BY measure
+"""
+
+
 QUERIES = {
     "profile_orders_columns": profile_orders_columns,
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "resample_events_hourly": resample_events_hourly,
     "resample_events_hourly_locf": resample_events_hourly_locf,
     "outlier_customers_iqr": outlier_customers_iqr,
@@ -377,6 +417,7 @@ QUERIES = {
 
 ORACLES = {
     "profile_orders_columns": _PROFILE_SQL,
+    "unpivot_lineitem_measures": _UNPIVOT_SQL,
     "resample_events_hourly": _RESAMPLE_SQL,
     "resample_events_hourly_locf": _RESAMPLE_LOCF_SQL,
     "outlier_customers_iqr": _OUTLIER_SQL,

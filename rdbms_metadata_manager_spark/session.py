@@ -35,8 +35,10 @@ def get_spark(app_name: str = "rdbms-metadata-manager-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-        # parquet reader rejects; read as long and convert in the loader.
+        # Older testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which the Spark parquet reader rejects; this conf surfaces it
+        # as a raw long for the loader to convert, and is a no-op on the
+        # current TIMESTAMP(MICROS) encoding (queries/base.py detects both).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

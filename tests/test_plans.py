@@ -338,3 +338,13 @@ def test_winnow_overlap_kernel_is_arrow_batched(spark, sf_dir):
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_language_id_profile_is_broadcast(spark, sf_dir):
+    """The trained trigram profile must broadcast to the classify join
+    (the corpus side never shuffles on gram)."""
+    from rdbms_metadata_manager_spark.llm.text import language_id_ngram
+
+    plan = physical_plan(language_id_ngram(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
