@@ -83,5 +83,61 @@ ORDER BY user_id, valid_from
 """
 
 
-QUERIES = {"scd2_user_state_intervals": scd2_user_state_intervals}
-ORACLES = {"scd2_user_state_intervals": _SCD2_SQL}
+def scd2_state_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time probes against the SCD2 dimension: how many users
+    were in each state at every 6-hour snapshot — the temporal
+    ("AS OF timestamp") lookup every warehouse runs against a Type-2
+    dimension, here as a snapshot rollup over a generated spine.
+
+    Join shape: the spine is tiny and broadcast, so the interval
+    containment probe is a BroadcastNestedLoopJoin that stays LINEAR
+    in the interval count (each interval row scans ~120 spine
+    entries) — the shape that survives 100 TB because the broadcast
+    side is calendar-bound, not data-bound. For a data-bound probe
+    side, band both sides on a day bucket first (the
+    `range_join_error_bursts` recipe) to recover an equi key.
+
+    Exactness: interval bounds are event timestamps (micros) passed
+    through untouched; the spine is integer-stepped; outputs are
+    counts."""
+    events = load(spark, sf_dir, "events")
+    iv = scd2_user_state_intervals(spark, sf_dir)
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 6 hours"))).alias("snap_ts")
+    )
+    return (
+        iv.join(
+            F.broadcast(spine),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("valid_to").isNull() | (F.col("snap_ts") < F.col("valid_to"))),
+        )
+        .groupBy("snap_ts", "event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("snap_ts", "event_type")
+    )
+
+
+_SNAPSHOT_SQL = f"""
+WITH intervals AS ({_SCD2_SQL.replace("ORDER BY user_id, valid_from", "")}),
+b AS (SELECT date_trunc('day', min(ts)) AS lo, max(ts) AS hi FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS snap_ts FROM b)
+SELECT s.snap_ts, i.event_type, count(*)::BIGINT AS n_users
+FROM intervals i
+JOIN spine s ON i.valid_from <= s.snap_ts
+            AND (i.valid_to IS NULL OR s.snap_ts < i.valid_to)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "scd2_user_state_intervals": scd2_user_state_intervals,
+    "scd2_state_snapshots": scd2_state_snapshots,
+}
+ORACLES = {
+    "scd2_user_state_intervals": _SCD2_SQL,
+    "scd2_state_snapshots": _SNAPSHOT_SQL,
+}

@@ -72,3 +72,26 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
     assert {
         f: os.path.getmtime(f) for f in glob.glob(f"{path}/lang=en/part-*.parquet")
     } == untouched_listing
+
+
+def test_scd2_snapshots_count_exactly_onboarded_users(spark, sf_dir):
+    """At each snapshot, every user whose first event is <= the
+    snapshot is in EXACTLY one state: per-snapshot totals must equal
+    the onboarded-user count."""
+    import collections
+
+    from rdbms_metadata_manager_spark.queries.scd import scd2_state_snapshots
+
+    snaps = scd2_state_snapshots(spark, sf_dir).collect()
+    totals = collections.Counter()
+    for r in snaps:
+        totals[r.snap_ts] += r.n_users
+    first_seen = {
+        r.user_id: r.first_ts
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .collect()
+    }
+    for snap_ts, n in totals.items():
+        assert n == sum(1 for t in first_seen.values() if t <= snap_ts), snap_ts
