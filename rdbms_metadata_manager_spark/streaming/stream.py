@@ -59,6 +59,33 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def streaming_variant_counts(events: DataFrame) -> DataFrame:
+    """Streaming VARIANT ingestion: parse the JSON payload into the
+    shredded binary form once per event, extract typed fields, and
+    maintain a watermarked hourly rollup per (event_type, k_decile).
+    This is the schema-on-read stream-ingest shape — the payload is
+    parsed exactly once at ingest, never re-parsed downstream, and
+    the state size is bounded by the watermark as usual."""
+    return (
+        events.withColumn("v", F.parse_json(F.col("props")))
+        .withColumn("k", F.expr("variant_get(v, '$.k', 'int')"))
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            F.expr("k div 10").alias("k_decile"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("k").cast("bigint").alias("sum_k"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "k_decile",
+            "n_events",
+            "sum_k",
+        )
+    )
+
+
 def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
     """Watermarked 1-hour tumbling aggregation (append-able state)."""
     return (

@@ -150,3 +150,33 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_source)
     )
     assert len(got) > 0
     assert got == expected
+
+
+def test_streaming_variant_counts_match_batch(spark, sf_dir, events_source):
+    """The streaming VARIANT rollup must equal the same expressions
+    evaluated in batch (incremental state path == one-shot)."""
+    from pyspark.sql import functions as F
+
+    events = stream.read_events_stream(spark, events_source)
+    stream.run_to_memory(
+        stream.streaming_variant_counts(events), "variant_test", "complete"
+    )
+    got = _rows(spark.table("variant_test"))
+
+    from rdbms_metadata_manager_spark.queries import base
+
+    batch = (
+        base.load(spark, sf_dir, "events")
+        .withColumn("k", F.expr("variant_get(parse_json(props), '$.k', 'int')"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            F.expr("k div 10").alias("k_decile"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("k").cast("bigint").alias("sum_k"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "k_decile", "n_events", "sum_k",
+        )
+    )
+    assert got == _rows(batch)
