@@ -63,6 +63,8 @@ HEADLINE = [
     "variant_event_props",
     "recursive_balance_replay",
     "dedup_winnow_overlap",
+    "text_winnow_fingerprints",
+    "language_id_ngram",
 ]
 
 
