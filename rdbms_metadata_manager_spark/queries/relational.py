@@ -702,6 +702,48 @@ ORDER BY price_band
 """
 
 
+def ordered_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each customer's order keys as an
+    array in (o_orderdate, o_orderkey) order, plus first/last. Spark's
+    ``collect_list`` has no intra-group order guarantee, so the
+    deterministic idiom is collect structs → ``sort_array`` (struct
+    comparison is field-lexicographic = the ORDER BY) → project the
+    key out — equivalent to DuckDB's ``list(x ORDER BY ...)``.
+    Scale: one hash aggregate; per-group arrays are bounded by orders
+    per customer (~10), so the agg buffer stays small."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "transform(sort_array(collect_list(struct(o_orderdate, o_orderkey))), "
+                "s -> s.o_orderkey)"
+            ).alias("order_keys"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            "order_keys",
+            F.element_at("order_keys", 1).alias("first_key"),
+            F.element_at("order_keys", -1).alias("last_key"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_ORDERED_AGG_SQL = """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
+       first(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_key,
+       last(o_orderkey ORDER BY o_orderdate, o_orderkey) AS last_key
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props string column."""
     e = load(spark, sf_dir, "events")
@@ -754,6 +796,7 @@ QUERIES = {
     "math_functions_lineitem": math_functions_lineitem,
     "case_when_price_bands": case_when_price_bands,
     "json_event_props": json_event_props,
+    "ordered_array_agg_orders": ordered_array_agg_orders,
 }
 
 ORACLES = {
@@ -783,4 +826,5 @@ ORACLES = {
     "math_functions_lineitem": _MATH_SQL,
     "case_when_price_bands": _CASE_SQL,
     "json_event_props": _JSON_SQL,
+    "ordered_array_agg_orders": _ORDERED_AGG_SQL,
 }
