@@ -379,12 +379,17 @@ ORDER BY l_linestatus
 
 
 def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MapType surface: JSON → map, keys/values/lookup/size."""
+    """MapType surface: JSON → map, keys/values/lookup/size.
+
+    ``prop_keys`` is a sorted ``,``-joined string (not a raw array) so
+    external canonicalizers that hash scalar cells can compare it;
+    sorting makes the digest independent of JSON key insertion order.
+    """
     e = load(spark, sf_dir, "events").filter(F.col("event_id") <= 200)
     m = F.from_json("props", "map<string,int>")
     return e.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(m).alias("n_props"),
         F.element_at(m, "k").alias("k_value"),
         F.map_contains_key(m, "missing").alias("has_missing"),
@@ -393,7 +398,7 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAP_SQL = """
 SELECT event_id,
-       json_keys(props)                                      AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), ',')     AS prop_keys,
        len(json_keys(props))                                 AS n_props,
        CAST(json_extract_string(props, '$.k') AS INT)        AS k_value,
        json_extract_string(props, '$.missing') IS NOT NULL   AS has_missing

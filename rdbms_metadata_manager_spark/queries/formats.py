@@ -1,0 +1,77 @@
+"""File-format round-trip query: parquet → CSV → JSON → aggregate.
+
+Covers SURVEY.md §2.2 "file formats" and "sinks" with a driver-checkable
+query: the orders table is written to CSV (header, explicit schema on
+re-read — no inference scan), re-written as JSON lines, re-read, and
+aggregated.  The oracle computes the same aggregate straight from the
+parquet, so any loss in either sink/source round-trip (quoting, float
+formatting, date formatting, schema drift) breaks the hash match.
+
+At scale the round-trip itself is a correctness exercise, not a plan
+you would run on 100 TB — but the code paths it pins (DataFrameWriter
+csv/json, DataFrameReader with explicit schema) are exactly the ones a
+large export/ingest job uses; explicit schemas avoid the full-data
+inference pass that kills JSON reads at scale.
+
+Reference parity: the reference's only sink is a CSV report
+(`/root/reference/app.py:117-131`); this generalizes that surface to
+CSV+JSON round-trips.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load
+
+
+def formats_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_fmt_roundtrip_")
+    csv_path = f"{tmp}/csv"
+    json_path = f"{tmp}/json"
+    # Java's Double.toString is shortest-round-trip, so o_totalprice
+    # survives the text hop bit-exactly.
+    o.write.mode("overwrite").option("header", True).csv(csv_path)
+    csv_df = spark.read.option("header", True).schema(o.schema).csv(csv_path)
+    csv_df.write.mode("overwrite").json(json_path)
+    j = spark.read.schema(o.schema).json(json_path)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       count(*)                   AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       min(strftime(o_orderdate, '%Y-%m-%d')) AS min_date,
+       max(o_orderkey)            AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+QUERIES = {
+    "formats_csv_json_roundtrip": formats_csv_json_roundtrip,
+}
+
+ORACLES = {
+    "formats_csv_json_roundtrip": _ROUNDTRIP_SQL,
+}

@@ -709,24 +709,27 @@ def ordered_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic idiom is collect structs → ``sort_array`` (struct
     comparison is field-lexicographic = the ORDER BY) → project the
     key out — equivalent to DuckDB's ``list(x ORDER BY ...)``.
+    The array is emitted as a ``,``-joined string digest (not a raw
+    array column) so external result canonicalizers that hash scalar
+    cells can compare it; ordering information is fully preserved.
     Scale: one hash aggregate; per-group arrays are bounded by orders
     per customer (~10), so the agg buffer stays small."""
     orders = load(spark, sf_dir, "orders")
+    keys = F.expr(
+        "transform(sort_array(collect_list(struct(o_orderdate, o_orderkey))), "
+        "s -> s.o_orderkey)"
+    )
     return (
         orders.groupBy("o_custkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.expr(
-                "transform(sort_array(collect_list(struct(o_orderdate, o_orderkey))), "
-                "s -> s.o_orderkey)"
-            ).alias("order_keys"),
-        )
+        .agg(F.count("*").alias("n_orders"), keys.alias("_keys"))
         .select(
             "o_custkey",
             "n_orders",
-            "order_keys",
-            F.element_at("order_keys", 1).alias("first_key"),
-            F.element_at("order_keys", -1).alias("last_key"),
+            F.array_join(F.expr("transform(_keys, k -> cast(k as string))"), ",").alias(
+                "order_keys"
+            ),
+            F.element_at("_keys", 1).alias("first_key"),
+            F.element_at("_keys", -1).alias("last_key"),
         )
         .orderBy("o_custkey")
     )
@@ -735,7 +738,8 @@ def ordered_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORDERED_AGG_SQL = """
 SELECT o_custkey,
        count(*) AS n_orders,
-       list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
+       array_to_string(list(CAST(o_orderkey AS VARCHAR) ORDER BY o_orderdate, o_orderkey), ',')
+           AS order_keys,
        first(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_key,
        last(o_orderkey ORDER BY o_orderdate, o_orderkey) AS last_key
 FROM orders

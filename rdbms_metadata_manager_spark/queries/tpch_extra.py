@@ -206,20 +206,51 @@ ORDER BY user_id
 
 
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HyperLogLog++ / quantile sketch).
-    Engine-specific sketches can't hash-match an oracle — registered
-    rows-only; the exact counterparts are oracle-checked elsewhere
-    (agg_nation_stats, percentile_order_values)."""
+    """Approximate aggregates (HyperLogLog++ / quantile sketch), made
+    oracle-matchable: the sketch values themselves are engine-specific,
+    so the emitted columns are the EXACT counts plus boolean flags
+    asserting the sketch landed within its documented error bound
+    (HLL++ rsd=0.05 → flag at 15% = 3σ; approx_percentile rank error →
+    10% value tolerance).  The oracle emits the same exact counts with
+    literal TRUE flags — any sketch regression breaks the hash match
+    while the output stays deterministic."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_orderkey").alias("_a_orders"),
+            F.approx_count_distinct("l_partkey").alias("_a_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("_a_median"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("_x_median"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            (F.abs(F.col("_a_orders") - F.col("exact_orders"))
+             <= 0.15 * F.col("exact_orders")).alias("approx_orders_ok"),
+            (F.abs(F.col("_a_parts") - F.col("exact_parts"))
+             <= 0.15 * F.col("exact_parts")).alias("approx_parts_ok"),
+            (F.abs(F.col("_a_median") - F.col("_x_median"))
+             <= 0.10 * F.abs(F.col("_x_median"))).alias("approx_median_ok"),
         )
         .orderBy("l_returnflag")
     )
+
+
+_APPROX_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       count(DISTINCT l_partkey)  AS exact_parts,
+       TRUE AS approx_orders_ok,
+       TRUE AS approx_parts_ok,
+       TRUE AS approx_median_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 QUERIES = {
@@ -237,5 +268,5 @@ ORACLES = {
     "q19_disjunctive_revenue": _Q19_SQL,
     "q16_supplier_variety": _Q16_SQL,
     "funnel_click_to_purchase": _FUNNEL_SQL,
-    # approx_distinct_stats: deliberately no oracle (sketch-based)
+    "approx_distinct_stats": _APPROX_SQL,
 }
