@@ -34,6 +34,9 @@ MINHASH_K = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 JACCARD_THRESHOLD = 0.5
+# Stop-shingle document-frequency cap for the exact-Jaccard inverted
+# index (self-join cost is Σ df²; see dedup_ngram_jaccard docstring).
+MAX_SHINGLE_DF = 100
 
 # Affine hash family over ONE base md5 hash per shingle:
 #   h_i(s) = (a_i * h32(s) + b_i) mod P
@@ -105,12 +108,31 @@ WHERE len(string_split(text, ' ')) >= 3
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard ≥ 0.5 pairs via inverted-index
-    join. The pair count comes from one groupBy over the shingle
-    join; Jaccard is int/int division → bit-identical to the oracle."""
+    """3-word-shingle Jaccard ≥ 0.5 pairs via inverted-index join,
+    computed over each document's RARE shingles only: shingles whose
+    document frequency exceeds ``MAX_SHINGLE_DF`` are dropped from
+    both the pair counting and the set sizes (the oracle applies the
+    identical cap, so Jaccard stays int/int bit-identical).
+
+    The cap is the 100 TB guard: self-join cost is Σ df(shingle)², so
+    one ubiquitous stop-shingle ("of the and") creates a quadratic
+    pair explosion; capping df bounds every posting list, exactly as
+    ``fingerprint.MAX_DF`` does for winnowing. Semantics: a pair's
+    score changes only if its overlap leaned on corpus-ubiquitous
+    shingles — which is noise, not duplication signal, at scale."""
     sh = _shingled(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("hashes").alias("n_shingles"))
-    ex = sh.select("doc_id", F.explode("hashes").alias("shingle"))
+    ex_all = sh.select("doc_id", F.explode("hashes").alias("shingle"))
+    # hashes are array_distinct per doc, so count(*) = document freq.
+    rare = (
+        ex_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    # Both the df-filter join and the self-join hash on `shingle`, so
+    # the exchange is reused; no extra shuffle for the cap.
+    ex = ex_all.join(rare, "shingle").select("doc_id", "shingle")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # Force sort-merge: the posting lists are ~1M rows per side, and a
     # broadcast build of that is a serial driver-side hash-relation
     # construction, while SMJ shuffles both sides across all cores and
@@ -136,8 +158,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLED_SQL}),
-sizes AS (SELECT doc_id, len(hashes) AS n_shingles FROM sh),
-ex AS (SELECT doc_id, unnest(hashes) AS shingle FROM sh),
+ex_all AS (SELECT doc_id, unnest(hashes) AS shingle FROM sh),
+rare AS (
+  SELECT shingle FROM ex_all GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+ex AS (SELECT ex_all.doc_id, ex_all.shingle FROM ex_all JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

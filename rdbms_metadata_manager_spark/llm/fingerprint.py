@@ -136,11 +136,11 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB rendering of the same polynomial rolling hash + winnow.
 _HS_SQL = f"""
   SELECT doc_id,
-         [list_reduce([ord(substr(lower(text), p + j, 1)) FOR j IN range(0, {K})],
+         [list_reduce([ord(substr(t, p + j, 1)) FOR j IN range(0, {K})],
                       (a, b) -> (a * {B}::BIGINT + b) % {M})
-          FOR p IN range(1, length(text) - {K} + 2)] AS hs
-  FROM documents
-  WHERE length(text) >= {K}
+          FOR p IN range(1, length(t) - {K} + 2)] AS hs
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+  WHERE length(t) >= {K}
 """
 
 _WINNOW_SQL = f"""

@@ -36,18 +36,34 @@ FEATURES_SCHEMA = (
 
 
 def _try_real_decode(blob: bytes, modality: str):
-    """Real decoder — requires codec libraries this container lacks.
-    Kept as the integration point; returns None when unavailable."""
+    """Real decoder when a codec library is available; returns None —
+    falling through to the deterministic fake — when the library is
+    missing OR the blob doesn't decode (the synthetic testdata blobs
+    don't). On a deployment with real media, the decoded dimensions
+    replace the fake ones (and the md5 oracle no longer applies —
+    it pins the plumbing, not the codec)."""
+    import io
+
     try:
         if modality == "image":
-            from PIL import Image  # noqa: F401
-        elif modality == "audio":
-            import soundfile  # noqa: F401
-        else:
-            import av  # noqa: F401
-    except ImportError:
+            from PIL import Image
+
+            with Image.open(io.BytesIO(blob)) as im:
+                w, h = im.size
+            return hashlib.md5(blob).hexdigest()[:8], int(w), int(h)
+        if modality == "audio":
+            import soundfile
+
+            data, rate = soundfile.read(io.BytesIO(blob))
+            channels = int(data.shape[1]) if data.ndim > 1 else 1
+            return hashlib.md5(blob).hexdigest()[:8], channels, int(rate)
+        import av
+
+        with av.open(io.BytesIO(blob)) as container:
+            v = next(s for s in container.streams if s.type == "video")
+            return hashlib.md5(blob).hexdigest()[:8], int(v.width), int(v.height)
+    except Exception:
         return None
-    raise NotImplementedError("real decode path not exercised in this environment")
 
 
 def _fake_features(blob: bytes) -> tuple[str, int, int]:

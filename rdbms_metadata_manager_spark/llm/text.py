@@ -147,9 +147,17 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         "lang",
+        # guard sub-3-char texts: sequence(1, length-2) STEPS DOWN for
+        # them (sequence(1,0) = [1,0]) and substr at pos 0 fabricates
+        # bogus grams; DuckDB's range() is empty for the same rows, so
+        # the guard is also what keeps the two engines row-identical.
         F.explode(
             F.array_distinct(
-                F.expr("transform(sequence(1, length(t) - 2), p -> substr(t, p, 3))")
+                F.expr(
+                    "CASE WHEN length(t) >= 3 "
+                    "THEN transform(sequence(1, length(t) - 2), p -> substr(t, p, 3)) "
+                    "ELSE array() END"
+                )
             )
         ).alias("gram"),
     )

@@ -50,7 +50,9 @@ def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.expr("variant_get(v, '$.k', 'int')").alias("k"),
         )
-        .groupBy("event_type", F.expr("k div 10").alias("k_decile"))
+        # floor division on BOTH engines (Spark `div` truncates toward
+        # zero, DuckDB `//` floors — they disagree on negative k)
+        .groupBy("event_type", F.expr("cast(floor(k / 10.0) as int)").alias("k_decile"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum("k").cast("bigint").alias("sum_k"),
@@ -63,7 +65,7 @@ def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_SQL = """
 SELECT event_type,
-       (json_extract(props, '$.k')::INTEGER) // 10 AS k_decile,
+       CAST(floor((json_extract(props, '$.k')::INTEGER) / 10.0) AS INTEGER) AS k_decile,
        count(*) AS n_events,
        sum(json_extract(props, '$.k')::INTEGER)::BIGINT AS sum_k,
        min(json_extract(props, '$.k')::INTEGER) AS min_k,

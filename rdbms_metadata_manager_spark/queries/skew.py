@@ -1,4 +1,4 @@
-"""Skew-mitigation pattern: salted join.
+"""Skew-mitigation pattern: HOT-KEY-ONLY salted join.
 
 AQE's skew-join splitting handles most cases at runtime
 (spark.sql.adaptive.skewJoin.enabled, on in session.py); explicit
@@ -6,11 +6,19 @@ salting is the manual fallback when one key dominates so badly that
 even split partitions overload (the classic null-key / celebrity-user
 problem at 100 TB).
 
-Shape: the probe side appends a deterministic salt to the key; the
-build side is exploded ×SALT_BUCKETS so every (key, salt) combination
-exists. The join result is IDENTICAL to the unsalted join — the
-oracle is the plain join — but the shuffle spreads each hot key over
-SALT_BUCKETS reducers.
+Shape (two-path plan): a cheap map-side-combined pre-aggregate finds
+keys whose probe-side frequency exceeds HOT_KEY_THRESHOLD — by
+definition a SMALL set, so it broadcasts. The tail (everything else)
+takes a plain join and AQE mops up residual imbalance; only the hot
+slice pays the salt: probe rows get a deterministic salt, the build
+rows are exploded ×SALT_BUCKETS (hot keys only, so the explode is
+bounded by |hot| × SALT_BUCKETS rows, not ×8 of the whole table).
+Union of the two paths is row-identical to the unsalted join — the
+oracle is the plain join.
+
+An unconditional whole-table ×SALT_BUCKETS explode (the naive form)
+multiplies build-side shuffle volume on EVERY key; at 100 TB that
+triples shuffle for the 99.9% of keys that were never skewed.
 """
 
 from __future__ import annotations
@@ -22,17 +30,66 @@ from .base import load
 from .relational import _money
 
 SALT_BUCKETS = 8
+# Probe rows per key above which a key is salted. TPC-H lineitem tops
+# out at 7 lines/order, so at test scale the hot set is empty and the
+# plan degenerates to the plain join — exactly the desired behavior
+# when there is no skew; the salted path is exercised by the unit
+# test's synthetic celebrity key.
+HOT_KEY_THRESHOLD = 1000
+
+
+def two_path_skew_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    threshold: int = HOT_KEY_THRESHOLD,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Inner-join probe↔build on probe_key=build_key, salting only
+    keys hotter than ``threshold`` on the probe side. Returns the
+    union of the plain-joined tail and the salted hot slice —
+    row-identical to the unsalted inner join."""
+    hot = (
+        probe.groupBy(probe_key)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > threshold)
+        .select(probe_key)
+    )
+    hot_p = F.broadcast(hot)
+    hot_b = F.broadcast(hot.withColumnRenamed(probe_key, build_key))
+    p_cols, b_cols = probe.columns, build.columns
+
+    tail = (
+        probe.join(hot_p, probe_key, "left_anti")
+        .alias("p")
+        .join(
+            build.join(hot_b, build_key, "left_anti").alias("b"),
+            F.col(f"p.{probe_key}") == F.col(f"b.{build_key}"),
+        )
+    )
+    # Deterministic salt from the full probe row; any distribution is
+    # correct (the build side carries every salt value for hot keys).
+    ph = probe.join(hot_p, probe_key, "left_semi").withColumn(
+        "_salt", F.pmod(F.abs(F.xxhash64(*p_cols)), F.lit(buckets))
+    )
+    bh = build.join(hot_b, build_key, "left_semi").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    hot_join = ph.alias("p").join(
+        bh.alias("b"),
+        (F.col(f"p.{probe_key}") == F.col(f"b.{build_key}"))
+        & (F.col("p._salt") == F.col("b._salt")),
+    )
+    sel = [F.col(f"p.{c}") for c in p_cols] + [F.col(f"b.{c}") for c in b_cols]
+    return tail.select(*sel).unionByName(hot_join.select(*sel))
 
 
 def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "salt", F.pmod(F.col("l_linenumber"), F.lit(SALT_BUCKETS))
-    )
-    o = load(spark, sf_dir, "orders").withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
-    )
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
     return (
-        li.join(o, (li["l_orderkey"] == o["o_orderkey"]) & (li["salt"] == o["salt"]))
+        two_path_skew_join(li, o, "l_orderkey", "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(
             F.round(F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))), 2)

@@ -60,6 +60,7 @@ def apply_increment(
 ) -> bool:
     """Merge one micro-batch's partials into the state table.
     Returns False when the batch was already applied (replay)."""
+    _recover(spark, target_dir)
     hadoop, fs = _fs(spark, target_dir)
     state_dir = f"{target_dir}/{STATE_SUBDIR}"
     marker = f"{state_dir}/{MARKER_SUBDIR}/batch-{batch_id}"
@@ -96,13 +97,49 @@ def apply_increment(
     tmp_dir = f"{target_dir}/.state-tmp-{batch_id}"
     merged.write.mode("overwrite").parquet(tmp_dir)
     # marker is committed INSIDE the new state dir before the swap:
-    # state + applied-set move atomically with one rename.
+    # state + applied-set always travel together in one rename.
     for name in old_markers + [f"batch-{batch_id}"]:
         fs.mkdirs(hadoop(f"{tmp_dir}/{MARKER_SUBDIR}/{name}"))
+    # Swap without a window where NO committed state exists on disk:
+    # old state is renamed ASIDE (never deleted before the new one is
+    # in place); a crash at any point leaves either the old state, or
+    # the backup that _recover() restores, or the new state + a stale
+    # backup that _recover() discards.
+    backup_dir = f"{target_dir}/.state-old-{batch_id}"
     if fs.exists(hadoop(state_dir)):
-        fs.delete(hadoop(state_dir), True)
+        fs.rename(hadoop(state_dir), hadoop(backup_dir))
     fs.rename(hadoop(tmp_dir), hadoop(state_dir))
+    if fs.exists(hadoop(backup_dir)):
+        fs.delete(hadoop(backup_dir), True)
     return True
+
+
+def _recover(spark: SparkSession, target_dir: str) -> None:
+    """Crash recovery for the backup-aside swap. Cases:
+    - state exists, stale backups exist → new state committed before
+      the crash; the backups are garbage → drop them.
+    - state missing, backups exist → the crash hit between the two
+      renames; the newest backup IS the last committed state+markers
+      pair → restore it (replay protection stays intact because the
+      markers live inside it).
+    """
+    hadoop, fs = _fs(spark, target_dir)
+    if not fs.exists(hadoop(target_dir)):
+        return
+    state = hadoop(f"{target_dir}/{STATE_SUBDIR}")
+    backups = [
+        s.getPath()
+        for s in fs.listStatus(hadoop(target_dir))
+        if s.getPath().getName().startswith(".state-old-")
+    ]
+    if not backups:
+        return
+    if not fs.exists(state):
+        newest = max(backups, key=lambda p: int(p.getName().rsplit("-", 1)[1]))
+        fs.rename(newest, state)
+        backups.remove(newest)
+    for stale in backups:
+        fs.delete(stale, True)
 
 
 def run_incremental_agg(stream_df: DataFrame, target_dir: str, checkpoint_dir: str):
@@ -123,4 +160,5 @@ def run_incremental_agg(stream_df: DataFrame, target_dir: str, checkpoint_dir: s
 
 
 def read_state(spark: SparkSession, target_dir: str) -> DataFrame:
+    _recover(spark, target_dir)
     return spark.read.parquet(f"{target_dir}/{STATE_SUBDIR}")

@@ -85,3 +85,39 @@ def test_restart_with_fresh_checkpoint_does_not_double_count(
         run_incremental_agg(events, target, str(tmp_path / ckpt))
     got = _state_snapshot(spark, target)
     assert got == _expected(spark, split_events_source)
+
+
+def test_crash_between_swap_renames_recovers_from_backup(spark, split_events_source, tmp_path):
+    """Simulate a crash AFTER old-state was renamed aside but BEFORE
+    the new state landed: only `.state-old-<id>` exists. The next
+    reader/writer must restore the backup — including its replay
+    markers — instead of losing the aggregate."""
+    import shutil
+
+    target = str(tmp_path / "mv")
+    batch = spark.read.parquet(split_events_source)
+    assert apply_increment(spark, target, batch, batch_id=0) is True
+    committed = _state_snapshot(spark, target)
+
+    shutil.move(f"{target}/state", f"{target}/.state-old-1")  # the "crash"
+    assert _state_snapshot(spark, target) == committed  # read path recovers
+    # markers survived recovery: batch 0 is still recognized as applied
+    assert apply_increment(spark, target, batch, batch_id=0) is False
+    assert _state_snapshot(spark, target) == committed
+
+
+def test_stale_backup_next_to_live_state_is_discarded(spark, split_events_source, tmp_path):
+    """Crash AFTER the new state committed but BEFORE the backup was
+    deleted: both dirs exist. Recovery keeps the live state and drops
+    the stale backup."""
+    import os
+    import shutil
+
+    target = str(tmp_path / "mv")
+    batch = spark.read.parquet(split_events_source)
+    assert apply_increment(spark, target, batch, batch_id=0) is True
+    committed = _state_snapshot(spark, target)
+    shutil.copytree(f"{target}/state", f"{target}/.state-old-0")
+
+    assert _state_snapshot(spark, target) == committed
+    assert not os.path.exists(f"{target}/.state-old-0")

@@ -38,6 +38,21 @@ def test_jaccard_values_bounded(spark, sf_dir):
         assert r.doc_a < r.doc_b
 
 
+def test_jaccard_posting_lists_capped(spark, sf_dir):
+    """The inverted-index self-join must never see a posting list
+    longer than MAX_SHINGLE_DF — the Σ df² scale guard."""
+    import pyspark.sql.functions as F
+
+    from rdbms_metadata_manager_spark.llm.dedup import MAX_SHINGLE_DF, _shingled
+
+    ex = _shingled(spark, sf_dir).select(F.explode("hashes").alias("shingle"))
+    df_counts = ex.groupBy("shingle").count()
+    # raw corpus may exceed the cap; the joined side must not
+    rare = df_counts.filter(F.col("count") <= MAX_SHINGLE_DF)
+    mx = rare.agg(F.max("count").alias("mx")).collect()[0].mx
+    assert mx is not None and mx <= MAX_SHINGLE_DF
+
+
 def test_simhash_hamming_bounded_and_symmetric_free(spark, sf_dir):
     for r in dedup_simhash(spark, sf_dir).collect():
         assert 0 <= r.hamming <= SIMHASH_MAX_HAMMING
