@@ -65,6 +65,8 @@ HEADLINE = [
     "dedup_winnow_overlap",
     "text_winnow_fingerprints",
     "language_id_ngram",
+    "pit_state_at_purchase",
+    "knn_join_bruteforce",
 ]
 
 

@@ -235,11 +235,65 @@ ORDER BY label, vec_a, vec_b
 """
 
 
+N_KNN_QUERIES = 5
+KNN_JOIN_K = 3
+
+
+def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: exact top-K corpus neighbours for EACH of a batch of
+    query vectors — the batch-retrieval shape (RAG candidate fetch,
+    hard-negative mining), distinct from the single-query top-k.
+
+    The query batch broadcasts (retrieval batches are small relative
+    to the corpus); scores fold JVM-side per (corpus-partition ×
+    query); ranking is one window partitioned by query_id, so state
+    is K rows per query. At 100 TB the corpus side stays
+    partition-parallel and nothing shuffles except the ranked
+    candidates; for query batches too large to broadcast, block both
+    sides first with lsh_bucket (similarity_ann_lsh) or IVF cells
+    (similarity_ivf_search) and run this join per block."""
+    from pyspark.sql import Window
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_KNN_QUERIES)
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id", "vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_JOIN_K)
+        .select("query_id", "vec_id", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+_KNN_JOIN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_KNN_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id, {_cosine_sql("v", "qv")} AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_cosine_sql("v", "qv")} DESC, e.vec_id) AS rk
+  FROM e, q WHERE e.vec_id >= {N_KNN_QUERIES}
+)
+SELECT query_id, vec_id, cosine, rk
+FROM scored WHERE rk <= {KNN_JOIN_K}
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_same_label_pairs": similarity_same_label_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "knn_join_bruteforce": knn_join_bruteforce,
 }
 
 ORACLES = {
@@ -247,4 +301,5 @@ ORACLES = {
     "similarity_ann_lsh": _ANN_SQL,
     "similarity_same_label_pairs": _PAIRS_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,
+    "knn_join_bruteforce": _KNN_JOIN_SQL,
 }

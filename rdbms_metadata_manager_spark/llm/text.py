@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.base import load_spread
+from ..queries.base import load, load_spread
 from .hashing import h32, h32_sql
 
 STOPWORDS = ["the", "a", "of", "and"]
@@ -212,11 +212,55 @@ ORDER BY doc_id
 """
 
 
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalization pass every LLM-prep pipeline runs before
+    tokenization: casefold → strip non-alphanumerics → collapse
+    whitespace. Pure JVM regexp expressions (no UDF, codegen'd);
+    emits per-doc before/after stats plus a prefix probe so the
+    transform is oracle-checkable without hashing megabytes of
+    normalized text. Whitespace classes are spelled explicitly
+    ([ \\t\\n\\r]) because Java's \\s and RE2's \\s disagree on
+    vertical-tab."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 \t\n\r]", ""),
+            "[ \t\n\r]+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.size(F.split(norm, " ")).alias("n_tokens_norm"),
+        F.substring(norm, 1, 40).alias("norm_prefix"),
+    ).orderBy("doc_id")
+
+
+_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', '', 'g'),
+                             '[ \t\n\r]+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       length(text)                    AS n_chars_raw,
+       length(norm)                    AS n_chars_norm,
+       len(string_split(norm, ' '))    AS n_tokens_norm,
+       substr(norm, 1, 40)             AS norm_prefix
+FROM n
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
     "text_fingerprint": text_fingerprint,
     "language_id_ngram": language_id_ngram,
+    "text_normalize_stats": text_normalize_stats,
 }
 
 ORACLES = {
@@ -224,4 +268,5 @@ ORACLES = {
     "text_quality_language": _QUALITY_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
     "language_id_ngram": _LANG_ID_SQL,
+    "text_normalize_stats": _NORMALIZE_SQL,
 }

@@ -134,9 +134,64 @@ ORDER BY o_custkey
 """
 
 
+# Chunked Spark formulation: the replay is a per-customer sequential
+# fold, so K steps can be folded per recursion level with the
+# aggregate() HOF over pre-grouped size-K chunks — depth/K levels
+# instead of depth. Each level is one co-partitioned join + a linear
+# in-row fold; with local dispatch ~0.35 s/level the wall time drops
+# ~K×. The HOF lambda is interpreted (not codegen'd), but it runs
+# once per ORDER (~10/customer), not per char — arithmetic-only folds
+# at that cardinality are dispatch-bound, not interpreter-bound.
+# The DuckDB oracle stays the one-step-per-level recursive CTE above:
+# same semantics, independently derived.
+_CHUNK = 8
+
+_STEP = (
+    "named_struct("
+    f"'b', CASE WHEN acc.b + x >= {_CAP_CENTS} THEN CAST(0 AS BIGINT) "
+    "ELSE acc.b + x END, "
+    f"'rd', acc.rd + CASE WHEN acc.b + x >= {_CAP_CENTS} THEN 1 ELSE 0 END)"
+)
+
+_RECURSIVE_SPARK_SQL = f"""
+WITH RECURSIVE seq AS (
+  SELECT o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+chunks AS (
+  SELECT o_custkey, CAST((i - 1) div {_CHUNK} AS INT) AS chunk,
+         transform(array_sort(collect_list(struct(i, cents))), s -> s.cents) AS arr,
+         max(i) AS last_i
+  FROM seq
+  GROUP BY o_custkey, CAST((i - 1) div {_CHUNK} AS INT)
+),
+replay(o_custkey, chunk, last_i, state) AS (
+  SELECT o_custkey, chunk, last_i,
+         aggregate(arr, named_struct('b', CAST(0 AS BIGINT), 'rd', 0),
+                   (acc, x) -> {_STEP})
+  FROM chunks WHERE chunk = 0
+  UNION ALL
+  SELECT c.o_custkey, c.chunk, c.last_i,
+         aggregate(c.arr, r.state, (acc, x) -> {_STEP})
+  FROM replay r
+  JOIN chunks c ON c.o_custkey = r.o_custkey AND c.chunk = r.chunk + 1
+)
+SELECT o_custkey,
+       max(last_i) AS n_orders,
+       max_by(state.b, chunk) AS final_balance_cents,
+       max_by(state.rd, chunk) AS n_redemptions
+FROM replay
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 def recursive_balance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_RECURSIVE_SQL)
+    return spark.sql(_RECURSIVE_SPARK_SQL)
 
 
 QUERIES = {

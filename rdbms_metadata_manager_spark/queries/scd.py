@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 from .base import load
 
 
-def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
+def _state_intervals(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands SCD2 interval builder over any event subset:
+    one row per consecutive (user_id, event_type) run with half-open
+    [valid_from, valid_to) bounds, NULL valid_to = current state."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.select("user_id", "ts", "event_id", "event_type").withColumn(
         "chg",
@@ -49,8 +51,12 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
     )
     w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return intervals.withColumn("valid_to", F.lead("valid_from").over(w2))
+
+
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        intervals.withColumn("valid_to", F.lead("valid_from").over(w2))
+        _state_intervals(load(spark, sf_dir, "events"))
         .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
         .orderBy("user_id", "valid_from")
     )
@@ -133,11 +139,88 @@ ORDER BY 1, 2
 """
 
 
+def pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time ("AS OF event time") fact lookup against the
+    SCD2 dimension: for every purchase event, the browsing state —
+    the run of non-purchase activity — the user was in when the
+    purchase happened, i.e. the feature-time-travel join a training
+    pipeline runs to avoid label leakage (features must come from the
+    state valid AT the fact's timestamp, never a later one).
+
+    Join shape: equi on user_id + interval containment → sort-merge
+    on user_id with a per-key linear interval scan. Intervals are
+    non-overlapping and half-open, so every fact matches at most one
+    dimension row — no fan-out. LEFT join keeps purchases that
+    precede any browse state (state columns NULL), the outer-asof
+    semantics. Both sides shuffle once on user_id; at 100 TB the
+    dimension is orders of magnitude smaller than the fact stream and
+    the same plan holds (or broadcast the dimension when it fits)."""
+    ev = load(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    dim = _state_intervals(ev.filter(F.col("event_type") != "purchase"))
+    return (
+        facts.alias("f")
+        .join(
+            dim.alias("d"),
+            (F.col("f.user_id") == F.col("d.user_id"))
+            & (F.col("d.valid_from") <= F.col("f.ts"))
+            & (F.col("d.valid_to").isNull() | (F.col("f.ts") < F.col("d.valid_to"))),
+            "left",
+        )
+        .select(
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.user_id").alias("user_id"),
+            F.col("f.ts").alias("ts"),
+            F.col("d.event_type").alias("state_type"),
+            F.col("d.valid_from").alias("state_since"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_PIT_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, (sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS run_id
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, run_id, event_type, min(ts) AS valid_from
+  FROM runs GROUP BY user_id, run_id, event_type
+),
+dim AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+  FROM intervals
+)
+SELECT f.event_id, f.user_id, f.ts,
+       d.event_type AS state_type, d.valid_from AS state_since
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') f
+LEFT JOIN dim d ON d.user_id = f.user_id
+               AND d.valid_from <= f.ts
+               AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "scd2_user_state_intervals": scd2_user_state_intervals,
     "scd2_state_snapshots": scd2_state_snapshots,
+    "pit_state_at_purchase": pit_state_at_purchase,
 }
 ORACLES = {
     "scd2_user_state_intervals": _SCD2_SQL,
     "scd2_state_snapshots": _SNAPSHOT_SQL,
+    "pit_state_at_purchase": _PIT_SQL,
 }
