@@ -93,5 +93,59 @@ ORDER BY m.cohort_day, m.day_offset
 """
 
 
-QUERIES = {"cohort_retention": cohort_retention}
-ORACLES = {"cohort_retention": _COHORT_SQL}
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the 10 most common 3-step
+    event-type paths across user histories — the behavior-modeling
+    aggregate (session path analysis / next-event training data) that
+    MATCH_RECOGNIZE engines special-case; two lead() windows express
+    it relationally.
+
+    Scale: one shuffle on user_id for the window pair, then a
+    map-side-combined count on a short path string (≤ |event_types|³
+    = 125 distinct groups here), and the top-10 compiles to
+    TakeOrderedAndProject — no full sort, no second wide shuffle."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(10)
+    )
+
+
+_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       count(*) AS n_paths
+FROM seq
+WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_paths DESC, path
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "cohort_retention": cohort_retention,
+    "event_path_trigrams": event_path_trigrams,
+}
+ORACLES = {
+    "cohort_retention": _COHORT_SQL,
+    "event_path_trigrams": _PATHS_SQL,
+}

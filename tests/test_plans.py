@@ -348,3 +348,34 @@ def test_language_id_profile_is_broadcast(spark, sf_dir):
     plan = physical_plan(language_id_ngram(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_event_paths_single_window_shuffle_and_takeordered(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.cohort import event_path_trigrams
+
+    plan = physical_plan(event_path_trigrams(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # one user_id exchange feeds both lead() windows; the count agg is
+    # map-side combined (partial before its exchange)
+    assert plan.count("Window") == 1, plan
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_knn_join_pushes_rank_limit_below_window(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.similarity import knn_join_bruteforce
+
+    plan = physical_plan(knn_join_bruteforce(spark, sf_dir))
+    # rank <= K is evaluated as a group-limit during the window scan,
+    # not as a filter over fully-ranked output
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan, plan  # query batch broadcasts
+
+
+def test_pit_lookup_joins_on_user_equality_not_pure_theta(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.scd import pit_state_at_purchase
+
+    plan = physical_plan(pit_state_at_purchase(spark, sf_dir))
+    # the containment predicates ride on a user_id equi-join (hash or
+    # sort-merge depending on AQE sizing) — never a nested-loop over
+    # the full cross space
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -63,3 +63,17 @@ def test_salted_join_revenue_plan_is_two_path(spark, sf_dir):
     # the build-side explode exists only on the (hot) salted path,
     # never as a whole-table multiplier before the tail join
     assert plan.count("Generate explode") <= 1, plan
+
+
+def test_two_path_join_extremes_all_hot_and_none_hot(spark):
+    """threshold=0 routes EVERY key through the salted path;
+    threshold=10**9 routes everything through the plain tail —
+    both must still equal the plain join."""
+    probe, build = _synthetic(spark)
+    want = sorted(
+        (r.k, r.pv, r.bk, r.bv)
+        for r in probe.join(build, probe["k"] == build["bk"]).collect()
+    )
+    for threshold in (0, 10**9):
+        got = two_path_skew_join(probe, build, "k", "bk", threshold=threshold, buckets=4)
+        assert sorted((r.k, r.pv, r.bk, r.bv) for r in got.collect()) == want, threshold
