@@ -112,11 +112,144 @@ SELECT (SELECT count(*) FROM documents)  AS docs_in,
 """
 
 
+# Every source contributes at most this fraction of the MEAN source
+# token mass — a relative cap stays non-vacuous at every scale factor
+# (an absolute constant would stop biting as the corpus grows).
+BUDGET_FRACTION = 0.9
+
+
+def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-capped corpus selection: admit each source's documents
+    in doc_id order until the source hits BUDGET_FRACTION × mean
+    source token mass — the "no single domain dominates the mix" cap
+    every corpus assembly applies before training.
+
+    Scale: one shuffle on source for the running-sum window (state =
+    one cumsum per source); the budget is a 1-row broadcast from a
+    two-level aggregate. Admission by cumulative tokens (not doc
+    count) is deterministic given the doc_id order."""
+    from pyspark.sql import Window
+
+    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    budget = (
+        d.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .agg((F.avg("t") * BUDGET_FRACTION).alias("budget"))
+    )
+    totals = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs_kept"), F.sum("n_tokens").alias("n_tokens_kept"))
+    )
+    return (
+        kept.join(totals, "source")
+        .select(
+            "source",
+            "n_docs_kept",
+            "n_tokens_kept",
+            (F.col("n_tokens_kept") < F.col("total_tokens")).alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+_BUDGET_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+b AS (
+  SELECT avg(t) * {BUDGET_FRACTION} AS budget
+  FROM (SELECT sum(n_tokens) AS t FROM d GROUP BY source)
+),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM d
+),
+tot AS (SELECT source, sum(n_tokens) AS total_tokens FROM d GROUP BY source),
+kept AS (
+  SELECT c.source, count(*) AS n_docs_kept, sum(c.n_tokens) AS n_tokens_kept
+  FROM cum c, b WHERE c.cum_tokens <= b.budget GROUP BY c.source
+)
+SELECT k.source, k.n_docs_kept, k.n_tokens_kept,
+       (k.n_tokens_kept < t.total_tokens) AS capped
+FROM kept k JOIN tot t ON k.source = t.source
+ORDER BY k.source
+"""
+
+
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix reweighting: per-source token share and the
+    sampling weight that would equalize the mix (uniform target /
+    actual share) — what a data-mixture scheduler consumes. Exact
+    integer token counts; the two divisions run on identical operands
+    in both engines."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    grand = per_source.agg(
+        F.sum("n_tokens").alias("grand_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("grand_tokens")).alias("token_share"),
+            (
+                F.col("grand_tokens")
+                / (F.col("n_sources") * F.col("n_tokens"))
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_SQL = """
+WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+per_source AS (
+  SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+  FROM d GROUP BY source
+),
+g AS (SELECT sum(n_tokens) AS grand_tokens, count(*) AS n_sources FROM per_source)
+SELECT source, n_docs, n_tokens,
+       n_tokens * 1.0 / grand_tokens                 AS token_share,
+       grand_tokens * 1.0 / (n_sources * n_tokens)   AS mix_weight
+FROM per_source, g
+ORDER BY source
+"""
+
+
 def write_training_shards(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Materialize the survivor set as lang-partitioned parquet —
     the pipeline's production sink (partition pruning for readers)."""
     pipeline_survivors(spark, sf_dir).write.mode("overwrite").partitionBy("lang").parquet(out_dir)
 
 
-QUERIES = {"pipeline_stage_counts": pipeline_stage_counts}
-ORACLES = {"pipeline_stage_counts": _PIPELINE_SQL}
+QUERIES = {
+    "pipeline_stage_counts": pipeline_stage_counts,
+    "source_token_budget_cap": source_token_budget_cap,
+    "source_mix_weights": source_mix_weights,
+}
+ORACLES = {
+    "pipeline_stage_counts": _PIPELINE_SQL,
+    "source_token_budget_cap": _BUDGET_SQL,
+    "source_mix_weights": _MIX_SQL,
+}
