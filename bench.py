@@ -67,6 +67,7 @@ HEADLINE = [
     "language_id_ngram",
     "pit_state_at_purchase",
     "knn_join_bruteforce",
+    "hybrid_search_rrf",
 ]
 
 

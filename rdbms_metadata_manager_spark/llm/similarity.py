@@ -288,12 +288,122 @@ ORDER BY query_id, rk
 """
 
 
+RRF_K = 60
+HYBRID_TERMS = ("window", "merge", "scan")
+HYBRID_LEG_DEPTH = 50
+HYBRID_TOPK = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the modern RAG
+    retrieval shape: a keyword leg (term-frequency score over
+    ``documents``) and a vector leg (cosine vs the vec_id-0 embedding
+    over ``embeddings``, 1:1 with doc_id) each keep their top-50 by
+    (score desc, id); the fused score is Σ 1/(RRF_K + rank) over the
+    legs a document appears in; top-10 fused.
+
+    Scale: each leg is a full scan + ORDER BY/LIMIT — which compiles
+    to TakeOrderedAndProject (per-partition heaps, no global sort);
+    row_number ranking then runs over ≤50 rows, so the single-
+    partition window is constant-sized by construction, never
+    corpus-sized. The fuse join is 50×50 rows. This is the standard
+    two-tower serving plan: each leg scales like a scan, fusion cost
+    is O(leg depth)."""
+    from pyspark.sql import Window
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    vec_leg = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(HYBRID_LEG_DEPTH)
+    )
+    w_vec = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    vec_ranked = vec_leg.select(
+        "doc_id", F.row_number().over(w_vec).cast("long").alias("rank_vec")
+    )
+
+    from ..queries.base import load
+
+    terms = F.array(*[F.lit(t) for t in HYBRID_TERMS])
+    tf = F.size(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda w: F.array_contains(terms, w))
+    )
+    kw_leg = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(HYBRID_LEG_DEPTH)
+    )
+    w_kw = Window.orderBy(F.col("tf").desc(), "doc_id")
+    kw_ranked = kw_leg.select(
+        "doc_id", F.row_number().over(w_kw).cast("long").alias("rank_kw")
+    )
+
+    fused = (
+        vec_ranked.join(kw_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_kw",
+            "rank_vec",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_kw")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(HYBRID_TOPK)
+    )
+    return fused
+
+
+_HYBRID_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+vec_leg AS (
+  SELECT vec_id AS doc_id, {_cosine_sql("v", "qv")} AS cosine
+  FROM e, q WHERE vec_id != 0
+  ORDER BY cosine DESC, doc_id LIMIT {HYBRID_LEG_DEPTH}
+),
+vec_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_vec
+  FROM vec_leg
+),
+kw AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '),
+                         w -> list_contains({list(HYBRID_TERMS)!r}, w))) AS tf
+  FROM documents WHERE doc_id != 0
+),
+kw_leg AS (
+  SELECT doc_id, tf FROM kw WHERE tf > 0
+  ORDER BY tf DESC, doc_id LIMIT {HYBRID_LEG_DEPTH}
+),
+kw_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rank_kw
+  FROM kw_leg
+)
+SELECT COALESCE(v.doc_id, k.doc_id) AS doc_id, k.rank_kw, v.rank_vec,
+       COALESCE(1.0 / ({RRF_K} + v.rank_vec), 0.0)
+       + COALESCE(1.0 / ({RRF_K} + k.rank_kw), 0.0) AS rrf_score
+FROM vec_ranked v FULL OUTER JOIN kw_ranked k ON v.doc_id = k.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPK}
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_same_label_pairs": similarity_same_label_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "knn_join_bruteforce": knn_join_bruteforce,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 ORACLES = {
@@ -302,4 +412,5 @@ ORACLES = {
     "similarity_same_label_pairs": _PAIRS_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,
     "knn_join_bruteforce": _KNN_JOIN_SQL,
+    "hybrid_search_rrf": _HYBRID_SQL,
 }

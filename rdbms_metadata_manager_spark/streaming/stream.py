@@ -205,6 +205,31 @@ def streaming_click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> Da
     )
 
 
+def streaming_pit_enrich(facts: DataFrame, dim: DataFrame) -> DataFrame:
+    """Streaming face of queries/scd.py::pit_state_at_purchase — the
+    ONLINE feature lookup: each micro-batch of purchase facts is
+    LEFT-joined to the (static, periodically rebuilt) SCD2 state
+    dimension valid at fact time. Stream-static joins keep NO
+    streaming state — the dim is re-planned per micro-batch, so the
+    usual nightly dimension rebuild is picked up on the next batch
+    without restarting the query. Interval disjointness keeps the
+    lookup ≤1 row per fact; append mode emits each enriched fact
+    exactly once.
+
+    ``dim`` columns: d_user, state_type, valid_from, valid_to
+    (renamed by the caller — see tests) to avoid fact-column capture."""
+    f = facts.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return f.join(
+        dim,
+        (f["user_id"] == dim["d_user"])
+        & (dim["valid_from"] <= f["ts"])
+        & (dim["valid_to"].isNull() | (f["ts"] < dim["valid_to"])),
+        "left",
+    ).select("event_id", "user_id", "ts", "state_type", F.col("valid_from").alias("state_since"))
+
+
 def streaming_anomaly_alerts(events: DataFrame, thresholds: DataFrame) -> DataFrame:
     """Streaming face of queries/profiling.py::anomaly_event_hours —
     the standard deploy shape: baseline (median/MAD per type) is

@@ -379,3 +379,12 @@ def test_pit_lookup_joins_on_user_equality_not_pure_theta(spark, sf_dir):
     # sort-merge depending on AQE sizing) — never a nested-loop over
     # the full cross space
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hybrid_rrf_legs_are_takeordered_not_global_sort(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.similarity import hybrid_search_rrf
+
+    plan = physical_plan(hybrid_search_rrf(spark, sf_dir))
+    # both retrieval legs keep their top-50 via per-partition heaps;
+    # the only windows run over the constant-sized leg outputs
+    assert plan.count("TakeOrderedAndProject") >= 2, plan

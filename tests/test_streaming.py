@@ -180,3 +180,30 @@ def test_streaming_variant_counts_match_batch(spark, sf_dir, events_source):
         )
     )
     assert got == _rows(batch)
+
+
+def test_streaming_pit_enrich_matches_batch(spark, sf_dir, events_source):
+    """Stream-static PIT lookup must equal the batch feature-time-
+    travel join when the stream drains the same facts."""
+    from pyspark.sql import functions as F
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.scd import (
+        _state_intervals,
+        pit_state_at_purchase,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    dim = _state_intervals(ev.filter(F.col("event_type") != "purchase")).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        "valid_to",
+    )
+    events = stream.read_events_stream(spark, events_source)
+    stream.run_to_memory(
+        stream.streaming_pit_enrich(events, dim), "pit_test", "append"
+    )
+    got = _rows(spark.table("pit_test"))
+    expected = _rows(pit_state_at_purchase(spark, sf_dir))
+    assert got == expected
