@@ -212,6 +212,65 @@ ORDER BY doc_id
 """
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality signal: per-document Shannon entropy (bits)
+    of the character distribution. Low entropy flags degenerate text
+    (padding, keyboard mash, repeated boilerplate); high entropy flags
+    random noise — pipelines gate on a band between the two.
+
+    Per-char work is the interpreter trap (see ROADMAP §8: a per-char
+    HOF ran 27× slower than the numpy kernel), so the distribution is
+    computed in ONE Arrow-batched pandas_udf (numpy unique+bincount),
+    like the winnow kernel — zero shuffles besides the final sort; at
+    100 TB this is a map-only pass. The oracle recomputes it
+    relationally (explode chars → freq → −Σ p·log2 p); both sides
+    round to 6dp because float summation order differs across
+    engines."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_chars long, n_unique long, entropy_bits double")
+    def _char_stats(texts):  # pd.Series -> pd.DataFrame (struct rows)
+        import numpy as np
+
+        rows = []
+        for t in texts:
+            t = t.lower()
+            if not t:
+                rows.append((0, 0, 0.0))
+                continue
+            codes = np.fromiter((ord(c) for c in t), dtype=np.int64)
+            _, counts = np.unique(codes, return_counts=True)
+            p = counts / counts.sum()
+            rows.append(
+                (len(codes), len(counts), round(float(-(p * np.log2(p)).sum()), 6))
+            )
+        return pd.DataFrame(rows, columns=["n_chars", "n_unique", "entropy_bits"])
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    return (
+        docs.select("doc_id", _char_stats("text").alias("s"))
+        .select("doc_id", "s.n_chars", "s.n_unique", "s.entropy_bits")
+        .orderBy("doc_id")
+    )
+
+
+_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, substr(t, g.p, 1) AS ch
+  FROM (SELECT doc_id, lower(text) AS t FROM documents),
+       unnest(range(1, length(t) + 1)) AS g(p)
+),
+freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS u FROM freq GROUP BY 1)
+SELECT f.doc_id, t.n AS n_chars, t.u AS n_unique,
+       round(-sum((c * 1.0 / t.n) * log2(c * 1.0 / t.n)), 6) AS entropy_bits
+FROM freq f JOIN tot t USING (doc_id)
+GROUP BY f.doc_id, t.n, t.u
+ORDER BY doc_id
+"""
+
+
 def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The normalization pass every LLM-prep pipeline runs before
     tokenization: casefold → strip non-alphanumerics → collapse
@@ -261,6 +320,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "language_id_ngram": language_id_ngram,
     "text_normalize_stats": text_normalize_stats,
+    "text_char_entropy": text_char_entropy,
 }
 
 ORACLES = {
@@ -269,4 +329,5 @@ ORACLES = {
     "text_fingerprint": _FINGERPRINT_SQL,
     "language_id_ngram": _LANG_ID_SQL,
     "text_normalize_stats": _NORMALIZE_SQL,
+    "text_char_entropy": _ENTROPY_SQL,
 }

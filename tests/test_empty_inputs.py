@@ -47,6 +47,14 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.skew", "heavy_hitter_users"),
         ("queries.features", "feature_scale_orders"),
         ("queries.forecast", "forecast_seasonal_naive_backtest"),
+        ("queries.scd", "pit_state_at_purchase"),
+        ("queries.cohort", "event_path_trigrams"),
+        ("queries.skew", "salted_join_revenue"),
+        ("llm.similarity", "knn_join_bruteforce"),
+        ("llm.similarity", "hybrid_search_rrf"),
+        ("llm.text", "text_normalize_stats"),
+        ("llm.pipeline", "source_token_budget_cap"),
+        ("llm.pipeline", "source_mix_weights"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
