@@ -1,0 +1,269 @@
+"""Corpus curation operators: sub-document dedup, a composite quality
+gate, and exact-rational BM25 keyword retrieval.
+
+[beyond-reference] three staples of an LLM training-data pipeline the
+reference has no counterpart for:
+
+- ``dedup_chunk_ratio`` — sub-document (passage-level) exact dedup in
+  the C4/RefinedWeb "line dedup" style, adapted to this corpus's
+  newline-free text: each doc is cut into consecutive 16-word chunks,
+  chunks are hashed (md5 → narrow shuffle key instead of shuffling
+  chunk text), global chunk frequency is computed with ONE window
+  over the hash, and each doc reports what per-mille of its chunks
+  also occur elsewhere in the corpus. Two shuffles total (chunk-hash,
+  doc_id); no joins carry text payloads. At 100 TB the chunk-hash
+  shuffle is the cost center — it is 16 bytes/chunk regardless of
+  chunk text size, which is the point of hashing first.
+
+- ``quality_filter_gate`` — a composite Gopher/C4-style keep/drop
+  gate: word count bounds, mean-word-length band, single-word
+  dominance cap, minimum stopword rate. Emits the per-doc metrics,
+  the keep flag, and the FIRST failing rule name (the debugging
+  affordance every filtering report needs). All-integer per-mille
+  metrics — exact cross-engine. One explode+groupBy computes the
+  dominance stat; everything else is per-row JVM expressions.
+
+- ``bm25_keyword_search`` — BM25 top-k keyword retrieval with a
+  RATIONAL scoring variant: the log in the classic idf is replaced
+  by its argument ((N - df + ½)/(df + ½), scaled by 2 to stay
+  integral), which is monotone in the same quantity, so per-term
+  ranking is identical to BM25's — and the whole score becomes a
+  ratio of two int64s, bit-identical across engines (logarithms are
+  libm-dependent; see ranking.py). With k1 = 6/5, b = 3/4 the
+  per-term score is exactly
+
+      score = 22·W·tf·(2N − 2·df + 1)
+              ───────────────────────────────────
+              (10·W·tf + 3·W + 9·dl·N)·(2·df + 1)
+
+  where W = Σ dl (total corpus words), N = #docs, dl = doc length,
+  tf = term frequency. The output carries (score_num, score_den) as
+  integers — the hash-compared columns never touch a float; the
+  float division is used ONLY to order, on identical operands in
+  both engines. Corpus stats (N, W, df) are 1-row/tiny broadcasts;
+  the per-term candidate set is tf > 0 docs only (inverted-index
+  semantics); top-10 per term via one window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries.base import load_spread
+
+CHUNK_WORDS = 16
+
+# quality gate thresholds (per-mille where applicable), ordered — the
+# first failing rule is the one reported.
+MIN_WORDS, MAX_WORDS = 20, 10_000
+MIN_MWL_PM, MAX_MWL_PM = 3_000, 6_000
+MAX_TOP_WORD_PM = 150
+MIN_STOP_PM = 5
+
+BM25_TERMS = ("hash", "join", "spark")
+BM25_TOPK = 10
+
+
+def dedup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, (size(split(text, ' ')) + {CHUNK_WORDS - 1}) div {CHUNK_WORDS}),"
+                f" i -> md5(array_join(slice(split(text, ' '), (i - 1) * {CHUNK_WORDS} + 1, {CHUNK_WORDS}), ' ')))"
+            )
+        ).alias("chunk_hash"),
+    )
+    freq = chunks.withColumn("freq", F.count("*").over(Window.partitionBy("chunk_hash")))
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("freq") > 1).alias("dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.expr("dup_chunks * 1000 div n_chunks").alias("dup_pm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(words, (i - 1) * {CHUNK_WORDS} + 1, i * {CHUNK_WORDS}), ' ')) AS chunk_hash
+  FROM w, unnest(range(1, (len(words) + {CHUNK_WORDS} - 1) // {CHUNK_WORDS} + 1)) AS t(i)
+),
+freq AS (SELECT doc_id, count(*) OVER (PARTITION BY chunk_hash) AS freq FROM chunks)
+SELECT doc_id, count(*) AS n_chunks,
+       count(*) FILTER (WHERE freq > 1) AS dup_chunks,
+       count(*) FILTER (WHERE freq > 1) * 1000 // count(*) AS dup_pm
+FROM freq GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    base = d.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_words"),
+        F.expr(
+            "(length(text) - (size(split(text, ' ')) - 1)) * 1000 div size(split(text, ' '))"
+        ).alias("mean_wlen_pm"),
+        F.expr(
+            "size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) * 1000 div size(split(text, ' '))"
+        ).alias("stop_pm"),
+    )
+    top = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    scored = base.join(top, "doc_id").withColumn(
+        "top_word_pm", F.expr("top_c * 1000 div n_words")
+    )
+    first_fail = F.expr(
+        f"CASE WHEN n_words < {MIN_WORDS} OR n_words > {MAX_WORDS} THEN 'n_words' "
+        f"WHEN mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM} THEN 'word_len' "
+        f"WHEN top_word_pm > {MAX_TOP_WORD_PM} THEN 'dominance' "
+        f"WHEN stop_pm < {MIN_STOP_PM} THEN 'stopword' ELSE '' END"
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_words",
+            "mean_wlen_pm",
+            "top_word_pm",
+            "stop_pm",
+            first_fail.alias("first_fail"),
+        )
+        .withColumn("keep", F.col("first_fail") == "")
+        .orderBy("doc_id")
+    )
+
+
+_GATE_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents),
+base AS (
+  SELECT doc_id, len(words) AS n_words,
+         (length(text) - (len(words) - 1)) * 1000 // len(words) AS mean_wlen_pm,
+         len(list_filter(words, x -> x = 'the' OR x = 'a')) * 1000 // len(words) AS stop_pm
+  FROM w
+),
+top AS (
+  SELECT doc_id, max(c) AS top_c
+  FROM (SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY 1, 2)
+  GROUP BY 1
+),
+scored AS (
+  SELECT base.*, top_c * 1000 // n_words AS top_word_pm
+  FROM base JOIN top USING (doc_id)
+)
+SELECT doc_id, n_words, mean_wlen_pm, top_word_pm, stop_pm,
+       CASE WHEN n_words < {MIN_WORDS} OR n_words > {MAX_WORDS} THEN 'n_words'
+            WHEN mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM} THEN 'word_len'
+            WHEN top_word_pm > {MAX_TOP_WORD_PM} THEN 'dominance'
+            WHEN stop_pm < {MIN_STOP_PM} THEN 'stopword' ELSE '' END AS first_fail,
+       CASE WHEN n_words < {MIN_WORDS} OR n_words > {MAX_WORDS} THEN false
+            WHEN mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM} THEN false
+            WHEN top_word_pm > {MAX_TOP_WORD_PM} THEN false
+            WHEN stop_pm < {MIN_STOP_PM} THEN false ELSE true END AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    doc_len = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    terms = list(BM25_TERMS)
+    tf = (
+        words.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    stats = doc_len.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_words")
+    )
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(df_), "word")
+        .join(F.broadcast(stats))
+        .select(
+            F.col("word").alias("term"),
+            "doc_id",
+            "tf",
+            F.expr("CAST(22 * total_words * tf * (2 * n_docs - 2 * df + 1) AS BIGINT)").alias(
+                "score_num"
+            ),
+            F.expr(
+                "CAST((10 * total_words * tf + 3 * total_words + 9 * dl * n_docs) * (2 * df + 1) AS BIGINT)"
+            ).alias("score_den"),
+        )
+    )
+    # Two-level tournament top-k: a plain per-term window would pull
+    # EVERY candidate of a term through one task (3 terms = 3 reducers
+    # — df(term) rows each at 100 TB). Level 1 takes the top-k inside
+    # (term, salt) buckets — any global top-k row is necessarily in
+    # its bucket's top-k — level 2 ranks the ≤ k·SALTS survivors.
+    order = [(F.col("score_num") * F.lit(1.0) / F.col("score_den")).desc(), F.col("doc_id")]
+    salts = 32
+    w1 = Window.partitionBy("term", F.pmod(F.hash("doc_id"), F.lit(salts))).orderBy(*order)
+    w2 = Window.partitionBy("term").orderBy(*order)
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= BM25_TOPK)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("term", "rank", "doc_id", "tf", "score_num", "score_den")
+        .orderBy("term", "rank")
+    )
+
+
+_BM25_SQL = f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+doc_len AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words
+  WHERE word IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY 1, 2
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_words FROM doc_len),
+scored AS (
+  SELECT tf.word AS term, tf.doc_id, tf.tf,
+         CAST(22 * total_words * tf * (2 * n_docs - 2 * df + 1) AS BIGINT) AS score_num,
+         CAST((10 * total_words * tf + 3 * total_words + 9 * dl * n_docs) * (2 * df + 1) AS BIGINT) AS score_den
+  FROM tf JOIN doc_len USING (doc_id) JOIN df USING (word) CROSS JOIN stats
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY score_num * 1.0 / score_den DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT term, rank, doc_id, tf, score_num, score_den
+FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY term, rank
+"""
+
+
+QUERIES = {
+    "dedup_chunk_ratio": dedup_chunk_ratio,
+    "quality_filter_gate": quality_filter_gate,
+    "bm25_keyword_search": bm25_keyword_search,
+}
+ORACLES = {
+    "dedup_chunk_ratio": _CHUNK_SQL,
+    "quality_filter_gate": _GATE_SQL,
+    "bm25_keyword_search": _BM25_SQL,
+}

@@ -1,0 +1,232 @@
+"""Pattern mining + distribution drift over the warehouse tables.
+
+[beyond-reference] three analytics shapes the reference has no
+counterpart for, each expressed shuffle-minimally:
+
+- ``copurchase_part_pairs`` — market-basket pair counting: parts
+  bought together in one order. The per-order item list is first
+  DISTINCT-ed (one order buying part X twice is one basket
+  membership), then self-joined within the order with ``p1 < p2``
+  so each unordered pair appears once. Fanout per order is
+  C(items, 2) with items bounded by the basket size (≤7 in TPC-H
+  shape) — the classic a-priori guard: at 100 TB you additionally
+  cap basket size before pairing (a mega-basket of 10⁴ items would
+  emit 5·10⁷ pairs); the cap is applied here structurally so the
+  plan survives adversarial baskets. Top-k via TakeOrderedAndProject.
+
+- ``copurchase_triangles`` — triangle counting over the co-purchase
+  graph, in the degree-oriented form (orient every edge from the
+  endpoint with smaller (degree, id) to the larger; count wedges at
+  the small end and close them against oriented edges). This is the
+  MR-standard algorithm (Suri & Vassilvitskii, WWW'11): orientation
+  bounds every node's out-degree by O(sqrt(E)), so the wedge join is
+  O(E^1.5) worst-case instead of quadratic in the max degree —
+  *the* difference between surviving a power-law graph at scale and
+  not. The oracle counts the same triangles by plain id-ordered
+  triple join (a < b < c), which is correct but not the scale shape.
+
+- ``drift_event_type_shares`` — distribution drift between the early
+  and late half of the event stream (split at the exact median
+  timestamp): per-type per-mille share in each half and the absolute
+  drift. The report an ingest pipeline watches to catch a source
+  changing under it. All-integer arithmetic (micros epoch, integer
+  div shares) — exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import load
+
+TOP_PAIRS = 20
+MAX_BASKET = 50  # a-priori fanout guard: C(50,2) ≈ 1.2k pairs max per order
+
+
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) memberships, basket-size-capped."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    return li.withColumn(
+        "basket_n", F.count("*").over(Window.partitionBy("l_orderkey"))
+    ).filter(F.col("basket_n") <= MAX_BASKET)
+
+
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _baskets(spark, sf_dir).select("l_orderkey", "l_partkey")
+    left = b.alias("a")
+    right = b.alias("b")
+    pairs = left.join(
+        right,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(TOP_PAIRS)
+    )
+
+
+_PAIRS_SQL = f"""
+WITH b AS (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM b a JOIN b b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {TOP_PAIRS}
+"""
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _baskets(spark, sf_dir).select("l_orderkey", "l_partkey")
+    # undirected distinct edge list, canonical a < b
+    e = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge from the endpoint with smaller (deg, id): total
+    # order, so out-degree is O(sqrt(E)) and the wedge join is bounded.
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst"), F.col("db").alias("ddst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst"), F.col("da").alias("ddst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst", "o.ddst")
+    )
+    w1 = ed.select(F.col("src"), F.col("dst").alias("v"), F.col("ddst").alias("dv"))
+    w2 = ed.select(F.col("src"), F.col("dst").alias("w"), F.col("ddst").alias("dw"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dv") < F.col("dw")) | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        ed.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"], "left_semi"
+    )
+    n_nodes = deg.agg(F.count("*").alias("c"))
+    n_edges = e.agg(F.count("*").alias("c"))
+    n_tri = closed.agg(F.count("*").alias("c"))
+    return (
+        n_nodes.select(F.col("c").alias("n_nodes"))
+        .join(n_edges.select(F.col("c").alias("n_edges")))
+        .join(n_tri.select(F.col("c").alias("n_triangles")))
+    )
+
+
+_TRI_SQL = f"""
+WITH b AS (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+nodes AS (SELECT count(*) AS n_nodes FROM (SELECT a AS n FROM e UNION SELECT b FROM e)),
+edges AS (SELECT count(*) AS n_edges FROM e),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri
+"""
+
+
+def drift_event_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "event_type"
+    )
+    med = ev.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY us)").alias("med_us")
+    )
+    tagged = ev.join(F.broadcast(med)).select(
+        "event_type", (F.col("us") <= F.col("med_us")).alias("early")
+    )
+    counts = tagged.groupBy("event_type").agg(
+        F.count_if(F.col("early")).alias("early_n"),
+        F.count_if(~F.col("early")).alias("late_n"),
+    )
+    totals = tagged.agg(
+        F.count_if(F.col("early")).alias("early_total"),
+        F.count_if(~F.col("early")).alias("late_total"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "event_type",
+            F.expr("early_n * 1000 div early_total").alias("early_pm"),
+            F.expr("late_n * 1000 div late_total").alias("late_pm"),
+            F.expr("abs(early_n * 1000 div early_total - late_n * 1000 div late_total)").alias(
+                "drift_pm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DRIFT_SQL = """
+WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+med AS (SELECT quantile_disc(us, 0.5) AS med_us FROM ev),
+tagged AS (SELECT event_type, us <= med_us AS early FROM ev, med),
+counts AS (
+  SELECT event_type,
+         count(*) FILTER (WHERE early) AS early_n,
+         count(*) FILTER (WHERE NOT early) AS late_n
+  FROM tagged GROUP BY 1
+),
+totals AS (
+  SELECT count(*) FILTER (WHERE early) AS early_total,
+         count(*) FILTER (WHERE NOT early) AS late_total
+  FROM tagged
+)
+SELECT event_type,
+       early_n * 1000 // early_total AS early_pm,
+       late_n * 1000 // late_total AS late_pm,
+       abs(early_n * 1000 // early_total - late_n * 1000 // late_total) AS drift_pm
+FROM counts, totals
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "copurchase_part_pairs": copurchase_part_pairs,
+    "copurchase_triangles": copurchase_triangles,
+    "drift_event_type_shares": drift_event_type_shares,
+}
+ORACLES = {
+    "copurchase_part_pairs": _PAIRS_SQL,
+    "copurchase_triangles": _TRI_SQL,
+    "drift_event_type_shares": _DRIFT_SQL,
+}

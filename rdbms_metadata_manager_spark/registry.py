@@ -24,8 +24,10 @@ def _modules():
         formats,
         graph,
         metadata,
+        mining,
         modern,
         profiling,
+        quality,
         relational,
         scd,
         skew,
@@ -33,7 +35,7 @@ def _modules():
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining]
     try:
         from .llm import (
             clustering,
@@ -54,10 +56,12 @@ def _modules():
             udfs,
         )
 
+        from .llm import curation
+
         mods += [
             dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
             clustering, kmeans, sampling, hygiene, pii, quantize, entity,
-            fingerprint,
+            fingerprint, curation,
         ]
     except ImportError:
         pass

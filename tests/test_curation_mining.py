@@ -1,0 +1,177 @@
+"""Unit + plan tests for the curation (chunk dedup / quality gate /
+BM25) and mining (co-purchase pairs / triangles / drift) operators.
+Oracle parity is covered by test_oracle_parity.py; these tests pin the
+SEMANTICS (non-vacuity, known-answer synthetic graphs) and the plan
+shapes that make them scale."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from rdbms_metadata_manager_spark.llm import curation
+from rdbms_metadata_manager_spark.queries import mining, quality
+
+
+def _write_documents(tmp_path, texts):
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_chunk_dedup_flags_shared_passage(spark, tmp_path):
+    shared = " ".join(f"w{i}" for i in range(curation.CHUNK_WORDS))
+    uniq_a = " ".join(f"a{i}" for i in range(curation.CHUNK_WORDS))
+    uniq_b = " ".join(f"b{i}" for i in range(curation.CHUNK_WORDS))
+    # docs 1 and 2 open with the SAME 16-word chunk (boundary-aligned);
+    # doc 3 is entirely unique.
+    d = _write_documents(tmp_path, [f"{shared} {uniq_a}", f"{shared} {uniq_b}", uniq_a[::-1]])
+    rows = {r["doc_id"]: r for r in curation.dedup_chunk_ratio(spark, d).collect()}
+    assert rows[1]["dup_chunks"] == 1 and rows[1]["n_chunks"] == 2
+    assert rows[2]["dup_chunks"] == 1
+    assert rows[3]["dup_chunks"] == 0 and rows[3]["dup_pm"] == 0
+    assert rows[1]["dup_pm"] == 500
+
+
+def test_chunk_dedup_nonvacuous_on_testdata(spark, sf_dir):
+    agg = (
+        curation.dedup_chunk_ratio(spark, sf_dir)
+        .agg(F.sum("dup_chunks").alias("d"), F.sum("n_chunks").alias("n"))
+        .collect()[0]
+    )
+    assert agg["n"] > 0 and 0 <= agg["d"] <= agg["n"]
+
+
+def test_quality_gate_keeps_and_drops(spark, sf_dir):
+    rows = curation.quality_filter_gate(spark, sf_dir).collect()
+    kept = [r for r in rows if r["keep"]]
+    dropped = [r for r in rows if not r["keep"]]
+    assert kept and dropped, "gate must be non-vacuous on the testdata"
+    allowed = {"", "n_words", "word_len", "dominance", "stopword"}
+    assert {r["first_fail"] for r in rows} <= allowed
+    for r in rows:
+        assert r["keep"] == (r["first_fail"] == "")
+
+
+def test_bm25_rank_contract(spark, sf_dir):
+    rows = curation.bm25_keyword_search(spark, sf_dir).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    assert set(by_term) == set(curation.BM25_TERMS)
+    for term, rs in by_term.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score_num"] / r["score_den"] for r in rs]
+        assert scores == sorted(scores, reverse=True), term
+        assert all(r["tf"] >= 1 and r["score_num"] > 0 and r["score_den"] > 0 for r in rs)
+
+
+def test_triangles_known_graph(spark, tmp_path):
+    # order 1 buys {1,2,3} -> one triangle; order 2 buys {3,4} -> one
+    # extra edge, no new triangle. 4 nodes, 4 edges, 1 triangle.
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 2],
+            "l_partkey": [1, 2, 3, 3, 4, 4],  # duplicate (2,4) membership collapses
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(li), str(tmp_path / "lineitem.parquet"))
+    row = mining.copurchase_triangles(spark, str(tmp_path)).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 4, 1)
+
+
+def test_copurchase_pairs_topk_plan_and_bounds(spark, sf_dir):
+    df = mining.copurchase_part_pairs(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= mining.TOP_PAIRS
+    counts = [r["n_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["part_a"] < r["part_b"] for r in rows)
+    # the final top-k must compile to TakeOrderedAndProject, not a global sort
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_drift_shares_are_permille(spark, sf_dir):
+    rows = mining.drift_event_type_shares(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["early_pm"] <= 1000 and 0 <= r["late_pm"] <= 1000
+        assert r["drift_pm"] == abs(r["early_pm"] - r["late_pm"])
+
+
+def test_dq_expectations_all_pass_on_testdata(spark, sf_dir):
+    rows = {r["check_name"]: r for r in quality.dq_expectations_orders(spark, sf_dir).collect()}
+    assert len(rows) == len(quality._ORDER_CHECKS)
+    assert all(r["passed"] for r in rows.values()), rows
+
+
+def test_dq_expectations_flag_bad_rows(spark, tmp_path):
+    bad = pd.DataFrame(
+        {
+            "o_orderkey": [1, 1, 3],  # duplicate key
+            "o_custkey": pd.array([1, None, 3], dtype="Int64"),  # null FK
+            "o_orderstatus": ["O", "X", "F"],  # out-of-domain status
+            "o_totalprice": [10.0, -5.0, 20.0],  # non-positive price
+            # micros, not pandas' default nanos — the session reads
+            # TIMESTAMP(NANOS) as raw BIGINT (see base.load).
+            "o_orderdate": pd.to_datetime(["1995-06-01", "1990-01-01", "1996-01-01"]).astype(
+                "datetime64[us]"
+            ),
+            "o_orderpriority": ["1-URGENT", "", "2-HIGH"],  # blank priority
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(bad), str(tmp_path / "orders.parquet"))
+    rows = {r["check_name"]: r for r in quality.dq_expectations_orders(spark, str(tmp_path)).collect()}
+    expect_fail = {
+        "orderkey_unique": 1,
+        "custkey_complete": 1,
+        "status_in_domain": 1,
+        "totalprice_positive": 1,
+        "orderdate_in_range": 1,
+        "priority_complete": 1,
+    }
+    for name, metric in expect_fail.items():
+        assert rows[name]["metric"] == metric and not rows[name]["passed"], name
+    assert rows["row_count_positive"]["passed"]
+
+
+def test_dq_referential_integrity_intact_and_broadcasts_tiny_dims(spark, sf_dir):
+    df = quality.dq_referential_integrity(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == len(quality._FK_EDGES)
+    assert all(r["intact"] and r["orphan_rows"] == 0 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dq_referential_detects_orphans(spark, tmp_path):
+    # minimal star: one nation row missing its region -> exactly the
+    # nation->region edge reports 1 orphan, everything else intact.
+    tables = {
+        "region": pd.DataFrame({"r_regionkey": [0]}),
+        "nation": pd.DataFrame({"n_nationkey": [0, 1], "n_regionkey": [0, 9]}),
+        "customer": pd.DataFrame({"c_custkey": [1], "c_nationkey": [0]}),
+        "supplier": pd.DataFrame({"s_suppkey": [1], "s_nationkey": [0]}),
+        "part": pd.DataFrame({"p_partkey": [1]}),
+        "orders": pd.DataFrame({"o_orderkey": [1], "o_custkey": [1]}),
+        "lineitem": pd.DataFrame(
+            {"l_orderkey": [1], "l_partkey": [1], "l_suppkey": [1]}
+        ),
+    }
+    for name, df in tables.items():
+        pq.write_table(pa.Table.from_pandas(df), str(tmp_path / f"{name}.parquet"))
+    rows = {r["fk_edge"]: r for r in quality.dq_referential_integrity(spark, str(tmp_path)).collect()}
+    assert rows["nation.n_regionkey->region"]["orphan_rows"] == 1
+    assert not rows["nation.n_regionkey->region"]["intact"]
+    assert all(r["intact"] for k, r in rows.items() if k != "nation.n_regionkey->region")
