@@ -68,6 +68,7 @@ HEADLINE = [
     "pit_state_at_purchase",
     "knn_join_bruteforce",
     "hybrid_search_rrf",
+    "copurchase_triangles",
 ]
 
 
