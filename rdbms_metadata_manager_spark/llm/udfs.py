@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 from ..queries.base import load_spread
 
@@ -93,12 +93,83 @@ ORDER BY doc_id, chunk_id
 """
 
 
+@pandas_udf(LongType())  # type object, not "long": the DDL-string parse needs a live session at import time
+def gini_numerator(cents: pd.Series) -> int:
+    """Vectorized UDAF (GROUPED_AGG pandas_udf — Series → scalar):
+    the Gini mean-difference numerator Σᵢ (2i − n − 1)·x₍ᵢ₎ over the
+    sorted group, all-integer so it hash-matches a window-SQL oracle.
+    The coefficients sum to zero, so centering on the group min is an
+    exact identity that halves the magnitude headroom (the bound is
+    ~n²·range(x); beyond ~10⁹-row groups you'd shard the sum)."""
+    import numpy as np
+
+    x = np.sort(cents.to_numpy(np.int64))
+    x = x - x.min() if len(x) else x
+    n = np.int64(len(x))
+    i = np.arange(1, n + 1, dtype=np.int64)
+    return int(np.sum((2 * i - n - 1) * x))
+
+
+def pandas_udaf_gini_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment account-balance inequality via a custom UDAF.
+
+    Demonstrates the third UDF shape (UDAF) next to the scalar
+    pandas_udf and the UDTF above. Spark feeds each (segment) group's
+    column to the kernel as Arrow batches with map-side partial
+    ordering handled by the shuffle; the NATIVE aggregates ride the
+    same HashAggregate. Ties in cents don't affect the numerator
+    (equal values swap coefficients within a block whose sum is
+    fixed), so the result is deterministic and the oracle's
+    row_number() tie order is irrelevant."""
+    c = load_spread(spark, sf_dir, "customer", "c_custkey").select(
+        "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with native
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT) — compute
+    # the native pair separately and join on the (tiny) group key.
+    native = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    udaf = c.groupBy("c_mktsegment").agg(gini_numerator(F.col("cents")).alias("gini_num"))
+    return (
+        native.join(udaf, "c_mktsegment")
+        .select("c_mktsegment", "n_customers", "sum_cents", "gini_num")
+        .orderBy("c_mktsegment")
+    )
+
+
+_UDAF_SQL = """
+WITH c AS (
+  SELECT c_mktsegment, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+r AS (
+  SELECT c_mktsegment, cents,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents) AS i,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n,
+         min(cents) OVER (PARTITION BY c_mktsegment) AS lo
+  FROM c
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum((2 * i - n - 1) * (cents - lo)) AS BIGINT) AS gini_num
+FROM r
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "pandas_udf_text_scores": pandas_udf_text_scores,
     "udtf_document_chunks": udtf_document_chunks,
+    "pandas_udaf_gini_acctbal": pandas_udaf_gini_acctbal,
 }
 
 ORACLES = {
     "pandas_udf_text_scores": _PANDAS_UDF_SQL,
     "udtf_document_chunks": _UDTF_SQL,
+    "pandas_udaf_gini_acctbal": _UDAF_SQL,
 }

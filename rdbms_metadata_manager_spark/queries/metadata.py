@@ -187,14 +187,51 @@ ORDER BY "table", issue_type
 """
 
 
+def pyds_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog columns face read through the Spark 4 Python
+    DataSource (``sources/pyds.py``) instead of in-memory rows —
+    proves the partition-per-table custom-source path end to end.
+    sf_dir unused: metadata fixture input. is_unique is omitted from
+    the projection (all-NULL boolean; a VALUES oracle can't type it)."""
+    from ..sources import read_catalog_fixture
+
+    return read_catalog_fixture(spark, face="columns", dataset="ecommerce").select(
+        "table_name",
+        "column_name",
+        "ordinal",
+        "data_type",
+        "char_max_length",
+        "is_nullable",
+        "is_primary_key",
+    ).orderBy("table_name", "ordinal")
+
+
+def _pyds_columns_oracle() -> str:
+    from ..catalog.fixtures import ECOMMERCE_COLUMNS
+
+    return f"""
+WITH columns_meta(database, table_name, column_name, ordinal, data_type,
+                  char_max_length, is_nullable, is_unique, is_primary_key) AS (
+  VALUES
+    {_values(ECOMMERCE_COLUMNS)}
+)
+SELECT table_name, column_name, ordinal, data_type, char_max_length,
+       is_nullable, is_primary_key
+FROM columns_meta
+ORDER BY table_name, ordinal
+"""
+
+
 QUERIES = {
     "schema_issues": schema_issues,
     "schema_issues_quirks": schema_issues_quirks,
     "schema_issue_summary": schema_issue_summary,
+    "pyds_catalog_columns": pyds_catalog_columns,
 }
 
 ORACLES = {
     "schema_issues": SCHEMA_ISSUES_ORACLE,
     "schema_issues_quirks": SCHEMA_ISSUES_QUIRKS_ORACLE,
     "schema_issue_summary": _SUMMARY_ORACLE,
+    "pyds_catalog_columns": _pyds_columns_oracle(),
 }

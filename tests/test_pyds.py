@@ -1,0 +1,60 @@
+"""Tests for the Spark 4 Python DataSource (sources/pyds.py) and the
+grouped-agg pandas UDAF (llm/udfs.py::gini_numerator)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdbms_metadata_manager_spark.catalog import fixtures
+from rdbms_metadata_manager_spark.sources import read_catalog_fixture
+from rdbms_metadata_manager_spark.sources.pyds import _CatalogFixtureReader
+
+
+def test_pyds_columns_match_inmemory_fixture(spark):
+    via_ds = {tuple(r) for r in read_catalog_fixture(spark, "columns", "ecommerce").collect()}
+    via_mem = {tuple(r) for r in fixtures.columns_meta(spark, "ecommerce_db").collect()}
+    assert via_ds == via_mem and via_ds
+
+
+def test_pyds_one_partition_per_table(spark):
+    reader = _CatalogFixtureReader("columns", "ecommerce")
+    parts = reader.partitions()
+    tables = {r[1] for r in fixtures.ECOMMERCE_COLUMNS}
+    assert {p.table_name for p in parts} == tables
+    # the union of per-partition reads is exactly the fixture
+    rows = [r for p in parts for r in reader.read(p)]
+    assert sorted(rows) == sorted(tuple(r) for r in fixtures.ECOMMERCE_COLUMNS)
+
+
+def test_pyds_foreign_keys_face_carries_arrays(spark):
+    df = read_catalog_fixture(spark, "foreign_keys", "quirks")
+    rows = df.collect()
+    assert rows
+    assert all(isinstance(r["constrained_columns"], list) for r in rows)
+
+
+def test_pyds_rejects_unknown_face(spark):
+    with pytest.raises(Exception, match="unknown face"):
+        spark.read.format("catalog_fixture").option("face", "nope").load().collect()
+
+
+def test_gini_udaf_matches_python_reference(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.udfs import pandas_udaf_gini_acctbal
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    got = {r["c_mktsegment"]: r for r in pandas_udaf_gini_acctbal(spark, sf_dir).collect()}
+    import math
+
+    raw = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal").collect()
+    by_seg: dict[str, list[int]] = {}
+    for r in raw:
+        by_seg.setdefault(r["c_mktsegment"], []).append(math.floor(r["c_acctbal"] * 100 + 0.5))
+    assert set(got) == set(by_seg)
+    for seg, vals in by_seg.items():
+        xs = sorted(vals)
+        n = len(xs)
+        expect = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        assert got[seg]["gini_num"] == expect, seg
+        assert got[seg]["n_customers"] == n
+        # Gini numerator of a nonnegative-spread sorted sum is >= 0
+        assert got[seg]["gini_num"] >= 0
