@@ -68,10 +68,61 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+def formats_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 XML expression support (`to_xml`-shaped construction +
+    `from_xml` parse), proven by roundtrip: each event row is rendered
+    as an XML fragment (attribute + nested elements), parsed back with
+    a typed schema, and the PARSED values are emitted. The oracle
+    computes the same columns straight from the base table, so a hash
+    match proves the construct→parse cycle is lossless. Integer/string
+    fields only — double→string repr is never portable (README
+    correctness contract). Per-row expression work, no shuffle; at
+    100 TB this is scan-bound, exactly like the real ingest shape
+    (XML feeds land as strings, `from_xml` projects them columnar)."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    xml = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('<e id="'),
+            F.col("event_id"),
+            F.lit('"><u>'),
+            F.col("user_id"),
+            F.lit("</u><ty>"),
+            F.col("event_type"),
+            F.lit("</ty></e>"),
+        ).alias("payload"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.from_xml(
+            F.col("payload"), "struct<_id: bigint, u: bigint, ty: string>"
+        ).alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p._id").alias("parsed_id"),
+        F.col("p.u").alias("parsed_user"),
+        F.col("p.ty").alias("parsed_type"),
+    ).orderBy("event_id")
+
+
+_XML_SQL = """
+SELECT event_id, event_id AS parsed_id, user_id AS parsed_user,
+       event_type AS parsed_type
+FROM events
+WHERE event_id % 7 = 0
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "formats_csv_json_roundtrip": formats_csv_json_roundtrip,
+    "formats_xml_roundtrip": formats_xml_roundtrip,
 }
 
 ORACLES = {
     "formats_csv_json_roundtrip": _ROUNDTRIP_SQL,
+    "formats_xml_roundtrip": _XML_SQL,
 }

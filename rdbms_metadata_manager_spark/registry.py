@@ -31,11 +31,12 @@ def _modules():
         relational,
         scd,
         skew,
+        spatial,
         tpch_extra,
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining, spatial]
     try:
         from .llm import (
             clustering,
