@@ -1,3 +1,13 @@
-from .pyds import CatalogFixtureDataSource, read_catalog_fixture
+from .pyds import (
+    CatalogFixtureDataSource,
+    TickStreamDataSource,
+    read_catalog_fixture,
+    read_tick_stream,
+)
 
-__all__ = ["CatalogFixtureDataSource", "read_catalog_fixture"]
+__all__ = [
+    "CatalogFixtureDataSource",
+    "TickStreamDataSource",
+    "read_catalog_fixture",
+    "read_tick_stream",
+]

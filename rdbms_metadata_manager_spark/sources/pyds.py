@@ -33,7 +33,12 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from ..catalog import fixtures, schemas
@@ -102,4 +107,70 @@ def read_catalog_fixture(
     spark.dataSource.register(CatalogFixtureDataSource)
     return (
         spark.read.format("catalog_fixture").option("face", face).option("dataset", dataset).load()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: a deterministic offset-replayable tick source.
+# ---------------------------------------------------------------------------
+
+TICK_SCHEMA_DDL = "tick_id bigint, user_id bigint, kind string, amount bigint"
+_KINDS = ("view", "click", "buy")
+
+
+def _tick(i: int) -> tuple:
+    # pure function of the offset — the property that makes the source
+    # exactly-once replayable (readBetweenOffsets re-derives any range)
+    return (i, i % 7, _KINDS[i % 3], (i * i) % 1000)
+
+
+class _TickStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, batch: int, limit: int):
+        self.batch = batch
+        self.limit = limit
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        pos = start["pos"]
+        end = min(pos + self.batch, self.limit)
+        return iter([_tick(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # replay path after restart: offsets fully determine the rows
+        return iter([_tick(i) for i in range(start["pos"], end["pos"])])
+
+
+class TickStreamDataSource(DataSource):
+    """Spark 4 Python *streaming* DataSource: micro-batches of
+    deterministic tick rows, offset-tracked and replayable — the
+    minimal shape of a custom queue/CDC-feed connector. Pair with the
+    batch ``catalog_fixture`` source above: together they cover both
+    DataSource V2 read paths Python can implement. State the engine
+    must respect: offsets are the ONLY state (checkpointed by Spark);
+    the reader re-derives rows from offsets on replay, so restart
+    gives exactly-once results without the source storing anything."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tick_stream"
+
+    def schema(self) -> str:
+        return TICK_SCHEMA_DDL
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _TickStreamReader(
+            batch=int(self.options.get("batch", "100")),
+            limit=int(self.options.get("limit", "1000")),
+        )
+
+
+def read_tick_stream(spark: SparkSession, batch: int = 100, limit: int = 1000) -> DataFrame:
+    spark.dataSource.register(TickStreamDataSource)
+    return (
+        spark.readStream.format("tick_stream")
+        .option("batch", str(batch))
+        .option("limit", str(limit))
+        .load()
     )

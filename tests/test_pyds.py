@@ -58,3 +58,51 @@ def test_gini_udaf_matches_python_reference(spark, sf_dir):
         assert got[seg]["n_customers"] == n
         # Gini numerator of a nonnegative-spread sorted sum is >= 0
         assert got[seg]["gini_num"] >= 0
+
+
+def test_tick_stream_aggregate_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rdbms_metadata_manager_spark.sources import read_tick_stream
+    from rdbms_metadata_manager_spark.sources.pyds import TICK_SCHEMA_DDL, _tick
+
+    limit = 500
+    ticks = read_tick_stream(spark, batch=64, limit=limit)
+    assert ticks.isStreaming
+    agg = ticks.groupBy("kind").agg(
+        F.count("*").alias("n"), F.sum("amount").alias("amt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tick_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("tick_agg").collect())
+    batch = spark.createDataFrame([_tick(i) for i in range(limit)], TICK_SCHEMA_DDL)
+    expected = sorted(
+        tuple(r)
+        for r in batch.groupBy("kind")
+        .agg(F.count("*").alias("n"), F.sum("amount").alias("amt"))
+        .collect()
+    )
+    assert got == expected
+
+
+def test_tick_stream_replay_between_offsets_is_exact(spark):
+    from rdbms_metadata_manager_spark.sources.pyds import _tick, _TickStreamReader
+
+    r = _TickStreamReader(batch=64, limit=1000)
+    first, off1 = r.read(r.initialOffset())
+    assert off1 == {"pos": 64} and list(first) == [_tick(i) for i in range(64)]
+    # replay an arbitrary committed range: identical rows re-derived
+    replay = list(r.readBetweenOffsets({"pos": 64}, {"pos": 192}))
+    assert replay == [_tick(i) for i in range(64, 192)]
+    # the source drains at the limit: empty batch, offset parked
+    tail, off2 = r.read({"pos": 1000})
+    assert list(tail) == [] and off2 == {"pos": 1000}
