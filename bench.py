@@ -69,6 +69,7 @@ HEADLINE = [
     "knn_join_bruteforce",
     "hybrid_search_rrf",
     "copurchase_triangles",
+    "dedup_jaccard_prefix_filter",
 ]
 
 

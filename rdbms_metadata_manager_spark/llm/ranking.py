@@ -22,14 +22,24 @@ TOP_TERMS = 3
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everything derives from ONE (doc_id, word) aggregate: doc
+    length is a window-sum over it (same doc_id partitioning the
+    rank window needs anyway) and document frequency is a count of
+    its rows per word (tf is already distinct per doc — no second
+    explode+distinct pass). The naive form scans and explodes the
+    corpus three times; this shape scans once, and Catalyst's
+    exchange reuse collapses the tf subplan shared by the df branch.
+    At 100 TB that is the difference between one corpus-wide shuffle
+    of (doc_id, word) pairs plus a small word-keyed rollup, and
+    three full-corpus shuffles."""
     d = load_spread(spark, sf_dir, "documents", "doc_id")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf_count"))
-    doc_len = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
-    df = words.distinct().groupBy("word").agg(F.count("*").alias("doc_freq"))
+    df = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
+    w_doc = Window.partitionBy("doc_id")
     scored = (
-        tf.join(doc_len, "doc_id")
+        tf.withColumn("n_words", F.sum("tf_count").over(w_doc))
         .join(F.broadcast(df), "word")
         .join(F.broadcast(n_docs))
         .withColumn(

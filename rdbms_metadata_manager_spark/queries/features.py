@@ -75,5 +75,68 @@ ORDER BY o_orderkey
 """
 
 
-QUERIES = {"feature_scale_orders": feature_scale_orders}
-ORACLES = {"feature_scale_orders": _FEATURE_SQL}
+N_QBUCKETS = 10
+
+
+def feature_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of order value — the
+    QuantileDiscretizer shape, done Spark-first: NOT ``ntile`` (a
+    global sort through ONE partition — the anti-pattern at scale)
+    but 9 exact cutpoints from one map-side-combining aggregate,
+    broadcast back, with the bucket index computed per-row as
+    1 + Σ (x > cut_i). At 100 TB the only change is swapping
+    ``percentile_disc`` for ``approx_percentile`` — the plan shape
+    (tiny agg → broadcast → codegen projection → rollup) is already
+    the scalable one. Output is the per-bucket audit (count + value
+    range): equal-ish counts verify the equi-depth property; ties at
+    cut values go left, identically in both engines (integer
+    comparison semantics on the same doubles)."""
+    orders = load(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"c{i}")
+            for i in range(1, N_QBUCKETS)
+        ]
+    )
+    x = F.col("o_totalprice")
+    bucket = sum(
+        ((x > F.col(f"c{i}")).cast("int") for i in range(1, N_QBUCKETS)), F.lit(1)
+    )
+    return (
+        orders.join(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), x.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_QBUCKET_SQL = f"""
+WITH cuts AS (
+  SELECT {", ".join(f"quantile_disc(o_totalprice, 0.{i}) AS c{i}" for i in range(1, N_QBUCKETS))}
+  FROM orders
+),
+x AS (
+  SELECT 1 + {" + ".join(f"(o_totalprice > c{i})::INT" for i in range(1, N_QBUCKETS))} AS bucket,
+         o_totalprice AS v
+  FROM orders, cuts
+)
+SELECT bucket, count(*)::BIGINT AS n_orders, min(v) AS lo, max(v) AS hi
+FROM x GROUP BY bucket ORDER BY bucket
+"""
+
+
+QUERIES = {
+    "feature_scale_orders": feature_scale_orders,
+    "feature_quantile_buckets": feature_quantile_buckets,
+}
+ORACLES = {
+    "feature_scale_orders": _FEATURE_SQL,
+    "feature_quantile_buckets": _QBUCKET_SQL,
+}

@@ -220,12 +220,77 @@ ORDER BY event_type
 """
 
 
+def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) of customers over
+    (order count, biggest single order): a customer is on the skyline
+    iff no other customer has ≥ on both axes with > on at least one
+    (Börzsönyi et al., ICDE'01 "The Skyline Operator"). The axes are
+    anti-correlated (one-off big spenders vs frequent small buyers),
+    so the frontier is non-degenerate — lifetime-total as the second
+    axis collapses it to the single best customer.
+
+    Spark-first shape: instead of the quadratic dominance anti-join
+    (the oracle's NOT EXISTS), reduce per-axis — group customers by
+    n_orders, keep each group's max spend (a dominated-within-group
+    kill), then a running max over the groups sorted by n_orders DESC
+    gives the best spend among all STRICTLY-higher order counts.
+    p is dominated iff that running max ≥ p.spend (a higher-count
+    customer at least ties spend), or p's own group max > p.spend
+    (same count, strictly richer). O(n) shuffle + a window over the
+    DISTINCT n_orders values only — n_orders cardinality is tiny
+    (bounded by max orders per customer), so the single-partition
+    window holds ~hundreds of rows even at 100 TB; a continuous
+    first axis would be range-bucketed first. Spend is exact bigint
+    cents (float-aggregate trap: sum(double) is order-dependent)."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(cents).alias("best_order_cents"),
+    )
+    gmax = per.groupBy("n_orders").agg(F.max("best_order_cents").alias("gmax"))
+    wg = Window.orderBy(F.desc("n_orders")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = gmax.withColumn("maxt_gt", F.max("gmax").over(wg))
+    return (
+        per.join(F.broadcast(frontier), "n_orders")
+        .filter(
+            ~(
+                F.coalesce(F.col("maxt_gt") >= F.col("best_order_cents"), F.lit(False))
+                | (F.col("gmax") > F.col("best_order_cents"))
+            )
+        )
+        .select("o_custkey", "n_orders", "best_order_cents")
+        .orderBy("o_custkey")
+    )
+
+
+_SKYLINE_SQL = """
+WITH c AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS best_order_cents
+  FROM orders GROUP BY 1
+)
+SELECT p.o_custkey, p.n_orders, p.best_order_cents
+FROM c p
+WHERE NOT EXISTS (
+  SELECT 1 FROM c q
+  WHERE q.n_orders >= p.n_orders AND q.best_order_cents >= p.best_order_cents
+    AND (q.n_orders > p.n_orders OR q.best_order_cents > p.best_order_cents)
+)
+ORDER BY p.o_custkey
+"""
+
+
 QUERIES = {
+    "skyline_customers": skyline_customers,
     "copurchase_part_pairs": copurchase_part_pairs,
     "copurchase_triangles": copurchase_triangles,
     "drift_event_type_shares": drift_event_type_shares,
 }
 ORACLES = {
+    "skyline_customers": _SKYLINE_SQL,
     "copurchase_part_pairs": _PAIRS_SQL,
     "copurchase_triangles": _TRI_SQL,
     "drift_event_type_shares": _DRIFT_SQL,

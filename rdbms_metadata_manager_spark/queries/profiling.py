@@ -309,6 +309,79 @@ ORDER BY event_type, hour
 """
 
 
+def resample_events_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly interpolated hourly series — the third standard gap
+    policy next to zero-fill and LOCF: a gap hour gets the straight
+    line between the nearest real observations on each side.
+
+    Two windows over the dense spine (backward LOCF for the previous
+    real point, forward for the next), same (event_type, hour)
+    partitioning as the spine build — no extra shuffle of raw data.
+    The spine's endpoints are real observations by construction
+    (min/max hour come from observed counts), so every gap has both
+    neighbors and the division is never null/zero. The interpolation
+    fraction uses integer hour deltas (`div 3600` on unix seconds /
+    `date_diff('hour')`), so both engines divide the same exact
+    integers — bit-identical IEEE doubles, no float-aggregate trap."""
+    dense = resample_events_hourly(spark, sf_dir)
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_v = F.when(~F.col("is_gap"), F.col("n_events"))
+    obs_h = F.when(~F.col("is_gap"), F.col("hour"))
+    x = dense.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "is_gap",
+        F.last(obs_v, ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("ph"),
+        F.first(obs_v, ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    dt = F.expr("(unix_timestamp(hour) - unix_timestamp(ph)) div 3600")
+    total = F.expr("(unix_timestamp(nh) - unix_timestamp(ph)) div 3600")
+    interp = F.when(
+        F.col("is_gap"),
+        F.col("pv") + ((F.col("nv") - F.col("pv")) * dt) / total,
+    ).otherwise(F.col("n_events").cast("double"))
+    return (
+        x.select("event_type", "hour", "n_events", "is_gap", interp.alias("n_interp"))
+        .orderBy("event_type", "hour")
+    )
+
+
+_RESAMPLE_INTERP_SQL = f"""
+WITH dense AS ({_RESAMPLE_SQL.replace("ORDER BY 1, 2", "")}),
+x AS (
+  SELECT event_type, hour, n_events, is_gap,
+         last_value(CASE WHEN NOT is_gap THEN n_events END IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN NOT is_gap THEN hour END IGNORE NULLS) OVER wb AS ph,
+         first_value(CASE WHEN NOT is_gap THEN n_events END IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN NOT is_gap THEN hour END IGNORE NULLS) OVER wf AS nh
+  FROM dense
+  WINDOW wb AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour, n_events, is_gap,
+       CASE WHEN is_gap
+            THEN pv + ((nv - pv) * date_diff('hour', ph, hour)) * 1.0
+                      / date_diff('hour', ph, nh)
+            ELSE n_events * 1.0 END AS n_interp
+FROM x
+ORDER BY event_type, hour
+"""
+
+
 MAD_K = 3  # flag hours deviating more than K×MAD from the median
 
 
@@ -410,6 +483,7 @@ QUERIES = {
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "resample_events_hourly": resample_events_hourly,
     "resample_events_hourly_locf": resample_events_hourly_locf,
+    "resample_events_hourly_interp": resample_events_hourly_interp,
     "outlier_customers_iqr": outlier_customers_iqr,
     "histogram_order_values": histogram_order_values,
     "anomaly_event_hours": anomaly_event_hours,
@@ -420,6 +494,7 @@ ORACLES = {
     "unpivot_lineitem_measures": _UNPIVOT_SQL,
     "resample_events_hourly": _RESAMPLE_SQL,
     "resample_events_hourly_locf": _RESAMPLE_LOCF_SQL,
+    "resample_events_hourly_interp": _RESAMPLE_INTERP_SQL,
     "outlier_customers_iqr": _OUTLIER_SQL,
     "histogram_order_values": _HISTOGRAM_SQL,
     "anomaly_event_hours": _ANOMALY_SQL,

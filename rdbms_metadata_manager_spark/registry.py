@@ -92,6 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental_batch",
+    "dedup_jaccard_prefix_filter",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "text_winnow_fingerprints",
@@ -135,7 +136,6 @@ PRIORITY: tuple[str, ...] = (
     "unpivot_lineitem_measures",
     "string_functions_parts",
     "date_functions_orders",
-    "math_functions_lineitem",
     "variant_event_props",
     "lateral_top_customers_per_nation",
     "recursive_balance_replay",

@@ -40,6 +40,11 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.entity", "entity_match_fuzzy_names"),
         ("llm.fingerprint", "text_winnow_fingerprints"),
         ("llm.fingerprint", "dedup_winnow_overlap"),
+        ("llm.dedup", "dedup_jaccard_prefix_filter"),
+        ("llm.dedup", "dedup_containment"),
+        ("queries.mining", "skyline_customers"),
+        ("queries.profiling", "resample_events_hourly_interp"),
+        ("queries.features", "feature_quantile_buckets"),
         ("queries.modern", "variant_event_props"),
         ("queries.modern", "recursive_balance_replay"),
         ("queries.cohort", "cohort_retention"),
