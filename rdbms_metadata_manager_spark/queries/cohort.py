@@ -141,11 +141,163 @@ LIMIT 10
 """
 
 
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve) —
+    the growth metric every product pipeline computes, and the
+    classic sliding-distinct trap: a naive per-day rescan is 7× the
+    data, and RANGE-frame windows can't do DISTINCT.
+
+    Spark-first shape: dedup to (user, active-day) pairs once, then
+    EXPLODE each pair into the 7 window-end days it contributes to
+    (day .. day+6) and count distinct per window-end — one shuffle of
+    7× the (16-byte) pair keys, no rescan, no per-day loop. Exact.
+    At 100 TB you swap countDistinct for an HLL sketch merged per
+    day (approx_count_distinct) and keep the identical plan shape;
+    the explode factor is the window length, not the data size.
+    Window-end days outside the observed range are clipped so every
+    reported day has a full trailing week of data behind it."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("wday"),
+    )
+    return (
+        expanded.join(F.broadcast(bounds))
+        .filter((F.col("wday") >= F.col("d0")) & (F.col("wday") <= F.col("d1")))
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau_users"))
+        .select(F.col("wday").alias("day"), "wau_users")
+        .orderBy("day")
+    )
+
+
+_WAU_SQL = """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+ex AS (
+  SELECT user_id,
+         unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS wday
+  FROM ud
+)
+SELECT wday AS day, count(DISTINCT user_id) AS wau_users
+FROM ex, b
+WHERE wday BETWEEN d0 AND d1
+GROUP BY wday
+ORDER BY day
+"""
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintile
+    scores per customer, rolled up to segment sizes. The standard
+    customer-value partitioning (direct-marketing literature; Hughes
+    '94), done with the same broadcast-cutpoint machinery as
+    ``feature_quantile_buckets``: one per-customer rollup, ONE 1-row
+    aggregate computing all 12 quintile cuts (4 per metric,
+    ``percentile_disc`` exact), broadcast back, scores as
+    1 + Σ(x > cut) integer comparisons (recency reversed — fewer
+    days since last order is better). No ntile, no global sort; at
+    100 TB the cuts swap to approx_percentile and the plan shape is
+    unchanged. Monetary is exact bigint cents; recency is an exact
+    integer day diff vs the corpus max order date — every scored
+    quantity is integer, so quintile edges are engine-identical."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    per = per.join(
+        F.broadcast(per.agg(F.max("last_order").alias("ref_date"))),
+    ).withColumn("recency_days", F.datediff("ref_date", "last_order"))
+    cut_exprs = []
+    for m in ("recency_days", "freq", "monetary_cents"):
+        for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1):
+            cut_exprs.append(
+                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {m})").alias(
+                    f"{m}_c{i}"
+                )
+            )
+    cuts = per.agg(*cut_exprs)
+
+    def score(m: str):
+        return sum(
+            ((F.col(m) > F.col(f"{m}_c{i}")).cast("int") for i in range(1, 5)),
+            F.lit(1),
+        )
+
+    scored = per.join(F.broadcast(cuts)).select(
+        (F.lit(6) - score("recency_days")).alias("r_score"),
+        score("freq").alias("f_score"),
+        score("monetary_cents").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_RFM_SQL = """
+WITH per0 AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY 1
+),
+per AS (
+  SELECT *, date_diff('day', CAST(last_order AS DATE),
+                      (SELECT CAST(max(last_order) AS DATE) FROM per0)) AS recency_days
+  FROM per0
+),
+cuts AS (
+  SELECT
+    quantile_disc(recency_days, 0.2) AS recency_days_c1,
+    quantile_disc(recency_days, 0.4) AS recency_days_c2,
+    quantile_disc(recency_days, 0.6) AS recency_days_c3,
+    quantile_disc(recency_days, 0.8) AS recency_days_c4,
+    quantile_disc(freq, 0.2) AS freq_c1,
+    quantile_disc(freq, 0.4) AS freq_c2,
+    quantile_disc(freq, 0.6) AS freq_c3,
+    quantile_disc(freq, 0.8) AS freq_c4,
+    quantile_disc(monetary_cents, 0.2) AS monetary_cents_c1,
+    quantile_disc(monetary_cents, 0.4) AS monetary_cents_c2,
+    quantile_disc(monetary_cents, 0.6) AS monetary_cents_c3,
+    quantile_disc(monetary_cents, 0.8) AS monetary_cents_c4
+  FROM per
+),
+scored AS (
+  SELECT
+    6 - (1 + (recency_days > recency_days_c1)::INT + (recency_days > recency_days_c2)::INT
+           + (recency_days > recency_days_c3)::INT + (recency_days > recency_days_c4)::INT)
+      AS r_score,
+    1 + (freq > freq_c1)::INT + (freq > freq_c2)::INT
+      + (freq > freq_c3)::INT + (freq > freq_c4)::INT AS f_score,
+    1 + (monetary_cents > monetary_cents_c1)::INT + (monetary_cents > monetary_cents_c2)::INT
+      + (monetary_cents > monetary_cents_c3)::INT + (monetary_cents > monetary_cents_c4)::INT
+      AS m_score
+  FROM per, cuts
+)
+SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_customers
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "event_path_trigrams": event_path_trigrams,
+    "rolling_7d_active_users": rolling_7d_active_users,
+    "rfm_customer_segments": rfm_customer_segments,
 }
 ORACLES = {
     "cohort_retention": _COHORT_SQL,
     "event_path_trigrams": _PATHS_SQL,
+    "rolling_7d_active_users": _WAU_SQL,
+    "rfm_customer_segments": _RFM_SQL,
 }

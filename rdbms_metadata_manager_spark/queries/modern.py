@@ -194,13 +194,64 @@ def recursive_balance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_SPARK_SQL)
 
 
+def sql_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined scalar function (CREATE FUNCTION … RETURN
+    expr): the UDF body is declarative SQL, so Catalyst INLINES it at
+    plan time — the banding logic runs inside whole-stage codegen
+    with zero Python/JVM serialization boundary, unlike a Python UDF
+    doing the same thing. The function then drives a grouped rollup
+    (band → count + exact cents sum). This is the modern answer to
+    'users need reusable business logic without leaving the JVM fast
+    path'. Oracle: the CASE body inlined literally — which is exactly
+    what the optimizer does, so parity also pins the inlining
+    semantics."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 100000 THEN 'low'
+                    WHEN p < 300000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               count(*) AS n_orders,
+               sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS total_cents
+        FROM orders
+        GROUP BY price_band(o_totalprice)
+        ORDER BY band
+        """
+    )
+
+
+_SQL_UDF_SQL = """
+WITH banded AS (
+  SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+              WHEN o_totalprice < 300000 THEN 'mid'
+              ELSE 'high' END AS band,
+         o_totalprice
+  FROM orders
+)
+SELECT band, count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+FROM banded
+GROUP BY band
+ORDER BY band
+"""
+
+
 QUERIES = {
     "variant_event_props": variant_event_props,
     "lateral_top_customers_per_nation": lateral_top_customers_per_nation,
     "recursive_balance_replay": recursive_balance_replay,
+    "sql_udf_price_bands": sql_udf_price_bands,
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
     "lateral_top_customers_per_nation": _LATERAL_SQL,
     "recursive_balance_replay": _RECURSIVE_SQL,
+    "sql_udf_price_bands": _SQL_UDF_SQL,
 }

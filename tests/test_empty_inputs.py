@@ -45,6 +45,9 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.mining", "skyline_customers"),
         ("queries.profiling", "resample_events_hourly_interp"),
         ("queries.features", "feature_quantile_buckets"),
+        ("queries.cohort", "rolling_7d_active_users"),
+        ("queries.cohort", "rfm_customer_segments"),
+        ("queries.modern", "sql_udf_price_bands"),
         ("queries.modern", "variant_event_props"),
         ("queries.modern", "recursive_balance_replay"),
         ("queries.cohort", "cohort_retention"),
