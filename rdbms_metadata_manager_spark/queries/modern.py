@@ -243,15 +243,50 @@ ORDER BY band
 """
 
 
+def parameterized_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 ``spark.sql(query, args=...)``) —
+    the injection-safe templating surface an application layer uses
+    instead of string-formatting values into SQL. Parameter markers
+    (:etype, :k) are bound as LITERALS at parse time, so Catalyst
+    sees constants: the event-type predicate pushes into the parquet
+    scan and the LIMIT compiles to TakeOrderedAndProject exactly as
+    if hand-inlined. The oracle is the hand-inlined query — parity
+    pins that binding and inlining agree."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT user_id, count(*) AS n_purchases
+        FROM events
+        WHERE event_type = :etype
+        GROUP BY user_id
+        ORDER BY n_purchases DESC, user_id
+        LIMIT :k
+        """,
+        args={"etype": "purchase", "k": 10},
+    )
+
+
+_PARAM_SQL = """
+SELECT user_id, count(*) AS n_purchases
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY n_purchases DESC, user_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     "variant_event_props": variant_event_props,
     "lateral_top_customers_per_nation": lateral_top_customers_per_nation,
     "recursive_balance_replay": recursive_balance_replay,
     "sql_udf_price_bands": sql_udf_price_bands,
+    "parameterized_top_purchasers": parameterized_top_purchasers,
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
     "lateral_top_customers_per_nation": _LATERAL_SQL,
     "recursive_balance_replay": _RECURSIVE_SQL,
     "sql_udf_price_bands": _SQL_UDF_SQL,
+    "parameterized_top_purchasers": _PARAM_SQL,
 }

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import load
+from ..llm.hashing import h32
 
 
 def _state_intervals(events: DataFrame) -> DataFrame:
@@ -214,13 +215,92 @@ ORDER BY event_id
 """
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot DATA DIFF (the audit face of CDC): two
+    deterministic versions of ``orders`` are derived from a salted
+    md5 bucket of the key — v1 = buckets 0-89, v2 = buckets 10-99
+    with a +1.00 price edit in buckets 40-49 — then FULL OUTER joined
+    on the key and every row classified added / removed / changed /
+    unchanged. Output is the per-class count (the diff summary a
+    pipeline alerts on).
+
+    Scale: ONE co-partitioned full-outer join on the snapshot key —
+    both sides shuffle on o_orderkey and never again. The change
+    test here compares the two business columns directly; at 100 TB
+    wide tables you'd compare a per-row hash computed inside each
+    scan (same join shape, 16-byte payload). The synthetic versions
+    make the expected classes closed-form testable: each class is
+    non-empty by construction at every SF."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = h32(F.concat(F.lit("snap:"), F.col("o_orderkey").cast("string"))) % 100
+    base = orders.select(
+        "o_orderkey",
+        bucket.alias("bucket"),
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
+    )
+    v1 = base.filter(F.col("bucket") < 90).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status1"), F.col("cents").alias("cents1")
+    )
+    v2 = base.filter(F.col("bucket") >= 10).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status2"),
+        F.when((F.col("bucket") >= 40) & (F.col("bucket") < 50), F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("cents2"),
+    )
+    diff = v1.join(v2, "o_orderkey", "full_outer").select(
+        F.when(F.col("cents1").isNull(), "added")
+        .when(F.col("cents2").isNull(), "removed")
+        .when(
+            (F.col("cents1") != F.col("cents2"))
+            | (F.col("status1") != F.col("status2")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_rows")).orderBy("status")
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         ('0x' || substr(md5('snap:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket,
+         o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+v1 AS (
+  SELECT o_orderkey, o_orderstatus AS status1, cents AS cents1
+  FROM base WHERE bucket < 90
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus AS status2,
+         CASE WHEN bucket >= 40 AND bucket < 50 THEN cents + 100 ELSE cents END AS cents2
+  FROM base WHERE bucket >= 10
+),
+diff AS (
+  SELECT CASE WHEN cents1 IS NULL THEN 'added'
+              WHEN cents2 IS NULL THEN 'removed'
+              WHEN cents1 <> cents2 OR status1 <> status2 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+)
+SELECT status, count(*)::BIGINT AS n_rows FROM diff GROUP BY status ORDER BY status
+"""
+
+
 QUERIES = {
     "scd2_user_state_intervals": scd2_user_state_intervals,
     "scd2_state_snapshots": scd2_state_snapshots,
     "pit_state_at_purchase": pit_state_at_purchase,
+    "snapshot_diff_orders": snapshot_diff_orders,
 }
 ORACLES = {
     "scd2_user_state_intervals": _SCD2_SQL,
     "scd2_state_snapshots": _SNAPSHOT_SQL,
     "pit_state_at_purchase": _PIT_SQL,
+    "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
 }

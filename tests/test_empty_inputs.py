@@ -48,6 +48,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.cohort", "rolling_7d_active_users"),
         ("queries.cohort", "rfm_customer_segments"),
         ("queries.modern", "sql_udf_price_bands"),
+        ("queries.modern", "parameterized_top_purchasers"),
+        ("queries.scd", "snapshot_diff_orders"),
         ("queries.modern", "variant_event_props"),
         ("queries.modern", "recursive_balance_replay"),
         ("queries.cohort", "cohort_retention"),

@@ -95,3 +95,31 @@ def test_scd2_snapshots_count_exactly_onboarded_users(spark, sf_dir):
     }
     for snap_ts, n in totals.items():
         assert n == sum(1 for t in first_seen.values() if t <= snap_ts), snap_ts
+
+
+def test_snapshot_diff_classes_match_bucket_construction(spark, sf_dir):
+    """The diff classes are closed-form from the bucket construction:
+    added = buckets 90-99 (v2-only), removed = 0-9 (v1-only),
+    changed = 40-49 (the +1.00 edit always changes cents), unchanged
+    = the remaining shared buckets."""
+    from rdbms_metadata_manager_spark.llm.hashing import h32
+    from rdbms_metadata_manager_spark.queries.scd import snapshot_diff_orders
+
+    got = {r.status: r.n_rows for r in snapshot_diff_orders(spark, sf_dir).collect()}
+    bucket = h32(F.concat(F.lit("snap:"), F.col("o_orderkey").cast("string"))) % 100
+    counts = {
+        r.b: r.n
+        for r in load(spark, sf_dir, "orders")
+        .select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    def in_range(lo, hi):
+        return sum(n for b, n in counts.items() if lo <= b < hi)
+
+    assert got["added"] == in_range(90, 100)
+    assert got["removed"] == in_range(0, 10)
+    assert got["changed"] == in_range(40, 50)
+    assert got["unchanged"] == in_range(10, 40) + in_range(50, 90)
