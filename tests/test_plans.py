@@ -388,3 +388,49 @@ def test_hybrid_rrf_legs_are_takeordered_not_global_sort(spark, sf_dir):
     # both retrieval legs keep their top-50 via per-partition heaps;
     # the only windows run over the constant-sized leg outputs
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_skyline_frontier_is_broadcast_no_cartesian(spark, sf_dir):
+    """The skyline must stay per-axis-reduction shaped: tiny frontier
+    broadcast back, and NO quadratic dominance join anywhere."""
+    from rdbms_metadata_manager_spark.queries.mining import skyline_customers
+
+    plan = physical_plan(skyline_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_prefix_filter_join_is_sort_merge_no_cartesian(spark, sf_dir):
+    """Candidate generation must be an equi-join on the prefix token
+    (sort-merge by hint), never a cross product."""
+    from rdbms_metadata_manager_spark.llm.dedup import dedup_jaccard_prefix_filter
+
+    plan = physical_plan(dedup_jaccard_prefix_filter(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_parameterized_query_pushes_bound_literal_and_takeordered(spark, sf_dir):
+    """Named parameters must bind as literals early enough for the
+    event_type predicate to reach the parquet scan, and LIMIT must
+    compile to TakeOrderedAndProject."""
+    from rdbms_metadata_manager_spark.queries.modern import (
+        parameterized_top_purchasers,
+    )
+
+    plan = physical_plan(parameterized_top_purchasers(spark, sf_dir))
+    assert "EqualTo(event_type,purchase)" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_wau_is_single_distinct_pipeline_no_join_per_day(spark, sf_dir):
+    """The rolling-distinct curve must be the explode shape — no
+    per-day self-join (a LEFT/range join here would be the quadratic
+    formulation), only the bounds broadcast."""
+    from rdbms_metadata_manager_spark.queries.cohort import rolling_7d_active_users
+
+    plan = physical_plan(rolling_7d_active_users(spark, sf_dir))
+    assert "Generate explode" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
