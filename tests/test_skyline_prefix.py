@@ -157,3 +157,43 @@ def test_interp_fills_gap_linearly(spark, tmp_path_factory):
     assert got[2] == (0, True, 4.0)
     assert got[3] == (0, True, 6.0)
     assert got[4] == (8, False, 8.0)
+
+
+def test_prefix_filter_never_indexes_hot_boilerplate_shingle(spark, tmp_path_factory):
+    """The Σdf² guard, tested directly: 60 docs share one boilerplate
+    opening (a df=60 shingle) but each has enough unique shingles
+    that the hot one falls outside every prefix — so the hot posting
+    list is never indexed and the candidate join stays linear. Also
+    checks the end-to-end result: no pair reaches J ≥ 0.5."""
+    from pyspark.sql import functions as F
+
+    from rdbms_metadata_manager_spark.llm.dedup import (
+        _prefix_postings,
+        _shingled,
+        dedup_jaccard_prefix_filter,
+    )
+
+    d = str(tmp_path_factory.mktemp("hot_shingle"))
+    rows = [
+        (i, f"the quick brown u{i}a u{i}b u{i}c u{i}d u{i}e", "en", "web", 0)
+        for i in range(60)
+    ]
+    _write_docs(spark, d, rows)
+
+    prefix = _prefix_postings(_shingled(spark, d))
+    per_shingle = (
+        prefix.groupBy("shingle").agg(F.count("*").alias("n")).collect()
+    )
+    assert per_shingle, "no postings at all"
+    assert max(r.n for r in per_shingle) == 1, per_shingle
+    # the full inverted index WOULD have had a 60-long posting list
+    full = (
+        _shingled(spark, d)
+        .select(F.explode("hashes").alias("s"))
+        .groupBy("s")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert full == 60
+    assert dedup_jaccard_prefix_filter(spark, d).count() == 0
