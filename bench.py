@@ -70,6 +70,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "copurchase_triangles",
     "dedup_jaccard_prefix_filter",
+    "dedup_containment",
 ]
 
 

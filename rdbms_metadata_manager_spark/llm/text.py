@@ -314,6 +314,55 @@ ORDER BY doc_id
 """
 
 
+def lexical_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative lexical rarity per document — the
+    integer-exact cousin of LM-perplexity quality scoring (a float
+    log-prob sum would be aggregation-order-dependent; counts are
+    not): per doc, its distinct-word count, how many of its words are
+    corpus hapaxes (document frequency 1 — typos, code, rare entities),
+    and the df of its rarest word. High hapax share flags noise/OCR
+    garbage; a high min_df flags boilerplate built entirely from
+    ubiquitous words. One explode → distinct → df window (the same
+    shingle-keyed shuffle shape as the dedup family) → per-doc
+    aggregate. At 100 TB the (word, df) relation is the corpus
+    vocabulary — thin, and shuffled on its own key."""
+    from pyspark.sql import Window
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    with_df = words.withColumn(
+        "df", F.count("*").over(Window.partitionBy("word"))
+    )
+    return (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_hapax"),
+            F.min("df").alias("min_df"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RARITY_SQL = """
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+with_df AS (
+  SELECT doc_id, word, count(*) OVER (PARTITION BY word) AS df FROM words
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_distinct_words,
+       sum((df = 1)::BIGINT)::BIGINT AS n_hapax,
+       min(df)::BIGINT AS min_df
+FROM with_df
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
@@ -321,6 +370,7 @@ QUERIES = {
     "language_id_ngram": language_id_ngram,
     "text_normalize_stats": text_normalize_stats,
     "text_char_entropy": text_char_entropy,
+    "lexical_rarity_stats": lexical_rarity_stats,
 }
 
 ORACLES = {
@@ -330,4 +380,5 @@ ORACLES = {
     "language_id_ngram": _LANG_ID_SQL,
     "text_normalize_stats": _NORMALIZE_SQL,
     "text_char_entropy": _ENTROPY_SQL,
+    "lexical_rarity_stats": _RARITY_SQL,
 }

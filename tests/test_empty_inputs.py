@@ -50,6 +50,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.modern", "sql_udf_price_bands"),
         ("queries.modern", "parameterized_top_purchasers"),
         ("queries.scd", "snapshot_diff_orders"),
+        ("llm.text", "lexical_rarity_stats"),
         ("queries.modern", "variant_event_props"),
         ("queries.modern", "recursive_balance_replay"),
         ("queries.cohort", "cohort_retention"),
