@@ -196,3 +196,89 @@ def test_prefix_filter_never_indexes_hot_boilerplate_shingle(spark, tmp_path_fac
     )
     assert full == 60
     assert dedup_jaccard_prefix_filter(spark, d).count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.floats(1.0, 500.0, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_matches_bruteforce_on_random_points(spark, tmp_path_factory, data):
+    """Window-skyline ≡ quadratic dominance filter on random
+    (n_orders, best_price) customer profiles, ties and all."""
+    from rdbms_metadata_manager_spark.queries.mining import skyline_customers
+
+    d = str(tmp_path_factory.mktemp("sky_prop"))
+    t0 = datetime.datetime(1995, 1, 1)
+    rows = []
+    for ck, (n, price) in enumerate(data, start=1):
+        for i in range(n):
+            # one order carries the max price, the rest are below it
+            p = round(price, 2) if i == 0 else 0.01
+            rows.append((ck * 1000 + i, ck, "O", p, t0, "x"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+    import math
+
+    pts = {
+        ck: (n, int(math.floor(round(price, 2) * 100 + 0.5)))
+        for ck, (n, price) in enumerate(data, start=1)
+    }
+    expected = {
+        ck
+        for ck, (n, c) in pts.items()
+        if not any(
+            qn >= n and qc >= c and (qn > n or qc > c)
+            for qk, (qn, qc) in pts.items()
+            if qk != ck
+        )
+    }
+    got = {r.o_custkey for r in skyline_customers(spark, d).collect()}
+    assert got == expected, (sorted(got), sorted(expected), pts)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_prefix_filter_matches_bruteforce_on_random_corpora(
+    spark, tmp_path_factory, word_lists
+):
+    """Lossless pruning on RANDOM small-alphabet corpora — heavy
+    shingle collisions, ties in the df order, short docs."""
+    from rdbms_metadata_manager_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_jaccard_prefix_filter,
+    )
+
+    d = str(tmp_path_factory.mktemp("pp_prop"))
+    texts = {i + 1: " ".join(ws) for i, ws in enumerate(word_lists)}
+    _write_docs(spark, d, [(i, t, "en", "web", 0) for i, t in texts.items()])
+
+    expected = set()
+    ids = sorted(texts)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            sa, sb = _shingle_set(texts[a]), _shingle_set(texts[b])
+            if sa and sb and len(sa & sb) / len(sa | sb) >= JACCARD_THRESHOLD:
+                expected.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_prefix_filter(spark, d).collect()
+    }
+    assert got == expected, (sorted(got), sorted(expected), texts)
