@@ -107,15 +107,18 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         samples: list[float] = []
-        for _ in range(4):
+        # Heavy kernels (>2s) get up to 6 samples: the co-tenant load
+        # spikes (sustained 5-14 observed) can poison 3-4 consecutive
+        # runs, and two spike-inflated samples agreeing is not
+        # convergence — the extra looks buy a quiet-window minimum.
+        for _ in range(6):
             start = time.perf_counter()
             materialize(fn(spark, sf_dir))
             samples.append(time.perf_counter() - start)
             converged = len(samples) >= 2 and samples[-1] <= min(samples[:-1]) * 1.10
-            # Expensive kernels (>2s) JIT through run 2 AND are the
-            # most contention-sensitive — two slow samples agreeing
-            # is not convergence; demand a third look.
             if converged and (min(samples) <= 2.0 or len(samples) >= 3):
+                break
+            if min(samples) <= 2.0 and len(samples) >= 4:
                 break
         timings[name] = round(min(samples), 3)
 
