@@ -191,6 +191,73 @@ ORDER BY day
 """
 
 
+STICKINESS_WINDOW = 28
+
+
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-28-day-MAU stickiness per day, in exact integer
+    per-mille — the engagement-depth metric next to the WAU curve.
+    Same explode shape as ``rolling_7d_active_users``: the (user,
+    day) pairs shuffle once; DAU is the count at offset 0 and MAU the
+    count over the 28 window-end days each pair feeds. Stickiness is
+    dau·1000 div mau (integer — a double ratio of two big counts
+    would be fine too, but integer per-mille keeps the whole query in
+    the no-float-contract class). Only days with a full window behind
+    them are emitted (clip to [d0+27, d1])."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    mau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(day, date_add(day, {STICKINESS_WINDOW - 1}), interval 1 day)"
+                )
+            ).alias("wday"),
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["day"] == mau["wday"])
+        .join(F.broadcast(bounds))
+        .filter(
+            (F.col("day") >= F.expr(f"date_add(d0, {STICKINESS_WINDOW - 1})"))
+            & (F.col("day") <= F.col("d1"))
+        )
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("dau * 1000 div mau").alias("stickiness_pm"),
+        )
+        .orderBy("day")
+    )
+
+
+_STICKINESS_SQL = f"""
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+mau AS (
+  SELECT wday, count(DISTINCT user_id) AS mau
+  FROM (
+    SELECT user_id,
+           unnest(generate_series(day, day + INTERVAL {STICKINESS_WINDOW - 1} DAY,
+                                  INTERVAL 1 DAY))::DATE AS wday
+    FROM ud
+  )
+  GROUP BY wday
+)
+SELECT day, dau, mau, dau * 1000 // mau AS stickiness_pm
+FROM dau JOIN mau ON day = wday, b
+WHERE day >= d0 + {STICKINESS_WINDOW - 1} AND day <= d1
+ORDER BY day
+"""
+
+
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — recency / frequency / monetary quintile
     scores per customer, rolled up to segment sizes. The standard
@@ -294,10 +361,12 @@ QUERIES = {
     "event_path_trigrams": event_path_trigrams,
     "rolling_7d_active_users": rolling_7d_active_users,
     "rfm_customer_segments": rfm_customer_segments,
+    "dau_mau_stickiness": dau_mau_stickiness,
 }
 ORACLES = {
     "cohort_retention": _COHORT_SQL,
     "event_path_trigrams": _PATHS_SQL,
     "rolling_7d_active_users": _WAU_SQL,
     "rfm_customer_segments": _RFM_SQL,
+    "dau_mau_stickiness": _STICKINESS_SQL,
 }

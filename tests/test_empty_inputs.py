@@ -51,6 +51,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.modern", "parameterized_top_purchasers"),
         ("queries.scd", "snapshot_diff_orders"),
         ("llm.text", "lexical_rarity_stats"),
+        ("queries.cohort", "dau_mau_stickiness"),
         ("queries.modern", "variant_event_props"),
         ("queries.modern", "recursive_balance_replay"),
         ("queries.cohort", "cohort_retention"),
