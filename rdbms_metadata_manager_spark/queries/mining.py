@@ -283,14 +283,88 @@ ORDER BY p.o_custkey
 """
 
 
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto / ABC analysis) over customers:
+    rank customers by exact-cents lifetime revenue, accumulate the
+    running share in integer per-mille, and band A/B/C at the 800‰
+    and 950‰ cuts. Everything is bigint (cents, running cents,
+    per-mille via `div`), so the window cumsum is order-stable and
+    engine-identical — a double cumsum would drift between engines
+    under reordering.
+
+    Scale: ONE per-customer rollup (map-side combined) and one
+    global-ordered window over the ROLLED-UP relation (customers,
+    not orders). The single-partition window over per-entity totals
+    is the honest cost of an exact global cumulative share; at 100 TB
+    with a billion customers you'd range-partition the sort and
+    two-pass the prefix sums (compute per-range totals, broadcast
+    range offsets) — the output contract stays identical. Output is
+    the per-band rollup: band, customers, revenue share."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
+    per = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
+    w = Window.orderBy(F.desc("rev_cents"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per.agg(F.sum("rev_cents").alias("total_cents"))
+    banded = (
+        per.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(total))
+        .withColumn("cum_pm", F.expr("cum_cents * 1000 div total_cents"))
+        .withColumn(
+            "band",
+            F.when(F.col("cum_pm") <= 800, "A")
+            .when(F.col("cum_pm") <= 950, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_cents").alias("band_cents"),
+        )
+        .orderBy("band")
+    )
+
+
+_PARETO_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+),
+t AS (SELECT sum(rev_cents) AS total_cents FROM per),
+banded AS (
+  SELECT rev_cents,
+         CASE WHEN cum_pm <= 800 THEN 'A'
+              WHEN cum_pm <= 950 THEN 'B'
+              ELSE 'C' END AS band
+  FROM (
+    SELECT rev_cents,
+           sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000 // total_cents AS cum_pm
+    FROM per, t
+  )
+)
+SELECT band, count(*)::BIGINT AS n_customers, sum(rev_cents)::BIGINT AS band_cents
+FROM banded GROUP BY band ORDER BY band
+"""
+
+
 QUERIES = {
     "skyline_customers": skyline_customers,
+    "pareto_revenue_concentration": pareto_revenue_concentration,
     "copurchase_part_pairs": copurchase_part_pairs,
     "copurchase_triangles": copurchase_triangles,
     "drift_event_type_shares": drift_event_type_shares,
 }
 ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
+    "pareto_revenue_concentration": _PARETO_SQL,
     "copurchase_part_pairs": _PAIRS_SQL,
     "copurchase_triangles": _TRI_SQL,
     "drift_event_type_shares": _DRIFT_SQL,

@@ -52,6 +52,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.scd", "snapshot_diff_orders"),
         ("llm.text", "lexical_rarity_stats"),
         ("queries.cohort", "dau_mau_stickiness"),
+        ("queries.mining", "pareto_revenue_concentration"),
         ("queries.modern", "variant_event_props"),
         ("queries.modern", "recursive_balance_replay"),
         ("queries.cohort", "cohort_retention"),
