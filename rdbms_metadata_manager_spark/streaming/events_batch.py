@@ -138,14 +138,83 @@ ORDER BY window_start
 """
 
 
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by entry event type — the landing-page engagement
+    report: sessions (15-min inactivity gap, same ``session_window``
+    the streaming face uses) grouped by their FIRST event's type,
+    with the single-event-session share in integer per-mille. The
+    session's entry event is ``min(struct(ts, event_id, event_type))``
+    — lexicographic struct min, so simultaneous-timestamp ties break
+    on event_id deterministically in both engines (the oracle uses a
+    row_number over the same (ts, event_id) order). Scale: the
+    session_window aggregate is one user-keyed shuffle (state bounded
+    by the gap in streaming); the bounce rollup runs on sessions, not
+    events."""
+    e = load(spark, sf_dir, "events")
+    sess = e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first"),
+    )
+    per = sess.select(
+        F.col("first.event_type").alias("entry_type"),
+        (F.col("n_events") == 1).cast("bigint").alias("bounced"),
+    )
+    return (
+        per.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("bounced").alias("n_bounces"),
+        )
+        .withColumn("bounce_pm", F.expr("n_bounces * 1000 div n_sessions"))
+        .orderBy("entry_type")
+    )
+
+
+_BOUNCE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+firsts AS (
+  SELECT entry_type, n_events FROM (
+    SELECT count(*) OVER (PARTITION BY user_id, session_id) AS n_events,
+           first_value(event_type) OVER (PARTITION BY user_id, session_id
+                                         ORDER BY ts, event_id) AS entry_type,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn
+    FROM sessions
+  )
+  WHERE rn = 1
+)
+SELECT entry_type, count(*)::BIGINT AS n_sessions,
+       sum((n_events = 1)::BIGINT)::BIGINT AS n_bounces,
+       sum((n_events = 1)::BIGINT) * 1000 // count(*) AS bounce_pm
+FROM firsts
+GROUP BY entry_type
+ORDER BY entry_type
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_session_stats": events_session_stats,
     "events_sliding_10min": events_sliding_10min,
+    "session_bounce_stats": session_bounce_stats,
 }
 
 ORACLES = {
     "events_tumbling_hourly": _TUMBLING_SQL,
     "events_session_stats": _SESSION_SQL,
     "events_sliding_10min": _SLIDING_SQL,
+    "session_bounce_stats": _BOUNCE_SQL,
 }

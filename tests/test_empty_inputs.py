@@ -53,6 +53,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.text", "lexical_rarity_stats"),
         ("queries.cohort", "dau_mau_stickiness"),
         ("queries.mining", "pareto_revenue_concentration"),
+        ("streaming.events_batch", "session_bounce_stats"),
         ("queries.modern", "variant_event_props"),
         ("queries.modern", "recursive_balance_replay"),
         ("queries.cohort", "cohort_retention"),
