@@ -26,6 +26,11 @@ def _ensure_confs(spark: SparkSession) -> SparkSession:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # The driver's session does not enable Arrow; the engine's
+        # createDataFrame(pandas) paths assume it (and it's 10-100x
+        # faster for local relations anyway).  Set it here so no query
+        # depends on who built the session (VERDICT r2 item 1b).
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ]:
         try:
             spark.conf.set(k, v)

@@ -128,10 +128,23 @@ def _local_df(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
     a LocalTableScan. A plain createDataFrame(list) builds a
     Python-RDD-backed scan (applySchemaToPythonRDD) that launches
     pyspark workers inside every downstream stage — measured at a
-    flat ~4s per broadcast join in this environment."""
+    flat ~4s per broadcast join in this environment.
+
+    Built column-wise with dtype=object so pandas never runs dtype
+    inference: ``from_records`` would promote nullable-int columns
+    (ints + None) to float64 *before* any astype(object), freezing
+    ``255`` as the float ``255.0``.  Arrow-enabled sessions silently
+    cast that back, but a non-Arrow session (the driver's) takes the
+    ``_createFromLocal`` verifier path and raises
+    FIELD_DATA_TYPE_UNACCEPTABLE_WITH_NAME (CORRECTNESS_r02)."""
     import pandas as pd
 
-    pdf = pd.DataFrame.from_records(rows, columns=[f.name for f in schema.fields]).astype(object)
+    names = [f.name for f in schema.fields]
+    data = {
+        name: pd.Series([row[i] for row in rows], dtype=object)
+        for i, name in enumerate(names)
+    }
+    pdf = pd.DataFrame(data, columns=names)
     pdf = pdf.where(pd.notnull(pdf), None)
     return spark.createDataFrame(pdf, schema)
 

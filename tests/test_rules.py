@@ -185,3 +185,36 @@ def test_rule_output_subset_of_input_columns(ecommerce):
     issues = detect_schema_flaws(*ecommerce)
     for r in issues.collect():
         assert (r["table"], r["column"]) in input_cols
+
+
+def test_fixtures_without_arrow(spark):
+    """Regression (VERDICT r2 item 1/2): the driver's session does NOT
+    enable Arrow, so createDataFrame(pandas, schema) takes the strict
+    ``_createFromLocal`` verifier path.  Pandas ``from_records`` used
+    to promote nullable-int columns (ints + None) to float64 before
+    astype(object), so ``255`` arrived as ``255.0`` and the verifier
+    raised FIELD_DATA_TYPE_UNACCEPTABLE_WITH_NAME.  Build every
+    fixture and run the full rule engine with Arrow explicitly OFF —
+    this is the driver's environment."""
+    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    try:
+        for db in ("ecommerce_db", "quirks_db"):
+            cols = fixtures.columns_meta(spark, db)
+            idx = fixtures.indexes_meta(spark, db)
+            fks = fixtures.foreign_keys_meta(spark, db)
+            # force full materialization through the verifier path
+            assert cols.count() > 0
+            assert idx.count() > 0
+            assert fks.count() > 0
+            issues = detect_schema_flaws(cols, idx, fks)
+            n = issues.count()
+            assert n == (18 if db == "ecommerce_db" else 7), (db, n)
+        # int values must be Python ints end-to-end, never floats
+        row = fixtures.columns_meta(spark, "ecommerce_db").filter(
+            "column_name = 'username' AND table_name = 'Users'"
+        ).first()
+        assert row["char_max_length"] == 255
+        assert isinstance(row["char_max_length"], int)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev)
