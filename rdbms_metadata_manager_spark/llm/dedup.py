@@ -501,10 +501,15 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     prefix = _prefix_postings(sh)
     a, b = prefix.alias("a"), prefix.hint("shuffle_merge").alias("b")
-    # PPJoin's positional count filter: COUNT shared prefix tokens c
-    # per pair (a groupBy on the same shuffle a distinct would pay)
-    # and bound the achievable overlap — tokens outside both prefixes
-    # sit in at least one suffix, so overlap ≤ c + min(suffix sizes)
+    # PPJoin-style count filter: COUNT shared prefix tokens c per
+    # pair (a groupBy on the same shuffle a distinct would pay) and
+    # bound the achievable overlap.  A common token outside both
+    # prefixes is > the last prefix element of whichever doc's prefix
+    # ends EARLIER in the global (df, shingle) order — prefix
+    # membership is downward-closed, so every such token falls in
+    # that one doc's suffix.  Hence overlap ≤ c + max(suffix sizes)
+    # (NOT min — min wrongly prunes true pairs when the contained
+    # doc's prefix is hapax-heavy; see test_count_filter_soundness)
     # with suffix = ⌈n/2⌉ - 1; J ≥ ½ needs overlap ≥ ⌈(n_a+n_b)/3⌉.
     # Pairs below the bound die BEFORE touching the full arrays —
     # measured 310k prefix-sharing pairs → ~300 survivors at sf0.1,
@@ -529,7 +534,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix_b = F.expr("(n_b + 1) div 2 - 1")
     required = F.expr("(n_a + n_b + 2) div 3")
     candidates = pair_counts.filter(
-        F.col("c") + F.least(suffix_a, suffix_b) >= required
+        F.col("c") + F.greatest(suffix_a, suffix_b) >= required
     ).select("doc_a", "doc_b")
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("sh_b"))

@@ -198,6 +198,34 @@ def test_prefix_filter_never_indexes_hot_boilerplate_shingle(spark, tmp_path_fac
     assert dedup_jaccard_prefix_filter(spark, d).count() == 0
 
 
+def test_count_filter_soundness_contained_doc_hapax_prefix(spark, tmp_path_factory):
+    """Regression (ADVICE r2, high): the count filter's overlap bound
+    must be c + max(suffix_a, suffix_b), not min.  With min, a true
+    pair is pruned when the contained doc's prefix is hapax-heavy:
+    'a b c d e f' vs 'p q r s a b c d e f' share ALL 4 of doc 1's
+    shingles (J = 4/8 = 0.5, exactly at threshold), but the shared
+    shingles sort late in doc 2's (df, shingle) order so few land in
+    both prefixes — min(suffixes) then under-bounds the overlap and
+    the pair dies before verification."""
+    from rdbms_metadata_manager_spark.llm.dedup import dedup_jaccard_prefix_filter
+
+    d = str(tmp_path_factory.mktemp("count_filter"))
+    _write_docs(
+        spark,
+        d,
+        [
+            (1, "a b c d e f", "en", "web", 0),
+            (2, "p q r s a b c d e f", "en", "web", 0),
+        ],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_prefix_filter(spark, d).collect()
+    }
+    assert (1, 2) in got, got
+    assert abs(got[(1, 2)] - 0.5) < 1e-12
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
