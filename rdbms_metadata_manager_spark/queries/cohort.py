@@ -154,8 +154,10 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB you swap countDistinct for an HLL sketch merged per
     day (approx_count_distinct) and keep the identical plan shape;
     the explode factor is the window length, not the data size.
-    Window-end days outside the observed range are clipped so every
-    reported day has a full trailing week of data behind it."""
+    Window-end days are clipped to [d0+6, d1] so every reported day
+    has a full trailing week of data behind it — days d0..d0+5 would
+    carry windows extending before the data start and under-report
+    (ADVICE r2; mirrors the d0+27 clip in ``dau_mau_stickiness``)."""
     e = load(spark, sf_dir, "events")
     ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
     bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
@@ -167,7 +169,10 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         expanded.join(F.broadcast(bounds))
-        .filter((F.col("wday") >= F.col("d0")) & (F.col("wday") <= F.col("d1")))
+        .filter(
+            (F.col("wday") >= F.date_add(F.col("d0"), 6))
+            & (F.col("wday") <= F.col("d1"))
+        )
         .groupBy("wday")
         .agg(F.countDistinct("user_id").alias("wau_users"))
         .select(F.col("wday").alias("day"), "wau_users")
@@ -185,7 +190,7 @@ ex AS (
 )
 SELECT wday AS day, count(DISTINCT user_id) AS wau_users
 FROM ex, b
-WHERE wday BETWEEN d0 AND d1
+WHERE wday BETWEEN d0 + INTERVAL 6 DAY AND d1
 GROUP BY wday
 ORDER BY day
 """
