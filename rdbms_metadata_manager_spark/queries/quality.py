@@ -98,25 +98,77 @@ _FK_EDGES: list[tuple[str, str, str, str, str, bool]] = [
 
 
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = []
-    for label, child, ckey, parent, pkey, tiny in _FK_EDGES:
-        c = load(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        p = load(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
-        if tiny:
-            p = F.broadcast(p)
-        # NOT EXISTS semantics: a NULL child key is "no reference",
-        # not an orphan — filter it out on both sides of the compare.
-        orphans = c.filter(F.col("k").isNotNull()).join(p, "k", "left_anti")
-        parts.append(
-            orphans.agg(F.count("*").alias("orphan_rows")).select(
-                F.lit(label).alias("fk_edge"),
-                "orphan_rows",
+    # One scan per CHILD table (not per edge): each row emits an
+    # (edge, key) pair per FK column via inline(), then a single
+    # groupBy(edge, key) with map-side partial aggregation collapses
+    # the pairs to distinct keys + multiplicities — the shuffle
+    # payload is Σ distinct keys per edge, far below the naive
+    # 7-anti-join plan's per-edge child rescans (lineitem was read
+    # 3×).  All child key tables and all parent key sets then meet in
+    # ONE left-anti join on (edge, key); orphan multiplicities sum per
+    # edge and a 7-row literal backbone zero-fills intact edges.  At
+    # 100 TB: one pass over each fact table's key columns, one
+    # key-sized shuffle, one join — no broadcast assumption on the
+    # big parents (AQE still broadcasts the small ones).
+    import pandas as pd
+
+    # Integer edge ids in the exploded pairs and join keys — the
+    # human-readable labels (≈25 B each) would otherwise ride every
+    # one of the exploded rows; the id is 1 B and the label joins
+    # back on via the 7-row backbone at the very end.
+    edge_id = {e[0]: i for i, e in enumerate(_FK_EDGES)}
+
+    by_child: dict[str, list[tuple[int, str]]] = {}
+    for label, child, ckey, _parent, _pkey, _tiny in _FK_EDGES:
+        by_child.setdefault(child, []).append((edge_id[label], ckey))
+
+    child_parts = []
+    for child, edges in by_child.items():
+        pairs = ", ".join(
+            f"({eid}, CAST({ckey} AS BIGINT))" for eid, ckey in edges
+        )
+        child_parts.append(
+            load(spark, sf_dir, child)
+            .select(F.expr(f"inline(array({pairs}))").alias("e", "k"))
+            .filter(F.col("k").isNotNull())  # NULL = "no reference", not orphan
+        )
+    child_keys = child_parts[0]
+    for p in child_parts[1:]:
+        child_keys = child_keys.unionByName(p)
+    child_keys = child_keys.groupBy("e", "k").agg(F.count(F.lit(1)).alias("cnt"))
+
+    parent_parts = []
+    for label, _child, _ckey, parent, pkey, _tiny in _FK_EDGES:
+        parent_parts.append(
+            load(spark, sf_dir, parent).select(
+                F.lit(edge_id[label]).alias("e"),
+                F.col(pkey).cast("bigint").alias("k"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.withColumn("intact", F.col("orphan_rows") == 0).orderBy("fk_edge")
+    parents = parent_parts[0]
+    for p in parent_parts[1:]:
+        parents = parents.unionByName(p)
+
+    orphan_counts = (
+        child_keys.join(parents, ["e", "k"], "left_anti")
+        .groupBy("e")
+        .agg(F.sum("cnt").alias("orphan_rows"))
+    )
+    backbone = spark.createDataFrame(
+        pd.DataFrame(
+            {"e": list(edge_id.values()), "fk_edge": list(edge_id)}
+        )
+    )
+    return (
+        F.broadcast(backbone)
+        .join(orphan_counts, "e", "left")
+        .select(
+            "fk_edge",
+            F.coalesce("orphan_rows", F.lit(0)).alias("orphan_rows"),
+        )
+        .withColumn("intact", F.col("orphan_rows") == 0)
+        .orderBy("fk_edge")
+    )
 
 
 _DQ_FK_SQL = (
