@@ -44,29 +44,40 @@ TOP_PAIRS = 20
 MAX_BASKET = 50  # a-priori fanout guard: C(50,2) ≈ 1.2k pairs max per order
 
 
-def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (order, part) memberships, basket-size-capped."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    return li.withColumn(
-        "basket_n", F.count("*").over(Window.partitionBy("l_orderkey"))
-    ).filter(F.col("basket_n") <= MAX_BASKET)
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ordered within-order part pairs (part_a < part_b), one row
+    per (order, pair) — the market-basket kernel shared by the pair
+    counter and the triangle counter.
+
+    Shape: ONE groupBy(l_orderkey) with collect_set (dedup folded
+    into the aggregation — no separate DISTINCT shuffle), a size cap
+    (the a-priori fanout guard), then C(n,2) pair emission JVM-side
+    via nested transform/flatten inside whole-stage codegen.  No
+    self-join: the aliased-join form paid a second shuffle and
+    computed the basket relation twice."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= MAX_BASKET)
+    )
+    return baskets.select(
+        "l_orderkey",
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p"),
+    ).select("l_orderkey", "p.part_a", "p.part_b")
 
 
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _baskets(spark, sf_dir).select("l_orderkey", "l_partkey")
-    left = b.alias("a")
-    right = b.alias("b")
-    pairs = left.join(
-        right,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
-    )
+    pairs = _basket_pairs(spark, sf_dir).select("part_a", "part_b")
     return (
         pairs.groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(TOP_PAIRS)
     )
@@ -90,16 +101,11 @@ LIMIT {TOP_PAIRS}
 
 
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _baskets(spark, sf_dir).select("l_orderkey", "l_partkey")
-    # undirected distinct edge list, canonical a < b
+    # undirected distinct edge list, canonical a < b — from the same
+    # self-join-free basket-pair kernel as copurchase_part_pairs
     e = (
-        b.alias("x")
-        .join(
-            b.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        _basket_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
         .distinct()
     )
     deg = (
