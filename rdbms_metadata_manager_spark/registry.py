@@ -82,17 +82,35 @@ def _modules():
 # exemplar per SURVEY.md §2.2 category.  Everything not listed keeps its
 # module-order position after these.
 PRIORITY: tuple[str, ...] = (
-    # §2.1 reference parity (the entire point of the reference)
+    # §2.1 reference parity (the entire point of the reference) —
+    # pinned first every round
     "schema_issues",
     "schema_issues_quirks",
     "schema_issue_summary",
-    # LLM pipeline: dedup family
-    "dedup_exact",
+    # round-3 rotation (VERDICT r2 item 3): rows green in BOTH r1 and
+    # r2 left the window; never-driver-checked queries and everything
+    # changed this round took their slots.
+    # changed this round — need fresh driver evidence
+    "dedup_jaccard_prefix_filter",  # count-filter bound fixed (ADVICE r2 high)
+    "rolling_7d_active_users",      # full-week clip (ADVICE r2 low)
+    "dq_referential_integrity",     # one-scan-per-child restructure
+    "copurchase_part_pairs",        # self-join-free basket pairs
+    "copurchase_triangles",         # edge list from the same kernel
+    # never driver-checked before this round
+    "pyds_catalog_columns",
+    "hybrid_search_rrf",
+    "knn_join_bruteforce",
+    "pit_state_at_purchase",
+    "dedup_chunk_ratio",
+    "quality_filter_gate",
+    "bm25_keyword_search",
+    "skyline_customers",
+    "spatial_neighbor_stats",
+    # LLM pipeline: dedup family (r2-green exemplars kept for streak)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental_batch",
-    "dedup_jaccard_prefix_filter",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "text_winnow_fingerprints",
@@ -113,29 +131,17 @@ PRIORITY: tuple[str, ...] = (
     "pii_redaction",
     "pandas_udf_text_scores",
     "udtf_document_chunks",
-    # streaming (batch faces of the streaming pipelines)
+    # streaming (batch face of the streaming pipelines)
     "events_session_stats",
-    "events_tumbling_hourly",
     # skew handling
     "salted_join_revenue",
-    # previously canon-unsafe / no-oracle rows, now fixed
+    # previously canon-unsafe / no-oracle rows, green r2 — one more round
     "ordered_array_agg_orders",
     "map_functions_events",
     "approx_distinct_stats",
-    # §2.2 category exemplars
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
+    # §2.2 exemplars not yet green twice
     "q21_waiting_suppliers",
-    "asof_join_last_click",
-    "range_join_error_bursts",
-    "window_topn_orders_per_customer",
-    "grouping_sets_event_rollup",
-    "pivot_returnflag_by_status",
-    "topk_orders",
-    "set_except_segments",
     "unpivot_lineitem_measures",
-    "string_functions_parts",
-    "date_functions_orders",
     "variant_event_props",
     "lateral_top_customers_per_nation",
     "recursive_balance_replay",
