@@ -14,9 +14,10 @@ never sees them. Type names are normalized to the SQLAlchemy-class-
 name-style uppercase strings the rules compare against (reference
 app.py:39 yields "VARCHAR", "TINYINT", "DATETIME", ...).
 
-No live database exists in this environment, so these readers are
-exercised only through their query text + normalization logic; the
-offline parquet/fixture path (catalog.fixtures) is the tested path.
+The PostgreSQL query text and post-processing are integration-tested
+against a real PostgreSQL server via the psql transport in
+``catalog.pg_live`` (tests/test_pg_live.py); only the JDBC wire
+itself (spark.read.format("jdbc")) lacks a driver jar here.
 """
 
 from __future__ import annotations
@@ -150,7 +151,30 @@ FROM pg_class t
 JOIN pg_index ix ON t.oid = ix.indrelid
 JOIN pg_class i ON i.oid = ix.indexrelid
 JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = ANY(ix.indkey)
-WHERE t.relkind = 'r'
+WHERE t.relkind = 'r' AND t.relnamespace = 'public'::regnamespace
+"""
+
+# Multi-column FKs pair constrained→referred columns positionally:
+# position_in_unique_constraint links each FK column to the ordinal of
+# the referenced unique/PK constraint column (information_schema is
+# the portable face; verified against live PostgreSQL 15).
+_PG_FK_QUERY = """
+SELECT current_database() AS database,
+       kcu.table_name,
+       kcu.constraint_name,
+       kcu.column_name,
+       kcu.ordinal_position,
+       rk.table_name  AS referred_table,
+       rk.column_name AS referred_column
+FROM information_schema.referential_constraints rc
+JOIN information_schema.key_column_usage kcu
+  ON kcu.constraint_name = rc.constraint_name
+ AND kcu.constraint_schema = rc.constraint_schema
+JOIN information_schema.key_column_usage rk
+  ON rk.constraint_name = rc.unique_constraint_name
+ AND rk.constraint_schema = rc.unique_constraint_schema
+ AND rk.ordinal_position = kcu.position_in_unique_constraint
+WHERE kcu.table_schema = 'public'
 """
 
 
@@ -165,14 +189,13 @@ def read_indexes_meta(spark: SparkSession, jdbc_url: str, database: str, dialect
     return _jdbc(spark, jdbc_url, query)
 
 
-def read_foreign_keys_meta(spark: SparkSession, jdbc_url: str, database: str, dialect: str = "mysql") -> DataFrame:
-    """FKs grouped back to one row per constraint with the ordered
-    ``constrained_columns`` array the rules contract expects —
-    ``sort_array(collect_list(struct(ordinal, col)))`` keeps column
-    order so ``element_at(..., 1)`` matches the reference's
-    ``constrained_columns[0]`` (app.py:35)."""
-    query = _MYSQL_FK_QUERY.format(db=database)
-    df = _jdbc(spark, jdbc_url, query)
+def group_foreign_keys(df: DataFrame) -> DataFrame:
+    """Collapse flat (constraint, column, ordinal) FK rows to one row
+    per constraint with the ordered ``constrained_columns`` array the
+    rules contract expects — ``sort_array(collect_list(struct(ordinal,
+    col)))`` keeps column order so ``element_at(..., 1)`` matches the
+    reference's ``constrained_columns[0]`` (app.py:35). Shared by the
+    JDBC readers and the live-psql transport (catalog.pg_live)."""
     return (
         df.groupBy("database", "table_name", "constraint_name")
         .agg(
@@ -187,3 +210,8 @@ def read_foreign_keys_meta(spark: SparkSession, jdbc_url: str, database: str, di
             ).alias("referred_columns"),
         )
     )
+
+
+def read_foreign_keys_meta(spark: SparkSession, jdbc_url: str, database: str, dialect: str = "mysql") -> DataFrame:
+    query = (_MYSQL_FK_QUERY if dialect == "mysql" else _PG_FK_QUERY).format(db=database)
+    return group_foreign_keys(_jdbc(spark, jdbc_url, query))
