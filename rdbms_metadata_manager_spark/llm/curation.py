@@ -257,13 +257,91 @@ ORDER BY term, rank
 """
 
 
+DSIR_TARGET_LANG = "en"
+DSIR_SCALE = 1_000_000
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much its token distribution resembles a target
+    distribution (here: the English subset), using smoothed unigram
+    importance ratios.
+
+    Deviations from the paper, both deliberate:
+    - per-token ratios aggregate ADDITIVELY (mean importance ratio)
+      instead of multiplying into a log-prob — a float log-sum is
+      aggregation-order- and libm-dependent (the lexical_rarity_stats
+      rationale), so each token's smoothed ratio
+      (c_target+1)/(c_raw+1) is fixed-pointed to 1e6 via integer
+      division and summed exactly in int64;
+    - the final Gumbel-noise resample is omitted (deterministic
+      scores ARE the contract; sampling is llm/sampling.py's job).
+
+    One corpus scan: per-doc token counts roll up to the vocabulary
+    (df-from-tf, the tfidf_top_terms shape), then join back on the
+    token key. At 100 TB both shuffles are token-keyed and the vocab
+    side is the thin one; nothing is driver-side."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    doc_tok = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("n_t"))
+    )
+    vocab = doc_tok.groupBy("token").agg(
+        F.sum("n_t").alias("c_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("n_t")).otherwise(F.lit(0))
+        ).alias("c_tgt"),
+    )
+    scored = doc_tok.join(vocab, "token").withColumn(
+        "contrib", F.col("n_t") * F.expr(f"(c_tgt + 1) * {DSIR_SCALE} div (c_raw + 1)")
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n_t").alias("n_tokens"),
+            F.sum("contrib").alias("dsir_score_fp"),
+        )
+        .withColumn("avg_token_ratio_fp", F.expr("dsir_score_fp div n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SQL = f"""
+WITH doc_tok AS (
+  SELECT doc_id, lang, token, count(*)::BIGINT AS n_t
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, lang, token
+),
+vocab AS (
+  SELECT token, sum(n_t)::BIGINT AS c_raw,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN n_t ELSE 0 END)::BIGINT AS c_tgt
+  FROM doc_tok GROUP BY token
+),
+per_doc AS (
+  SELECT d.doc_id, d.lang,
+         sum(d.n_t)::BIGINT AS n_tokens,
+         sum(d.n_t * (((v.c_tgt + 1) * {DSIR_SCALE}) // (v.c_raw + 1)))::BIGINT AS dsir_score_fp
+  FROM doc_tok d JOIN vocab v USING (token)
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_tokens, dsir_score_fp,
+       dsir_score_fp // n_tokens AS avg_token_ratio_fp
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_chunk_ratio": dedup_chunk_ratio,
     "quality_filter_gate": quality_filter_gate,
     "bm25_keyword_search": bm25_keyword_search,
+    "dsir_importance_weights": dsir_importance_weights,
 }
 ORACLES = {
     "dedup_chunk_ratio": _CHUNK_SQL,
     "quality_filter_gate": _GATE_SQL,
     "bm25_keyword_search": _BM25_SQL,
+    "dsir_importance_weights": _DSIR_SQL,
 }

@@ -1,0 +1,100 @@
+"""SemDeDup — semantic deduplication via embedding clusters.
+
+The published recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"): k-means the
+embedding space, then compare pairs ONLY within a cluster and drop
+all but one member of every semantic-duplicate group. Clustering is
+what makes the pairwise step tractable — at 100 TB the quadratic
+cost is bounded per cluster (cap cluster size / split hot cells),
+and the pair join shuffles on the cluster id alone.
+
+Composition here: the deterministic Lloyd trainer from ``kmeans``
+(fixed seeds, fixed iterations, 6-dp rounded centroids — the full
+oracle-determinism contract) feeds a within-cluster self-join
+verified with exact cosine. The final assignment is
+``localCheckpoint``-ed before the self-join: the HOF-heavy
+assignment lineage is cut, so both join sides share one computed
+plan instead of recomputing two Lloyd runs (and the shared-lambda
+self-join trap in dedup_embedding_cosine's docstring can't bite).
+
+Keep policy: the lowest vec_id in every duplicate relation survives
+(reference keep-first semantics; the paper keeps the point with the
+lowest centroid similarity — id-based keeps the oracle exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.base import load_spread
+from .kmeans import ITERATIONS, K, _assign, _sql_assign, _sql_update, _update
+from .similarity import _as_double, _cosine, _cosine_sql
+
+SEMDEDUP_COSINE = 0.4
+
+
+def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs dropped by SemDeDup: for each, the cluster it sat in, the
+    surviving lower-id partner it duplicates, and how many kept-side
+    partners flagged it."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    centroids = (
+        emb.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(ITERATIONS):
+        centroids = _update(_assign(emb, centroids)).localCheckpoint(eager=True)
+    assigned = _assign(emb, centroids).localCheckpoint(eager=True)
+
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", _cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= SEMDEDUP_COSINE)
+    )
+    return (
+        pairs.groupBy(
+            F.col("b.vec_id").alias("drop_vec"),
+            F.col("b.cluster").alias("cluster"),
+        )
+        .agg(
+            F.min(F.col("a.vec_id")).alias("keep_vec"),
+            F.count("*").alias("n_dup_partners"),
+        )
+        .orderBy("drop_vec")
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM e WHERE vec_id < {K}),
+{_sql_assign('c0', 'a1')},
+{_sql_update('a1', 'c1')},
+{_sql_assign('c1', 'a2')},
+{_sql_update('a2', 'c2')},
+{_sql_assign('c2', 'a3')},
+pairs AS (
+  SELECT a.vec_id AS keep_cand, b.vec_id AS drop_vec, b.cluster AS cluster
+  FROM a3 a JOIN a3 b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_cosine_sql("a.v", "b.v")} >= {SEMDEDUP_COSINE}
+)
+SELECT drop_vec, cluster, min(keep_cand) AS keep_vec,
+       count(*) AS n_dup_partners
+FROM pairs
+GROUP BY drop_vec, cluster
+ORDER BY drop_vec
+"""
+
+
+QUERIES = {"semdedup_embedding_clusters": semdedup_embedding_clusters}
+ORACLES = {"semdedup_embedding_clusters": _SEMDEDUP_SQL}

@@ -52,6 +52,7 @@ def _modules():
             quantize,
             ranking,
             sampling,
+            semdedup,
             similarity,
             text,
             udfs,
@@ -62,7 +63,7 @@ def _modules():
         mods += [
             dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
             clustering, kmeans, sampling, hygiene, pii, quantize, entity,
-            fingerprint, curation,
+            fingerprint, curation, semdedup,
         ]
     except ImportError:
         pass

