@@ -71,6 +71,8 @@ HEADLINE = [
     "copurchase_triangles",
     "dedup_jaccard_prefix_filter",
     "dedup_containment",
+    "semdedup_embedding_clusters",
+    "dsir_importance_weights",
 ]
 
 

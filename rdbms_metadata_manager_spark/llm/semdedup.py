@@ -50,26 +50,59 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = _update(_assign(emb, centroids)).localCheckpoint(eager=True)
     assigned = _assign(emb, centroids).localCheckpoint(eager=True)
 
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    pairs = (
+    # Within-cluster pairwise cosine, two-stage for whole-stage
+    # codegen: a zip_with/aggregate cosine straight on the pair join
+    # runs the lambda INTERPRETED per pair (~16 s for 250 k pairs ×
+    # 64 dims at sf0.1; ROADMAP HOF-vs-Arrow note), so stage 1
+    # computes dot products RELATIONALLY — posexplode each member
+    # once, join the dims on (cluster, pos), partial-agg the products
+    # — all codegen. Its groupBy sum is aggregation-order-
+    # nondeterministic, so it only PREFILTERS with an ε margin; stage
+    # 2 re-checks survivors (a few hundred) with the ordered-fold
+    # cosine, keeping the ≥ τ cut bit-identical to the SQL oracle.
+    # At 100 TB the (cluster, pos) join is the bounded step: pair
+    # volume is Σ n_c², controlled by the cluster count / a cap on
+    # cluster size, and shuffles carry only (id, id, product).
+    norms = assigned.select(
+        "vec_id",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
+    )
+    dims = assigned.select("vec_id", "cluster", F.posexplode("v").alias("pos", "x"))
+    a = dims.select(F.col("vec_id").alias("aid"), "cluster", "pos", F.col("x").alias("ax"))
+    b = dims.select(
+        F.col("vec_id").alias("bid"),
+        F.col("cluster").alias("bcl"),
+        F.col("pos").alias("bpos"),
+        F.col("x").alias("bx"),
+    )
+    dots = (
         a.join(
             b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("cluster") == F.col("bcl"))
+            & (F.col("pos") == F.col("bpos"))
+            & (F.col("aid") < F.col("bid")),
         )
-        .withColumn("cos", _cosine(F.col("a.v"), F.col("b.v")))
-        .filter(F.col("cos") >= SEMDEDUP_COSINE)
+        .groupBy("aid", "bid", "cluster")
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("aid"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("bid"), F.col("norm").alias("nb"))
+    cand = (
+        dots.join(F.broadcast(na), "aid")
+        .join(F.broadcast(nb), "bid")
+        .filter(F.col("dot") / (F.col("na") * F.col("nb")) >= SEMDEDUP_COSINE - 1e-6)
+        .select("aid", "bid", "cluster")
+    )
+    va = assigned.select(F.col("vec_id").alias("aid"), F.col("v").alias("va"))
+    vb = assigned.select(F.col("vec_id").alias("bid"), F.col("v").alias("vb"))
+    verified = (
+        cand.join(F.broadcast(va), "aid")
+        .join(F.broadcast(vb), "bid")
+        .filter(_cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_COSINE)
     )
     return (
-        pairs.groupBy(
-            F.col("b.vec_id").alias("drop_vec"),
-            F.col("b.cluster").alias("cluster"),
-        )
-        .agg(
-            F.min(F.col("a.vec_id")).alias("keep_vec"),
-            F.count("*").alias("n_dup_partners"),
-        )
+        verified.groupBy(F.col("bid").alias("drop_vec"), F.col("cluster").alias("cluster"))
+        .agg(F.min("aid").alias("keep_vec"), F.count("*").alias("n_dup_partners"))
         .orderBy("drop_vec")
     )
 
