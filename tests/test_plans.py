@@ -434,3 +434,29 @@ def test_wau_is_single_distinct_pipeline_no_join_per_day(spark, sf_dir):
     assert "Generate explode" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_pair_stage_is_codegen_no_cartesian(spark, sf_dir):
+    """The within-cluster pair stage must be the RELATIONAL dot
+    product (posexplode + equi-join on (cluster, pos) + partial-agg),
+    never a cartesian/nested-loop pair join carrying full vectors;
+    norm and verify joins broadcast the thin sides."""
+    from rdbms_metadata_manager_spark.llm.semdedup import semdedup_embedding_clusters
+
+    plan = physical_plan(semdedup_embedding_clusters(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_is_two_token_keyed_shuffles_with_partial_aggs(spark, sf_dir):
+    """DSIR must stay the df-from-tf shape: tokens roll up map-side
+    (partial counts before every exchange) and the vocab joins back
+    on the token key — no collect-to-driver, no cross join."""
+    from rdbms_metadata_manager_spark.llm.curation import dsir_importance_weights
+
+    plan = physical_plan(dsir_importance_weights(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
