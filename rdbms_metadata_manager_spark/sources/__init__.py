@@ -1,3 +1,4 @@
+from .pg_catalog import PgCatalogDataSource, read_pg_catalog
 from .pyds import (
     CatalogFixtureDataSource,
     TickStreamDataSource,
@@ -7,7 +8,9 @@ from .pyds import (
 
 __all__ = [
     "CatalogFixtureDataSource",
+    "PgCatalogDataSource",
     "TickStreamDataSource",
     "read_catalog_fixture",
+    "read_pg_catalog",
     "read_tick_stream",
 ]

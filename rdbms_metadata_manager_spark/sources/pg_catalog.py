@@ -1,0 +1,120 @@
+"""Spark 4 Python DataSource over a LIVE PostgreSQL catalog.
+
+Third member of the catalog-source family (fixtures DataSource in
+``pyds.py``, JDBC relations in ``catalog/jdbc_source.py``): here the
+DataSource V2 read path itself talks to a real database, so
+``spark.read.format("pg_catalog")`` scans ``information_schema``
+from EXECUTORS, not the driver.
+
+Partitioning design — the part that must survive a 10⁵-table
+warehouse: one partition per TABLE would reintroduce the reference's
+N+1 round-trip pattern (SURVEY.md §4.1) as N queries; one partition
+total would serialize the scan. Instead ``partitions()`` returns
+``n_partitions`` HASH BUCKETS and each ``read()`` runs the same
+set-oriented catalog query with a ``hashtext(table_name) % n = p``
+residue predicate — every executor issues exactly ONE query, the
+union of the buckets is exactly the catalog, and parallelism is a
+knob, not a function of table count. This is the same
+predicate-split idea as JDBC's partitionColumn options, expressed
+against a text key.
+
+Transport is ``psql`` COPY CSV (catalog.pg_live) because the
+container has no JDBC jar or DB-API client; a real deployment would
+swap ``_bucket_rows`` for a driver/client call — nothing else
+changes. Raw faces come back contract-shaped via the same
+post-processing the JDBC path uses (``_normalize_type``,
+``group_foreign_keys``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from ..catalog import jdbc_source, pg_live, schemas
+
+_FACE_QUERIES = {
+    "columns": (jdbc_source._PG_COLUMNS_QUERY, schemas.COLUMNS_META_SCHEMA),
+    "indexes": (jdbc_source._PG_INDEXES_QUERY, schemas.INDEXES_META_SCHEMA),
+    "foreign_keys": (jdbc_source._PG_FK_QUERY, pg_live._FK_FLAT_SCHEMA),
+}
+
+
+def _bucket_rows(face: str, database: str, host: str, n: int, p: int) -> list[tuple]:
+    base, schema = _FACE_QUERIES[face]
+    sql = (
+        f"SELECT * FROM ({base.rstrip().rstrip(';')}) q "
+        f"WHERE (hashtext(q.table_name) & 2147483647) % {n} = {p}"
+    )
+    return pg_live._coerce(pg_live.run_sql(sql, database, host), schema)
+
+
+class _BucketPartition(InputPartition):
+    def __init__(self, bucket: int):
+        self.bucket = bucket
+
+
+class _PgCatalogReader(DataSourceReader):
+    def __init__(self, face: str, database: str, host: str, n_partitions: int):
+        self.face = face
+        self.database = database
+        self.host = host
+        self.n_partitions = n_partitions
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_BucketPartition(p) for p in range(self.n_partitions)]
+
+    def read(self, partition: _BucketPartition) -> Iterator[tuple]:
+        yield from _bucket_rows(
+            self.face, self.database, self.host, self.n_partitions, partition.bucket
+        )
+
+
+class PgCatalogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pg_catalog"
+
+    def schema(self) -> StructType:
+        face = self.options.get("face", "columns")
+        if face not in _FACE_QUERIES:
+            raise ValueError(f"unknown face {face!r}; one of {sorted(_FACE_QUERIES)}")
+        return _FACE_QUERIES[face][1]
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _PgCatalogReader(
+            face=self.options.get("face", "columns"),
+            database=self.options["database"],
+            host=self.options["host"],
+            n_partitions=int(self.options.get("n_partitions", "4")),
+        )
+
+
+def read_pg_catalog(
+    spark: SparkSession,
+    face: str,
+    database: str,
+    host: str,
+    n_partitions: int = 4,
+) -> DataFrame:
+    """Contract-shaped catalog face via the DataSource scan path:
+    raw rows from the executors, then the SAME post-processing the
+    JDBC readers apply."""
+    spark.dataSource.register(PgCatalogDataSource)
+    df = (
+        spark.read.format("pg_catalog")
+        .option("face", face)
+        .option("database", database)
+        .option("host", host)
+        .option("n_partitions", str(n_partitions))
+        .load()
+    )
+    if face == "columns":
+        return df.withColumn("data_type", jdbc_source._normalize_type(F.col("data_type")))
+    if face == "foreign_keys":
+        return jdbc_source.group_foreign_keys(df)
+    return df
