@@ -6,8 +6,10 @@ Env contract (identical to the reference README:18-31):
                  from the path. jdbc: URLs are passed to the JDBC
                  catalog source. The special scheme ``fixture://<name>``
                  runs offline on the built-in metadata fixtures
-                 (ecommerce_db / quirks_db) — the tested path in
-                 environments with no live database.
+                 (ecommerce_db / quirks_db); ``psql://`` connects to a
+                 live PostgreSQL through the psql transport
+                 (catalog.pg_live) — integration-tested against a real
+                 server in tests/test_pg_live.py.
   EXPORT_TO_CSV  "YES" → also write exports/<db>_schema_issues.csv
                  (the reference never created exports/; we do).
 
@@ -45,6 +47,17 @@ def main() -> int:
         cols = fixtures.columns_meta(spark, database_name)
         idx = fixtures.indexes_meta(spark, database_name)
         fks = fixtures.foreign_keys_meta(spark, database_name)
+    elif db_url.startswith("psql://"):
+        # live PostgreSQL over the psql transport (no JDBC jar in
+        # this environment): psql://[host]/<db>[?host=<socket-dir>]
+        from urllib.parse import parse_qs, urlparse
+
+        from .catalog import pg_live
+
+        u = urlparse(db_url)
+        database_name = u.path.lstrip("/") or "ecommerce_db"
+        host = u.hostname or parse_qs(u.query).get("host", ["/var/run/postgresql"])[0]
+        cols, idx, fks = pg_live.read_catalog_live(spark, database_name, host)
     else:
         database_name = get_database_name(db_url)
         dialect = "postgresql" if db_url.startswith(("postgresql", "jdbc:postgresql")) else "mysql"

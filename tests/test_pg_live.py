@@ -246,6 +246,25 @@ def test_live_scenario_matches_fixture(spark, live_catalog):
     assert fixture - live == set()
 
 
+def test_cli_main_runs_against_live_postgres(spark, pg_host, capsys, monkeypatch):
+    """The reference's primary UX — `python app.py` against a live
+    database (reference app.py:122-137, README.md:43-50) — end to
+    end: DB_URL routes to the live reader, the report prints the
+    5-line blocks."""
+    from rdbms_metadata_manager_spark.__main__ import main
+
+    monkeypatch.setenv("DB_URL", f"psql:///ecommerce_db?host={pg_host}")
+    monkeypatch.setenv("EXPORT_TO_CSV", "NO")
+    assert main() == 0
+    out = capsys.readouterr().out
+    assert "Issue Type: Query performance - missing index" in out
+    assert "Critical column 'email' allows NULL values." in out
+    # pg's DATETIME-less type system adds the two order_date Rule-4
+    # rows and the composite-FK table adds one Rule-2 row on top of
+    # the fixture's 18-issue golden set: 18 + 3
+    assert out.count("Issue Type:") == 21
+
+
 def test_pg_catalog_datasource_matches_driver_side_read(spark, pg_host, live_catalog):
     """The DataSource scan path (executors run the hash-bucketed
     catalog query) must produce exactly the rows the driver-side
