@@ -1,0 +1,147 @@
+"""Measured scaling of the heavy dedup/similarity kernels: 1x / 3x / 10x.
+
+SCALE.md argues each kernel's cost is bounded by its shuffle volume
+(inverted indexes with df caps, banding, cluster blocking). This
+script MEASURES it: the sf0.1 corpus is replicated K times with
+structure-preserving transforms, so the duplicate density per
+replica is IDENTICAL to the original and the right answer scales
+exactly linearly — any superlinear runtime is the plan's fault, not
+the data's:
+
+- documents: every token is renamed with a replica suffix
+  (``tok`` → ``tok_rK``). Jaccard/containment/winnowing are
+  invariant under token renaming, so each replica reproduces the
+  original's near-dup pairs exactly and shares ZERO shingles across
+  replicas — vocabulary and posting lists grow Kx, pair count grows
+  exactly Kx.
+- embeddings: each replica's vectors are circularly dimension-
+  rotated by its replica index. Norms and intra-replica cosines are
+  exactly preserved; cross-replica cosines decorrelate.
+
+Usage: python scripts/scale_experiment.py [K ...]   (default: 3 10)
+Writes replicas under /tmp/scale_exp/x<K>/ and prints one timing
+table. Expected verdict: near-linear growth for the inverted-index
+kernels (shuffle-bound), K^1 output rows.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rdbms_metadata_manager_spark.queries.base import load
+from rdbms_metadata_manager_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/scale_exp"
+
+# Shuffle-bound kernels (df caps / banding / prefix pruning keep the
+# candidate volume proportional to input): measured at every K.
+TEXT_KERNELS = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment",
+    "text_winnow_fingerprints",
+    "dedup_winnow_overlap",
+    "dsir_importance_weights",
+]
+# Embedding kernels block with FIXED parameters (K=8 clusters,
+# 2^6 LSH buckets) pinned by their oracles; at fixed parameters the
+# within-block pair volume grows quadratically, so these are
+# measured only to 3x — the 100 TB deployment scales the parameter
+# (K ∝ N as in the SemDeDup paper, more hyperplanes) instead.
+EMB_KERNELS = [
+    "dedup_embedding_cosine",
+    "semdedup_embedding_clusters",
+]
+EMB_MAX_K = 3
+
+DOC_OFFSET = 10_000_000
+VEC_OFFSET = 10_000_000
+
+
+def build_replica_dir(spark, k: int) -> str:
+    out = f"{OUT}/x{k}"
+    if os.path.exists(f"{out}/_done"):
+        return out
+    docs = load(spark, BASE, "documents")
+    embs = load(spark, BASE, "embeddings")
+    doc_parts = []
+    emb_parts = []
+    for r in range(k):
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * DOC_OFFSET)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1_r{r}").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        dim = 64
+        shift = r % dim
+        rotated = (
+            F.col("embedding")
+            if shift == 0
+            else F.concat(
+                F.slice("embedding", shift + 1, dim - shift), F.slice("embedding", 1, shift)
+            )
+        )
+        emb_parts.append(
+            embs.select(
+                (F.col("vec_id") + F.lit(r * VEC_OFFSET)).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    d.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    e.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    open(f"{out}/_done", "w").close()
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [3, 10]
+    spark = get_spark("scale-experiment")
+    from rdbms_metadata_manager_spark.registry import all_queries
+
+    qs = all_queries()
+    # warm the pools
+    qs["text_token_stats"](spark, BASE).write.mode("overwrite").format("noop").save()
+
+    dirs = {1: BASE}
+    for k in ks:
+        dirs[k] = build_replica_dir(spark, k)
+
+    print(f"{'kernel':34s} " + " ".join(f"{f'x{k} s':>9s} {f'x{k} rows':>9s}" for k in dirs))
+    for name in TEXT_KERNELS + EMB_KERNELS:
+        cells = []
+        for k, d in dirs.items():
+            if name in EMB_KERNELS and k > EMB_MAX_K:
+                cells.append(f"{'—':>9s} {'—':>9s}")
+                continue
+            best, rows = None, None
+            for _ in range(2):
+                t0 = time.time()
+                rows = qs[name](spark, d).count()
+                el = time.time() - t0
+                best = el if best is None or el < best else best
+            cells.append(f"{best:9.2f} {rows:9d}")
+        print(f"{name:34s} " + " ".join(cells))
+
+
+if __name__ == "__main__":
+    main()
