@@ -69,6 +69,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.text", "text_normalize_stats"),
         ("llm.pipeline", "source_token_budget_cap"),
         ("llm.pipeline", "source_mix_weights"),
+        ("llm.semdedup", "semdedup_embedding_clusters"),
+        ("llm.curation", "dsir_importance_weights"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
