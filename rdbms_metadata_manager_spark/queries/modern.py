@@ -144,7 +144,10 @@ ORDER BY o_custkey
 # at that cardinality are dispatch-bound, not interpreter-bound.
 # The DuckDB oracle stays the one-step-per-level recursive CTE above:
 # same semantics, independently derived.
-_CHUNK = 8
+# 16 ⇒ TPC-H's ≤24 orders/customer folds in 2 chunks = base + ONE
+# recursive level (each level costs a ~0.35 s local dispatch floor);
+# deeper sequences (the 100-step ragged test) still recurse correctly.
+_CHUNK = 16
 
 _STEP = (
     "named_struct("
