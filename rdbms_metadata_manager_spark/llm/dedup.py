@@ -644,6 +644,68 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_sketch_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality QA: how well does the MinHash+LSH pipeline
+    track the exact (df-capped) Jaccard truth set? A production dedup
+    run needs this monitored — banding recall degrades silently when
+    the shingle distribution drifts (the 10× scale experiment measured
+    3/2560 borderline pairs lost; SCALE.md round-3 table).
+
+    One summary row: pair counts for each set, their intersection,
+    and integer per-mille recall/precision (no float division — the
+    report must itself be engine-exact). The two legs reuse the
+    registered pipelines verbatim, so this also pins that the
+    composed operators agree with their composed oracles.
+    Note the legs' Jaccard definitions differ by design: the truth
+    leg caps shingle df at {MAX_SHINGLE_DF} (the scale guard), the
+    sketch leg verifies on uncapped sets — per-mille precision < 1000
+    therefore measures BOTH banding noise and cap drift."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    sketch = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("in_sketch"))
+    j = exact.join(sketch, ["doc_a", "doc_b"], "full_outer")
+    return (
+        j.agg(
+            F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_exact"),
+            F.sum(F.coalesce("in_sketch", F.lit(0))).alias("n_sketch"),
+            F.sum(
+                F.coalesce("in_exact", F.lit(0)) * F.coalesce("in_sketch", F.lit(0))
+            ).alias("n_both"),
+        )
+        .select(
+            "n_exact",
+            "n_sketch",
+            "n_both",
+            F.expr("CASE WHEN n_exact = 0 THEN NULL ELSE n_both * 1000 div n_exact END").alias(
+                "recall_pm"
+            ),
+            F.expr("CASE WHEN n_sketch = 0 THEN NULL ELSE n_both * 1000 div n_sketch END").alias(
+                "precision_pm"
+            ),
+        )
+    )
+
+
+_SKETCH_RECALL_SQL = f"""
+WITH exact_pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL})),
+sketch_pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_SQL})),
+j AS (
+  SELECT coalesce(e.doc_a, s.doc_a) AS doc_a,
+         (e.doc_a IS NOT NULL)::INT AS in_exact,
+         (s.doc_a IS NOT NULL)::INT AS in_sketch
+  FROM exact_pairs e FULL OUTER JOIN sketch_pairs s
+    ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b
+)
+SELECT sum(in_exact)::BIGINT AS n_exact,
+       sum(in_sketch)::BIGINT AS n_sketch,
+       sum(in_exact * in_sketch)::BIGINT AS n_both,
+       CASE WHEN sum(in_exact) = 0 THEN NULL
+            ELSE (sum(in_exact * in_sketch) * 1000 // sum(in_exact))::BIGINT END AS recall_pm,
+       CASE WHEN sum(in_sketch) = 0 THEN NULL
+            ELSE (sum(in_exact * in_sketch) * 1000 // sum(in_sketch))::BIGINT END AS precision_pm
+FROM j
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -652,6 +714,7 @@ QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter,
     "dedup_containment": dedup_containment,
+    "dedup_sketch_recall_report": dedup_sketch_recall_report,
 }
 
 ORACLES = {
@@ -662,4 +725,5 @@ ORACLES = {
     "dedup_incremental_batch": _INCREMENTAL_SQL,
     "dedup_jaccard_prefix_filter": _PREFIX_FILTER_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
+    "dedup_sketch_recall_report": _SKETCH_RECALL_SQL,
 }
