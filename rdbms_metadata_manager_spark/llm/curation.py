@@ -257,6 +257,99 @@ ORDER BY term, rank
 """
 
 
+# Linear quality-classifier weights (integer micro-units). Production
+# quality filters (fastText-style) are trained OFFLINE and deployed
+# as frozen weights; shipping them as literals over integer per-mille
+# features makes the inference a single whole-stage-codegen
+# projection with an engine-exact int64 score — the quantized-
+# inference shape, no floats anywhere.
+QC_W_STOP = 4          # stopword per-mille: higher = more natural text
+QC_W_DOMINANCE = -3    # top-word per-mille: repetition penalty
+QC_W_WLEN_DEV = -1     # |mean word len − 4.5 chars| per-mille, ÷4
+QC_W_NWORDS = 6        # length reward
+QC_BIAS = -100
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-inference stage of the curation pipeline: the
+    weighted-feature score (vs quality_filter_gate's first-fail rule
+    CASCADE — both shapes exist in real pipelines; Gopher uses rules,
+    C4/fastText-style filters use a trained scorer). Integer fixed-
+    point end to end, one corpus scan + the per-doc top-word rollup."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    base = d.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_words"),
+        F.expr(
+            "(length(text) - (size(split(text, ' ')) - 1)) * 1000 div size(split(text, ' '))"
+        ).alias("mean_wlen_pm"),
+        F.expr(
+            "size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) * 1000 div size(split(text, ' '))"
+        ).alias("stop_pm"),
+    )
+    top = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return (
+        base.join(top, "doc_id")
+        .withColumn("top_word_pm", F.expr("top_c * 1000 div n_words"))
+        .withColumn(
+            "score",
+            F.expr(
+                f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
+                f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
+                f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "stop_pm",
+            "top_word_pm",
+            "score",
+            (F.col("score") >= 0).alias("accepted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QC_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1000
+             // len(string_split(text, ' ')) AS mean_wlen_pm,
+         len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) * 1000
+             // len(string_split(text, ' ')) AS stop_pm
+  FROM documents
+),
+top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, word, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY doc_id, word
+  ) GROUP BY doc_id
+),
+s AS (
+  SELECT b.doc_id, b.n_words, b.stop_pm,
+         (t.top_c * 1000 // b.n_words) AS top_word_pm,
+         {QC_W_STOP} * b.stop_pm + {QC_W_DOMINANCE} * (t.top_c * 1000 // b.n_words)
+           + {QC_W_WLEN_DEV} * (abs(b.mean_wlen_pm - 4500) // 4)
+           + {QC_W_NWORDS} * b.n_words + {QC_BIAS} AS score
+  FROM base b JOIN top t USING (doc_id)
+)
+SELECT doc_id, n_words::BIGINT AS n_words, stop_pm::BIGINT AS stop_pm,
+       top_word_pm::BIGINT AS top_word_pm, score::BIGINT AS score,
+       score >= 0 AS accepted
+FROM s
+ORDER BY doc_id
+"""
+
+
 DSIR_TARGET_LANG = "en"
 DSIR_SCALE = 1_000_000
 
@@ -338,10 +431,12 @@ QUERIES = {
     "quality_filter_gate": quality_filter_gate,
     "bm25_keyword_search": bm25_keyword_search,
     "dsir_importance_weights": dsir_importance_weights,
+    "quality_classifier_scores": quality_classifier_scores,
 }
 ORACLES = {
     "dedup_chunk_ratio": _CHUNK_SQL,
     "quality_filter_gate": _GATE_SQL,
     "bm25_keyword_search": _BM25_SQL,
     "dsir_importance_weights": _DSIR_SQL,
+    "quality_classifier_scores": _QC_SQL,
 }
