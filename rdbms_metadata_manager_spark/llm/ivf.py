@@ -144,12 +144,85 @@ ORDER BY cell
 """
 
 
+def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the Lloyd-TRAINED coarse quantizer (the
+    production path this module's header promises; the label-group
+    variant above is the supervised shortcut). Cells are the
+    deterministic k-means clusters (kmeans.py contract: fixed seeds,
+    2 iterations, 6-dp rounded centroids); the query probes its
+    ``NPROBE`` nearest cells by the SAME metric the quantizer assigns
+    with (L2), then ranks candidates by exact ordered-fold cosine.
+    At 100 TB the cluster id is the write-time partition key, so the
+    probe reads nprobe/K of the corpus."""
+    from .kmeans import ITERATIONS, K, _assign, _dist2, _update
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    centroids = (
+        emb.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(ITERATIONS):
+        centroids = _update(_assign(emb, centroids)).localCheckpoint(eager=True)
+    assigned = _assign(emb, centroids).localCheckpoint(eager=True)
+
+    qv = assigned.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    q_cells = (
+        emb.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(centroids))
+        .withColumn("d2", _dist2(F.col("v"), F.col("centroid")))
+        .orderBy("d2", "cid")
+        .limit(NPROBE)
+        .select(F.col("cid").alias("cluster"))
+    )
+    return (
+        assigned.join(F.broadcast(q_cells), "cluster")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cell"),
+            _cosine(F.col("v"), F.col("qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    from .kmeans import K, _sql_assign, _sql_update
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM e WHERE vec_id < {K}),
+{_sql_assign('c0', 'a1')},
+{_sql_update('a1', 'c1')},
+{_sql_assign('c1', 'a2')},
+{_sql_update('a2', 'c2')},
+{_sql_assign('c2', 'a3')},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+q_cells AS (
+  SELECT cid AS cluster FROM a3_scored WHERE vec_id = 0
+  ORDER BY d2, cid LIMIT {NPROBE}
+)
+SELECT a3.vec_id, a3.cluster AS cell, {_cosine_sql("a3.v", "q.qv")} AS cosine
+FROM a3 JOIN q_cells ON q_cells.cluster = a3.cluster CROSS JOIN q
+WHERE a3.vec_id != 0
+ORDER BY cosine DESC, a3.vec_id
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "similarity_ivf_search": similarity_ivf_search,
     "ivf_cell_stats": ivf_cell_stats,
+    "ivf_kmeans_search": ivf_kmeans_search,
 }
 
 ORACLES = {
     "similarity_ivf_search": _IVF_SQL,
     "ivf_cell_stats": _IVF_STATS_SQL,
+    "ivf_kmeans_search": _ivf_kmeans_sql(),
 }
