@@ -460,3 +460,31 @@ def test_dsir_is_two_token_keyed_shuffles_with_partial_aggs(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_cell_partitioned_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """SCALE.md's IVF claim — 'cell assignment is the write-time
+    partition key; a query touches nprobe/K of the data' — made
+    literal: materialize the assignment partitioned by cell, probe
+    two cells, and the scan must show PartitionFilters with only the
+    probed directories surviving."""
+    from pyspark.sql import functions as F
+
+    from rdbms_metadata_manager_spark.llm.ivf import _assignments, _centroid_arrays
+    from rdbms_metadata_manager_spark.queries.base import load_spread
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = _assignments(emb, _centroid_arrays(emb))
+    out = str(tmp_path / "ivf_cells")
+    assigned.select("vec_id", "cell").write.partitionBy("cell").parquet(out)
+
+    probed = spark.read.parquet(out).filter(F.col("cell").isin(0, 1))
+    plan = physical_plan(probed)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:80], plan
+    n_cells = assigned.select("cell").distinct().count()
+    assert probed.select("cell").distinct().count() <= min(2, n_cells)
+    # pruned scan reads only the probed fraction of rows
+    total = assigned.count()
+    assert probed.count() < total
