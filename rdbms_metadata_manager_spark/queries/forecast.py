@@ -72,5 +72,77 @@ ORDER BY a.event_type, a.day_idx
 """
 
 
-QUERIES = {"forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest}
-ORACLES = {"forecast_seasonal_naive_backtest": _FORECAST_SQL}
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event rate
+    per type (α = ½) — the standard capacity-planning smoother, and a
+    genuinely SEQUENTIAL fold no window frame expresses (each state
+    depends on the previous one non-linearly scaled).
+
+    Execution shape: the sequential part runs AFTER the daily rollup,
+    so the per-key series is days-long (tiny) regardless of raw
+    volume; collect_list over the rollup costs what the rollup
+    shuffle already paid. The fold itself is an ordered in-row
+    ``aggregate`` — s₁ = x₁, sₜ = (sₜ₋₁ + xₜ)/2 — mirrored by
+    DuckDB's left-to-right ``list_reduce``: identical IEEE op
+    sequence on both engines, so the doubles hash-match bit-for-bit
+    (α = ½ keeps every step a dyadic halving; no libm, no
+    aggregation-order hazard)."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / DAY_SECONDS).alias("day_idx"),
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day_idx", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("xs"),
+        F.count("*").alias("n_days"),
+        F.max("day_idx").alias("last_day_idx"),
+    )
+    return (
+        series.select(
+            "event_type",
+            "n_days",
+            "last_day_idx",
+            F.element_at("xs", -1).cast("bigint").alias("last_count"),
+            F.aggregate(
+                F.expr("slice(xs, 2, size(xs))"),
+                F.element_at("xs", 1),
+                lambda acc, x: (acc + x) / F.lit(2.0),
+            ).alias("ewma"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EWMA_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000 // {DAY_SECONDS} AS day_idx,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list(n::DOUBLE ORDER BY day_idx) AS xs,
+         count(*)::BIGINT AS n_days,
+         max(day_idx) AS last_day_idx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, last_day_idx,
+       xs[-1]::BIGINT AS last_count,
+       list_reduce(xs, (acc, x) -> (acc + x) / 2) AS ewma
+FROM series
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
+    "ewma_daily_events": ewma_daily_events,
+}
+ORACLES = {
+    "forecast_seasonal_naive_backtest": _FORECAST_SQL,
+    "ewma_daily_events": _EWMA_SQL,
+}
