@@ -75,3 +75,50 @@ def test_dsir_covers_corpus_and_is_integer_exact(spark, sf_dir):
     r = df.filter(F.col("lang") == DSIR_TARGET_LANG).first()
     # fixed-point ratios are bounded by SCALE * (c_tgt+1)/(c_raw+1) <= SCALE
     assert 0 <= r.avg_token_ratio_fp <= DSIR_SCALE
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-8.0, 8.0, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_semdedup_matches_oracle_on_random_vectors(spark, tmp_path_factory, vecs):
+    """Engine-vs-engine property: on arbitrary random vectors the
+    Spark pipeline (relational dot PREFILTER with ε margin + exact
+    ordered-fold verify) must equal the DuckDB oracle's quadratic
+    within-cluster join exactly. This is the adversarial probe for
+    the margin logic — magnitudes and duplicates hypothesis likes
+    (identical vectors, near-zero norms) are exactly where a
+    reordered-sum prefilter could wrongly prune."""
+    import duckdb
+
+    from rdbms_metadata_manager_spark.llm.semdedup import (
+        _SEMDEDUP_SQL,
+        semdedup_embedding_clusters,
+    )
+
+    d = str(tmp_path_factory.mktemp("semdedup_prop"))
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    got = sorted(tuple(r) for r in semdedup_embedding_clusters(spark, d).collect())
+    con = duckdb.connect()
+    # Spark writes a directory; DuckDB needs the part-file glob
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(_SEMDEDUP_SQL).fetchall())
+    assert got == want
