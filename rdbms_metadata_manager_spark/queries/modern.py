@@ -279,12 +279,101 @@ LIMIT 10
 """
 
 
+def sql_scripting_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 SQL scripting (BEGIN … END with DECLARE/SET): the
+    imperative two-step every reporting app writes — compute a
+    dynamic cutoff into a session variable, then use it as a plain
+    constant in the report query. The variable read is a literal by
+    the time the final SELECT plans, so the predicate still pushes
+    down. The cutoff is ``percentile_disc`` (an actual data value,
+    never an interpolated float), so the > comparison is
+    engine-exact; the oracle inlines the same scalar via a CTE."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE DEFAULT 0.0;
+          SET cutoff = (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                        FROM orders);
+          SELECT o_orderpriority,
+                 count(*) AS n_big_orders,
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+          FROM orders
+          WHERE o_totalprice > cutoff
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority;
+        END
+        """
+    )
+
+
+_SCRIPTING_SQL = """
+WITH cutoff AS (
+  SELECT quantile_disc(o_totalprice, 0.9) AS c FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n_big_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents
+FROM orders, cutoff
+WHERE o_totalprice > cutoff.c
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def collation_ci_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: group case-mangled event types
+    under ``COLLATE UNICODE_CI`` so 'CLICK' and 'click' are ONE
+    group — the engine-level answer to the lower()-everywhere
+    convention (the collation participates in hashing/shuffle, not
+    just comparison). The mixed-case input is constructed
+    deterministically from event_id parity; the emitted key is
+    lower()ed because a CI group's representative member is
+    engine-chosen. Oracle: DuckDB groups by lower() — provably the
+    same partition of rows for ASCII data."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH mangled AS (
+          SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE event_type END AS etype_mixed,
+                 user_id
+          FROM events
+        )
+        SELECT lower(etype_mixed COLLATE UNICODE_CI) AS event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM mangled
+        GROUP BY etype_mixed COLLATE UNICODE_CI
+        ORDER BY event_type
+        """
+    )
+
+
+_COLLATION_SQL = """
+WITH mangled AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS etype_mixed,
+         user_id
+  FROM events
+)
+SELECT lower(etype_mixed) AS event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM mangled
+GROUP BY lower(etype_mixed)
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "variant_event_props": variant_event_props,
     "lateral_top_customers_per_nation": lateral_top_customers_per_nation,
     "recursive_balance_replay": recursive_balance_replay,
     "sql_udf_price_bands": sql_udf_price_bands,
     "parameterized_top_purchasers": parameterized_top_purchasers,
+    "sql_scripting_threshold_report": sql_scripting_threshold_report,
+    "collation_ci_event_rollup": collation_ci_event_rollup,
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
@@ -292,4 +381,6 @@ ORACLES = {
     "recursive_balance_replay": _RECURSIVE_SQL,
     "sql_udf_price_bands": _SQL_UDF_SQL,
     "parameterized_top_purchasers": _PARAM_SQL,
+    "sql_scripting_threshold_report": _SCRIPTING_SQL,
+    "collation_ci_event_rollup": _COLLATION_SQL,
 }
