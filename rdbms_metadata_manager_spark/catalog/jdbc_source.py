@@ -154,27 +154,30 @@ JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = ANY(ix.indkey)
 WHERE t.relkind = 'r' AND t.relnamespace = 'public'::regnamespace
 """
 
-# Multi-column FKs pair constrained→referred columns positionally:
-# position_in_unique_constraint links each FK column to the ordinal of
-# the referenced unique/PK constraint column (information_schema is
-# the portable face; verified against live PostgreSQL 15).
+# Multi-column FKs pair constrained→referred columns positionally by
+# zipping pg_constraint's conkey/confkey arrays (multi-array unnest
+# WITH ORDINALITY). pg_catalog, not information_schema, because
+# PostgreSQL constraint names are unique only PER TABLE: an
+# information_schema join on (constraint_schema, constraint_name)
+# cross-matches same-named constraints on different tables, while
+# con.oid keys each constraint exactly once. Verified against live
+# PostgreSQL 15 (tests/test_pg_live.py, incl. the duplicate-name
+# scenario).
 _PG_FK_QUERY = """
 SELECT current_database() AS database,
-       kcu.table_name,
-       kcu.constraint_name,
-       kcu.column_name,
-       kcu.ordinal_position,
-       rk.table_name  AS referred_table,
-       rk.column_name AS referred_column
-FROM information_schema.referential_constraints rc
-JOIN information_schema.key_column_usage kcu
-  ON kcu.constraint_name = rc.constraint_name
- AND kcu.constraint_schema = rc.constraint_schema
-JOIN information_schema.key_column_usage rk
-  ON rk.constraint_name = rc.unique_constraint_name
- AND rk.constraint_schema = rc.unique_constraint_schema
- AND rk.ordinal_position = kcu.position_in_unique_constraint
-WHERE kcu.table_schema = 'public'
+       rel.relname  AS table_name,
+       con.conname  AS constraint_name,
+       att.attname  AS column_name,
+       u.ord        AS ordinal_position,
+       frel.relname AS referred_table,
+       fatt.attname AS referred_column
+FROM pg_constraint con
+JOIN pg_class rel  ON rel.oid = con.conrelid
+JOIN pg_class frel ON frel.oid = con.confrelid
+CROSS JOIN LATERAL unnest(con.conkey, con.confkey) WITH ORDINALITY AS u(attnum, fattnum, ord)
+JOIN pg_attribute att  ON att.attrelid = con.conrelid  AND att.attnum = u.attnum
+JOIN pg_attribute fatt ON fatt.attrelid = con.confrelid AND fatt.attnum = u.fattnum
+WHERE con.contype = 'f' AND rel.relnamespace = 'public'::regnamespace
 """
 
 

@@ -18,8 +18,6 @@ transport-agnostic.
 
 from __future__ import annotations
 
-import csv
-import io
 import shutil
 import subprocess
 
@@ -32,6 +30,29 @@ from .fixtures import _local_df
 from .schemas import COLUMNS_META_SCHEMA, INDEXES_META_SCHEMA
 
 _NULL = "\\N"
+
+# COPY text-format backslash escapes (PostgreSQL documentation,
+# "COPY ... Text Format"): a literal backslash in DATA always arrives
+# doubled, so the bare sentinel '\N' is unambiguously NULL — unlike
+# CSV format, where a data value equal to the NULL sentinel is merely
+# quoted and csv parsing erases the distinction.
+_TEXT_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "v": "\v", "\\": "\\"}
+
+
+def _unescape(v: str) -> str:
+    if "\\" not in v:
+        return v
+    out = []
+    i = 0
+    while i < len(v):
+        c = v[i]
+        if c == "\\" and i + 1 < len(v):
+            out.append(_TEXT_ESCAPES.get(v[i + 1], v[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 # Flat FK rows as they leave the catalog query, before
 # jdbc_source.group_foreign_keys collapses them to one row/constraint.
@@ -54,8 +75,11 @@ def psql_available() -> bool:
 
 def run_sql(sql: str, database: str, host: str, user: str = "postgres") -> list[list[str | None]]:
     """Run ``sql`` and return rows as lists of strings (None for SQL
-    NULL). ``host`` may be a unix-socket directory or a hostname."""
-    copy_stmt = f"COPY ({sql.rstrip().rstrip(';')}) TO STDOUT (FORMAT csv, NULL '{_NULL}')"
+    NULL). ``host`` may be a unix-socket directory or a hostname.
+    Uses COPY *text* format: tab-delimited, backslash-escaped, with
+    an unambiguous ``\\N`` NULL (a data value of those two characters
+    arrives escaped as ``\\\\N``)."""
+    copy_stmt = f"COPY ({sql.rstrip().rstrip(';')}) TO STDOUT (FORMAT text)"
     out = subprocess.run(
         ["psql", "-h", host, "-U", user, "-d", database, "-X", "-q", "-v", "ON_ERROR_STOP=1", "-c", copy_stmt],
         check=True,
@@ -63,8 +87,8 @@ def run_sql(sql: str, database: str, host: str, user: str = "postgres") -> list[
         text=True,
     ).stdout
     return [
-        [None if v == _NULL else v for v in row]
-        for row in csv.reader(io.StringIO(out))
+        [None if v == _NULL else _unescape(v) for v in line.split("\t")]
+        for line in out.splitlines()
     ]
 
 

@@ -110,14 +110,19 @@ FROM freq GROUP BY doc_id ORDER BY doc_id
 
 def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents", "doc_id")
+    # length()/size() are Int32 in Spark; the × 1000 per-mille scaling
+    # must happen in 64-bit or a >2.1M-char document silently wraps
+    # negative (DuckDB's len() is BIGINT, so the oracle would not).
     base = d.select(
         "doc_id",
         F.expr("size(split(text, ' '))").alias("n_words"),
         F.expr(
-            "(length(text) - (size(split(text, ' ')) - 1)) * 1000 div size(split(text, ' '))"
+            "(cast(length(text) AS BIGINT) - (size(split(text, ' ')) - 1)) * 1000"
+            " div size(split(text, ' '))"
         ).alias("mean_wlen_pm"),
         F.expr(
-            "size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) * 1000 div size(split(text, ' '))"
+            "cast(size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT) * 1000"
+            " div size(split(text, ' '))"
         ).alias("stop_pm"),
     )
     top = (
@@ -277,14 +282,17 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     C4/fastText-style filters use a trained scorer). Integer fixed-
     point end to end, one corpus scan + the per-doc top-word rollup."""
     d = load_spread(spark, sf_dir, "documents", "doc_id")
+    # 64-bit per-mille scaling, same rationale as quality_filter_gate
     base = d.select(
         "doc_id",
         F.expr("size(split(text, ' '))").alias("n_words"),
         F.expr(
-            "(length(text) - (size(split(text, ' ')) - 1)) * 1000 div size(split(text, ' '))"
+            "(cast(length(text) AS BIGINT) - (size(split(text, ' ')) - 1)) * 1000"
+            " div size(split(text, ' '))"
         ).alias("mean_wlen_pm"),
         F.expr(
-            "size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) * 1000 div size(split(text, ' '))"
+            "cast(size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT) * 1000"
+            " div size(split(text, ' '))"
         ).alias("stop_pm"),
     )
     top = (

@@ -657,7 +657,7 @@ def dedup_sketch_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered pipelines verbatim, so this also pins that the
     composed operators agree with their composed oracles.
     Note the legs' Jaccard definitions differ by design: the truth
-    leg caps shingle df at {MAX_SHINGLE_DF} (the scale guard), the
+    leg caps shingle df at MAX_SHINGLE_DF (the scale guard), the
     sketch leg verifies on uncapped sets — per-mille precision < 1000
     therefore measures BOTH banding noise and cap drift."""
     exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("in_exact"))

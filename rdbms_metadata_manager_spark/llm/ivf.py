@@ -154,19 +154,12 @@ def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with (L2), then ranks candidates by exact ordered-fold cosine.
     At 100 TB the cluster id is the write-time partition key, so the
     probe reads nprobe/K of the corpus."""
-    from .kmeans import ITERATIONS, K, _assign, _dist2, _update
+    from .kmeans import _dist2, trained_assignments
 
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    centroids = (
-        emb.filter(F.col("vec_id") < K)
-        .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("centroid"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(ITERATIONS):
-        centroids = _update(_assign(emb, centroids)).localCheckpoint(eager=True)
-    assigned = _assign(emb, centroids).localCheckpoint(eager=True)
+    centroids, assigned = trained_assignments(emb)
 
     qv = assigned.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     q_cells = (
@@ -192,16 +185,11 @@ def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_kmeans_sql() -> str:
-    from .kmeans import K, _sql_assign, _sql_update
+    from .kmeans import sql_training_prologue
 
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM e WHERE vec_id < {K}),
-{_sql_assign('c0', 'a1')},
-{_sql_update('a1', 'c1')},
-{_sql_assign('c1', 'a2')},
-{_sql_update('a2', 'c2')},
-{_sql_assign('c2', 'a3')},
+{sql_training_prologue()},
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 q_cells AS (
   SELECT cid AS cluster FROM a3_scored WHERE vec_id = 0

@@ -58,20 +58,48 @@ def _update(assigned: DataFrame) -> DataFrame:
     ).select(F.col("cluster").alias("cid"), "centroid")
 
 
-def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster sizes + centroid norms after 2 Lloyd iterations."""
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
+def trained_assignments(
+    emb: DataFrame, checkpoint_assigned: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """The SHARED deterministic-Lloyd training prologue (seeds =
+    vec_id < K, ITERATIONS update steps, centroids checkpointed per
+    level): single source of truth for every operator built on the
+    trained quantizer — kmeans_clusters, semdedup, ivf_kmeans_search.
+    Returns (centroids, assigned); pass ``checkpoint_assigned=True``
+    when the final assignment feeds multiple downstream consumers
+    (self-joins / probes) so they share one computed plan."""
     centroids = (
         emb.filter(F.col("vec_id") < K)
         .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("centroid"))
         .localCheckpoint(eager=True)
     )
     for _ in range(ITERATIONS):
-        assigned = _assign(emb, centroids)
-        centroids = _update(assigned).localCheckpoint(eager=True)
-    final = _assign(emb, centroids)
+        centroids = _update(_assign(emb, centroids)).localCheckpoint(eager=True)
+    assigned = _assign(emb, centroids)
+    if checkpoint_assigned:
+        assigned = assigned.localCheckpoint(eager=True)
+    return centroids, assigned
+
+
+def sql_training_prologue() -> str:
+    """The c0 → a3 CTE chain mirroring ``trained_assignments`` —
+    spliced into every oracle that trains the quantizer. Must follow
+    a CTE ``e(vec_id, v)``; exposes ``a3(vec_id, v, cluster)``,
+    ``a3_scored(vec_id, v, cid, d2)`` and ``c2(cid, centroid)``."""
+    return f"""c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM e WHERE vec_id < {K}),
+{_sql_assign('c0', 'a1')},
+{_sql_update('a1', 'c1')},
+{_sql_assign('c1', 'a2')},
+{_sql_update('a2', 'c2')},
+{_sql_assign('c2', 'a3')}"""
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes + centroid norms after 2 Lloyd iterations."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    centroids, final = trained_assignments(emb, checkpoint_assigned=False)
     norms = centroids.select(
         "cid",
         F.round(
@@ -119,12 +147,7 @@ def _sql_update(assign_cte: str, name: str) -> str:
 
 _KMEANS_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM e WHERE vec_id < {K}),
-{_sql_assign('c0', 'a1')},
-{_sql_update('a1', 'c1')},
-{_sql_assign('c1', 'a2')},
-{_sql_update('a2', 'c2')},
-{_sql_assign('c2', 'a3')}
+{sql_training_prologue()}
 SELECT a3.cluster AS cid, count(*) AS n_vecs,
        round(sqrt(list_sum(list_transform(c2.centroid, x -> x * x))), 6) AS centroid_norm
 FROM a3 JOIN c2 ON c2.cid = a3.cluster

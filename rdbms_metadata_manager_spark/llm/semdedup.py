@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.base import load_spread
-from .kmeans import ITERATIONS, K, _assign, _sql_assign, _sql_update, _update
+from .kmeans import sql_training_prologue, trained_assignments
 from .similarity import _as_double, _cosine, _cosine_sql
 
 SEMDEDUP_COSINE = 0.4
@@ -41,14 +41,7 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    centroids = (
-        emb.filter(F.col("vec_id") < K)
-        .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("centroid"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(ITERATIONS):
-        centroids = _update(_assign(emb, centroids)).localCheckpoint(eager=True)
-    assigned = _assign(emb, centroids).localCheckpoint(eager=True)
+    _, assigned = trained_assignments(emb)
 
     # Within-cluster pairwise cosine, two-stage for whole-stage
     # codegen: a zip_with/aggregate cosine straight on the pair join
@@ -109,12 +102,7 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM e WHERE vec_id < {K}),
-{_sql_assign('c0', 'a1')},
-{_sql_update('a1', 'c1')},
-{_sql_assign('c1', 'a2')},
-{_sql_update('a2', 'c2')},
-{_sql_assign('c2', 'a3')},
+{sql_training_prologue()},
 pairs AS (
   SELECT a.vec_id AS keep_cand, b.vec_id AS drop_vec, b.cluster AS cluster
   FROM a3 a JOIN a3 b

@@ -26,9 +26,10 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 
 
 def test_recursive_replay_deep_ragged_sequences_match_python_fold(spark):
-    """The chunked recursion (K=8 per level) must replay a 100-step
-    sequence (13 levels, ragged tail) and a 5-step one identically to
-    a direct Python fold — guards the chunk-boundary state handoff."""
+    """The chunked recursion (modern._CHUNK steps per level) must
+    replay a 100-step sequence (multiple levels, ragged tail) and a
+    5-step one identically to a direct Python fold — guards the
+    chunk-boundary state handoff at any chunk size."""
     import datetime
 
     from rdbms_metadata_manager_spark.queries import modern

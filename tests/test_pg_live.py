@@ -96,6 +96,19 @@ CREATE TABLE shipments (
   FOREIGN KEY (warehouse_id, bin_id) REFERENCES warehouse_bins (warehouse_id, bin_id)
 );
 CREATE INDEX ix_ship_wh ON shipments(warehouse_id);
+-- PostgreSQL constraint names are unique only PER TABLE: these two
+-- same-named FKs cross-join under an information_schema name join
+-- (the bug the pg_constraint-based FK query exists to avoid)
+CREATE TABLE dup_a (
+  id integer PRIMARY KEY,
+  ref_id integer NOT NULL,
+  CONSTRAINT fk_dup FOREIGN KEY (ref_id) REFERENCES "Users"(user_id)
+);
+CREATE TABLE dup_b (
+  id integer PRIMARY KEY,
+  ref_id integer NOT NULL,
+  CONSTRAINT fk_dup FOREIGN KEY (ref_id) REFERENCES "Products"(product_id)
+);
 """
 
 
@@ -172,8 +185,8 @@ def live_catalog(spark, pg_host):
 def test_live_columns_contract(live_catalog):
     cols, _, _ = live_catalog
     rows = {(r.table_name, r.column_name): r for r in cols.collect()}
-    # 26 ecommerce columns + 2 warehouse_bins + 3 shipments
-    assert len(rows) == 31
+    # 26 ecommerce columns + 2 warehouse_bins + 3 shipments + 4 dup_a/b
+    assert len(rows) == 35
     r = rows[("Users", "email")]
     assert (r.data_type, r.char_max_length, r.is_nullable, r.is_primary_key) == ("VARCHAR", 100, True, False)
     assert rows[("Orders", "total_amount")].data_type == "NUMERIC"
@@ -190,12 +203,32 @@ def test_live_indexes_and_composite_fk(live_catalog):
     assert idx_rows[("Users", "uq_users_email")].is_unique
     assert not idx_rows[("Orders", "ix_orders_user")].is_unique
     assert all(r.table_name not in ("pg_class", "pg_attribute") for r in idx_rows.values())
-    fk_rows = {r.constraint_name: r for r in fks.collect()}
-    comp = [r for r in fk_rows.values() if r.table_name == "shipments"]
-    assert len(comp) == 1
-    assert comp[0].constrained_columns == ["warehouse_id", "bin_id"]
-    assert comp[0].referred_columns == ["warehouse_id", "bin_id"]
-    assert comp[0].referred_table == "warehouse_bins"
+    fk_rows = {(r.table_name, r.constraint_name): r for r in fks.collect()}
+    comps = [r for (t, _n), r in fk_rows.items() if t == "shipments"]
+    assert len(comps) == 1
+    comp = comps[0]
+    assert comp.constrained_columns == ["warehouse_id", "bin_id"]
+    assert comp.referred_columns == ["warehouse_id", "bin_id"]
+    assert comp.referred_table == "warehouse_bins"
+    # same-named constraints on different tables must NOT cross-join:
+    # each resolves to exactly its own single column and parent
+    da = fk_rows[("dup_a", "fk_dup")]
+    db = fk_rows[("dup_b", "fk_dup")]
+    assert (da.constrained_columns, da.referred_table, da.referred_columns) == (
+        ["ref_id"], "Users", ["user_id"])
+    assert (db.constrained_columns, db.referred_table, db.referred_columns) == (
+        ["ref_id"], "Products", ["product_id"])
+
+
+def test_transport_distinguishes_null_from_backslash_n(pg_host):
+    """COPY text format keeps SQL NULL apart from the literal
+    two-character string '\\N' and round-trips tabs/newlines."""
+    rows = pg_live.run_sql(
+        r"SELECT NULL, '\N', 'a' || chr(9) || 'b', 'x' || chr(10) || 'y', ''",
+        "ecommerce_db",
+        pg_host,
+    )
+    assert rows == [[None, "\\N", "a\tb", "x\ny", ""]]
 
 
 def test_live_rules_match_duckdb_oracle(spark, live_catalog):
