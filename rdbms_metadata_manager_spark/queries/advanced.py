@@ -408,7 +408,37 @@ ORDER BY event_id
 """
 
 
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``listagg(...) WITHIN GROUP (ORDER BY ...)`` — ordered
+    string aggregation (the SQL:2016 report staple). The explicit
+    WITHIN GROUP order is what makes a string aggregate deterministic
+    at any parallelism; an unordered concat varies run to run."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+               count(*) AS n_nations,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY region
+        """
+    )
+
+
+_LISTAGG_SQL = """
+SELECT r.r_name AS region,
+       count(*) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region
+"""
+
+
 QUERIES = {
+    "listagg_nations_per_region": listagg_nations_per_region,
     "asof_join_last_click": asof_join_last_click,
     "map_functions_events": map_functions_events,
     "range_join_error_bursts": range_join_error_bursts,
@@ -425,6 +455,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "listagg_nations_per_region": _LISTAGG_SQL,
     "asof_join_last_click": _ASOF_SQL,
     "map_functions_events": _MAP_SQL,
     "range_join_error_bursts": _RANGE_SQL,
