@@ -46,6 +46,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(MAX_ITERATIONS):
         neighbor_min = (
             both.join(labels, both["u"] == labels["node"])
@@ -68,7 +69,20 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # min-label propagation moves a component's minimum one hop
+        # per round, so a duplicate CHAIN longer than MAX_ITERATIONS
+        # hops would exit here with WRONG labels — two docs of one
+        # family keeping different keepers is silent data corruption,
+        # so fail loudly instead. (Remedy: raise MAX_ITERATIONS, or
+        # switch to the pointer-doubling large-star/small-star form,
+        # which converges in O(log n) rounds.)
+        raise RuntimeError(
+            f"connected_components did not converge within {MAX_ITERATIONS} "
+            "iterations; component diameter exceeds the cap"
+        )
     return labels
 
 

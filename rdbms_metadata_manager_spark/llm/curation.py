@@ -108,11 +108,15 @@ FROM freq GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_spread(spark, sf_dir, "documents", "doc_id")
-    # length()/size() are Int32 in Spark; the × 1000 per-mille scaling
-    # must happen in 64-bit or a >2.1M-char document silently wraps
-    # negative (DuckDB's len() is BIGINT, so the oracle would not).
+def _doc_features(d: DataFrame) -> DataFrame:
+    """Per-document per-mille text features SHARED by the rule-
+    cascade gate and the classifier scorer (one definition so the
+    feature semantics cannot drift between them): n_words,
+    mean_wlen_pm, stop_pm, top_c, top_word_pm.
+
+    length()/size() are Int32 in Spark; the × 1000 per-mille scaling
+    must happen in 64-bit or a >2.1M-char document silently wraps
+    negative (DuckDB's len() is BIGINT, so the oracle would not)."""
     base = d.select(
         "doc_id",
         F.expr("size(split(text, ' '))").alias("n_words"),
@@ -132,9 +136,13 @@ def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"))
     )
-    scored = base.join(top, "doc_id").withColumn(
+    return base.join(top, "doc_id").withColumn(
         "top_word_pm", F.expr("top_c * 1000 div n_words")
     )
+
+
+def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
     first_fail = F.expr(
         f"CASE WHEN n_words < {MIN_WORDS} OR n_words > {MAX_WORDS} THEN 'n_words' "
         f"WHEN mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM} THEN 'word_len' "
@@ -155,8 +163,9 @@ def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GATE_SQL = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents),
+# Oracle twin of _doc_features — shared by _GATE_SQL and _QC_SQL so
+# the SQL features can't drift from each other either.
+_DOC_FEATURES_CTES = """w AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents),
 base AS (
   SELECT doc_id, len(words) AS n_words,
          (length(text) - (len(words) - 1)) * 1000 // len(words) AS mean_wlen_pm,
@@ -171,9 +180,13 @@ top AS (
   GROUP BY 1
 ),
 scored AS (
-  SELECT base.*, top_c * 1000 // n_words AS top_word_pm
+  SELECT base.*, top_c, top_c * 1000 // n_words AS top_word_pm
   FROM base JOIN top USING (doc_id)
-)
+)"""
+
+
+_GATE_SQL = f"""
+WITH {_DOC_FEATURES_CTES}
 SELECT doc_id, n_words, mean_wlen_pm, top_word_pm, stop_pm,
        CASE WHEN n_words < {MIN_WORDS} OR n_words > {MAX_WORDS} THEN 'n_words'
             WHEN mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM} THEN 'word_len'
@@ -281,30 +294,8 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASCADE — both shapes exist in real pipelines; Gopher uses rules,
     C4/fastText-style filters use a trained scorer). Integer fixed-
     point end to end, one corpus scan + the per-doc top-word rollup."""
-    d = load_spread(spark, sf_dir, "documents", "doc_id")
-    # 64-bit per-mille scaling, same rationale as quality_filter_gate
-    base = d.select(
-        "doc_id",
-        F.expr("size(split(text, ' '))").alias("n_words"),
-        F.expr(
-            "(cast(length(text) AS BIGINT) - (size(split(text, ' ')) - 1)) * 1000"
-            " div size(split(text, ' '))"
-        ).alias("mean_wlen_pm"),
-        F.expr(
-            "cast(size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT) * 1000"
-            " div size(split(text, ' '))"
-        ).alias("stop_pm"),
-    )
-    top = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"))
-    )
     return (
-        base.join(top, "doc_id")
-        .withColumn("top_word_pm", F.expr("top_c * 1000 div n_words"))
+        _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
         .withColumn(
             "score",
             F.expr(
@@ -326,29 +317,13 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QC_SQL = f"""
-WITH base AS (
-  SELECT doc_id,
-         len(string_split(text, ' ')) AS n_words,
-         (length(text) - (len(string_split(text, ' ')) - 1)) * 1000
-             // len(string_split(text, ' ')) AS mean_wlen_pm,
-         len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) * 1000
-             // len(string_split(text, ' ')) AS stop_pm
-  FROM documents
-),
-top AS (
-  SELECT doc_id, max(c) AS top_c FROM (
-    SELECT doc_id, word, count(*) AS c
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-    GROUP BY doc_id, word
-  ) GROUP BY doc_id
-),
+WITH {_DOC_FEATURES_CTES},
 s AS (
-  SELECT b.doc_id, b.n_words, b.stop_pm,
-         (t.top_c * 1000 // b.n_words) AS top_word_pm,
-         {QC_W_STOP} * b.stop_pm + {QC_W_DOMINANCE} * (t.top_c * 1000 // b.n_words)
-           + {QC_W_WLEN_DEV} * (abs(b.mean_wlen_pm - 4500) // 4)
-           + {QC_W_NWORDS} * b.n_words + {QC_BIAS} AS score
-  FROM base b JOIN top t USING (doc_id)
+  SELECT doc_id, n_words, stop_pm, top_word_pm,
+         {QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm
+           + {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) // 4)
+           + {QC_W_NWORDS} * n_words + {QC_BIAS} AS score
+  FROM scored
 )
 SELECT doc_id, n_words::BIGINT AS n_words, stop_pm::BIGINT AS stop_pm,
        top_word_pm::BIGINT AS top_word_pm, score::BIGINT AS score,

@@ -107,6 +107,61 @@ WHERE len(string_split(text, ' ')) >= 3
 """
 
 
+def _capped_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped inverted-index pair pipeline SHARED by
+    ``dedup_ngram_jaccard`` (symmetric metric) and
+    ``dedup_containment`` (asymmetric) — one definition so the cap
+    semantics, the hapax drop, and the join strategy can never drift
+    apart. Returns (doc_a, doc_b, n_common, n_a, n_b).
+
+    - hashes are array_distinct per doc, so count(*) = document freq.
+      The cap rides a window count over the SAME shingle partitioning
+      the self-join needs anyway — one shuffle, no df-lookup join
+      (measured steadier and ~5% faster than the agg+join form).
+    - Set sizes are defined over the CAPPED sets (df ≤ cap) — but the
+      JOIN input additionally drops df = 1 tokens: a posting list of
+      length one can never match another doc, so excluding it changes
+      no pair count while shrinking the self-join input.
+    - Forced sort-merge: the posting lists are ~1M rows per side; a
+      broadcast build of that is a serial driver-side hash-relation
+      construction, while SMJ shuffles both sides across all cores
+      and keeps the join output co-partitioned for the pair groupBy."""
+    from pyspark.sql import Window
+
+    sh = _shingled(spark, sf_dir)
+    ex_all = sh.select("doc_id", F.explode("hashes").alias("shingle"))
+    ex = ex_all.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("_df") <= MAX_SHINGLE_DF)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    exj = ex.filter(F.col("_df") >= 2).select("doc_id", "shingle")
+    a, b = exj.alias("a"), exj.hint("shuffle_merge").alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+# The matching oracle CTE chain (ends with common/sizes exposed);
+# spliced into _JACCARD_SQL and _CONTAINMENT_SQL.
+_CAPPED_PAIRS_CTES = f"""sh AS ({_SHINGLED_SQL}),
+ex_all AS (SELECT doc_id, unnest(hashes) AS shingle FROM sh),
+rare AS (
+  SELECT shingle FROM ex_all GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+ex AS (SELECT ex_all.doc_id, ex_all.shingle FROM ex_all JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard ≥ 0.5 pairs via inverted-index join,
     computed over each document's RARE shingles only: shingles whose
@@ -119,41 +174,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair explosion; capping df bounds every posting list, exactly as
     ``fingerprint.MAX_DF`` does for winnowing. Semantics: a pair's
     score changes only if its overlap leaned on corpus-ubiquitous
-    shingles — which is noise, not duplication signal, at scale."""
-    from pyspark.sql import Window
-
-    sh = _shingled(spark, sf_dir)
-    ex_all = sh.select("doc_id", F.explode("hashes").alias("shingle"))
-    # hashes are array_distinct per doc, so count(*) = document freq.
-    # The cap rides a window count over the SAME shingle partitioning
-    # the self-join needs anyway — one shuffle, no df-lookup join
-    # (measured steadier and ~5% faster than the agg+join form).
-    ex = ex_all.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("shingle"))
-    ).filter(F.col("_df") <= MAX_SHINGLE_DF)
-    # Set sizes are defined over the CAPPED sets (df ≤ cap) — but the
-    # JOIN input can additionally drop df = 1 tokens: a posting list
-    # of length one can never match another doc, so excluding it
-    # changes no pair count while shrinking the self-join input by
-    # however many hapax shingles the corpus has.
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    exj = ex.filter(F.col("_df") >= 2).select("doc_id", "shingle")
-    # Force sort-merge: the posting lists are ~1M rows per side, and a
-    # broadcast build of that is a serial driver-side hash-relation
-    # construction, while SMJ shuffles both sides across all cores and
-    # keeps the 33M-row join output co-partitioned for the pair
-    # groupBy that follows.
-    a, b = exj.alias("a"), exj.hint("shuffle_merge").alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    shingles — which is noise, not duplication signal, at scale.
+    Pipeline shared with dedup_containment (_capped_pair_counts)."""
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _capped_pair_counts(spark, sf_dir)
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -162,18 +186,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLED_SQL}),
-ex_all AS (SELECT doc_id, unnest(hashes) AS shingle FROM sh),
-rare AS (
-  SELECT shingle FROM ex_all GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
-),
-ex AS (SELECT ex_all.doc_id, ex_all.shingle FROM ex_all JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+WITH {_CAPPED_PAIRS_CTES}
 SELECT doc_a, doc_b,
        n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
 FROM common
@@ -187,8 +200,10 @@ ORDER BY doc_a, doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH banding (4×4) candidate pairs, verified with
     exact Jaccard ≥ 0.5. Candidate generation shuffles on the band
-    key only — the linear-scale near-dup path. Hash family i is
-    ``h32(i || '|' || shingle)``, reproducible in SQL.
+    key only — the linear-scale near-dup path. Hash family i is the
+    AFFINE ``(a_i·h32(shingle) + b_i) mod MINHASH_PRIME`` (one md5
+    per shingle, not one per (i, shingle) — see the constants block
+    above), reproducible in SQL.
 
     Output = verified pairs, so precision is exact; recall is the
     standard LSH s-curve (J=0.5 → P(candidate) ≈ 1-(1-0.5⁴)⁴ ≈ 23%
@@ -301,12 +316,13 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32) near-dup: per-word 32-bit hashes vote per bit;
-    candidates are generated within equal 12-bit-prefix buckets
+    """SimHash(SIMHASH_BITS=60) near-dup: per-word hashes vote per
+    bit; candidates are generated within equal 12-bit-prefix buckets
     (shuffle on the prefix, no cross join), then filtered to hamming
-    distance ≤ 6. Prefix bucketing trades recall for scale — a pair
-    differing inside the prefix is missed; the oracle replicates the
-    same policy so the comparison is exact."""
+    distance ≤ SIMHASH_MAX_HAMMING (3 — see the constants block above
+    for why 32-bit/≤6 was abandoned). Prefix bucketing trades recall
+    for scale — a pair differing inside the prefix is missed; the
+    oracle replicates the same policy so the comparison is exact."""
     # NON-distinct words: every doc here shares the same small
     # vocabulary, so distinct-word simhash is degenerate (all docs
     # vote identically). Keeping duplicates makes each occurrence a
@@ -591,29 +607,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. At 100 TB this is the standard quote/boilerplate
     detector: the cap bounds every posting list and the group-by
     pair output is (pairs sharing ≥1 rare shingle) — linear-ish in
-    corpus size for natural text."""
-    from pyspark.sql import Window
-
-    sh = _shingled(spark, sf_dir)
-    ex_all = sh.select("doc_id", F.explode("hashes").alias("shingle"))
-    ex = ex_all.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("shingle"))
-    ).filter(F.col("_df") <= MAX_SHINGLE_DF)
-    # sizes over the capped set; join input additionally drops df = 1
-    # hapax tokens (length-one posting lists cannot pair) — lossless.
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    exj = ex.filter(F.col("_df") >= 2).select("doc_id", "shingle")
-    a, b = exj.alias("a"), exj.hint("shuffle_merge").alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    corpus size for natural text. Pipeline shared with
+    dedup_ngram_jaccard (_capped_pair_counts)."""
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _capped_pair_counts(spark, sf_dir)
         .withColumn("containment", F.col("n_common") / F.least("n_a", "n_b"))
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "containment")
@@ -622,18 +619,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAINMENT_SQL = f"""
-WITH sh AS ({_SHINGLED_SQL}),
-ex_all AS (SELECT doc_id, unnest(hashes) AS shingle FROM sh),
-rare AS (
-  SELECT shingle FROM ex_all GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
-),
-ex AS (SELECT ex_all.doc_id, ex_all.shingle FROM ex_all JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+WITH {_CAPPED_PAIRS_CTES}
 SELECT doc_a, doc_b, n_common,
        n_common * 1.0 / LEAST(sa.n_shingles, sb.n_shingles) AS containment
 FROM common

@@ -26,16 +26,23 @@ def h32_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
-def word_shingles(words: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles from a words array (order preserved
-    inside each shingle). Mirrors the DuckDB list-comprehension form
-    in ``word_shingles_sql``."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda j: F.concat_ws(" ", F.slice(words, j + 1, n)),
-        )
+def word_shingles(words: Column, n: int = 3, distinct: bool = True) -> Column:
+    """n-word shingles from a words array (order preserved inside
+    each shingle; ``distinct=False`` keeps repeats for repetition
+    counting). Mirrors the DuckDB list-comprehension form in
+    ``word_shingles_sql``.
+
+    Short-array guard: for fewer than n words the result is EMPTY,
+    matching DuckDB's empty ``range``. Without it,
+    ``sequence(0, size-n)`` steps DOWNWARD for a negative stop
+    ([0, -1]), fabricating a bogus shingle and then crashing in
+    ``slice(words, 0, n)`` — every shingle-based operator would die
+    on the first 1-2-word document while the oracle side sails on."""
+    raw = F.when(F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)).otherwise(
+        F.array().cast("array<int>")
     )
+    shingles = F.transform(raw, lambda j: F.concat_ws(" ", F.slice(words, j + 1, n)))
+    return F.array_distinct(shingles) if distinct else shingles
 
 
 def word_shingles_sql(words_expr: str, n: int = 3) -> str:

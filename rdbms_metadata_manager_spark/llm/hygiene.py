@@ -106,10 +106,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic."""
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
     words = F.split(F.col("text"), " ")
-    all_shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - REP_N),
-        lambda j: F.concat_ws(" ", F.slice(words, j + 1, REP_N)),
-    )
+    # distinct=False: repetition is the signal; the helper also
+    # carries the short-doc guard (an inline sequence(0, size-n)
+    # would crash on a sub-REP_N-word document)
+    all_shingles = word_shingles(words, REP_N, distinct=False)
     exploded = docs.select(
         "doc_id",
         F.size(all_shingles).alias("n_shingles"),

@@ -35,6 +35,23 @@ FEATURES_SCHEMA = (
 )
 
 
+# Codec availability, probed ONCE per worker process: CPython does
+# not cache FAILED imports, so a per-row try/import would re-scan
+# sys.path for every blob in the hot Arrow batch loop.
+_CODECS: dict[str, bool] = {}
+
+
+def _codec_available(modality: str) -> bool:
+    if modality not in _CODECS:
+        mod = {"image": "PIL", "audio": "soundfile", "video": "av"}[modality]
+        try:
+            __import__(mod)
+            _CODECS[modality] = True
+        except ImportError:
+            _CODECS[modality] = False
+    return _CODECS[modality]
+
+
 def _try_real_decode(blob: bytes, modality: str):
     """Real decoder when a codec library is available; returns None —
     falling through to the deterministic fake — when the library is
@@ -44,6 +61,8 @@ def _try_real_decode(blob: bytes, modality: str):
     it pins the plumbing, not the codec)."""
     import io
 
+    if not _codec_available(modality):
+        return None
     try:
         if modality == "image":
             from PIL import Image
@@ -143,9 +162,12 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, blob, mod in zip(pdf["doc_id"], pdf["blob"], pdf["modality"]):
-            _try_real_decode(blob, mod)
+            decoded = _try_real_decode(blob, mod)  # real dims when codecs exist
             h = hashlib.md5(blob).hexdigest()
-            chash, w, hgt = h[:8], 64 + int(h[8:12], 16) % 448, 64 + int(h[12:16], 16) % 448
+            if decoded is not None:
+                chash, w, hgt = decoded
+            else:
+                chash, w, hgt = h[:8], 64 + int(h[8:12], 16) % 448, 64 + int(h[12:16], 16) % 448
             rows.append(
                 (
                     doc_id, mod, w, hgt, DST_W, DST_H, DST_W / w, DST_H / hgt,
@@ -201,6 +223,9 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, blob, mod in zip(pdf["doc_id"], pdf["blob"], pdf["modality"]):
             if mod != "video":
                 continue
+            # with a real codec the sampler would read keyframe
+            # timestamps from the decoded container here; the fake
+            # path skips the (cached-negative) probe's None result
             _try_real_decode(blob, mod)
             h = hashlib.md5(blob).hexdigest()
             n_frames = 2 + int(h[16:18], 16) % 3

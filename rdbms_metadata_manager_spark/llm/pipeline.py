@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..queries.base import load_spread
 from .dedup import _MINHASH_SQL, dedup_minhash_lsh
-from .text import STOPWORDS
+from .text import STOPWORDS, _sql_list
 from .udfs import CHUNK_TOKENS
 
 MIN_TOKENS = 20
@@ -86,7 +86,7 @@ WITH quality AS (
   FROM documents
   WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
     AND len(list_filter(string_split(text, ' '),
-                        x -> list_contains(['the', 'a', 'of', 'and'], x))) * 1.0
+                        x -> list_contains({_sql_list(STOPWORDS)}, x))) * 1.0
           / len(string_split(text, ' ')) <= {MAX_STOPWORD_RATIO}
 ),
 keepers AS (

@@ -235,8 +235,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rows = []
         for t in texts:
-            t = t.lower()
+            t = (t or "").lower()
             if not t:
+                # matched by the length(text) > 0 pre-filter below —
+                # kept only as a guard so the kernel can never crash
                 rows.append((0, 0, 0.0))
                 continue
             codes = np.fromiter((ord(c) for c in t), dtype=np.int64)
@@ -249,7 +251,11 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
     return (
-        docs.select("doc_id", _char_stats("text").alias("s"))
+        # empty/NULL text carries no char distribution: the oracle's
+        # unnest(range(...)) naturally omits such docs, so the Spark
+        # side must filter them too or the row counts diverge
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", _char_stats("text").alias("s"))
         .select("doc_id", "s.n_chars", "s.n_unique", "s.entropy_bits")
         .orderBy("doc_id")
     )

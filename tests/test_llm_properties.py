@@ -172,3 +172,46 @@ def test_winnow_kernel_matches_pure_python_reference(spark, texts):
     got = _winnow_kernel(pd.Series(texts))
     for t, fps in zip(texts, got):
         assert set(fps) == _winnow_reference(t), repr(t)
+
+
+def test_shingle_operators_survive_short_documents(spark, tmp_path_factory):
+    """1- and 2-word documents must flow through every shingle-based
+    operator without crashing AND still match the oracle: an
+    unguarded sequence(0, size-n) steps DOWNWARD for short docs,
+    fabricating a bogus index and then throwing in slice(words, 0, n)
+    — while the DuckDB side's empty range() sails on (review finding,
+    round 3). The guard lives in hashing.word_shingles."""
+    import duckdb
+
+    from rdbms_metadata_manager_spark.llm.dedup import _JACCARD_SQL, dedup_ngram_jaccard
+    from rdbms_metadata_manager_spark.llm.hygiene import (
+        _REPETITION_SQL,
+        text_repetition_stats,
+    )
+
+    d = str(tmp_path_factory.mktemp("short_docs"))
+    rows = [
+        (0, "word", "en", "src0", 4),
+        (1, "two words", "en", "src0", 9),
+        (2, "a b c d e f g h i j", "en", "src1", 19),
+        (3, "a b c d e f g h i j", "en", "src1", 19),
+        (4, "", "en", "src2", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for fn, sql in [
+        (dedup_ngram_jaccard, _JACCARD_SQL),
+        (text_repetition_stats, _REPETITION_SQL),
+    ]:
+        got = sorted(tuple(r) for r in fn(spark, d).collect())
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, fn.__name__
+    # the identical 10-word pair must still be found
+    pairs = dedup_ngram_jaccard(spark, d).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(2, 3)]
