@@ -24,6 +24,16 @@ TABLE_NAMES = [
 ]
 
 
+# Shared epoch-day bucketing constant: Spark side is
+# floor(unix_timestamp(ts) / DAY_SECONDS), oracle side is
+# epoch_us(ts) // 1000000 // DAY_SECONDS — keep the two idioms
+# adjacent to this constant when adding a new daily rollup
+# (cohort.py, forecast.py). Integer floor semantics agree for the
+# post-1970 timestamps in the testdata; negative epochs would need
+# the truncation caveat in this module's loader notes.
+DAY_SECONDS = 24 * 3600
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":

@@ -26,9 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import load
+from .base import DAY_SECONDS, load
 
-DAY_SECONDS = 24 * 3600
 
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,10 +92,13 @@ def feature_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut values go left, identically in both engines (integer
     comparison semantics on the same doubles)."""
     orders = load(spark, sf_dir, "orders")
+    # fractions as i/N (not a '0.{i}' string template, which is only
+    # correct while N_QBUCKETS == 10); repr of i/N is exact enough —
+    # both engines parse the same decimal literal text
     cuts = orders.agg(
         *[
             F.expr(
-                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY o_totalprice)"
+                f"percentile_disc({i / N_QBUCKETS}) WITHIN GROUP (ORDER BY o_totalprice)"
             ).alias(f"c{i}")
             for i in range(1, N_QBUCKETS)
         ]
@@ -119,7 +122,7 @@ def feature_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QBUCKET_SQL = f"""
 WITH cuts AS (
-  SELECT {", ".join(f"quantile_disc(o_totalprice, 0.{i}) AS c{i}" for i in range(1, N_QBUCKETS))}
+  SELECT {", ".join(f"quantile_disc(o_totalprice, {i / N_QBUCKETS}) AS c{i}" for i in range(1, N_QBUCKETS))}
   FROM orders
 ),
 x AS (

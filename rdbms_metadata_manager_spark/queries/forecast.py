@@ -21,10 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import load
+from .base import DAY_SECONDS, load
 
 SEASON_DAYS = 7
-DAY_SECONDS = 24 * 3600
 
 
 def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,6 +20,7 @@ CSV+JSON round-trips.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,7 +37,14 @@ def formats_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
     )
-    tmp = tempfile.mkdtemp(prefix="spark_fmt_roundtrip_")
+    # Fixed, per-SF scratch location + mode=overwrite: repeated
+    # invocations (bench loops, parity suites, driver rounds) replace
+    # the same two table copies instead of leaking a fresh mkdtemp of
+    # the whole orders table per call. Sequential callers only — the
+    # harnesses never run one query concurrently with itself.
+    tmp = os.path.join(
+        tempfile.gettempdir(), "spark_fmt_roundtrip", os.path.basename(sf_dir.rstrip("/"))
+    )
     csv_path = f"{tmp}/csv"
     json_path = f"{tmp}/json"
     # Java's Double.toString is shortest-round-trip, so o_totalprice

@@ -306,8 +306,6 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass the prefix sums (compute per-range totals, broadcast
     range offsets) — the output contract stays identical. Output is
     the per-band rollup: band, customers, revenue share."""
-    from pyspark.sql import Window
-
     orders = load(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
     per = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
