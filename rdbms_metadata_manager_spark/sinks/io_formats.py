@@ -154,9 +154,9 @@ def delete_keys_partition_rewrite(
 
     1. one broadcast semi-join finds the affected partition values;
     2. each affected partition is anti-joined against the key list
-       and written to a temp dir, then swapped in with a filesystem
-       rename (write-then-swap — readers never see a half-written
-       partition);
+       and written to a temp dir, then swapped in crash-safely
+       (backup-aside rename via partition_swap.py — readers never see
+       a half-written partition and a crash mid-swap loses nothing);
     3. untouched partitions keep their exact bytes (asserted in
        tests via file listing + mtimes).
 
@@ -171,15 +171,15 @@ def delete_keys_partition_rewrite(
         .distinct()
         .collect()
     )
-    hadoop = spark._jvm.org.apache.hadoop.fs.Path
-    fs = hadoop(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from .partition_swap import recover_partition_swaps, swap_partition
+
+    recover_partition_swaps(spark, path)
     for val in affected:
         part_dir = f"{path}/{partition_col}={val}"
         tmp_dir = f"{path}/.rewrite-{partition_col}={val}"
         remaining = spark.read.parquet(part_dir).join(keys, key_col, "left_anti")
         remaining.write.mode("overwrite").parquet(tmp_dir)
-        fs.delete(hadoop(part_dir), True)
-        fs.rename(hadoop(tmp_dir), hadoop(part_dir))
+        swap_partition(spark, part_dir, tmp_dir)
     return affected
 
 

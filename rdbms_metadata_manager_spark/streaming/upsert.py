@@ -14,9 +14,9 @@ Per micro-batch:
    date-/tenant-partitioned CDC; a moved key needs a delete record);
 3. each affected partition is rewritten: current rows anti-joined
    against the batch's keys, unioned with the batch slice, written to
-   a temp dir and swapped in by filesystem rename (write-then-swap,
-   same recipe as sinks/io_formats.py::delete_keys_partition_rewrite —
-   readers never see a half-merged partition).
+   a temp dir and swapped in crash-safely (backup-aside rename via
+   sinks/partition_swap.py — the previous contents are recoverable at
+   every instant, and readers never see a half-merged partition).
 
 Scale: work per batch is proportional to the AFFECTED partitions, not
 the target size — the 100 TB target is never rescanned. foreachBatch
@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..sinks.partition_swap import recover_partition_swaps, swap_partition
 
 
 def upsert_batch(
@@ -53,13 +55,13 @@ def upsert_batch(
     hadoop = spark._jvm.org.apache.hadoop.fs.Path
     fs = hadoop(target_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     fs.mkdirs(hadoop(target_dir))
-    data_cols = None
+    # finish/roll back any swap a previous crash left half-done so
+    # the exists() checks below see the true committed state
+    recover_partition_swaps(spark, target_dir)
     for val in affected:
         part_dir = f"{target_dir}/{partition_col}={val}"
         tmp_dir = f"{target_dir}/.upsert-{partition_col}={val}"
         batch_slice = latest.filter(F.col(partition_col) == val).drop(partition_col)
-        if data_cols is None:
-            data_cols = batch_slice.columns
         if fs.exists(hadoop(part_dir)):
             current = spark.read.parquet(part_dir)
             merged = current.join(batch_slice, key_col, "left_anti").unionByName(
@@ -68,9 +70,7 @@ def upsert_batch(
         else:
             merged = batch_slice
         merged.write.mode("overwrite").parquet(tmp_dir)
-        if fs.exists(hadoop(part_dir)):
-            fs.delete(hadoop(part_dir), True)
-        fs.rename(hadoop(tmp_dir), hadoop(part_dir))
+        swap_partition(spark, part_dir, tmp_dir)
     return affected
 
 

@@ -114,3 +114,52 @@ def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
         hi = glo + (ghi - glo) * 0.44
         overlapping = sum(1 for s in spans if s[0] <= hi and s[1] >= lo)
         assert overlapping <= 0.6 * len(spans), (col, overlapping, len(spans), spans)
+
+
+def test_upsert_crash_between_renames_recovers(spark, sf_dir, tmp_path):
+    """Simulate the worst crash window: the live partition dir was
+    renamed aside but the new contents were never renamed in. The
+    next upsert_batch must restore the previous rows (not treat the
+    partition as empty and keep only the batch's rows)."""
+    import os
+
+    target = str(tmp_path / "target")
+    b1 = _docs_changes(spark, sf_dir, list(range(20)), 1, "v1")
+    upsert_batch(spark, target, "lang", "doc_id", "version", b1)
+    before = sorted(
+        (r.doc_id, r.text, r.version) for r in spark.read.parquet(target).collect()
+    )
+
+    # crash simulation: live dir moved to the backup name, new dir absent
+    part = next(d for d in os.listdir(target) if d.startswith("lang="))
+    os.rename(f"{target}/{part}", f"{target}/.swap-old-{part}")
+
+    b2 = _docs_changes(spark, sf_dir, [0], 2, "v2")
+    upsert_batch(spark, target, "lang", "doc_id", "version", b2)
+    rows = {r.doc_id: r for r in spark.read.parquet(target).collect()}
+    assert len(rows) == 20  # nothing lost
+    assert rows[0].version in (1, 2)
+    assert not any(d.startswith(".swap-old-") for d in os.listdir(target))
+    assert sorted(
+        (i, t, v) for i, (t, v) in ((k, (r.text, r.version)) for k, r in rows.items())
+        if i != 0
+    ) == [b for b in before if b[0] != 0]
+
+
+def test_upsert_stale_backup_discarded(spark, sf_dir, tmp_path):
+    """Crash after the new dir was committed: the stale backup must be
+    discarded, not restored over the newer contents."""
+    import os
+    import shutil
+
+    target = str(tmp_path / "target")
+    b1 = _docs_changes(spark, sf_dir, list(range(10)), 1, "v1")
+    upsert_batch(spark, target, "lang", "doc_id", "version", b1)
+    part = next(d for d in os.listdir(target) if d.startswith("lang="))
+    # stale backup with OLD contents alongside a committed live dir
+    shutil.copytree(f"{target}/{part}", f"{target}/.swap-old-{part}")
+    b2 = _docs_changes(spark, sf_dir, [3], 2, "v2")
+    upsert_batch(spark, target, "lang", "doc_id", "version", b2)
+    rows = {r.doc_id: r for r in spark.read.parquet(target).collect()}
+    assert rows[3].version == 2
+    assert not any(d.startswith(".swap-old-") for d in os.listdir(target))
