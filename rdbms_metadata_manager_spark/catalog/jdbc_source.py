@@ -78,17 +78,21 @@ def _jdbc(spark: SparkSession, url: str, query: str, properties: dict | None = N
 # --- MySQL ----------------------------------------------------------------
 
 _MYSQL_COLUMNS_QUERY = """
-SELECT table_schema      AS `database`,
-       table_name,
-       column_name,
-       ordinal_position  AS ordinal,
-       data_type,
-       character_maximum_length AS char_max_length,
-       (is_nullable = 'YES')    AS is_nullable,
-       NULL                     AS is_unique,
-       (column_key = 'PRI')     AS is_primary_key
-FROM information_schema.columns
-WHERE table_schema = '{db}'
+SELECT c.table_schema      AS `database`,
+       c.table_name,
+       c.column_name,
+       c.ordinal_position  AS ordinal,
+       c.data_type,
+       c.character_maximum_length AS char_max_length,
+       (c.is_nullable = 'YES')    AS is_nullable,
+       NULL                       AS is_unique,
+       (c.column_key = 'PRI')     AS is_primary_key
+FROM information_schema.columns c
+JOIN information_schema.tables t
+  ON  t.table_schema = c.table_schema
+  AND t.table_name   = c.table_name
+WHERE c.table_schema = '{db}'
+  AND t.table_type = 'BASE TABLE'
 """
 
 _MYSQL_INDEXES_QUERY = """
@@ -120,6 +124,15 @@ WHERE tc.constraint_type = 'FOREIGN KEY'
 
 # --- PostgreSQL -----------------------------------------------------------
 
+# The pk subquery correlates key_column_usage back to
+# table_constraints on (schema, table, name) — PostgreSQL constraint
+# names are unique only per table/schema, so a join on
+# constraint_name alone cross-matches same-named PKs (users_pkey in
+# public and backup schemas), duplicating columns_meta rows through
+# the LEFT JOIN. Same bug class as the FK query's documented fix.
+# The tables join drops views (the reference's SQLAlchemy reflection
+# audits base tables only; a view's columns have no indexes to see,
+# so every large-varchar view column would fire a false Rule 1).
 _PG_COLUMNS_QUERY = """
 SELECT c.table_catalog AS database,
        c.table_name,
@@ -131,14 +144,22 @@ SELECT c.table_catalog AS database,
        NULL::boolean AS is_unique,
        (pk.column_name IS NOT NULL) AS is_primary_key
 FROM information_schema.columns c
+JOIN information_schema.tables t
+  ON  t.table_schema = c.table_schema
+  AND t.table_name   = c.table_name
 LEFT JOIN (
-    SELECT kcu.table_name, kcu.column_name
+    SELECT DISTINCT kcu.table_schema, kcu.table_name, kcu.column_name
     FROM information_schema.table_constraints tc
     JOIN information_schema.key_column_usage kcu
-      ON kcu.constraint_name = tc.constraint_name
+      ON  kcu.constraint_schema = tc.constraint_schema
+      AND kcu.table_name        = tc.table_name
+      AND kcu.constraint_name   = tc.constraint_name
     WHERE tc.constraint_type = 'PRIMARY KEY'
-) pk ON pk.table_name = c.table_name AND pk.column_name = c.column_name
+) pk ON pk.table_schema = c.table_schema
+    AND pk.table_name   = c.table_name
+    AND pk.column_name  = c.column_name
 WHERE c.table_schema = 'public'
+  AND t.table_type = 'BASE TABLE'
 """
 
 _PG_INDEXES_QUERY = """
@@ -151,7 +172,7 @@ FROM pg_class t
 JOIN pg_index ix ON t.oid = ix.indrelid
 JOIN pg_class i ON i.oid = ix.indexrelid
 JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = ANY(ix.indkey)
-WHERE t.relkind = 'r' AND t.relnamespace = 'public'::regnamespace
+WHERE t.relkind IN ('r', 'p') AND t.relnamespace = 'public'::regnamespace
 """
 
 # Multi-column FKs pair constrained→referred columns positionally by

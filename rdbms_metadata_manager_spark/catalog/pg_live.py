@@ -5,10 +5,11 @@ connection (reference app.py:123-125, README.md:43-50). The catalog
 SQL is the SAME text the JDBC reader uses (``jdbc_source._PG_*``);
 only the wire differs: this container has PostgreSQL server binaries
 but no JDBC driver jar or Python DB-API client, so rows travel as
-``COPY (…) TO STDOUT (FORMAT csv, NULL '\\N')`` through ``psql``.
+``COPY (…) TO STDOUT (FORMAT text)`` through ``psql`` (tab-delimited,
+backslash-escaped, unambiguous ``\\N`` NULL).
 
 Scale note: a catalog is small even for a huge warehouse (10^5 tables
-× 10^2 columns ≈ 10^7 rows ≈ 1 GB of CSV), so a single driver-side
+× 10^2 columns ≈ 10^7 rows ≈ 1 GB of text), so a single driver-side
 read is the right shape; for a catalog beyond that, the JDBC reader's
 partitioned-read options (jdbc_source._jdbc) are the cluster path.
 The DataFrames produced here are byte-identical contracts to the
@@ -86,15 +87,22 @@ def run_sql(sql: str, database: str, host: str, user: str = "postgres") -> list[
         capture_output=True,
         text=True,
     ).stdout
+    # split on '\n' ONLY: COPY text escapes \n/\r in data, so the row
+    # terminator is exactly one newline — str.splitlines() would also
+    # split on U+0085/U+2028/U+2029, which COPY text does NOT escape,
+    # breaking row framing for identifiers containing them.
+    lines = out.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # COPY terminates every row with \n → one trailing ""
     return [
         [None if v == _NULL else _unescape(v) for v in line.split("\t")]
-        for line in out.splitlines()
+        for line in lines
     ]
 
 
 def _coerce(rows: list[list[str | None]], schema: T.StructType) -> list[tuple]:
-    """CSV strings → Python values per the contract schema (psql CSV
-    booleans are 't'/'f')."""
+    """COPY-text strings → Python values per the contract schema
+    (PostgreSQL output booleans are 't'/'f')."""
     def conv(v: str | None, dt: T.DataType):
         if v is None:
             return None

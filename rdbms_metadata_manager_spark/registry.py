@@ -37,42 +37,40 @@ def _modules():
     )
 
     mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining, spatial]
-    try:
-        from .llm import (
-            clustering,
-            dedup,
-            entity,
-            fingerprint,
-            hygiene,
-            ivf,
-            kmeans,
-            multimodal,
-            pii,
-            pipeline,
-            quantize,
-            ranking,
-            sampling,
-            semdedup,
-            similarity,
-            text,
-            udfs,
-        )
+    # No try/except here: every dependency these modules use is part
+    # of the environment contract (pyarrow/pandas/numpy), and the
+    # PRIORITY window below hard-requires their query names — a
+    # swallowed ImportError would only resurface as an opaque
+    # "PRIORITY names not registered" assertion pointing at the wrong
+    # module.
+    from .llm import (
+        clustering,
+        curation,
+        dedup,
+        entity,
+        fingerprint,
+        hygiene,
+        ivf,
+        kmeans,
+        multimodal,
+        pii,
+        pipeline,
+        quantize,
+        ranking,
+        sampling,
+        semdedup,
+        similarity,
+        text,
+        udfs,
+    )
+    from .streaming import events_batch
 
-        from .llm import curation
-
-        mods += [
-            dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
-            clustering, kmeans, sampling, hygiene, pii, quantize, entity,
-            fingerprint, curation, semdedup,
-        ]
-    except ImportError:
-        pass
-    try:
-        from .streaming import events_batch
-
-        mods.append(events_batch)
-    except ImportError:
-        pass
+    mods += [
+        dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
+        clustering, kmeans, sampling, hygiene, pii, quantize, entity,
+        fingerprint, curation, semdedup,
+    ]
+    mods.append(events_batch)
     return mods
 
 

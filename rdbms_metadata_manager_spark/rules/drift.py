@@ -8,7 +8,9 @@ length, key-ness). This is the input a schema-governance process
 actually consumes: rules say "this schema is bad", drift says "this
 schema CHANGED under you".
 
-Shape: one full-outer join on the (table, column) key, then pure
+Shape: one full-outer join on the (database, table, column) key —
+the full catalog key the rules engine uses (rules/engine.py::_KEY),
+so same-named tables in two databases never cross-match — then pure
 Column expressions classify each row. Alterations emit one row per
 changed attribute (a small fixed stack of when-clauses — attribute
 count is bounded, so this is a constant-width projection, not an
@@ -37,7 +39,7 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     (table, column, change) with change ∈ {column_added,
     column_dropped, <attribute>_changed} and stringified
     before/after values."""
-    key = ["table_name", "column_name"]
+    key = ["database", "table_name", "column_name"]
     o = old.select(key + _TRACKED).alias("o")
     n = new.select(key + _TRACKED).alias("n")
     joined = o.join(n, key, "full_outer").select(
@@ -49,6 +51,7 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
     added = joined.filter(~F.col("_in_old") & F.col("_in_new")).select(
+        "database",
         "table_name",
         "column_name",
         F.lit("column_added").alias("change"),
@@ -56,6 +59,7 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
         F.col("new_data_type").alias("after"),
     )
     dropped = joined.filter(F.col("_in_old") & ~F.col("_in_new")).select(
+        "database",
         "table_name",
         "column_name",
         F.lit("column_dropped").alias("change"),
@@ -67,6 +71,7 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
         both.filter(
             ~(F.col(f"old_{a}").eqNullSafe(F.col(f"new_{a}")))
         ).select(
+            "database",
             "table_name",
             "column_name",
             F.lit(f"{a}_changed").alias("change"),
@@ -76,5 +81,5 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
         for a in _TRACKED
     ]
     return reduce(DataFrame.unionByName, [added, dropped] + altered).orderBy(
-        "table_name", "column_name", "change"
+        "database", "table_name", "column_name", "change"
     )

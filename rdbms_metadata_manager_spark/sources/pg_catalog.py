@@ -18,9 +18,9 @@ knob, not a function of table count. This is the same
 predicate-split idea as JDBC's partitionColumn options, expressed
 against a text key.
 
-Transport is ``psql`` COPY CSV (catalog.pg_live) because the
-container has no JDBC jar or DB-API client; a real deployment would
-swap ``_bucket_rows`` for a driver/client call — nothing else
+Transport is ``psql`` COPY text format (catalog.pg_live) because
+the container has no JDBC jar or DB-API client; a real deployment
+would swap ``_bucket_rows`` for a driver/client call — nothing else
 changes. Raw faces come back contract-shaped via the same
 post-processing the JDBC path uses (``_normalize_type``,
 ``group_foreign_keys``).

@@ -74,3 +74,29 @@ def test_null_attribute_transitions_are_detected(spark):
     assert len(rows) == 1
     assert rows[0].change == "is_unique_changed"
     assert rows[0].before is None and rows[0].after == "false"
+
+
+def test_same_table_name_in_two_databases_does_not_cross_match(spark):
+    """Snapshots spanning two databases that share a table name must
+    diff per-database: ecommerce_db.Users and quirks-side Users
+    look-alikes must never join to each other."""
+    cols = fixtures.columns_meta(spark)
+    other = cols.withColumn("database", F.lit("archive_db")).withColumn(
+        "data_type", F.lit("TEXT")
+    )
+    old = cols.unionByName(other)
+    # change one attribute in ONE database only
+    new = old.withColumn(
+        "is_nullable",
+        F.when(
+            (F.col("database") == "ecommerce_db")
+            & (F.col("table_name") == "Users")
+            & (F.col("column_name") == "email"),
+            F.lit(False),
+        ).otherwise(F.col("is_nullable")),
+    )
+    rows = schema_drift(old, new).collect()
+    assert len(rows) == 1
+    assert (rows[0].database, rows[0].table_name, rows[0].column_name, rows[0].change) == (
+        "ecommerce_db", "Users", "email", "is_nullable_changed"
+    )

@@ -109,6 +109,30 @@ CREATE TABLE dup_b (
   ref_id integer NOT NULL,
   CONSTRAINT fk_dup FOREIGN KEY (ref_id) REFERENCES "Products"(product_id)
 );
+-- PK-name ambiguity: a same-named table in ANOTHER schema whose PK
+-- constraint carries the same name as public."Users"'s auto-named
+-- "Users_pkey", but on a DIFFERENT column. A PK subquery joined on
+-- constraint_name alone would (a) duplicate public rows through the
+-- tc x kcu cross-match and (b) mark public.Users.username as a
+-- primary key it does not have.
+CREATE SCHEMA backup;
+CREATE TABLE backup."Users" (
+  user_id integer,
+  username varchar(255) CONSTRAINT "Users_pkey" PRIMARY KEY
+);
+-- views expose columns but can never expose indexes: auditing them
+-- would fire false Rule-1 hits the reference (tables-only
+-- reflection) never reports
+CREATE VIEW v_users_export AS SELECT username, email FROM "Users";
+-- partitioned table: its index lives on relkind 'p'/'I' relations,
+-- so an index face restricted to relkind='r' would go blind on it
+CREATE TABLE part_events (
+  id integer,
+  note varchar(300) NOT NULL,
+  PRIMARY KEY (id)
+) PARTITION BY RANGE (id);
+CREATE INDEX ix_part_note ON part_events(note);
+CREATE TABLE part_events_p0 PARTITION OF part_events FOR VALUES FROM (0) TO (100);
 """
 
 
@@ -184,9 +208,17 @@ def live_catalog(spark, pg_host):
 
 def test_live_columns_contract(live_catalog):
     cols, _, _ = live_catalog
-    rows = {(r.table_name, r.column_name): r for r in cols.collect()}
+    collected = cols.collect()
+    rows = {(r.table_name, r.column_name): r for r in collected}
     # 26 ecommerce columns + 2 warehouse_bins + 3 shipments + 4 dup_a/b
-    assert len(rows) == 35
+    # + 2 part_events + 2 part_events_p0; the backup-schema table and
+    # the view contribute nothing
+    assert len(rows) == 39
+    # no duplicates: the same-named "Users_pkey" in the backup schema
+    # must not cross-match public rows through the PK subquery
+    assert len(collected) == len(rows)
+    assert not rows[("Users", "username")].is_primary_key
+    assert "v_users_export" not in {t for t, _ in rows}
     r = rows[("Users", "email")]
     assert (r.data_type, r.char_max_length, r.is_nullable, r.is_primary_key) == ("VARCHAR", 100, True, False)
     assert rows[("Orders", "total_amount")].data_type == "NUMERIC"
@@ -203,6 +235,11 @@ def test_live_indexes_and_composite_fk(live_catalog):
     assert idx_rows[("Users", "uq_users_email")].is_unique
     assert not idx_rows[("Orders", "ix_orders_user")].is_unique
     assert all(r.table_name not in ("pg_class", "pg_attribute") for r in idx_rows.values())
+    # partitioned parent's index (relkind 'p') and the auto-created
+    # child index on its partition are both visible
+    assert ("part_events", "ix_part_note") in idx_rows
+    assert any(t == "part_events_p0" and r.column_name == "note"
+               for (t, _n), r in idx_rows.items())
     fk_rows = {(r.table_name, r.constraint_name): r for r in fks.collect()}
     comps = [r for (t, _n), r in fk_rows.items() if t == "shipments"]
     assert len(comps) == 1
