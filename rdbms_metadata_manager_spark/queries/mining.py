@@ -103,10 +103,16 @@ LIMIT {TOP_PAIRS}
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # undirected distinct edge list, canonical a < b — from the same
     # self-join-free basket-pair kernel as copurchase_part_pairs
+    # materialized once (localCheckpoint): the edge list feeds the
+    # degree agg, the oriented-edge build, and the edge count — left
+    # lazy, each consumer re-runs the basket explode + distinct
+    # (measured 7.5 s -> ~3 s at sf0.1). At cluster scale this is the
+    # standard "materialize the edge list" step of triangle counting.
     e = (
         _basket_pairs(spark, sf_dir)
         .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -115,31 +121,44 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("deg"))
     )
     # orient each edge from the endpoint with smaller (deg, id): total
-    # order, so out-degree is O(sqrt(E)) and the wedge join is bounded.
+    # order, so every out-neighborhood is O(sqrt(E)) and each triangle
+    # has exactly ONE "apex" node with out-edges to the other two.
     ed = (
         e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
         .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
         .select(
             F.when(
                 (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("src"), F.col("b").alias("dst"), F.col("db").alias("ddst")),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
             )
-            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst"), F.col("da").alias("ddst")))
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
             .alias("o")
         )
-        .select("o.src", "o.dst", "o.ddst")
+        .select("o.src", "o.dst")
+        .localCheckpoint(eager=True)  # feeds adjacency build + per-edge probe + edge count
     )
-    w1 = ed.select(F.col("src"), F.col("dst").alias("v"), F.col("ddst").alias("dv"))
-    w2 = ed.select(F.col("src"), F.col("dst").alias("w"), F.col("ddst").alias("dw"))
-    wedges = w1.join(w2, "src").filter(
-        (F.col("dv") < F.col("dw")) | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
-    )
-    closed = wedges.join(
-        ed.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"], "left_semi"
+    # Adjacency-array intersection (node-iterator form): per oriented
+    # edge (u,v), triangles apexed at u through v = |N+(u) ∩ N+(v)|.
+    # This never materializes the wedge set — the earlier wedge-join
+    # formulation shuffled 41M wedge rows at sf0.1 to close them
+    # against 1.2M edges (~7 s); intersecting sorted out-neighbor
+    # arrays per edge touches the same element pairs inside one
+    # codegen'd expression over only |E| rows (~3.5 s). The adjacency
+    # side is broadcast here (Σ|N+| = |E| longs); on a graph too big
+    # to broadcast, drop the hints and the same plan runs as two
+    # O(E)-row shuffle joins — still never O(wedges).
+    adj = ed.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    per_edge = (
+        ed.join(F.broadcast(adj.select(F.col("src"), F.col("nbrs").alias("n_src"))), "src")
+        .join(
+            F.broadcast(adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("n_dst"))),
+            "dst",
+        )
+        .select(F.size(F.array_intersect("n_src", "n_dst")).alias("k"))
     )
     n_nodes = deg.agg(F.count("*").alias("c"))
     n_edges = e.agg(F.count("*").alias("c"))
-    n_tri = closed.agg(F.count("*").alias("c"))
+    n_tri = per_edge.agg(F.coalesce(F.sum("k"), F.lit(0)).alias("c"))
     return (
         n_nodes.select(F.col("c").alias("n_nodes"))
         .join(n_edges.select(F.col("c").alias("n_edges")))
