@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..queries.base import load_spread
 from .kmeans import sql_training_prologue, trained_assignments
-from .similarity import _as_double, _cosine, _cosine_sql
+from .similarity import DIM, _as_double, _cosine, _cosine_sql
 
 SEMDEDUP_COSINE = 0.4
 
@@ -117,5 +117,77 @@ ORDER BY drop_vec
 """
 
 
-QUERIES = {"semdedup_embedding_clusters": semdedup_embedding_clusters}
-ORACLES = {"semdedup_embedding_clusters": _SEMDEDUP_SQL}
+PRUNE_DENOM = 5  # keep the 1/5 most-prototypical cut integer-exact
+
+
+def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style prototypicality pruning (Tirumala et al. 2023,
+    "D4: Improving LLM Pretraining via Document De-Duplication and
+    Diversification"): after SemDeDup, the most PROTOTYPICAL points
+    of each cluster — the ones closest to their centroid — carry the
+    least marginal information, so the closest 20% per cluster are
+    flagged for pruning.
+
+    Reuses the shared deterministic-Lloyd prologue; each vector then
+    needs ONE distance — to its own centroid — which the ordered-fold
+    ``_dist2`` keeps bit-identical to the SQL oracle (same fold the
+    trainer's assignment step already pays K times per vector, so
+    this is strictly cheaper than one Lloyd pass). The 20% cut is
+    ``5*rank <= n`` — pure integer comparison, no float fraction to
+    drift between engines; ranking ties break on vec_id.
+
+    Scale: one broadcast of K centroids + one window partitioned by
+    cluster — the same shuffle the assignment already produced; no
+    pairwise work at all (the quadratic step stays in SemDeDup)."""
+    from pyspark.sql import Window
+    from .kmeans import _dist2
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    centroids, assigned = trained_assignments(emb)
+    scored = (
+        assigned.join(F.broadcast(centroids), assigned["cluster"] == centroids["cid"])
+        .withColumn("d2", _dist2(F.col("v"), F.col("centroid")))
+        .select("vec_id", "cluster", "d2")
+    )
+    w = Window.partitionBy("cluster").orderBy("d2", "vec_id")
+    wn = Window.partitionBy("cluster")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "vec_id",
+            "cluster",
+            F.round("d2", 6).alias("dist2"),
+            (F.col("rk") * PRUNE_DENOM <= F.col("n")).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_D4_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{sql_training_prologue()},
+scored AS (
+  SELECT a3.vec_id, a3.cluster,
+         list_sum(list_transform(range(1, {DIM + 1}),
+                  i -> (a3.v[i] - c2.centroid[i]) * (a3.v[i] - c2.centroid[i]))) AS d2
+  FROM a3 JOIN c2 ON c2.cid = a3.cluster
+)
+SELECT vec_id, cluster, round(d2, 6) AS dist2, (rk * {PRUNE_DENOM} <= n) AS pruned
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rk,
+             count(*) OVER (PARTITION BY cluster) AS n
+      FROM scored)
+ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "semdedup_embedding_clusters": semdedup_embedding_clusters,
+    "d4_prototype_prune": d4_prototype_prune,
+}
+ORACLES = {
+    "semdedup_embedding_clusters": _SEMDEDUP_SQL,
+    "d4_prototype_prune": _D4_SQL,
+}

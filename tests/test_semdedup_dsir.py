@@ -122,3 +122,23 @@ def test_semdedup_matches_oracle_on_random_vectors(spark, tmp_path_factory, vecs
     )
     want = sorted(tuple(r) for r in con.execute(_SEMDEDUP_SQL).fetchall())
     assert got == want
+
+
+def test_d4_prunes_exactly_the_closest_fifth_per_cluster(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.semdedup import PRUNE_DENOM, d4_prototype_prune
+
+    rows = d4_prototype_prune(spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == len(rows)
+    for cluster, members in by_cluster.items():
+        n = len(members)
+        pruned = [r for r in members if r.pruned]
+        kept = [r for r in members if not r.pruned]
+        # exactly floor(n/5) pruned
+        assert len(pruned) == n // PRUNE_DENOM, cluster
+        # pruned are the closest-to-centroid members: every pruned
+        # distance <= every kept distance (ties broken by vec_id)
+        if pruned and kept:
+            assert max(r.dist2 for r in pruned) <= min(r.dist2 for r in kept) + 1e-9
