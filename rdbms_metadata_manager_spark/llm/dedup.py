@@ -692,6 +692,58 @@ FROM j
 """
 
 
+STRONG_JACCARD = 0.8
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: the MinHash near-dup pairs
+    aggregated into an unordered source×source matrix — the report a
+    corpus curator reads to find mirror sites, scraped re-posts, and
+    feeds that syndicate each other (within-source rows = internal
+    duplication). Counts only (plus a strong-pair count at Jaccard ≥
+    0.8): integer-exact, no float aggregation to drift between
+    engines.
+
+    Scale: rides the exact pair kernel (band-key shuffle only); the
+    matrix agg groups a pair-count-sized input down to |sources|²
+    rows, so the report is free relative to the dedup run it audits."""
+    from ..queries.base import load
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_if(F.col("jaccard") >= STRONG_JACCARD).alias("n_strong"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH pairs AS ({_MINHASH_SQL})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs,
+       count(*) FILTER (jaccard >= {STRONG_JACCARD}) AS n_strong
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.doc_a
+JOIN documents db ON db.doc_id = pairs.doc_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -701,6 +753,7 @@ QUERIES = {
     "dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter,
     "dedup_containment": dedup_containment,
     "dedup_sketch_recall_report": dedup_sketch_recall_report,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
 }
 
 ORACLES = {
@@ -712,4 +765,5 @@ ORACLES = {
     "dedup_jaccard_prefix_filter": _PREFIX_FILTER_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
     "dedup_sketch_recall_report": _SKETCH_RECALL_SQL,
+    "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
 }

@@ -34,3 +34,19 @@ def test_training_shards_partitioned_by_lang(spark, sf_dir, tmp_path):
     assert back.count() == n_survivors
     plan = back.filter(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan
+
+
+def test_cross_source_matrix_accounts_for_every_pair(spark, sf_dir):
+    """The source×source matrix partitions the exact MinHash pair
+    set: Σ n_pairs = |pairs|, strong counts bounded, keys canonical."""
+    from rdbms_metadata_manager_spark.llm.dedup import (
+        cross_source_dup_matrix,
+        dedup_minhash_lsh,
+    )
+
+    rows = cross_source_dup_matrix(spark, sf_dir).collect()
+    n_pairs_total = dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs_total
+    for r in rows:
+        assert 0 <= r.n_strong <= r.n_pairs
+        assert r.source_a <= r.source_b

@@ -488,3 +488,29 @@ def test_ivf_cell_partitioned_probe_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned scan reads only the probed fraction of rows
     total = assigned.count()
     assert probed.count() < total
+
+
+def test_triangle_count_has_no_wedge_join(spark, sf_dir):
+    """copurchase_triangles counts per-edge via adjacency-array
+    intersection: no semi-join closing a materialized wedge set, and
+    the two adjacency probes are broadcast hash joins (O(E) rows in
+    flight, never O(wedges))."""
+    from rdbms_metadata_manager_spark.queries.mining import copurchase_triangles
+
+    plan = physical_plan(copurchase_triangles(spark, sf_dir))
+    assert "LeftSemi" not in plan, plan
+    assert "array_intersect" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_d4_prune_is_one_broadcast_and_one_cluster_window(spark, sf_dir):
+    """d4_prototype_prune adds NO pairwise stage on top of the
+    trainer: one broadcast join to the K centroids and windows over
+    the cluster key only."""
+    from rdbms_metadata_manager_spark.llm.semdedup import d4_prototype_prune
+
+    plan = physical_plan(d4_prototype_prune(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
