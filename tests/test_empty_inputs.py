@@ -71,6 +71,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.pipeline", "source_mix_weights"),
         ("llm.semdedup", "semdedup_embedding_clusters"),
         ("llm.curation", "dsir_importance_weights"),
+        ("llm.semdedup", "d4_prototype_prune"),
+        ("llm.dedup", "cross_source_dup_matrix"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
@@ -90,3 +92,13 @@ def test_profile_on_empty_table_reports_zero_rows(spark, empty_dir):
     for r in rows:
         assert r["n_rows"] == 0 and r["n_nulls"] == 0 and r["n_distinct"] == 0
         assert r["min_repr"] is None and r["max_repr"] is None
+
+
+def test_triangle_summary_on_empty_graph_is_all_zero(spark, empty_dir):
+    """copurchase_triangles returns a one-row summary; on an empty
+    lineitem it must be (0, 0, 0), not a crash in the checkpointed
+    edge pipeline or a NULL triangle sum."""
+    from rdbms_metadata_manager_spark.queries.mining import copurchase_triangles
+
+    rows = copurchase_triangles(spark, empty_dir).collect()
+    assert [tuple(r) for r in rows] == [(0, 0, 0)]

@@ -142,3 +142,40 @@ def test_d4_prunes_exactly_the_closest_fifth_per_cluster(spark, sf_dir):
         # distance <= every kept distance (ties broken by vec_id)
         if pruned and kept:
             assert max(r.dist2 for r in pruned) <= min(r.dist2 for r in kept) + 1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-8.0, 8.0, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_d4_matches_oracle_on_random_vectors(spark, tmp_path_factory, vecs):
+    """Engine-vs-engine property for the prototypicality prune: on
+    arbitrary vectors (duplicates, tiny clusters where n < 5, exact
+    distance ties) the Spark ranking must equal the DuckDB oracle's
+    exactly — the (d2, vec_id) tie-break and the integer 5·rank ≤ n
+    cut are where engines could drift."""
+    import duckdb
+
+    from rdbms_metadata_manager_spark.llm.semdedup import _D4_SQL, d4_prototype_prune
+
+    d = str(tmp_path_factory.mktemp("d4_prop"))
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    got = sorted(tuple(r) for r in d4_prototype_prune(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(_D4_SQL).fetchall())
+    assert got == want
