@@ -279,6 +279,38 @@ LIMIT 10
 """
 
 
+def identifier_param_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``IDENTIFIER(:name)`` clause: the table NAME itself is
+    a bound parameter — the injection-safe form of "run this profile
+    against whichever table the caller picks" that multi-tenant tools
+    otherwise build with f-strings. The identifier binds at parse
+    time, so the plan is indistinguishable from naming the table
+    literally (scan pruning included). Oracle = the same profile with
+    the table hand-inlined."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY o_orderstatus
+        ORDER BY status
+        """,
+        args={"tbl": "orders"},
+    )
+
+
+_IDENTIFIER_SQL = """
+SELECT o_orderstatus AS status,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+
 def sql_scripting_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4.1 SQL scripting (BEGIN … END with DECLARE/SET): the
     imperative two-step every reporting app writes — compute a
@@ -372,6 +404,7 @@ QUERIES = {
     "recursive_balance_replay": recursive_balance_replay,
     "sql_udf_price_bands": sql_udf_price_bands,
     "parameterized_top_purchasers": parameterized_top_purchasers,
+    "identifier_param_table_profile": identifier_param_table_profile,
     "sql_scripting_threshold_report": sql_scripting_threshold_report,
     "collation_ci_event_rollup": collation_ci_event_rollup,
 }
@@ -381,6 +414,7 @@ ORACLES = {
     "recursive_balance_replay": _RECURSIVE_SQL,
     "sql_udf_price_bands": _SQL_UDF_SQL,
     "parameterized_top_purchasers": _PARAM_SQL,
+    "identifier_param_table_profile": _IDENTIFIER_SQL,
     "sql_scripting_threshold_report": _SCRIPTING_SQL,
     "collation_ci_event_rollup": _COLLATION_SQL,
 }

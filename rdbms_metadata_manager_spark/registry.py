@@ -63,14 +63,14 @@ def _modules():
         text,
         udfs,
     )
-    from .streaming import events_batch
+    from .streaming import events_batch, state_inspect
 
     mods += [
         dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
         clustering, kmeans, sampling, hygiene, pii, quantize, entity,
         fingerprint, curation, semdedup,
     ]
-    mods.append(events_batch)
+    mods += [events_batch, state_inspect]
     return mods
 
 
