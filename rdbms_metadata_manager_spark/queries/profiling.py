@@ -478,6 +478,47 @@ ORDER BY measure
 """
 
 
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``DataFrame.observe`` (the
+    Observation API): quality metrics computed AS the data flows
+    through a real action, not by a second scan — at 100 TB the
+    difference between "metrics are free" and "metrics double the
+    bill". Here the filtered lineitem projection is written through
+    the noop sink (standing in for the real downstream write) while
+    three metrics ride along; the one-row result is rebuilt
+    relationally for the oracle compare. Counts and integer cents
+    only — observed aggregates run in arbitrary partition order, so
+    float sums would be nondeterministic.
+
+    Oracle = the same aggregates as a plain query: equality proves
+    the observed path computes exactly what a dedicated scan would."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+        F.count_if(F.col("l_discount") >= F.lit(0.05)).alias("n_discounted"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["price_cents"]), int(m["n_discounted"]))],
+        "n_rows bigint, price_cents bigint, n_discounted bigint",
+    )
+
+
+_OBSERVED_SQL = """
+SELECT count(*) AS n_rows,
+       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+       count(*) FILTER (l_discount >= 0.05) AS n_discounted
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+"""
+
+
 QUERIES = {
     "profile_orders_columns": profile_orders_columns,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -487,6 +528,7 @@ QUERIES = {
     "outlier_customers_iqr": outlier_customers_iqr,
     "histogram_order_values": histogram_order_values,
     "anomaly_event_hours": anomaly_event_hours,
+    "observed_scan_metrics": observed_scan_metrics,
 }
 
 ORACLES = {
@@ -498,4 +540,5 @@ ORACLES = {
     "outlier_customers_iqr": _OUTLIER_SQL,
     "histogram_order_values": _HISTOGRAM_SQL,
     "anomaly_event_hours": _ANOMALY_SQL,
+    "observed_scan_metrics": _OBSERVED_SQL,
 }
