@@ -162,14 +162,79 @@ ORDER BY c_mktsegment
 """
 
 
+class PolymorphicDocStats:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze``): the output
+    schema is computed at PLAN time from the constant metrics
+    argument — callers pick which integer doc statistics they want
+    ('n_words', 'n_upper', 'n_digits') and the function emits exactly
+    those columns, pruned like any other projection. This is the
+    schema-from-arguments shape that fixed ``returnType`` UDTFs
+    cannot express (a metrics framework would otherwise register one
+    UDTF per metric combination).
+
+    All metrics are ASCII-integer so the SQL oracle is exact; eval
+    stays a lazy one-row generator."""
+
+    _METRICS = {
+        "n_words": lambda t: len(t.split()),
+        "n_upper": lambda t: sum(1 for ch in t if "A" <= ch <= "Z"),
+        "n_digits": lambda t: sum(1 for ch in t if ch.isdigit()),
+    }
+
+    @staticmethod
+    def analyze(text, metrics):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import LongType, StructType
+
+        schema = StructType()
+        for name in metrics.value.split(","):
+            if name not in PolymorphicDocStats._METRICS:
+                raise ValueError(f"unknown metric {name!r}")
+            schema = schema.add(name, LongType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, metrics: str) -> Iterator[tuple]:
+        yield tuple(self._METRICS[m](text) for m in metrics.split(","))
+
+
+def udtf_polymorphic_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf as udtf_fn
+
+    d = load_spread(spark, sf_dir, "documents", "doc_id").filter(F.col("doc_id") < 200)
+    spark.udtf.register("doc_stats", udtf_fn(PolymorphicDocStats))
+    d.createOrReplaceTempView("docs_for_stats")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.n_words, s.n_upper
+        FROM docs_for_stats d,
+             LATERAL doc_stats(d.text, 'n_words,n_upper') s
+        ORDER BY d.doc_id
+        """
+    )
+
+
+# Python str.split() drops empty fields; mirror with a filtered
+# regex split. n_upper counts ASCII A-Z only, same on both sides.
+_POLY_UDTF_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')) AS BIGINT) AS n_words,
+       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pandas_udf_text_scores": pandas_udf_text_scores,
     "udtf_document_chunks": udtf_document_chunks,
     "pandas_udaf_gini_acctbal": pandas_udaf_gini_acctbal,
+    "udtf_polymorphic_doc_stats": udtf_polymorphic_doc_stats,
 }
 
 ORACLES = {
     "pandas_udf_text_scores": _PANDAS_UDF_SQL,
     "udtf_document_chunks": _UDTF_SQL,
     "pandas_udaf_gini_acctbal": _UDAF_SQL,
+    "udtf_polymorphic_doc_stats": _POLY_UDTF_SQL,
 }

@@ -215,3 +215,34 @@ def test_shingle_operators_survive_short_documents(spark, tmp_path_factory):
     # the identical 10-word pair must still be found
     pairs = dedup_ngram_jaccard(spark, d).collect()
     assert [(r.doc_a, r.doc_b) for r in pairs] == [(2, 3)]
+
+
+def test_polymorphic_udtf_schema_follows_metrics_argument(spark, sf_dir):
+    """The analyze() hook must derive the output schema from the
+    constant argument: different metric lists → different columns,
+    and an unknown metric fails at PLAN time, not at execution."""
+    import pytest
+    from pyspark.sql.functions import udtf as udtf_fn
+
+    from rdbms_metadata_manager_spark.llm.udfs import PolymorphicDocStats
+    from rdbms_metadata_manager_spark.queries.base import load_spread
+
+    spark.udtf.register("doc_stats_poly", udtf_fn(PolymorphicDocStats))
+    load_spread(spark, sf_dir, "documents", "doc_id").filter(
+        "doc_id < 5"
+    ).createOrReplaceTempView("poly_docs")
+
+    one = spark.sql(
+        "SELECT s.* FROM poly_docs d, LATERAL doc_stats_poly(d.text, 'n_digits') s"
+    )
+    assert one.columns == ["n_digits"]
+    three = spark.sql(
+        "SELECT s.* FROM poly_docs d, "
+        "LATERAL doc_stats_poly(d.text, 'n_words,n_upper,n_digits') s"
+    )
+    assert three.columns == ["n_words", "n_upper", "n_digits"]
+    assert three.count() == 5
+    with pytest.raises(Exception, match="unknown metric"):
+        spark.sql(
+            "SELECT s.* FROM poly_docs d, LATERAL doc_stats_poly(d.text, 'bogus') s"
+        ).collect()
