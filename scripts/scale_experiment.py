@@ -60,8 +60,14 @@ TEXT_KERNELS = [
 EMB_KERNELS = [
     "dedup_embedding_cosine",
     "semdedup_embedding_clusters",
+    "d4_prototype_prune",
 ]
 EMB_MAX_K = 3
+# Graph kernel over lineitem: replicas offset BOTH l_orderkey and
+# l_partkey, so the co-purchase graphs are disjoint — edge and
+# triangle counts must grow exactly Kx, and the adjacency-
+# intersection work is per-replica-local.
+GRAPH_KERNELS = ["copurchase_triangles"]
 
 DOC_OFFSET = 10_000_000
 VEC_OFFSET = 10_000_000
@@ -109,6 +115,19 @@ def build_replica_dir(spark, k: int) -> str:
         e = e.unionByName(p)
     d.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     e.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    li = load(spark, BASE, "lineitem")
+    li_parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(r * DOC_OFFSET)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(r * DOC_OFFSET)).alias("l_partkey"),
+            *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
+        )
+        for r in range(k)
+    ]
+    l = li_parts[0]
+    for p in li_parts[1:]:
+        l = l.unionByName(p)
+    l.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     open(f"{out}/_done", "w").close()
     return out
 
@@ -127,7 +146,7 @@ def main() -> None:
         dirs[k] = build_replica_dir(spark, k)
 
     print(f"{'kernel':34s} " + " ".join(f"{f'x{k} s':>9s} {f'x{k} rows':>9s}" for k in dirs))
-    for name in TEXT_KERNELS + EMB_KERNELS:
+    for name in TEXT_KERNELS + EMB_KERNELS + GRAPH_KERNELS:
         cells = []
         for k, d in dirs.items():
             if name in EMB_KERNELS and k > EMB_MAX_K:
@@ -136,7 +155,11 @@ def main() -> None:
             best, rows = None, None
             for _ in range(2):
                 t0 = time.time()
-                rows = qs[name](spark, d).count()
+                out_df = qs[name](spark, d)
+                if name in GRAPH_KERNELS:
+                    rows = out_df.collect()[0].n_triangles
+                else:
+                    rows = out_df.count()
                 el = time.time() - t0
                 best = el if best is None or el < best else best
             cells.append(f"{best:9.2f} {rows:9d}")
