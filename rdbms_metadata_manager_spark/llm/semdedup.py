@@ -145,7 +145,8 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    centroids, assigned = trained_assignments(emb)
+    # single consumer of `assigned` → no eager checkpoint needed
+    centroids, assigned = trained_assignments(emb, checkpoint_assigned=False)
     scored = (
         assigned.join(F.broadcast(centroids), assigned["cluster"] == centroids["cid"])
         .withColumn("d2", _dist2(F.col("v"), F.col("centroid")))

@@ -14,6 +14,7 @@ without materializing per-doc chunk lists on the driver.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -176,9 +177,12 @@ class PolymorphicDocStats:
     stays a lazy one-row generator."""
 
     _METRICS = {
-        "n_words": lambda t: len(t.split()),
+        # ASCII whitespace / character classes ONLY (not str.split()/
+        # str.isdigit(), which are Unicode-wide) so the SQL oracle's
+        # [ \t\n\r\f\v] and [0-9] classes agree on any corpus.
+        "n_words": lambda t: sum(1 for w in re.split("[ \t\n\r\f\v]+", t) if w),
         "n_upper": lambda t: sum(1 for ch in t if "A" <= ch <= "Z"),
-        "n_digits": lambda t: sum(1 for ch in t if ch.isdigit()),
+        "n_digits": lambda t: sum(1 for ch in t if "0" <= ch <= "9"),
     }
 
     @staticmethod
@@ -186,6 +190,11 @@ class PolymorphicDocStats:
         from pyspark.sql.functions import AnalyzeResult
         from pyspark.sql.types import LongType, StructType
 
+        if metrics.value is None:
+            # Non-foldable argument: Spark hands analyze() a
+            # value-less AnalyzeArgument — fail with intent, not an
+            # AttributeError from value.split.
+            raise ValueError("doc_stats: metrics must be a constant string")
         schema = StructType()
         for name in metrics.value.split(","):
             if name not in PolymorphicDocStats._METRICS:

@@ -504,8 +504,11 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.mode("overwrite").format("noop").save()
     m = obs.get
+    # sum() over zero observed rows yields None (SQL semantics) —
+    # mirror the oracle's (0, NULL, 0) instead of crashing on int(None).
+    price = None if m["price_cents"] is None else int(m["price_cents"])
     return spark.createDataFrame(
-        [(int(m["n_rows"]), int(m["price_cents"]), int(m["n_discounted"]))],
+        [(int(m["n_rows"]), price, int(m["n_discounted"]))],
         "n_rows bigint, price_cents bigint, n_discounted bigint",
     )
 

@@ -61,7 +61,14 @@ def run_state_checkpoint(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # Timed-out drain: stop the query before the caller reads
+        # (and later deletes) the checkpoint — proceeding here would
+        # read partial state under a still-running query.
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain of {query_name!r} did not finish in 300s"
+        )
 
 
 def _normalized_events(df: DataFrame) -> DataFrame:

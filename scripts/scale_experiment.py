@@ -69,13 +69,17 @@ EMB_MAX_K = 3
 # intersection work is per-replica-local.
 GRAPH_KERNELS = ["copurchase_triangles"]
 
+# versioned: v2 replicas additionally carry lineitem.parquet; a v1 _done
+# marker must not serve a dir that lacks it
+_DONE = "_done_v2"
+
 DOC_OFFSET = 10_000_000
 VEC_OFFSET = 10_000_000
 
 
 def build_replica_dir(spark, k: int) -> str:
     out = f"{OUT}/x{k}"
-    if os.path.exists(f"{out}/_done"):
+    if os.path.exists(f"{out}/{_DONE}"):
         return out
     docs = load(spark, BASE, "documents")
     embs = load(spark, BASE, "embeddings")
@@ -128,7 +132,7 @@ def build_replica_dir(spark, k: int) -> str:
     for p in li_parts[1:]:
         l = l.unionByName(p)
     l.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    open(f"{out}/_done", "w").close()
+    open(f"{out}/{_DONE}", "w").close()
     return out
 
 

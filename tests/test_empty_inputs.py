@@ -94,6 +94,16 @@ def test_profile_on_empty_table_reports_zero_rows(spark, empty_dir):
         assert r["min_repr"] is None and r["max_repr"] is None
 
 
+def test_observed_metrics_on_empty_scan_report_null_sum(spark, empty_dir):
+    """observe()'s sum over zero rows is None (SQL semantics); the
+    one-row rebuild must carry it as NULL — matching the oracle's
+    (0, NULL, 0) — not crash on int(None)."""
+    from rdbms_metadata_manager_spark.queries.profiling import observed_scan_metrics
+
+    rows = observed_scan_metrics(spark, empty_dir).collect()
+    assert [tuple(r) for r in rows] == [(0, None, 0)]
+
+
 def test_triangle_summary_on_empty_graph_is_all_zero(spark, empty_dir):
     """copurchase_triangles returns a one-row summary; on an empty
     lineitem it must be (0, 0, 0), not a crash in the checkpointed

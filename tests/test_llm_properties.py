@@ -246,3 +246,18 @@ def test_polymorphic_udtf_schema_follows_metrics_argument(spark, sf_dir):
         spark.sql(
             "SELECT s.* FROM poly_docs d, LATERAL doc_stats_poly(d.text, 'bogus') s"
         ).collect()
+    # a NON-constant metrics argument must fail with intent, not an
+    # AttributeError inside analyze()
+    with pytest.raises(Exception, match="constant string"):
+        spark.sql(
+            "SELECT s.* FROM poly_docs d, LATERAL doc_stats_poly(d.text, d.text) s"
+        ).collect()
+    # ASCII-only word splitting: unicode whitespace (NBSP, U+2003)
+    # must NOT split words, exactly like the oracle's [ \t\n\r\f\v]
+    spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    ).createOrReplaceTempView("poly_docs_uni")
+    uni = spark.sql(
+        "SELECT s.* FROM poly_docs_uni d, LATERAL doc_stats_poly(d.text, 'n_words') s"
+    ).collect()
+    assert uni[0].n_words == 3
