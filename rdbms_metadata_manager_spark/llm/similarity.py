@@ -288,6 +288,84 @@ ORDER BY query_id, rk
 """
 
 
+N_HARDNEG_QUERIES = 8
+HARDNEG_K = 5
+# above this cosine a different-label neighbour is more likely a
+# labelling error / near-duplicate than a useful negative
+HARDNEG_CEIL = 0.95
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    top-K most-similar corpus vectors whose LABEL DIFFERS — the
+    training-pair construction step for embedding-model fine-tuning
+    (the negatives that actually move the loss are the ones the
+    current model confuses). A near-duplicate ceiling drops
+    different-label neighbours so close they are more plausibly
+    mislabelled positives (the standard false-negative guard).
+
+    Same plan shape as ``knn_join_bruteforce`` — broadcast anchor
+    batch, JVM-side cosine fold per (corpus partition × anchor),
+    per-anchor window over ≤K survivors — plus two pushed-down
+    filters (label inequality, cosine ceiling) that shrink the
+    window's input BEFORE any shuffle. At 100 TB the corpus leg
+    stays partition-parallel; for anchor batches beyond broadcast
+    size, block both sides on IVF cells first (similarity_ivf_search)
+    and mine per cell."""
+    from pyspark.sql import Window
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    anchors = emb.filter(F.col("vec_id") < N_HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+    )
+    cand = emb.filter(F.col("vec_id") >= N_HARDNEG_QUERIES)
+    scored = (
+        cand.join(
+            F.broadcast(anchors), cand["label"] != anchors["anchor_label"]
+        )
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            _cosine(F.col("v"), F.col("av")).alias("cosine"),
+        )
+        .filter(F.col("cosine") <= HARDNEG_CEIL)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HARDNEG_K)
+        .select("anchor_id", "vec_id", "label", "cosine", "rk")
+        .orderBy("anchor_id", "rk")
+    )
+
+
+_HARDNEG_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+      FROM e WHERE vec_id < {N_HARDNEG_QUERIES}),
+scored AS (
+  SELECT anchor_id, e.vec_id, e.label,
+         {_cosine_sql("v", "av")} AS cosine
+  FROM e, a
+  WHERE e.vec_id >= {N_HARDNEG_QUERIES} AND e.label <> a.anchor_label
+),
+kept AS (
+  SELECT anchor_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored WHERE cosine <= {HARDNEG_CEIL}
+)
+SELECT anchor_id, vec_id, label, cosine, rk
+FROM kept WHERE rk <= {HARDNEG_K}
+ORDER BY anchor_id, rk
+"""
+
+
 RRF_K = 60
 HYBRID_TERMS = ("window", "merge", "scan")
 HYBRID_LEG_DEPTH = 50
@@ -403,6 +481,7 @@ QUERIES = {
     "similarity_same_label_pairs": similarity_same_label_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "knn_join_bruteforce": knn_join_bruteforce,
+    "hard_negative_mining": hard_negative_mining,
     "hybrid_search_rrf": hybrid_search_rrf,
 }
 
@@ -412,5 +491,6 @@ ORACLES = {
     "similarity_same_label_pairs": _PAIRS_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,
     "knn_join_bruteforce": _KNN_JOIN_SQL,
+    "hard_negative_mining": _HARDNEG_SQL,
     "hybrid_search_rrf": _HYBRID_SQL,
 }

@@ -44,11 +44,13 @@ def _modules():
     # "PRIORITY names not registered" assertion pointing at the wrong
     # module.
     from .llm import (
+        bpe,
         clustering,
         curation,
         dedup,
         entity,
         fingerprint,
+        gram,
         hygiene,
         ivf,
         kmeans,
@@ -68,7 +70,7 @@ def _modules():
     mods += [
         dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
         clustering, kmeans, sampling, hygiene, pii, quantize, entity,
-        fingerprint, curation, semdedup,
+        fingerprint, curation, semdedup, gram, bpe,
     ]
     mods += [events_batch, state_inspect]
     return mods

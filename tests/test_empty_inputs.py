@@ -73,6 +73,9 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.curation", "dsir_importance_weights"),
         ("llm.semdedup", "d4_prototype_prune"),
         ("llm.dedup", "cross_source_dup_matrix"),
+        ("llm.gram", "embedding_gram_matrix"),
+        ("llm.bpe", "bpe_pair_merge_counts"),
+        ("llm.similarity", "hard_negative_mining"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

@@ -261,3 +261,66 @@ def test_polymorphic_udtf_schema_follows_metrics_argument(spark, sf_dir):
         "SELECT s.* FROM poly_docs_uni d, LATERAL doc_stats_poly(d.text, 'n_words') s"
     ).collect()
     assert uni[0].n_words == 3
+
+
+def test_bpe_pair_counts_on_crafted_corpus(spark, tmp_path):
+    """Hand-computable merge statistics: 'low lower' ×2 docs + 'we'.
+    Pair counts on the dictionary weighted by word frequency:
+    lo=4 (low×2 + lower×2), ow=4, we=3 (wer×2 + we word), er=2."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "low lower", "en", "a", 9), (2, "low lower", "en", "a", 9), (3, "we", "en", "a", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    from rdbms_metadata_manager_spark.llm.bpe import bpe_pair_merge_counts
+
+    got = {r.pair: r.pair_count for r in bpe_pair_merge_counts(spark, d).collect()}
+    assert got == {"lo": 4, "ow": 4, "we": 3, "er": 2}
+
+
+def test_gram_matrix_matches_numpy_direct(spark, sf_dir):
+    """The mapInPandas partial-sum fold must equal a single-process
+    numpy X^T X on the same fixed-point ticks — proves the partial
+    aggregation is exact regardless of batch/partition splits."""
+    import numpy as np
+
+    from rdbms_metadata_manager_spark.llm.gram import TICK, embedding_gram_matrix
+    from rdbms_metadata_manager_spark.llm.similarity import DIM
+
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in vecs])
+    t = np.floor(x * TICK).astype(np.int64)
+    g = t.T @ t
+    rows = embedding_gram_matrix(spark, sf_dir).collect()
+    assert len(rows) == DIM * (DIM + 1) // 2
+    for r in rows:
+        assert g[r.dim_i, r.dim_j] == r.gram_ticks, (r.dim_i, r.dim_j)
+
+
+def test_hard_negatives_exclude_anchor_label(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.similarity import (
+        HARDNEG_CEIL,
+        HARDNEG_K,
+        N_HARDNEG_QUERIES,
+        hard_negative_mining,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(f"vec_id < {N_HARDNEG_QUERIES}")
+        .collect()
+    }
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    assert rows, "expected non-empty negatives on testdata"
+    per_anchor = {}
+    for r in rows:
+        assert r.label != labels[r.anchor_id]
+        assert r.cosine <= HARDNEG_CEIL
+        per_anchor.setdefault(r.anchor_id, []).append(r.rk)
+    for rks in per_anchor.values():
+        assert rks == list(range(1, len(rks) + 1)) and len(rks) <= HARDNEG_K
