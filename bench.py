@@ -73,6 +73,8 @@ HEADLINE = [
     "dedup_containment",
     "semdedup_embedding_clusters",
     "dsir_importance_weights",
+    "embedding_gram_matrix",
+    "bpe_pair_merge_counts",
 ]
 
 

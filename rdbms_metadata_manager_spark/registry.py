@@ -65,14 +65,14 @@ def _modules():
         text,
         udfs,
     )
-    from .streaming import events_batch, state_inspect
+    from .streaming import events_batch, state_inspect, stream_dedup
 
     mods += [
         dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
         clustering, kmeans, sampling, hygiene, pii, quantize, entity,
         fingerprint, curation, semdedup, gram, bpe,
     ]
-    mods += [events_batch, state_inspect]
+    mods += [events_batch, state_inspect, stream_dedup]
     return mods
 
 
