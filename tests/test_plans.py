@@ -514,3 +514,33 @@ def test_d4_prune_is_one_broadcast_and_one_cluster_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_gram_matrix_is_one_arrow_stage_and_constant_shuffle(spark, sf_dir):
+    """The Gram fold must be the vectorized-partial shape: one
+    MapInPandas stage producing upper-triangle partials, map-side
+    partial_sum before the single (dim_i, dim_j) hash shuffle — the
+    shuffle payload is 2 080 rows per task regardless of input size."""
+    from rdbms_metadata_manager_spark.llm.gram import embedding_gram_matrix
+
+    plan = physical_plan(embedding_gram_matrix(spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange hashpartitioning(dim_i") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_counts_on_dictionary_not_corpus(spark, sf_dir):
+    """The Zipf trick must be visible in the plan: the adjacent-pair
+    Generate sits ABOVE the word-count aggregate (pairs explode the
+    dictionary, not the corpus), both aggregates partial map-side,
+    and the top-20 compiles to TakeOrderedAndProject (no global
+    sort)."""
+    from rdbms_metadata_manager_spark.llm.bpe import bpe_pair_merge_counts
+
+    plan = physical_plan(bpe_pair_merge_counts(spark, sf_dir))
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    pair_gen = plan.index("Generate explode(sequence")
+    word_agg = plan.index("Exchange hashpartitioning(w#")
+    assert pair_gen < word_agg, "pair explode must consume the aggregated dictionary"
