@@ -68,6 +68,10 @@ EMB_MAX_K = 3
 # triangle counts must grow exactly Kx, and the adjacency-
 # intersection work is per-replica-local.
 GRAPH_KERNELS = ["copurchase_triangles"]
+# Kernels with CONSTANT-size output (a 2 080-row matrix / a top-20):
+# work grows with the input, output must not — wall should track K,
+# rows must stay flat.
+FIXED_OUTPUT_KERNELS = ["embedding_gram_matrix", "bpe_pair_merge_counts"]
 
 # versioned: v2 replicas additionally carry lineitem.parquet; a v1 _done
 # marker must not serve a dir that lacks it
@@ -150,7 +154,11 @@ def main() -> None:
         dirs[k] = build_replica_dir(spark, k)
 
     print(f"{'kernel':34s} " + " ".join(f"{f'x{k} s':>9s} {f'x{k} rows':>9s}" for k in dirs))
-    for name in TEXT_KERNELS + EMB_KERNELS + GRAPH_KERNELS:
+    names = TEXT_KERNELS + EMB_KERNELS + GRAPH_KERNELS + FIXED_OUTPUT_KERNELS
+    only = os.environ.get("SCALE_KERNELS")
+    if only:
+        names = [n for n in names if n in only.split(",")]
+    for name in names:
         cells = []
         for k, d in dirs.items():
             if name in EMB_KERNELS and k > EMB_MAX_K:
