@@ -234,11 +234,67 @@ ORDER BY doc_id
 """
 
 
+def _byte_stat_batches(batches):
+    """pyarrow-compute kernel: chars (utf8 code points) vs bytes per
+    doc, emitted as per-batch columns. Runs entirely on Arrow buffers
+    — no pandas object conversion at all (the difference from a
+    pandas_udf: zero per-string Python objects on the hot path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        txt = batch.column(1)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(0),
+                pc.cast(pc.utf8_length(txt), pa.int64()),
+                pc.cast(pc.binary_length(txt), pa.int64()),
+            ],
+            ["source", "n_chars_doc", "n_bytes_doc"],
+        )
+
+
+def arrow_doc_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` (Spark 4): the lowest-overhead Python batch
+    face — RecordBatches in, RecordBatches out, no pandas
+    materialization. Used for the byte-accounting report every
+    ingest pipeline needs (UTF-8 chars vs bytes — the multi-byte
+    ratio drives storage and tokenizer-budget estimates).
+
+    Scale: same shape as every partial-agg kernel here — per-batch
+    Arrow compute (SIMD kernels), then one tiny per-source groupBy.
+    Oracle: length() vs strlen() in DuckDB."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id").select("source", "text")
+    per_doc = d.mapInArrow(
+        _byte_stat_batches, "source string, n_chars_doc long, n_bytes_doc long"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_doc").alias("sum_chars"),
+            F.sum("n_bytes_doc").alias("sum_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+_ARROW_BYTES_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
 QUERIES = {
     "pandas_udf_text_scores": pandas_udf_text_scores,
     "udtf_document_chunks": udtf_document_chunks,
     "pandas_udaf_gini_acctbal": pandas_udaf_gini_acctbal,
     "udtf_polymorphic_doc_stats": udtf_polymorphic_doc_stats,
+    "arrow_doc_byte_stats": arrow_doc_byte_stats,
 }
 
 ORACLES = {
@@ -246,4 +302,5 @@ ORACLES = {
     "udtf_document_chunks": _UDTF_SQL,
     "pandas_udaf_gini_acctbal": _UDAF_SQL,
     "udtf_polymorphic_doc_stats": _POLY_UDTF_SQL,
+    "arrow_doc_byte_stats": _ARROW_BYTES_SQL,
 }

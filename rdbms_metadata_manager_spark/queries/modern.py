@@ -398,6 +398,51 @@ ORDER BY event_type
 """
 
 
+def transpose_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0): the wide-report face —
+    a 5-row (region, revenue) aggregate flipped so regions become
+    COLUMNS (the layout a dashboard/spreadsheet consumer asks for).
+    Transpose collects the index column to the driver to derive the
+    output schema — safe here by construction (bounded, 5 regions)
+    and exactly the sanctioned use: tiny presentation pivots of an
+    already-aggregated result, never raw facts.
+
+    Revenue is integer cents so the transposed values share one
+    BIGINT type (transpose requires a common value type). Oracle =
+    conditional aggregation onto the same fixed region column names."""
+    from .base import load
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"))
+        .orderBy("r_name")
+    )
+    return rev.transpose()
+
+
+_TRANSPOSE_SQL = """
+SELECT 'revenue_cents' AS key,
+       sum(cents) FILTER (r_name = 'AFRICA')      AS "AFRICA",
+       sum(cents) FILTER (r_name = 'AMERICA')     AS "AMERICA",
+       sum(cents) FILTER (r_name = 'ASIA')        AS "ASIA",
+       sum(cents) FILTER (r_name = 'EUROPE')      AS "EUROPE",
+       sum(cents) FILTER (r_name = 'MIDDLE EAST') AS "MIDDLE EAST"
+FROM (
+  SELECT r_name, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+"""
+
 QUERIES = {
     "variant_event_props": variant_event_props,
     "lateral_top_customers_per_nation": lateral_top_customers_per_nation,
@@ -407,6 +452,7 @@ QUERIES = {
     "identifier_param_table_profile": identifier_param_table_profile,
     "sql_scripting_threshold_report": sql_scripting_threshold_report,
     "collation_ci_event_rollup": collation_ci_event_rollup,
+    "transpose_region_revenue": transpose_region_revenue,
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
@@ -417,4 +463,5 @@ ORACLES = {
     "identifier_param_table_profile": _IDENTIFIER_SQL,
     "sql_scripting_threshold_report": _SCRIPTING_SQL,
     "collation_ci_event_rollup": _COLLATION_SQL,
+    "transpose_region_revenue": _TRANSPOSE_SQL,
 }

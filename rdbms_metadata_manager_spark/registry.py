@@ -65,6 +65,7 @@ def _modules():
         text,
         udfs,
     )
+    from .sources import pyds_sink
     from .streaming import events_batch, state_inspect, stream_dedup
 
     mods += [
@@ -72,7 +73,7 @@ def _modules():
         clustering, kmeans, sampling, hygiene, pii, quantize, entity,
         fingerprint, curation, semdedup, gram, bpe,
     ]
-    mods += [events_batch, state_inspect, stream_dedup]
+    mods += [events_batch, state_inspect, stream_dedup, pyds_sink]
     return mods
 
 

@@ -1,0 +1,148 @@
+"""Python DataSource WRITER (Spark 4): an Arrow-native parquet sink
+with a two-phase commit — the write-side twin of the pyds readers in
+this package (sources/pyds.py). [beyond-reference] surface
+(SURVEY.md §2.2 sinks).
+
+``DataSourceArrowWriter`` hands each executor task its partition as
+Arrow RecordBatches (no Row-object materialization — the same
+columnar hot path mapInArrow uses); the task streams them into one
+parquet part file and returns a commit message (rows, path). The
+DRIVER-side ``commit`` then writes ``_manifest.json`` — files are
+visible only after a successful manifest write, and ``abort``
+removes the orphan parts, so a failed job leaves no partial output
+a reader could trust (underscore-prefixed files are invisible to
+Spark's file index, so the manifest never pollutes the read path).
+
+That task-message → driver-commit protocol is exactly the contract
+that makes distributed writes exactly-once-able on object stores;
+the registered round-trip query proves it end-to-end: rows written
+through the sink and read back must aggregate identically to the
+source table (the oracle).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from ..queries.base import load
+
+
+@dataclasses.dataclass
+class _PartCommit(WriterCommitMessage):
+    rows: int
+    path: str
+
+
+class _ArrowParquetSinkWriter(DataSourceArrowWriter):
+    def __init__(self, path: str):
+        self._path = path
+
+    def write(self, iterator) -> _PartCommit:
+        import pyarrow.parquet as pq
+
+        part = os.path.join(self._path, f"part-{uuid.uuid4().hex}.parquet")
+        rows = 0
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(part, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return _PartCommit(rows=rows, path=part if writer is not None else "")
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "total_rows": sum(m.rows for m in messages),
+            "files": sorted(m.path for m in messages if m.path),
+        }
+        with open(os.path.join(self._path, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class ArrowParquetSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "arrow_parquet_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceArrowWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("arrow_parquet_sink requires a 'path' option")
+        return _ArrowParquetSinkWriter(path)
+
+
+def write_through_sink(df: DataFrame, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    spark = df.sparkSession
+    spark.dataSource.register(ArrowParquetSink)
+    df.write.format("arrow_parquet_sink").option("path", path).mode("append").save()
+
+
+def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders written through the Arrow sink, read back, aggregated —
+    equality with the oracle (the same aggregate over the source
+    table) proves no row was lost, duplicated, or mangled by the
+    executor-side Arrow write path."""
+    d = tempfile.mkdtemp(prefix="pyds_sink_")
+    import shutil
+
+    try:
+        src = load(spark, sf_dir, "orders").select(
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        write_through_sink(src, d)
+        result = (
+            spark.read.schema("o_orderstatus string, cents long")
+            .parquet(d)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            # materialize before the staging dir is deleted
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return result
+
+
+_SINK_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES = {"pyds_sink_roundtrip": pyds_sink_roundtrip}
+ORACLES = {"pyds_sink_roundtrip": _SINK_ROUNDTRIP_SQL}

@@ -106,3 +106,54 @@ def test_tick_stream_replay_between_offsets_is_exact(spark):
     # the source drains at the limit: empty batch, offset parked
     tail, off2 = r.read({"pos": 1000})
     assert list(tail) == [] and off2 == {"pos": 1000}
+
+
+def test_pyds_sink_manifest_accounts_for_every_row(spark, sf_dir, tmp_path):
+    """The driver-side commit must see exactly the written rows: the
+    manifest total equals the source count, every listed part file
+    exists, and the underscore manifest is invisible to a read."""
+    import json
+    import os
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.sources.pyds_sink import write_through_sink
+
+    d = str(tmp_path / "sink")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_through_sink(src, d)
+    manifest = json.load(open(os.path.join(d, "_manifest.json")))
+    n = src.count()
+    assert manifest["total_rows"] == n
+    assert manifest["files"] and all(os.path.exists(p) for p in manifest["files"])
+    assert spark.read.parquet(d).count() == n
+
+
+def test_pyds_sink_empty_frame_commits_zero_rows(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.sources.pyds_sink import write_through_sink
+
+    d = str(tmp_path / "sink0")
+    src = load(spark, sf_dir, "orders").select("o_orderkey").limit(0)
+    write_through_sink(src, d)
+    manifest = json.load(open(os.path.join(d, "_manifest.json")))
+    assert manifest["total_rows"] == 0
+    assert spark.read.schema("o_orderkey long").parquet(d).count() == 0
+
+
+def test_arrow_byte_stats_split_chars_from_bytes(spark, tmp_path):
+    """A multi-byte corpus must report bytes > chars (the ASCII
+    testdata can't distinguish utf8_length from binary_length)."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "héllo wörld", "de", "web", 11), (2, "plain ascii", "en", "web", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    from rdbms_metadata_manager_spark.llm.udfs import arrow_doc_byte_stats
+
+    row = arrow_doc_byte_stats(spark, d).collect()[0]
+    assert row.n_docs == 2
+    assert row.sum_chars == 22
+    assert row.sum_bytes == 24  # two 2-byte umlauts
