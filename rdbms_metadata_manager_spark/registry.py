@@ -111,19 +111,20 @@ PRIORITY: tuple[str, ...] = (
     # LLM pipeline: dedup family (r2-green exemplars kept for streak)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_incremental_batch",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
     "text_winnow_fingerprints",
     "dedup_winnow_overlap",
+    # session-D additions — never driver-checked, freshest code
+    "embedding_gram_matrix",
+    "bpe_pair_merge_counts",
+    "hard_negative_mining",
+    "stream_dedup_exact_replay",
     # LLM pipeline: similarity / ANN
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
     "similarity_ivf_search",
-    "similarity_quantized_rerank",
     "kmeans_clusters",
     "entity_match_fuzzy_names",
+    "pyds_sink_roundtrip",
     # LLM pipeline: text analysis / hygiene / packing / PII / UDFs
     "text_token_stats",
     "language_id_ngram",
@@ -131,8 +132,8 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "pack_training_sequences",
     "pii_redaction",
-    "pandas_udf_text_scores",
-    "udtf_document_chunks",
+    "arrow_doc_byte_stats",
+    "transpose_region_revenue",
     # streaming (batch face of the streaming pipelines)
     "events_session_stats",
     # skew handling
