@@ -146,3 +146,125 @@ ORDER BY o_orderstatus
 
 QUERIES = {"pyds_sink_roundtrip": pyds_sink_roundtrip}
 ORACLES = {"pyds_sink_roundtrip": _SINK_ROUNDTRIP_SQL}
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: a DataSourceStreamWriter with per-batch commits.
+# Completes the Python DataSource matrix: batch read (catalog_fixture),
+# stream read (tick_stream), batch write (arrow_parquet_sink), and now
+# stream write.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+@dataclasses.dataclass
+class _StagedPart(WriterCommitMessage):
+    rows: int
+    staged: str
+
+
+class _JsonlStreamSinkWriter(DataSourceStreamWriter):
+    """Executor tasks stage JSON-lines files under temporary names;
+    the DRIVER-side per-batch ``commit(messages, batchId)`` renames
+    them to ``tick-<batch>-<j>.jsonl`` — a reader (or the read-back
+    below, globbing ``tick-*``) can never observe a half-written
+    batch, and ``abort`` removes the staged files. The same
+    stage-then-publish protocol as the batch sink, once per
+    micro-batch."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def write(self, iterator) -> _StagedPart:
+        part = os.path.join(self._path, f"staged-{uuid.uuid4().hex}.jsonl")
+        rows = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                rows += 1
+        return _StagedPart(rows=rows, staged=part)
+
+    def commit(self, messages, batchId: int) -> None:
+        for j, m in enumerate(messages):
+            os.rename(m.staged, os.path.join(self._path, f"tick-{batchId}-{j}.jsonl"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
+
+
+class JsonlStreamSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_stream_sink"
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_stream_sink requires a 'path' option")
+        return _JsonlStreamSinkWriter(path)
+
+
+TICK_LIMIT = 1000
+TICK_BATCH = 100
+
+
+def pyds_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python stream source → Python stream sink, end to end: the
+    deterministic tick stream (10 micro-batches) written through the
+    per-batch-committed JSONL sink, read back and aggregated. The
+    oracle is CLOSED FORM (the tick rows are a pure function of the
+    offset), so equality proves the whole loop — offsets, staging,
+    batch commit — delivered exactly-once. ``sf_dir`` is unused: the
+    source synthesizes its rows, like the catalog fixture faces."""
+    from .pyds import read_tick_stream
+
+    d = tempfile.mkdtemp(prefix="pyds_stream_sink_")
+    import shutil
+
+    try:
+        spark.dataSource.register(JsonlStreamSink)
+        q = (
+            read_tick_stream(spark, batch=TICK_BATCH, limit=TICK_LIMIT)
+            .writeStream.format("jsonl_stream_sink")
+            .option("path", d)
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        result = (
+            spark.read.schema("tick_id long, user_id long, kind string, amount long")
+            .json(os.path.join(d, "tick-*.jsonl"))
+            .groupBy("kind")
+            .agg(
+                F.count(F.lit(1)).alias("n_ticks"),
+                F.sum("amount").alias("sum_amount"),
+            )
+            .orderBy("kind")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return result
+
+
+_STREAM_SINK_SQL = f"""
+SELECT CASE i % 3 WHEN 0 THEN 'view' WHEN 1 THEN 'click' ELSE 'buy' END AS kind,
+       count(*) AS n_ticks,
+       CAST(sum((i * i) % 1000) AS BIGINT) AS sum_amount
+FROM (SELECT range AS i FROM range(0, {TICK_LIMIT}))
+GROUP BY 1
+ORDER BY kind
+"""
+
+
+QUERIES["pyds_stream_sink_roundtrip"] = pyds_stream_sink_roundtrip
+ORACLES["pyds_stream_sink_roundtrip"] = _STREAM_SINK_SQL

@@ -157,3 +157,40 @@ def test_arrow_byte_stats_split_chars_from_bytes(spark, tmp_path):
     assert row.n_docs == 2
     assert row.sum_chars == 22
     assert row.sum_bytes == 24  # two 2-byte umlauts
+
+
+def test_pyds_stream_sink_commits_per_microbatch(spark, tmp_path):
+    """Every micro-batch must publish through its own commit: file
+    names carry the batch id, no staged files survive, and the rows
+    reproduce the tick function exactly."""
+    import json
+    import os
+
+    from rdbms_metadata_manager_spark.sources.pyds import _tick, read_tick_stream
+    from rdbms_metadata_manager_spark.sources.pyds_sink import JsonlStreamSink
+
+    d = str(tmp_path / "out")
+    os.makedirs(d)
+    spark.dataSource.register(JsonlStreamSink)
+    q = (
+        read_tick_stream(spark, batch=64, limit=256)
+        .writeStream.format("jsonl_stream_sink")
+        .option("path", d)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = os.listdir(d)
+    assert not [f for f in files if f.startswith("staged-")]
+    batch_ids = {int(f.split("-")[1]) for f in files if f.startswith("tick-")}
+    assert batch_ids == set(range(4)), batch_ids  # 256 rows / 64 per batch
+    rows = []
+    for f in files:
+        if f.startswith("tick-"):
+            with open(os.path.join(d, f)) as fh:
+                rows += [json.loads(line) for line in fh]
+    got = sorted((r["tick_id"], r["user_id"], r["kind"], r["amount"]) for r in rows)
+    assert got == [_tick(i) for i in range(256)]
