@@ -75,6 +75,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "embedding_gram_matrix",
     "bpe_pair_merge_counts",
+    "dedup_longest_shared_run",
 ]
 
 

@@ -61,6 +61,7 @@ def _modules():
         ranking,
         sampling,
         semdedup,
+        shared_runs,
         similarity,
         text,
         udfs,
@@ -71,7 +72,7 @@ def _modules():
     mods += [
         dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
         clustering, kmeans, sampling, hygiene, pii, quantize, entity,
-        fingerprint, curation, semdedup, gram, bpe,
+        fingerprint, curation, semdedup, gram, bpe, shared_runs,
     ]
     mods += [events_batch, state_inspect, stream_dedup, pyds_sink]
     return mods

@@ -324,3 +324,34 @@ def test_hard_negatives_exclude_anchor_label(spark, sf_dir):
         per_anchor.setdefault(r.anchor_id, []).append(r.rk)
     for rks in per_anchor.values():
         assert rks == list(range(1, len(rks) + 1)) and len(rks) <= HARDNEG_K
+
+
+def test_longest_shared_run_exact_lengths(spark, tmp_path):
+    """Crafted corpus with known runs: a 20-token verbatim insert is
+    reported as exactly 20; a 10-token overlap stays below the
+    16-token floor; a doc containing the insert TWICE yields two
+    islands (n_runs=2) with the same max."""
+    d = str(tmp_path)
+    ins = " ".join(f"u{i}" for i in range(20))
+    short = " ".join(f"s{i}" for i in range(10))
+    mk = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, f"{mk('a', 10)} {ins} {mk('b', 10)} {short} {mk('c', 6)}", "en", "w", 0),
+        (2, f"{mk('d', 3)} {ins} {mk('e', 14)}", "en", "w", 0),
+        (3, f"{mk('f', 12)} {short} {mk('g', 12)}", "en", "w", 0),
+        (4, f"{mk('h', 5)} {ins} {mk('i', 7)} {ins} {mk('j', 4)}", "en", "w", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from rdbms_metadata_manager_spark.llm.shared_runs import dedup_longest_shared_run
+
+    got = {
+        (r.doc_a, r.doc_b): (r.longest_run_tokens, r.n_runs)
+        for r in dedup_longest_shared_run(spark, d).collect()
+    }
+    assert got[(1, 2)] == (20, 1)
+    assert got[(1, 4)] == (20, 2)
+    assert got[(2, 4)] == (20, 2)
+    assert (1, 3) not in got  # 10-token overlap < 16-token floor
+    assert (2, 3) not in got and (3, 4) not in got
