@@ -355,3 +355,92 @@ def test_longest_shared_run_exact_lengths(spark, tmp_path):
     assert got[(2, 4)] == (20, 2)
     assert (1, 3) not in got  # 10-token overlap < 16-token floor
     assert (2, 3) not in got and (3, 4) not in got
+
+
+def _shared_runs_reference(texts: dict[int, str]) -> dict[tuple[int, int], tuple[int, int]]:
+    """Pure-Python reference for dedup_longest_shared_run: for each
+    doc pair and each diagonal, maximal runs of token equality; a run
+    of length >= RUN_W is one island with run_tokens = its length.
+    Valid only when the stop-window cap never binds (asserted by the
+    caller via a large alphabet)."""
+    from rdbms_metadata_manager_spark.llm.shared_runs import MIN_RUN_TOKENS, RUN_W
+
+    toks = {k: v.split(" ") for k, v in texts.items()}
+    out = {}
+    ids = sorted(toks)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = toks[ids[ai]], toks[ids[bi]]
+            runs = []
+            for diag in range(-(len(b) - 1), len(a)):
+                i, j = max(diag, 0), max(-diag, 0)
+                cur = 0
+                while i < len(a) and j < len(b):
+                    if a[i] == b[j]:
+                        cur += 1
+                    else:
+                        if cur >= RUN_W:
+                            runs.append(cur)
+                        cur = 0
+                    i += 1
+                    j += 1
+                if cur >= RUN_W:
+                    runs.append(cur)
+            if runs and max(runs) >= MIN_RUN_TOKENS:
+                out[(ids[ai], ids[bi])] = (max(runs), len(runs))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from([f"t{i}" for i in range(12)]), min_size=1, max_size=50),
+        min_size=2,
+        max_size=5,
+    ),
+    st.data(),
+)
+def test_shared_runs_match_quadratic_reference(spark, tmp_path_factory, docs, data):
+    """Random corpora, with a shared snippet planted into two random
+    docs so long runs actually occur, checked against the quadratic
+    token-DP reference."""
+    from rdbms_metadata_manager_spark.llm.shared_runs import (
+        RUN_CAP,
+        dedup_longest_shared_run,
+    )
+
+    snippet = [f"s{i}" for i in range(data.draw(st.integers(0, 24)))]
+    if snippet and len(docs) >= 2:
+        i, j = data.draw(
+            st.tuples(st.integers(0, len(docs) - 1), st.integers(0, len(docs) - 1))
+        )
+        if i != j:
+            docs[i] = docs[i] + snippet
+            docs[j] = snippet + docs[j]
+    texts = {k: " ".join(words) for k, words in enumerate(docs)}
+    # reference is cap-free: ensure the cap can't bind (windows per
+    # corpus <= 5 docs * 50 tokens < RUN_CAP only if repeats are rare;
+    # check directly and discard rare cap-binding draws)
+    from collections import Counter
+
+    from rdbms_metadata_manager_spark.llm.shared_runs import RUN_W
+
+    wcount = Counter()
+    for t in texts.values():
+        w = t.split(" ")
+        for p in range(len(w) - RUN_W + 1):
+            wcount[" ".join(w[p : p + RUN_W])] += 1
+    from hypothesis import assume
+
+    assume(not wcount or max(wcount.values()) <= RUN_CAP)
+
+    d = str(tmp_path_factory.mktemp("runs_prop"))
+    spark.createDataFrame(
+        [(k, t, "en", "w", 0) for k, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): (r.longest_run_tokens, r.n_runs)
+        for r in dedup_longest_shared_run(spark, d).collect()
+    }
+    assert got == _shared_runs_reference(texts)
