@@ -378,12 +378,131 @@ FROM banded GROUP BY band ORDER BY band
 """
 
 
+K_CORE = 4
+K_CORE_ROUNDS = 8
+
+
+def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase part graph (k=4):
+    iteratively peel nodes of degree < k until the remaining subgraph
+    is stable — the standard dense-subgraph extraction (community
+    cores, spam/bot rings, "always bought together" clusters).
+
+    Completes the iterative-graph family next to connected
+    components (fixpoint label spread), PageRank (fixed-iteration
+    scoring), and triangles (one-shot counting): peeling is the
+    REMOVAL-until-fixpoint shape. Each round is one degree aggregate
+    + two semi-joins on the shrinking edge list, localCheckpoint-ed
+    so lineage stays flat; the loop exits early once the edge count
+    is stable (every later round is a no-op). The oracle unrolls the
+    SAME {K_CORE_ROUNDS} rounds as nested CTEs, so equality is exact
+    whether or not the fixpoint landed earlier; a test asserts the
+    fixpoint IS reached on the testdata, making the "k-core" label
+    honest. Scale: work per round is O(current E); the edge list
+    only shrinks, and rounds at 100 TB are the same count of jobs —
+    the classic Pregel-style loop without needing a graph library."""
+    e = (
+        _basket_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(K_CORE_ROUNDS):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= K_CORE).select("n")
+        e2 = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:  # fixpoint: later rounds are no-ops
+            break
+        n_edges = n2
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        F.lit(None).cast("long").alias("_placeholder"),
+    ).select(
+        "n_core_nodes",
+        F.lit(n_edges).cast("long").alias("n_core_edges"),
+    ).join(
+        deg.agg(F.max("deg").alias("max_core_degree")), how="cross"
+    )
+
+
+_KCORE_EDGES_SQL = f"""
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM bk a JOIN bk b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+"""
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        f"""bk AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+)""",
+        f"e0 AS MATERIALIZED ({_KCORE_EDGES_SQL})",
+    ]
+    for r in range(1, K_CORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS deg
+    FROM (SELECT a AS n FROM e{p} UNION ALL SELECT b FROM e{p})
+    GROUP BY n
+  ) WHERE deg >= {K_CORE}
+)"""
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM e{p} WHERE a IN (SELECT n FROM d{r}) AND b IN (SELECT n FROM d{r}))"
+        )
+    last = f"e{K_CORE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+fdeg AS (
+  SELECT n, count(*) AS deg
+  FROM (SELECT a AS n FROM {last} UNION ALL SELECT b FROM {last})
+  GROUP BY n
+)
+SELECT (SELECT count(*) FROM fdeg) AS n_core_nodes,
+       (SELECT count(*) FROM {last}) AS n_core_edges,
+       (SELECT max(deg) FROM fdeg) AS max_core_degree
+"""
+    )
+
+
 QUERIES = {
     "skyline_customers": skyline_customers,
     "pareto_revenue_concentration": pareto_revenue_concentration,
     "copurchase_part_pairs": copurchase_part_pairs,
     "copurchase_triangles": copurchase_triangles,
     "drift_event_type_shares": drift_event_type_shares,
+    "kcore_copurchase_parts": kcore_copurchase_parts,
 }
 ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
@@ -391,4 +510,5 @@ ORACLES = {
     "copurchase_part_pairs": _PAIRS_SQL,
     "copurchase_triangles": _TRI_SQL,
     "drift_event_type_shares": _DRIFT_SQL,
+    "kcore_copurchase_parts": _kcore_oracle(),
 }

@@ -46,3 +46,37 @@ def test_pii_redaction_removes_all_pii(spark, sf_dir):
         | ~F.col("redacted").contains("[PHONE]")
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_kcore_peels_chain_and_subthreshold_clique(spark, tmp_path):
+    """Crafted graph: a K5 clique (every degree 4 — survives k=4),
+    a K4 clique (degrees 3 — fully peeled), and a chain hanging off
+    the K5 (peeled in rounds). Expected core: exactly the K5."""
+    d = str(tmp_path)
+    rows = []
+    # order 1: parts 1-5 → K5 clique
+    rows += [(1, p) for p in range(1, 6)]
+    # order 2: parts 11-14 → K4 clique (below threshold)
+    rows += [(2, p) for p in range(11, 15)]
+    # chain: 5-21, 21-22 (pendant path off the clique)
+    rows += [(3, 5), (3, 21), (4, 21), (4, 22)]
+    spark.createDataFrame(
+        [(o, p, 1.0) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_quantity double",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    from rdbms_metadata_manager_spark.queries.mining import kcore_copurchase_parts
+
+    got = kcore_copurchase_parts(spark, d).collect()[0]
+    assert (got.n_core_nodes, got.n_core_edges, got.max_core_degree) == (5, 10, 4)
+
+
+def test_kcore_reaches_fixpoint_within_round_budget(spark, sf_dir, monkeypatch):
+    """The 'k-core' label requires the peel to CONVERGE within
+    K_CORE_ROUNDS on the testdata (the oracle unrolls exactly that
+    many rounds): raising the budget must not change the answer."""
+    from rdbms_metadata_manager_spark.queries import mining
+
+    base = [tuple(r) for r in mining.kcore_copurchase_parts(spark, sf_dir).collect()]
+    monkeypatch.setattr(mining, "K_CORE_ROUNDS", mining.K_CORE_ROUNDS + 4)
+    more = [tuple(r) for r in mining.kcore_copurchase_parts(spark, sf_dir).collect()]
+    assert base == more
