@@ -147,7 +147,12 @@ ORDER BY o_custkey
 # 16 ⇒ TPC-H's ≤24 orders/customer folds in 2 chunks = base + ONE
 # recursive level (each level costs a ~0.35 s local dispatch floor);
 # deeper sequences (the 100-step ragged test) still recurse correctly.
-_CHUNK = 16
+# 64 covers TPC-H's per-customer order cap (~41; observed max 24 at
+# sf0.1) in ONE chunk level — measured 1.82 s (K=16, 2 levels) ->
+# 1.11 s (K=64) at sf0.1; the fold is already interpreted, so a
+# longer in-row fold is cheaper than another ~0.35 s dispatch level.
+# The 100-step boundary test still spans 2 chunks.
+_CHUNK = 64
 
 _STEP = (
     "named_struct("
