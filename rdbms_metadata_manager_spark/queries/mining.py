@@ -378,8 +378,7 @@ FROM banded GROUP BY band ORDER BY band
 """
 
 
-K_CORE = 4
-K_CORE_ROUNDS = 8
+K_CORE_ROUNDS = 12
 
 
 def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +407,14 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+    n_nodes = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n"))).distinct().count()
+    )
+    # half the mean degree, integer-exact in both engines:
+    # ceil(E/N) = (E + N - 1) div N. Above ~3/4 of the mean this
+    # graph's core cascades to empty (measured); half-mean keeps a
+    # non-trivial core at every SF while still peeling the sparse rim.
+    k_core = (n_edges + n_nodes - 1) // n_nodes if n_nodes else 0
     for _ in range(K_CORE_ROUNDS):
         if n_edges == 0:
             break
@@ -417,7 +424,7 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= K_CORE).select("n")
+        keep = deg.filter(F.col("deg") >= k_core).select("n")
         e2 = (
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
@@ -464,6 +471,11 @@ def _kcore_oracle() -> str:
   ) WHERE basket_n <= {MAX_BASKET}
 )""",
         f"e0 AS MATERIALIZED ({_KCORE_EDGES_SQL})",
+        """kv AS MATERIALIZED (
+  SELECT ((SELECT count(*) FROM e0) + nn - 1) // nn AS k
+  FROM (SELECT count(DISTINCT n) AS nn
+        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0))
+)""",
     ]
     for r in range(1, K_CORE_ROUNDS + 1):
         p = r - 1
@@ -473,7 +485,7 @@ def _kcore_oracle() -> str:
     SELECT n, count(*) AS deg
     FROM (SELECT a AS n FROM e{p} UNION ALL SELECT b FROM e{p})
     GROUP BY n
-  ) WHERE deg >= {K_CORE}
+  ) WHERE deg >= (SELECT k FROM kv)
 )"""
         )
         ctes.append(

@@ -49,9 +49,10 @@ def test_pii_redaction_removes_all_pii(spark, sf_dir):
 
 
 def test_kcore_peels_chain_and_subthreshold_clique(spark, tmp_path):
-    """Crafted graph: a K5 clique (every degree 4 — survives k=4),
-    a K4 clique (degrees 3 — fully peeled), and a chain hanging off
-    the K5 (peeled in rounds). Expected core: exactly the K5."""
+    """Crafted graph, k = ceil(E/N) = ceil(18/11) = 2: the pendant
+    chain (degrees 1-2) peels in cascading rounds — removing its tip
+    drops the next node below k — while both cliques survive.
+    Expected core: K5 + K4 = 9 nodes, 16 edges, max degree 4."""
     d = str(tmp_path)
     rows = []
     # order 1: parts 1-5 → K5 clique
@@ -67,7 +68,7 @@ def test_kcore_peels_chain_and_subthreshold_clique(spark, tmp_path):
     from rdbms_metadata_manager_spark.queries.mining import kcore_copurchase_parts
 
     got = kcore_copurchase_parts(spark, d).collect()[0]
-    assert (got.n_core_nodes, got.n_core_edges, got.max_core_degree) == (5, 10, 4)
+    assert (got.n_core_nodes, got.n_core_edges, got.max_core_degree) == (9, 16, 4)
 
 
 def test_kcore_reaches_fixpoint_within_round_budget(spark, sf_dir, monkeypatch):
