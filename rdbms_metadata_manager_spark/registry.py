@@ -57,6 +57,7 @@ def _modules():
         multimodal,
         pii,
         pipeline,
+        projection,
         quantize,
         ranking,
         sampling,
@@ -72,7 +73,7 @@ def _modules():
     mods += [
         dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
         clustering, kmeans, sampling, hygiene, pii, quantize, entity,
-        fingerprint, curation, semdedup, gram, bpe, shared_runs,
+        fingerprint, curation, semdedup, gram, bpe, shared_runs, projection,
     ]
     mods += [events_batch, state_inspect, stream_dedup, pyds_sink]
     return mods

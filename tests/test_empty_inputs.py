@@ -77,6 +77,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.bpe", "bpe_pair_merge_counts"),
         ("llm.similarity", "hard_negative_mining"),
         ("llm.shared_runs", "dedup_longest_shared_run"),
+        ("llm.projection", "embedding_random_projection"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

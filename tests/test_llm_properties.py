@@ -444,3 +444,36 @@ def test_shared_runs_match_quadratic_reference(spark, tmp_path_factory, docs, da
         for r in dedup_longest_shared_run(spark, d).collect()
     }
     assert got == _shared_runs_reference(texts)
+
+
+def test_random_projection_separates_distance_scales(spark, tmp_path):
+    """JL preserves RELATIVE scale: a 25x larger true offset must come
+    out ~625x larger in projected squared distance (linearity of the
+    projection — exact up to tick flooring). The real-corpus pairs
+    are nearly equidistant (d2 in [1.5, 2.4]), so a correlation test
+    there only measures the expected 1/sqrt(16) JL noise; scale
+    separation is the property downstream clustering needs."""
+    import numpy as np
+
+    from rdbms_metadata_manager_spark.llm.projection import (
+        N_PROJ,
+        embedding_random_projection,
+    )
+
+    base = [0.1] * 64
+    rows = [
+        (0, [float(v) for v in base], 0),
+        (1, [float(v + 0.02) for v in base], 0),
+        (2, [float(v + 0.5) for v in base], 0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    proj = {}
+    for r in embedding_random_projection(spark, d).collect():
+        proj.setdefault(r.vec_id, [0] * N_PROJ)[r.plane] = r.proj_ticks
+    p = {k: np.array(v, dtype=np.float64) for k, v in proj.items()}
+    d_small = float(np.sum((p[0] - p[1]) ** 2))
+    d_large = float(np.sum((p[0] - p[2]) ** 2))
+    assert d_small > 0 and d_large / d_small > 100
