@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries.base import load
+from ..queries.base import load, load_spread
 from .hashing import h32, h32_sql
 
 # Per-language per-mille keep rates: downsample dominant English,
@@ -225,12 +225,89 @@ LIMIT {WEIGHTED_K}
 """
 
 
+SHARD_CAPACITY = 256  # tokens per training shard
+
+
+def _pack_source(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Next-fit per source, docs in doc_id order: a doc that does not
+    fit closes the current shard and opens the next (an oversized doc
+    gets a shard of its own). Sequential state (current fill) makes
+    this a genuine grouped-map job — no window expresses a capped
+    RESETTING running total."""
+    pdf = pdf.sort_values("doc_id")
+    shards, fill, shard = [], 0, 0
+    first = True
+    for t in pdf["tokens"]:
+        if not first and fill + t > SHARD_CAPACITY:
+            shard += 1
+            fill = 0
+        shards.append(shard)
+        fill += t
+        first = False
+    out = pdf[["source", "doc_id", "tokens"]].copy()
+    out["shard_id"] = pd.array(shards, dtype="int64")
+    return out
+
+
+def shard_packing_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment for training-data files: per source, next-fit
+    packing of documents into ~SHARD_CAPACITY-token shards — the step
+    between curation and the dataloader (shard = one output file).
+
+    This is the grouped-map ``applyInPandas`` face: per-group logic
+    that is SEQUENTIAL (each admission depends on the fill left by
+    every earlier doc), which no window/fold combination expresses
+    relationally — the same class of computation as the recursive
+    balance replay, and the oracle is likewise a recursive CTE
+    stepping one document per level. Scale: groups (sources) fan out
+    across executors; within a group the loop is O(docs) in Arrow
+    batches — the standard contract for applyInPandas (a group must
+    fit one executor; shard further by (source, day) when it cannot)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "source",
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long").alias(
+            "tokens"
+        ),
+    )
+    return (
+        d.groupBy("source")
+        .applyInPandas(_pack_source, "source string, doc_id long, tokens long, shard_id long")
+        .orderBy("source", "doc_id")
+    )
+
+
+_SHARD_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+  FROM documents
+),
+walk AS (
+  SELECT source, doc_id, tokens, i,
+         CAST(0 AS BIGINT) AS shard_id, tokens AS fill
+  FROM d WHERE i = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.tokens, d.i,
+         CASE WHEN w.fill + d.tokens > {SHARD_CAPACITY}
+              THEN w.shard_id + 1 ELSE w.shard_id END,
+         CASE WHEN w.fill + d.tokens > {SHARD_CAPACITY}
+              THEN d.tokens ELSE w.fill + d.tokens END
+  FROM walk w JOIN d ON d.source = w.source AND d.i = w.i + 1
+)
+SELECT source, doc_id, tokens, shard_id
+FROM walk
+ORDER BY source, doc_id
+"""
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
     "sample_stratified_lang": sample_stratified_lang,
     "pack_training_sequences": pack_training_sequences,
     "sample_reservoir_per_source": sample_reservoir_per_source,
     "sample_weighted_topk": sample_weighted_topk,
+    "shard_packing_nextfit": shard_packing_nextfit,
 }
 
 ORACLES = {
@@ -239,4 +316,5 @@ ORACLES = {
     "pack_training_sequences": _PACK_SQL,
     "sample_reservoir_per_source": _RESERVOIR_SQL,
     "sample_weighted_topk": _WEIGHTED_SQL,
+    "shard_packing_nextfit": _SHARD_SQL,
 }

@@ -78,6 +78,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.similarity", "hard_negative_mining"),
         ("llm.shared_runs", "dedup_longest_shared_run"),
         ("llm.projection", "embedding_random_projection"),
+        ("llm.sampling", "shard_packing_nextfit"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

@@ -165,3 +165,30 @@ def test_resample_conserves_events(spark, sf_dir):
     assert sum(r["n_events"] for r in rows) == total
     # gap rows are exactly the zero-count rows
     assert all((r["n_events"] == 0) == r["is_gap"] for r in rows)
+
+
+def test_shard_packing_invariants(spark, sf_dir):
+    """Next-fit invariants on real data: shard ids are contiguous
+    from 0 per source, docs stay in doc_id order within shards, and
+    no shard exceeds capacity unless it holds a single oversized
+    doc."""
+    import collections
+
+    from rdbms_metadata_manager_spark.llm.sampling import (
+        SHARD_CAPACITY,
+        shard_packing_nextfit,
+    )
+
+    rows = shard_packing_nextfit(spark, sf_dir).collect()
+    per_shard = collections.defaultdict(list)
+    for r in rows:
+        per_shard[(r.source, r.shard_id)].append(r)
+    for (source, sid), docs in per_shard.items():
+        total = sum(d.tokens for d in docs)
+        assert total <= SHARD_CAPACITY or len(docs) == 1, (source, sid, total)
+    by_source = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        by_source[r.source].append(r.shard_id)
+    for source, sids in by_source.items():
+        assert sids[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(sids, sids[1:])), source
