@@ -190,10 +190,10 @@ class PolymorphicDocStats:
         from pyspark.sql.functions import AnalyzeResult
         from pyspark.sql.types import LongType, StructType
 
-        if metrics.value is None:
-            # Non-foldable argument: Spark hands analyze() a
-            # value-less AnalyzeArgument — fail with intent, not an
-            # AttributeError from value.split.
+        if not isinstance(metrics.value, str):
+            # Non-foldable argument (value None) or a non-string
+            # literal: fail with intent, not an AttributeError from
+            # value.split.
             raise ValueError("doc_stats: metrics must be a constant string")
         schema = StructType()
         for name in metrics.value.split(","):

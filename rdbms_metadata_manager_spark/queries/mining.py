@@ -444,12 +444,11 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return deg.agg(
         F.count(F.lit(1)).alias("n_core_nodes"),
-        F.lit(None).cast("long").alias("_placeholder"),
+        F.max("deg").alias("max_core_degree"),
     ).select(
         "n_core_nodes",
         F.lit(n_edges).cast("long").alias("n_core_edges"),
-    ).join(
-        deg.agg(F.max("deg").alias("max_core_degree")), how="cross"
+        "max_core_degree",
     )
 
 

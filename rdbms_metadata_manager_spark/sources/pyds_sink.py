@@ -6,12 +6,15 @@ this package (sources/pyds.py). [beyond-reference] surface
 ``DataSourceArrowWriter`` hands each executor task its partition as
 Arrow RecordBatches (no Row-object materialization — the same
 columnar hot path mapInArrow uses); the task streams them into one
-parquet part file and returns a commit message (rows, path). The
-DRIVER-side ``commit`` then writes ``_manifest.json`` — files are
-visible only after a successful manifest write, and ``abort``
-removes the orphan parts, so a failed job leaves no partial output
-a reader could trust (underscore-prefixed files are invisible to
-Spark's file index, so the manifest never pollutes the read path).
+STAGED parquet file (underscore-prefixed, so Spark's file index
+ignores it) and returns a commit message (rows, staged path). The
+DRIVER-side ``commit`` publishes by renaming staged files to their
+final ``part-<j>.parquet`` names and then writes ``_manifest.json``
+— a failed or speculatively-retried task's staged file is never
+renamed, so it stays invisible to every reader glob; ``abort``
+removes the staged files it knows about. Visibility is therefore
+genuinely gated by the driver commit (the same stage-then-publish
+protocol as the stream sink below).
 
 That task-message → driver-commit protocol is exactly the contract
 that makes distributed writes exactly-once-able on object stores;
@@ -53,7 +56,8 @@ class _ArrowParquetSinkWriter(DataSourceArrowWriter):
     def write(self, iterator) -> _PartCommit:
         import pyarrow.parquet as pq
 
-        part = os.path.join(self._path, f"part-{uuid.uuid4().hex}.parquet")
+        # underscore prefix: invisible to Spark reads until commit renames
+        part = os.path.join(self._path, f"_staged-{uuid.uuid4().hex}.parquet")
         rows = 0
         writer = None
         try:
@@ -68,9 +72,14 @@ class _ArrowParquetSinkWriter(DataSourceArrowWriter):
         return _PartCommit(rows=rows, path=part if writer is not None else "")
 
     def commit(self, messages) -> None:
+        published = []
+        for j, m in enumerate(sorted((m for m in messages if m.path), key=lambda m: m.path)):
+            final = os.path.join(self._path, f"part-{j:05d}.parquet")
+            os.rename(m.path, final)
+            published.append(final)
         manifest = {
             "total_rows": sum(m.rows for m in messages),
-            "files": sorted(m.path for m in messages if m.path),
+            "files": published,
         }
         with open(os.path.join(self._path, "_manifest.json"), "w") as f:
             json.dump(manifest, f)

@@ -194,3 +194,25 @@ def test_pyds_stream_sink_commits_per_microbatch(spark, tmp_path):
                 rows += [json.loads(line) for line in fh]
     got = sorted((r["tick_id"], r["user_id"], r["kind"], r["amount"]) for r in rows)
     assert got == [_tick(i) for i in range(256)]
+
+
+def test_pyds_sink_stray_staged_file_invisible_to_readers(spark, sf_dir, tmp_path):
+    """A failed/speculative task's staged file (never renamed by
+    commit) must not leak into a read: underscore-prefixed files are
+    outside Spark's file index, so visibility is genuinely gated by
+    the driver commit."""
+    import shutil
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.sources.pyds_sink import write_through_sink
+
+    d = str(tmp_path / "sink")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_through_sink(src, d)
+    n = src.count()
+    # simulate a zombie task attempt: a staged (uncommitted) duplicate
+    import os
+
+    part = [f for f in os.listdir(d) if f.startswith("part-")][0]
+    shutil.copy(os.path.join(d, part), os.path.join(d, "_staged-deadbeef.parquet"))
+    assert spark.read.parquet(d).count() == n
