@@ -43,6 +43,7 @@ OUT = "/tmp/scale_exp"
 # Shuffle-bound kernels (df caps / banding / prefix pruning keep the
 # candidate volume proportional to input): measured at every K.
 TEXT_KERNELS = [
+    "dedup_longest_shared_run",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -67,7 +68,7 @@ EMB_MAX_K = 3
 # l_partkey, so the co-purchase graphs are disjoint — edge and
 # triangle counts must grow exactly Kx, and the adjacency-
 # intersection work is per-replica-local.
-GRAPH_KERNELS = ["copurchase_triangles"]
+GRAPH_KERNELS = ["copurchase_triangles", "kcore_copurchase_parts"]
 # Kernels with CONSTANT-size output (a 2 080-row matrix / a top-20):
 # work grows with the input, output must not — wall should track K,
 # rows must stay flat.
@@ -168,8 +169,10 @@ def main() -> None:
             for _ in range(2):
                 t0 = time.time()
                 out_df = qs[name](spark, d)
-                if name in GRAPH_KERNELS:
+                if name == "copurchase_triangles":
                     rows = out_df.collect()[0].n_triangles
+                elif name == "kcore_copurchase_parts":
+                    rows = out_df.collect()[0].n_core_edges
                 else:
                     rows = out_df.count()
                 el = time.time() - t0
