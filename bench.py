@@ -76,6 +76,10 @@ HEADLINE = [
     "embedding_gram_matrix",
     "bpe_pair_merge_counts",
     "dedup_longest_shared_run",
+    "kcore_copurchase_parts",
+    "hard_negative_mining",
+    "embedding_random_projection",
+    "shard_packing_nextfit",
 ]
 
 
