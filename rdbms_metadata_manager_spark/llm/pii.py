@@ -70,5 +70,70 @@ ORDER BY c_custkey
 """
 
 
-QUERIES = {"pii_redaction": pii_redaction}
-ORACLES = {"pii_redaction": _PII_SQL}
+K_ANON = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the re-identification
+    counterpart to [[pii_redaction]]'s direct-identifier scrub: even with
+    names removed, a record whose quasi-identifier combination
+    (nation, market segment, coarse balance band) is shared by fewer
+    than k individuals is re-identifiable by linkage. The standard
+    privacy gate before releasing / training on user-derived tables:
+    group by the quasi-identifier tuple, count equivalence classes
+    below k, and report the share of records at risk.
+
+    Quasi-identifiers: (c_nationkey, c_mktsegment,
+    floor(c_acctbal / 1000)) — the band keeps the float column's
+    contribution integer-exact cross-engine (IEEE division by a
+    power-of-10 literal + floor is deterministic in both engines).
+
+    Plan: ONE groupBy over the quasi-identifier tuple (map-side
+    partial combine — the class relation is bounded by the QI-space
+    cardinality, not the row count), then a single-row summary
+    aggregate; integer per-mille for the at-risk share. At 100 TB
+    this is scan + one thin shuffle, and the k<5 class list (not
+    returned here) stays small enough to route to suppression."""
+    customer = load_spread(spark, sf_dir, "customer", "c_custkey")
+    return _k_anonymity(customer)
+
+
+def _k_anonymity(customer: DataFrame) -> DataFrame:
+    """The audit core over any customer-shaped relation (testable on
+    hand-built frames)."""
+    classes = customer.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("balance_band"),
+    ).agg(F.count(F.lit(1)).alias("class_n"))
+    small = F.col("class_n") < K_ANON
+    at_risk = F.sum(F.when(small, F.col("class_n")).otherwise(F.lit(0)))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(small.cast("long")).alias("n_violating_classes"),
+        at_risk.alias("n_records_at_risk"),
+        F.expr(
+            f"(1000 * sum(CASE WHEN class_n < {K_ANON} THEN class_n ELSE 0 END))"
+            " div sum(class_n)"
+        ).alias("at_risk_permille"),
+    )
+
+
+_K_ANON_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS balance_band,
+         count(*) AS class_n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT count(*)::BIGINT AS n_classes,
+       sum(CASE WHEN class_n < {K_ANON} THEN 1 ELSE 0 END)::BIGINT AS n_violating_classes,
+       sum(CASE WHEN class_n < {K_ANON} THEN class_n ELSE 0 END)::BIGINT AS n_records_at_risk,
+       ((1000 * sum(CASE WHEN class_n < {K_ANON} THEN class_n ELSE 0 END)) // sum(class_n))::BIGINT
+         AS at_risk_permille
+FROM classes
+"""
+
+
+QUERIES = {"pii_redaction": pii_redaction, "k_anonymity_audit": k_anonymity_audit}
+ORACLES = {"pii_redaction": _PII_SQL, "k_anonymity_audit": _K_ANON_SQL}

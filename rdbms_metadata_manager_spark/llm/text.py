@@ -369,6 +369,89 @@ ORDER BY doc_id
 """
 
 
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document — the
+    conditional-structure cousin of [[lexical_rarity_stats]] (which only
+    sees unigram document frequency): train bigram counts C(w1,w2) and
+    left-context counts C(w1) on the corpus itself, then score each doc
+    by its average conditional bigram probability in integer per-mille,
+    p(w2|w1) ≈ (1000·C(w1,w2)) div C(w1). The classic
+    perplexity-filter shape (KenLM-style corpus quality gating) with
+    the float log-sum replaced by integer arithmetic so the score is
+    aggregation-order independent and exactly oracle-able. Low
+    avg/min scores flag token salad; 1000-ish scores flag boilerplate
+    whose every transition is deterministic.
+
+    Plan: the bigram stream is built JVM-side (transform over the
+    token array — no explode-then-self-join), aggregated ONCE into
+    the (w1,w2,c12) vocabulary relation (map-side partial combine);
+    C(w1) is a window-sum over that small relation, not a second
+    corpus pass. The stream then joins the vocabulary on (w1,w2)
+    (auto-broadcast here; hash join on the bigram key at 100 TB) and
+    aggregates per doc. Docs with <2 tokens have no bigrams and are
+    excluded by construction — both engines agree."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    return _bigram_scores(docs)
+
+
+def _bigram_scores(docs: DataFrame) -> DataFrame:
+    """The scoring core over any (doc_id, text) relation (testable on
+    hand-built corpora)."""
+    bi = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1), "
+                    "(w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    from pyspark.sql import Window
+
+    vocab = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+    )
+    p = F.expr("(1000 * c12) div c1")
+    return (
+        bi.join(vocab, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum((1000 * c12) div c1) div count(*)").alias("lm_score_permille"),
+            F.min(p).alias("min_bigram_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BIGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+bi AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i)
+),
+vocab AS (
+  SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1
+  FROM (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2)
+)
+SELECT b.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       (sum((1000 * v.c12) // v.c1) // count(*))::BIGINT AS lm_score_permille,
+       min((1000 * v.c12) // v.c1)::BIGINT AS min_bigram_permille
+FROM bi b JOIN vocab v ON b.w1 = v.w1 AND b.w2 = v.w2
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
@@ -377,6 +460,7 @@ QUERIES = {
     "text_normalize_stats": text_normalize_stats,
     "text_char_entropy": text_char_entropy,
     "lexical_rarity_stats": lexical_rarity_stats,
+    "bigram_lm_doc_scores": bigram_lm_doc_scores,
 }
 
 ORACLES = {
@@ -387,4 +471,5 @@ ORACLES = {
     "text_normalize_stats": _NORMALIZE_SQL,
     "text_char_entropy": _ENTROPY_SQL,
     "lexical_rarity_stats": _RARITY_SQL,
+    "bigram_lm_doc_scores": _BIGRAM_LM_SQL,
 }

@@ -507,6 +507,112 @@ SELECT (SELECT count(*) FROM fdeg) AS n_core_nodes,
     )
 
 
+LPA_ROUNDS = 2
+TOP_COMMUNITIES = 20
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 rounds) over the co-purchase
+    part graph — frequency-based community detection, the missing
+    member of the iterative-graph family next to connected components
+    (reachability fixpoint), PageRank (score diffusion), and k-core
+    (peeling): LPA spreads the MOST FREQUENT neighbor label, so it
+    finds dense communities rather than mere connectivity. The
+    deterministic variant: every node starts labeled with its own id;
+    each round it adopts the neighbor label with the highest count,
+    ties broken by smallest label — integer counts + total tie-break
+    make the whole trajectory exact cross-engine, so the oracle
+    unrolls the SAME two rounds as CTEs.
+
+    Plan per round: one join of the bidirectional edge list (O(2E)
+    rows) against the current V-sized label relation (auto-broadcast
+    here; hash-shuffle on src at web scale — still O(E) per round),
+    one (node, label) count aggregate, one per-node row_number
+    window. Label state is localCheckpoint-ed so lineage stays flat
+    across rounds — the Pregel superstep shape without a graph
+    library. Output: the TOP_COMMUNITIES largest communities."""
+    e = (
+        _basket_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .distinct()
+    )
+    labels = _propagate_labels(e, LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(TOP_COMMUNITIES)
+    )
+
+
+def _propagate_labels(edges: DataFrame, rounds: int) -> DataFrame:
+    """Deterministic synchronous LPA core over an undirected (a, b)
+    edge list → final (node, label). Testable on hand-built graphs."""
+    both = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        labels = (
+            both.join(labels, both["src"] == labels["node"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        f"""bk AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+)""",
+        f"e0 AS MATERIALIZED ({_KCORE_EDGES_SQL})",
+        """bo AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM bo)",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT b.dst AS node, l.label,
+           row_number() OVER (PARTITION BY b.dst
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM bo b JOIN l{r - 1} l ON b.src = l.node
+    GROUP BY b.dst, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT label AS community, count(*) AS n_members
+FROM l{LPA_ROUNDS}
+GROUP BY label
+ORDER BY n_members DESC, community ASC
+LIMIT {TOP_COMMUNITIES}
+"""
+    )
+
+
 QUERIES = {
     "skyline_customers": skyline_customers,
     "pareto_revenue_concentration": pareto_revenue_concentration,
@@ -514,6 +620,7 @@ QUERIES = {
     "copurchase_triangles": copurchase_triangles,
     "drift_event_type_shares": drift_event_type_shares,
     "kcore_copurchase_parts": kcore_copurchase_parts,
+    "label_propagation_communities": label_propagation_communities,
 }
 ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
@@ -522,4 +629,5 @@ ORACLES = {
     "copurchase_triangles": _TRI_SQL,
     "drift_event_type_shares": _DRIFT_SQL,
     "kcore_copurchase_parts": _kcore_oracle(),
+    "label_propagation_communities": _lpa_oracle(),
 }

@@ -1,0 +1,96 @@
+"""Replay the driver's 50-query correctness window under a PRISTINE session.
+
+The round-2 failure mode (VERDICT r2 item 1) was an environment gap: every
+local test ran under the repo's own session (Arrow on, nanosAsLong on,
+32 shuffle partitions) while the driver builds a stock session and only
+`__spark_entry__._ensure_confs` stands between the engine and defaults.
+This script rebuilds that exact situation on demand:
+
+- a fresh SparkSession with STOCK confs (Arrow OFF, 200 shuffle
+  partitions, 10 MB broadcast cap, no nanosAsLong) — everything the
+  engine needs must come from `_ensure_confs`, as it does for the driver;
+- the first N (default 50) entries of `__spark_entry__.queries()` — the
+  driver checks exactly the first 50 registrations (`registry.PRIORITY`);
+- each result hash-compared against `oracle_sql()` via the same
+  order-insensitive normalized compare the local suite uses.
+
+Usage:
+    python scripts/replay_window.py [--sf-dir /root/testdata/sf0.01] [--n 50]
+                                    [--only name1,name2]
+
+Exit code 0 = all green; 1 = any failure (summary on stdout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+
+def _pristine_session():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("replay-window")
+        # Stock-session posture: explicitly PIN driver-like defaults so a
+        # developer shell with SPARK_CONF overrides can't mask a gap.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "200")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from conftest import assert_matches_oracle
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = list(qs)[: args.n]
+    if args.only:
+        names = [n for n in args.only.split(",") if n in qs]
+
+    spark = _pristine_session()
+    failures: list[str] = []
+    for i, name in enumerate(names, 1):
+        t0 = time.time()
+        try:
+            df = qs[name](spark, args.sf_dir)
+            if name in oracles:
+                assert_matches_oracle(df, oracles[name], args.sf_dir)
+                status = "green"
+            else:
+                n_rows = df.count()
+                status = f"rows-only ({n_rows})"
+        except Exception as exc:  # noqa: BLE001 - report-and-continue harness
+            status = f"FAIL: {type(exc).__name__}: {exc}"
+            failures.append(name)
+            traceback.print_exc(limit=3)
+        print(f"[{i:2d}/{len(names)}] {name:40s} {time.time() - t0:6.2f}s  {status}",
+              flush=True)
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} green"
+          + (f"; FAILURES: {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,3 +81,51 @@ def test_kcore_reaches_fixpoint_within_round_budget(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(mining, "K_CORE_ROUNDS", mining.K_CORE_ROUNDS + 4)
     more = [tuple(r) for r in mining.kcore_copurchase_parts(spark, sf_dir).collect()]
     assert base == more
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: deterministic min-tie
+    LPA must label each clique by its internal consensus after 2
+    rounds — frequency wins over the bridge (unlike connected
+    components, which would merge everything into one label)."""
+    from itertools import combinations
+
+    from rdbms_metadata_manager_spark.queries.mining import _propagate_labels
+
+    clique_a = list(combinations([1, 2, 3, 4], 2))
+    clique_b = list(combinations([10, 11, 12, 13], 2))
+    edges = spark.createDataFrame(clique_a + clique_b + [(4, 10)], "a long, b long")
+    got = {r.node: r.label for r in _propagate_labels(edges, 2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}, got
+
+
+def test_bigram_lm_scores_hand_corpus(spark):
+    """Hand-checkable corpus: C(a,b)=3, C(b,a)=1, C(b,c)=1, C(x,y)=1;
+    C1: a=3, b=2, x=1 → doc 1 averages (1000+500+1000+500)/4."""
+    from rdbms_metadata_manager_spark.llm.text import _bigram_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x y"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score_permille, r.min_bigram_permille)
+        for r in _bigram_scores(docs).collect()
+    }
+    # doc 4 has a single token -> no bigrams -> excluded by construction
+    assert got == {1: (4, 750, 500), 2: (1, 1000, 1000), 3: (1, 1000, 1000)}, got
+
+
+def test_k_anonymity_hand_classes(spark):
+    """One class of 5 (safe at k=5) + one class of 2 (violating):
+    at-risk rows = 2 of 7 -> 285 per-mille."""
+    from rdbms_metadata_manager_spark.llm.pii import _k_anonymity
+
+    rows = [(0, "AUTO", 100.0)] * 5 + [(1, "BIKE", 2500.0)] * 2
+    customer = spark.createDataFrame(
+        rows, "c_nationkey long, c_mktsegment string, c_acctbal double"
+    )
+    r = _k_anonymity(customer).collect()[0]
+    assert (r.n_classes, r.n_violating_classes, r.n_records_at_risk, r.at_risk_permille) == (
+        2, 1, 2, 285,
+    ), r
