@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import DAY_SECONDS, load
+from .base import DAY_SECONDS, load, tables
 
 SEASON_DAYS = 7
 
@@ -137,11 +137,105 @@ ORDER BY event_type
 """
 
 
+TREND_EPOCH = "1995-01-01"
+
+
+def ols_trend_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment revenue trend via closed-form OLS over sufficient
+    statistics — the distributed-regression shape: a linear fit needs
+    only (n, Σx, Σy, Σxy, Σx², Σy²), all map-side-combinable in ONE
+    aggregate pass, so the "model fit" costs exactly one shuffle of
+    six numbers per group no matter the corpus size. The textbook
+    reason sufficient statistics matter at 100 TB: no gradient loop,
+    no driver-side math over rows.
+
+    Exactness contract: x = day index (integer), y = daily revenue in
+    whole kilodollars (cents summed as int64, then integer-divided) —
+    both exact; slope numerator n·Σxy − Σx·Σy and denominator
+    n·Σx² − (Σx)² are int64-safe at bench scale but are CAST to
+    DECIMAL(38,0)/HUGEINT before the final ×1000 products so the same
+    query survives sf100 revenue magnitudes; slope and R² floor to
+    integer $/day and per-mille. IEEE float appears only in the
+    per-order cents rounding, identical in both engines."""
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    daily = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            F.expr(f"datediff(CAST(o_orderdate AS DATE), DATE '{TREND_EPOCH}')").alias("x"),
+        )
+        .agg(
+            F.expr(
+                "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100000"
+            ).alias("y")
+        )
+    )
+    return _ols_fit(daily)
+
+
+def _ols_fit(daily: DataFrame) -> DataFrame:
+    """Closed-form OLS from sufficient statistics over any
+    (c_mktsegment, x, y) relation (testable on hand-built series)."""
+    stats = daily.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return stats.select(
+        "c_mktsegment",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "(1000 * CAST(n * sxy - sx * sy AS DECIMAL(38,0)))"
+            " div nullif(CAST(n * sxx - sx * sx AS DECIMAL(38,0)), 0)"
+        ).alias("slope_usd_per_day"),
+        F.expr(
+            "(1000 * CAST(n * sxy - sx * sy AS DECIMAL(38,0))"
+            " * CAST(n * sxy - sx * sy AS DECIMAL(38,0)))"
+            " div nullif(CAST(n * sxx - sx * sx AS DECIMAL(38,0))"
+            " * CAST(n * syy - sy * sy AS DECIMAL(38,0)), 0)"
+        ).alias("r2_permille"),
+    ).orderBy("c_mktsegment")
+
+
+_OLS_SQL = f"""
+WITH daily AS (
+  SELECT c_mktsegment,
+         date_diff('day', DATE '{TREND_EPOCH}', CAST(o_orderdate AS DATE)) AS x,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100000 AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT c_mktsegment,
+         count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy
+  FROM daily GROUP BY 1
+)
+SELECT c_mktsegment,
+       n AS n_days,
+       ((1000 * CAST(n * sxy - sx * sy AS HUGEINT))
+        // nullif(CAST(n * sxx - sx * sx AS HUGEINT), 0))::BIGINT AS slope_usd_per_day,
+       ((1000 * CAST(n * sxy - sx * sy AS HUGEINT)
+         * CAST(n * sxy - sx * sy AS HUGEINT))
+        // nullif(CAST(n * sxx - sx * sx AS HUGEINT)
+               * CAST(n * syy - sy * sy AS HUGEINT), 0))::BIGINT AS r2_permille
+FROM stats
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
     "ewma_daily_events": ewma_daily_events,
+    "ols_trend_per_segment": ols_trend_per_segment,
 }
 ORACLES = {
     "forecast_seasonal_naive_backtest": _FORECAST_SQL,
     "ewma_daily_events": _EWMA_SQL,
+    "ols_trend_per_segment": _OLS_SQL,
 }

