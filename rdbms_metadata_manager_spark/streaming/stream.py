@@ -205,6 +205,48 @@ def streaming_click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> Da
     )
 
 
+def streaming_click_purchase_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER variant of [[streaming_click_purchase_join]] — the
+    abandonment face of attribution: clicks that convert emit their
+    (click, purchase) pairs exactly as the inner join does, and
+    clicks that DON'T convert within the window emit one null-padded
+    row once the purchase-side watermark passes click_ts + window
+    (i.e. once no future purchase can still match). The null row is
+    therefore a *watermark-gated* result: it cannot be emitted
+    eagerly, because correctness requires proving the absence of a
+    match — this is the semantics that distinguishes a streaming
+    outer join from a batch one, and why unmatched rows near the
+    stream tail stay buffered until the watermark moves past them.
+    State bound is identical to the inner join (watermark + window);
+    Spark's no-data batches flush the evictions."""
+    c = clicks.withWatermark("ts", WATERMARK).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", WATERMARK).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
 def streaming_pit_enrich(facts: DataFrame, dim: DataFrame) -> DataFrame:
     """Streaming face of queries/scd.py::pit_state_at_purchase — the
     ONLINE feature lookup: each micro-batch of purchase facts is

@@ -252,3 +252,85 @@ def test_stream_dedup_replay_spans_multiple_microbatches(spark, sf_dir, tmp_path
     n_base = base.count()
     assert out.count() == n_base
     assert out.select("event_id").distinct().count() == n_base
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, events_source):
+    """LEFT OUTER attribution: matched pairs must equal the batch
+    inner join; null-padded rows must be exactly the batch-unmatched
+    clicks whose no-match proof the final watermark covers (click_ts
+    + window < watermark). Tail clicks may legitimately stay
+    buffered — the test separates the two regions instead of
+    demanding full equality."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from rdbms_metadata_manager_spark.queries import base
+    from rdbms_metadata_manager_spark.streaming.stream import (
+        ATTRIBUTION_WINDOW_S,
+        WATERMARK,
+    )
+
+    events = stream.read_events_stream(spark, events_source)
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    stream.run_to_memory(
+        stream.streaming_click_purchase_left_join(clicks, purchases),
+        "attribution_outer_test",
+        "append",
+    )
+    streamed = spark.table("attribution_outer_test").collect()
+    got_matched = sorted(tuple(r) for r in streamed if r["purchase_id"] is not None)
+    got_nulls = {(r["user_id"], r["click_id"]) for r in streamed if r["purchase_id"] is None}
+
+    batch = base.load(spark, sf_dir, "events")
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")
+        ),
+        "left",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    ).collect()
+    want_matched = sorted(tuple(r) for r in joined if r["purchase_id"] is not None)
+    assert got_matched == want_matched
+
+    # The final GLOBAL watermark is the MIN over both watermark
+    # operators (default multipleWatermarkPolicy): each side's max
+    # event time minus the delay. Using the overall max would
+    # over-promise eviction of the last click in the stream.
+    wm_delay_s = int(WATERMARK.split()[0]) * (60 if "minute" in WATERMARK else 1)
+    max_click = batch.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
+    max_purch = batch.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0]
+    wm = min(max_click, max_purch) - datetime.timedelta(seconds=wm_delay_s)
+    closeable = {
+        (r["user_id"], r["click_id"])
+        for r in joined
+        if r["purchase_id"] is None
+        and r["click_ts"] + datetime.timedelta(seconds=ATTRIBUTION_WINDOW_S) < wm
+    }
+    all_unmatched = {(r["user_id"], r["click_id"]) for r in joined if r["purchase_id"] is None}
+    # every provably-unmatched click must have emitted its null row...
+    assert closeable <= got_nulls, (len(closeable), len(got_nulls))
+    # ...and no null row may contradict the batch join
+    assert got_nulls <= all_unmatched
+    # the outer path must actually have fired on this data
+    assert got_nulls, "no null-padded rows emitted"
