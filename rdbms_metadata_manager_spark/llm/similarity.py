@@ -475,6 +475,127 @@ ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPK}
 """
 
 
+N_RECALL_QUERIES = 16
+RECALL_K = 5
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K QA for the hyperplane-LSH index — the ANN sibling of
+    the MinHash confusion summary ([[dedup_sketch_recall_report]]): for
+    a batch of query vectors, compare the LSH same-bucket top-K
+    against the exact brute-force top-K and report per-query hits and
+    integer per-mille recall. The report every production ANN
+    deployment runs before trusting an index: a recall cliff here
+    means the bucketing (N_PLANES) is too aggressive for the data's
+    geometry.
+
+    Plan: ONE broadcast of the query batch scores the whole corpus
+    (the exact leg and the ANN leg share the scored relation — the
+    bucket filter is a predicate, not a second scan), two K-row
+    windows, one (query, vec) equi-join for the intersection. Corpus
+    side stays partition-parallel; nothing shuffles except ranked
+    candidates. At 100 TB the exact leg is the expensive audit — run
+    it on a sampled query batch exactly like this one."""
+    from pyspark.sql import Window
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket()).localCheckpoint(eager=True)
+    q = bucketed.filter(F.col("vec_id") < N_RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    corpus = bucketed.filter(F.col("vec_id") >= N_RECALL_QUERIES)
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        _cosine(F.col("v"), F.col("qv")).alias("cosine"),
+        (F.col("bucket") == F.col("qbucket")).alias("same_bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    ann = (
+        scored.filter(F.col("same_bucket"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    cand_counts = (
+        scored.filter(F.col("same_bucket"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    hits = ann.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        q.select("query_id")
+        .join(cand_counts, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.expr(f"(1000 * coalesce(hits, 0)) div {RECALL_K}").alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(range(0, {N_PLANES}),
+           p -> CASE WHEN list_sum(list_transform(range(0, {DIM}),
+                        d -> v[d + 1] * {_PLANE_COMP_SQL})) > 0
+                     THEN (1 << p) ELSE 0 END))::INT AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM bucketed WHERE vec_id < {N_RECALL_QUERIES}),
+scored AS (
+  SELECT query_id, b.vec_id, {_cosine_sql("v", "qv")} AS cosine,
+         b.bucket = qbucket AS same_bucket
+  FROM bucketed b, q WHERE b.vec_id >= {N_RECALL_QUERIES}
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= {RECALL_K}
+),
+ann AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+    FROM scored WHERE same_bucket
+  ) WHERE rk <= {RECALL_K}
+),
+cand AS (SELECT query_id, count(*) AS n_candidates FROM scored WHERE same_bucket GROUP BY 1),
+hits AS (
+  SELECT a.query_id, count(*) AS hits
+  FROM ann a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       coalesce(c.n_candidates, 0)::BIGINT AS n_candidates,
+       coalesce(h.hits, 0)::BIGINT AS hits,
+       ((1000 * coalesce(h.hits, 0)) // {RECALL_K})::BIGINT AS recall_permille
+FROM q
+LEFT JOIN cand c ON c.query_id = q.query_id
+LEFT JOIN hits h ON h.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
@@ -483,6 +604,7 @@ QUERIES = {
     "knn_join_bruteforce": knn_join_bruteforce,
     "hard_negative_mining": hard_negative_mining,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "ann_recall_report": ann_recall_report,
 }
 
 ORACLES = {
@@ -493,4 +615,5 @@ ORACLES = {
     "knn_join_bruteforce": _KNN_JOIN_SQL,
     "hard_negative_mining": _HARDNEG_SQL,
     "hybrid_search_rrf": _HYBRID_SQL,
+    "ann_recall_report": _RECALL_SQL,
 }

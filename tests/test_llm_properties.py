@@ -477,3 +477,23 @@ def test_random_projection_separates_distance_scales(spark, tmp_path):
     d_small = float(np.sum((p[0] - p[1]) ** 2))
     d_large = float(np.sum((p[0] - p[2]) ** 2))
     assert d_small > 0 and d_large / d_small > 100
+
+
+def test_ann_recall_report_invariants(spark, sf_dir):
+    """Every query appears once; hits <= min(K, n_candidates); recall
+    is the flooring of hits/K in per-mille; perfect recall requires
+    at least K bucket candidates."""
+    from rdbms_metadata_manager_spark.llm.similarity import (
+        N_RECALL_QUERIES,
+        RECALL_K,
+        ann_recall_report,
+    )
+
+    rows = ann_recall_report(spark, sf_dir).collect()
+    assert len(rows) == N_RECALL_QUERIES
+    assert {r.query_id for r in rows} == set(range(N_RECALL_QUERIES))
+    for r in rows:
+        assert 0 <= r.hits <= min(RECALL_K, r.n_candidates)
+        assert r.recall_permille == (1000 * r.hits) // RECALL_K
+        if r.recall_permille == 1000:
+            assert r.n_candidates >= RECALL_K
