@@ -409,12 +409,88 @@ ORDER BY doc_id
 """
 
 
+CAL_BIN_WIDTH = 200
+CAL_SHIFT = 1_000_000  # keeps the binned quantity positive so integer
+#                        division floors identically in both engines
+#                        (Spark div truncates toward zero, DuckDB //
+#                        floors — they differ only below zero)
+
+
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report tying the two quality systems together —
+    does a higher [[quality_classifier_scores]] score actually predict
+    passing the [[quality_filter_gate]] rule cascade? Scores are binned
+    (width 200), and each bin reports how many docs the gate keeps:
+    a monotone keep-rate curve validates the scorer; a flat one means
+    the learned weights add nothing over the rules. The report every
+    filter deployment checks before swapping rules for a model.
+
+    Plan: BOTH the score and the gate verdict derive from the one
+    shared _doc_features pass (a single corpus scan + the top-word
+    rollup), then one thin groupBy over ≤ a few dozen bins. Integer
+    everywhere: the bin id is a shifted integer division and the
+    keep rate is per-mille."""
+    feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
+    scored = feats.withColumn(
+        "score",
+        F.expr(
+            f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
+            f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
+            f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+        ),
+    ).withColumn(
+        "keep",
+        F.expr(
+            f"NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}"
+            f" OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}"
+            f" OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})"
+        ),
+    )
+    return (
+        scored.groupBy(
+            F.expr(
+                f"(score + {CAL_SHIFT}) div {CAL_BIN_WIDTH} - {CAL_SHIFT // CAL_BIN_WIDTH}"
+            ).alias("score_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .withColumn("keep_rate_permille", F.expr("(1000 * n_kept) div n_docs"))
+        .orderBy("score_bin")
+    )
+
+
+_CALIBRATION_SQL = f"""
+WITH {_DOC_FEATURES_CTES},
+s AS (
+  SELECT doc_id,
+         {QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm
+           + {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) // 4)
+           + {QC_W_NWORDS} * n_words + {QC_BIAS} AS score,
+         NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}
+              OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}
+              OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM}) AS keep
+  FROM scored
+)
+SELECT (score + {CAL_SHIFT}) // {CAL_BIN_WIDTH} - {CAL_SHIFT // CAL_BIN_WIDTH} AS score_bin,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       ((1000 * sum(CASE WHEN keep THEN 1 ELSE 0 END)) // count(*))::BIGINT
+         AS keep_rate_permille
+FROM s
+GROUP BY 1
+ORDER BY score_bin
+"""
+
+
 QUERIES = {
     "dedup_chunk_ratio": dedup_chunk_ratio,
     "quality_filter_gate": quality_filter_gate,
     "bm25_keyword_search": bm25_keyword_search,
     "dsir_importance_weights": dsir_importance_weights,
     "quality_classifier_scores": quality_classifier_scores,
+    "score_calibration_bins": score_calibration_bins,
 }
 ORACLES = {
     "dedup_chunk_ratio": _CHUNK_SQL,
@@ -422,4 +498,5 @@ ORACLES = {
     "bm25_keyword_search": _BM25_SQL,
     "dsir_importance_weights": _DSIR_SQL,
     "quality_classifier_scores": _QC_SQL,
+    "score_calibration_bins": _CALIBRATION_SQL,
 }

@@ -708,6 +708,110 @@ LIMIT {TOP_RULES}
 """
 
 
+
+
+BFS_ROUNDS = 3
+
+
+def bfs_levels_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first traversal levels from a fixed hub of the
+    co-purchase graph — the frontier-expansion member of the
+    iterative-graph family (components spread labels, PageRank spreads
+    mass, k-core removes, LPA votes; BFS EXPANDS): how much of the
+    graph is within 1, 2, 3 hops of a product. The reachability
+    curve is the standard small-world diagnostic, and the per-round
+    plan is the Pregel frontier shape: join the current frontier
+    against the bidirectional edge list, dedup, anti-join the visited
+    set, tag with the round number. Frontier and visited sets are
+    localCheckpoint-ed per round (flat lineage); each round costs
+    O(E_frontier) — never a full-graph pass.
+
+    The hub is the minimum part id in the edge list (deterministic;
+    every edge stores its smaller endpoint in ``a``, so min(a) is the
+    global min node). Output: one row per BFS level with its node
+    count, plus a dist = -1 row counting nodes the horizon never
+    reached."""
+    e = (
+        _basket_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .distinct()
+    )
+    both = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    src = e.agg(F.min("a").alias("node"))
+    visited = src.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for r in range(1, BFS_ROUNDS + 1):
+        frontier = (
+            both.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(
+            frontier.select("node", F.lit(r).alias("dist"))
+        ).localCheckpoint(eager=True)
+    reached = visited.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_total = both.select("src").distinct().agg(F.count(F.lit(1)).alias("t"))
+    unreached = (
+        n_total.crossJoin(visited.agg(F.count(F.lit(1)).alias("v")))
+        .select(F.lit(-1).alias("dist"), (F.col("t") - F.col("v")).alias("n_nodes"))
+        .filter(F.col("n_nodes") > 0)
+    )
+    return reached.unionAll(unreached).orderBy("dist")
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        f"""bk AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+)""",
+        f"e0 AS MATERIALIZED ({_KCORE_EDGES_SQL})",
+        """bo AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+)""",
+        "v0 AS MATERIALIZED (SELECT min(a) AS node, 0 AS dist FROM e0)",
+        "f0 AS MATERIALIZED (SELECT node FROM v0)",
+    ]
+    for r in range(1, BFS_ROUNDS + 1):
+        p_ = r - 1
+        ctes.append(
+            f"""f{r} AS MATERIALIZED (
+  SELECT DISTINCT b.dst AS node
+  FROM bo b JOIN f{p_} f ON b.src = f.node
+  WHERE b.dst NOT IN (SELECT node FROM v{p_})
+)"""
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT * FROM v{p_} UNION ALL SELECT node, {r} FROM f{r})"
+        )
+    last = f"v{BFS_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT dist, count(*)::BIGINT AS n_nodes FROM {last} GROUP BY dist
+UNION ALL
+SELECT -1, t - v FROM
+  (SELECT count(DISTINCT src) AS t FROM bo),
+  (SELECT count(*) AS v FROM {last})
+WHERE t - v > 0
+ORDER BY dist
+"""
+    )
+
+
+
+
 QUERIES = {
     "skyline_customers": skyline_customers,
     "pareto_revenue_concentration": pareto_revenue_concentration,
@@ -717,6 +821,7 @@ QUERIES = {
     "kcore_copurchase_parts": kcore_copurchase_parts,
     "label_propagation_communities": label_propagation_communities,
     "association_rules_lift": association_rules_lift,
+    "bfs_levels_from_hub": bfs_levels_from_hub,
 }
 ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
@@ -727,4 +832,5 @@ ORACLES = {
     "kcore_copurchase_parts": _kcore_oracle(),
     "label_propagation_communities": _lpa_oracle(),
     "association_rules_lift": _RULES_SQL,
+    "bfs_levels_from_hub": _bfs_oracle(),
 }

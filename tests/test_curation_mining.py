@@ -206,3 +206,21 @@ def test_association_rules_confidence_consistency(spark, sf_dir):
         assert 0 < r.conf_ab_permille <= 1000
         assert 0 < r.conf_ba_permille <= 1000
         assert r.lift_permille > 0
+
+
+def test_score_calibration_bins_partition_and_consistency(spark, sf_dir):
+    """Bins must partition the corpus (doc counts sum to the gate's
+    row count) and each bin's kept count must equal the gate verdicts
+    of the docs scored into it."""
+    from rdbms_metadata_manager_spark.llm.curation import (
+        quality_filter_gate,
+        score_calibration_bins,
+    )
+
+    bins = score_calibration_bins(spark, sf_dir).collect()
+    gate = quality_filter_gate(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in bins) == len(gate)
+    assert sum(r.n_kept for r in bins) == sum(1 for r in gate if r.keep)
+    for r in bins:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.keep_rate_permille == (1000 * r.n_kept) // r.n_docs

@@ -129,3 +129,23 @@ def test_k_anonymity_hand_classes(spark):
     assert (r.n_classes, r.n_violating_classes, r.n_records_at_risk, r.at_risk_permille) == (
         2, 1, 2, 285,
     ), r
+
+
+def test_bfs_levels_hand_graph(spark, sf_dir, monkeypatch):
+    """Path 1-2-3-4-5 plus a detached edge (10,11): from hub 1 the
+    levels are 1 node each at dist 0..3, and {5, 10, 11} stay
+    unreachable within 3 rounds (5 is at dist 4)."""
+    from rdbms_metadata_manager_spark.queries import mining
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    monkeypatch.setattr(
+        mining, "_basket_pairs", lambda s, d: edges.select(
+            F.lit(0).alias("l_orderkey"),
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+        )
+    )
+    got = {r.dist: r.n_nodes for r in mining.bfs_levels_from_hub(spark, sf_dir).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, -1: 3}, got
