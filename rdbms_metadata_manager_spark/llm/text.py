@@ -452,6 +452,72 @@ ORDER BY b.doc_id
 """
 
 
+def lang_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap of per-language vocabularies — the
+    cross-corpus contamination diagnostic: two languages sharing a
+    large vocabulary fraction signals boilerplate, code-switching, or
+    mislabeled documents leaking between splits, and it directly
+    predicts where [[language_id_ngram]] confusions will land.
+
+    Plan: one (lang, word) DISTINCT (vocabulary relation — bounded by
+    Σ per-language vocab, not corpus size), then the INVERTED-INDEX
+    pair emission: group by word, collect the ≤L language set, emit
+    C(L,2) pairs JVM-side — never a vocabulary self-join, so the
+    shuffle carries each word once no matter how many corpora share
+    it (the same shape as the dedup containment family). Integer
+    per-mille Jaccard via |A∩B| / (|A|+|B|−|A∩B|)."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    lw = docs.select("lang", F.explode(F.split("text", " ")).alias("word")).distinct()
+    sizes = lw.groupBy("lang").agg(F.count(F.lit(1)).alias("vocab"))
+    inter = (
+        lw.groupBy("word")
+        .agg(F.sort_array(F.collect_set("lang")).alias("langs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(langs, (x, i) -> "
+                    "transform(slice(langs, i + 2, size(langs)), "
+                    "y -> struct(x AS lang_a, y AS lang_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.lang_a", "p.lang_b")
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("lang").alias("lang_a"), F.col("vocab").alias("va")), "lang_a")
+        .join(sizes.select(F.col("lang").alias("lang_b"), F.col("vocab").alias("vb")), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            F.expr("(1000 * n_common) div (va + vb - n_common)").alias("jaccard_permille"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+_LANG_OVERLAP_SQL = """
+WITH lw AS (
+  SELECT DISTINCT lang, word
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+),
+sizes AS (SELECT lang, count(*) AS vocab FROM lw GROUP BY 1),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_common
+  FROM lw a JOIN lw b ON a.word = b.word AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT i.lang_a, i.lang_b, i.n_common,
+       ((1000 * i.n_common) // (sa.vocab + sb.vocab - i.n_common))::BIGINT AS jaccard_permille
+FROM inter i
+JOIN sizes sa ON sa.lang = i.lang_a
+JOIN sizes sb ON sb.lang = i.lang_b
+ORDER BY i.lang_a, i.lang_b
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
@@ -461,6 +527,7 @@ QUERIES = {
     "text_char_entropy": text_char_entropy,
     "lexical_rarity_stats": lexical_rarity_stats,
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
+    "lang_vocab_overlap_matrix": lang_vocab_overlap_matrix,
 }
 
 ORACLES = {
@@ -472,4 +539,5 @@ ORACLES = {
     "text_char_entropy": _ENTROPY_SQL,
     "lexical_rarity_stats": _RARITY_SQL,
     "bigram_lm_doc_scores": _BIGRAM_LM_SQL,
+    "lang_vocab_overlap_matrix": _LANG_OVERLAP_SQL,
 }
