@@ -183,11 +183,111 @@ _DQ_FK_SQL = (
 )
 
 
+# Benford's-law expected first-digit frequencies, in per-mille:
+# round(1000 * log10(1 + 1/d)).  Hard-coded literals (not computed)
+# so neither engine touches libm log10 — the cross-engine float trap.
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over lineitem measures —
+    the forensic data-quality screen for fabricated or truncated
+    numeric columns: natural multi-magnitude amounts follow
+    log10(1+1/d); synthetic or clamped generators don't, and the
+    deviation column quantifies by how much (TPC-H prices span only
+    ~2 decades, so the audit *should* flag them — a non-vacuous
+    report).
+
+    Plan: ONE lineitem scan; each row emits (measure, digit) pairs
+    for both audited columns via a 2-element array explode (constant
+    ×2 fanout, no second scan), then a 18-group map-side-partial
+    aggregate.  The per-measure total rides a 9-row window — driver
+    never sees row data.  First digit is extracted through an exact
+    integer route (floor → bigint → string head), never log10.
+    """
+    li = load(spark, sf_dir, "lineitem")
+
+    def digit(col: str):
+        return F.substring(F.floor(col).cast("bigint").cast("string"), 1, 1).cast("int")
+
+    pairs = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_extendedprice").alias("measure"),
+                    digit("l_extendedprice").alias("digit"),
+                ),
+                F.struct(
+                    F.lit("l_quantity").alias("measure"),
+                    digit("l_quantity").alias("digit"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.measure", "p.digit").where(F.col("digit") >= 1)
+
+    from pyspark.sql.window import Window
+
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PERMILLE.items() for x in kv]
+    )[F.col("digit")]
+    return (
+        pairs.groupBy("measure", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy("measure")))
+        .select(
+            "measure",
+            "digit",
+            "n",
+            F.expr("(1000 * n) div total").alias("observed_permille"),
+            expected.alias("expected_permille"),
+        )
+        .withColumn(
+            "deviation_permille",
+            F.abs(F.col("observed_permille") - F.col("expected_permille")),
+        )
+        .orderBy("measure", "digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PERMILLE.items()
+)
+
+_BENFORD_SQL = f"""
+WITH pairs AS (
+  SELECT 'l_extendedprice' AS measure,
+         CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity',
+         CAST(substr(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+  FROM lineitem
+),
+counts AS (
+  SELECT measure, digit, count(*) AS n
+  FROM pairs WHERE digit >= 1 GROUP BY 1, 2
+),
+tot AS (
+  SELECT measure, digit, n,
+         CAST(SUM(n) OVER (PARTITION BY measure) AS BIGINT) AS total
+  FROM counts
+)
+SELECT measure, digit, n,
+       (1000 * n) // total AS observed_permille,
+       (CASE digit {_BENFORD_CASE} END)::INTEGER AS expected_permille,
+       abs((1000 * n) // total - CASE digit {_BENFORD_CASE} END)::BIGINT AS deviation_permille
+FROM tot
+ORDER BY measure, digit
+"""
+
+
 QUERIES = {
     "dq_expectations_orders": dq_expectations_orders,
     "dq_referential_integrity": dq_referential_integrity,
+    "benford_digit_audit": benford_digit_audit,
 }
 ORACLES = {
     "dq_expectations_orders": _DQ_EXPECT_SQL,
     "dq_referential_integrity": _DQ_FK_SQL,
+    "benford_digit_audit": _BENFORD_SQL,
 }

@@ -224,3 +224,40 @@ def test_score_calibration_bins_partition_and_consistency(spark, sf_dir):
     for r in bins:
         assert 0 <= r.n_kept <= r.n_docs
         assert r.keep_rate_permille == (1000 * r.n_kept) // r.n_docs
+
+
+def test_benford_known_digits_and_zero_filter(spark, tmp_path):
+    """Crafted lineitem with hand-computable first digits; values
+    below 1 (first digit 0) must be excluded from the distribution."""
+    li = pd.DataFrame(
+        {
+            "l_extendedprice": [1234.5, 19.0, 250.0, 2.5, 999.99, 0.5],
+            "l_quantity": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(li), str(tmp_path / "lineitem.parquet"))
+    rows = quality.benford_digit_audit(spark, str(tmp_path)).collect()
+    price = {r.digit: r for r in rows if r.measure == "l_extendedprice"}
+    qty = {r.digit: r for r in rows if r.measure == "l_quantity"}
+    # 0.5 floors to 0 and is dropped: 5 price rows remain
+    assert {d: r.n for d, r in price.items()} == {1: 2, 2: 2, 9: 1}
+    assert price[1].observed_permille == 400 and price[9].observed_permille == 200
+    assert price[1].expected_permille == 301 and price[9].expected_permille == 46
+    assert price[9].deviation_permille == 200 - 46
+    assert {d: r.n for d, r in qty.items()} == {d: 1 for d in range(1, 7)}
+
+
+def test_benford_permille_partition_on_testdata(spark, sf_dir):
+    """Per-measure observed shares must tile ~1000 (floor-division
+    slack < 9) and every digit must be in 1..9 with the pinned
+    Benford expectation."""
+    rows = quality.benford_digit_audit(spark, sf_dir).collect()
+    assert rows
+    for measure in {"l_extendedprice", "l_quantity"}:
+        mr = [r for r in rows if r.measure == measure]
+        assert mr and all(1 <= r.digit <= 9 for r in mr)
+        share = sum(r.observed_permille for r in mr)
+        assert 1000 - 9 <= share <= 1000
+        for r in mr:
+            assert r.expected_permille == quality._BENFORD_PERMILLE[r.digit]
+            assert r.deviation_permille == abs(r.observed_permille - r.expected_permille)
