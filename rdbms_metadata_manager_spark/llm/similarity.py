@@ -596,6 +596,96 @@ ORDER BY q.query_id
 """
 
 
+CENTROID_TICK = 1000
+
+
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    class-separation report that tells a curation pipeline which
+    label pairs are entangled (hard-negative-rich, mislabel-prone)
+    before training ever starts.
+
+    Exactness: counts cancel in centroid cosine
+    (cos(S_a/n_a, S_b/n_b) = cos(S_a, S_b)), so the whole query runs
+    on per-dimension SUM-OF-TICKS vectors — fixed-point int64 like
+    [[embedding_gram_matrix]], immune to partition order; the final
+    cosine is one double expression over exact integers (identical
+    fold shape in the oracle → bit-identical doubles).
+
+    Scale: posexplode → (label, dim) partial-agged groupBy — the ONE
+    corpus-sized shuffle, carrying L×D rows out.  Everything after
+    (norms, the dim-aligned pair join, the L² pair agg) runs on an
+    L×D-row relation (640 rows here), broadcast-sized at any corpus
+    scale; per-pair work never touches row data."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    sums = (
+        emb.select("label", F.posexplode(_as_double("embedding")).alias("d", "x"))
+        .select("label", "d", F.floor(F.col("x") * CENTROID_TICK).cast("bigint").alias("t"))
+        .groupBy("label", "d")
+        .agg(F.sum("t").alias("s"))
+    )
+    norms = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    sides = sums.join(norms, "label").join(counts, "label")
+    a = sides.select(
+        F.col("label").alias("label_a"), "d", F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"), F.col("n").alias("n_a"),
+    )
+    b = sides.select(
+        F.col("label").alias("label_b"), "d", F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"), F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, ["d"])
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b", "n_a", "n_b", "ssa", "ssb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("ssa").cast("double")) * F.sqrt(F.col("ssb").cast("double")))
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+_CENTROID_SEP_SQL = f"""
+WITH t AS (
+  SELECT label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {CENTROID_TICK}) AS BIGINT)) AS tk
+  FROM embeddings
+),
+idx AS (SELECT range AS i FROM range(1, {DIM + 1})),
+sums AS (
+  SELECT label, i.i AS d, CAST(sum(tk[i.i]) AS BIGINT) AS s
+  FROM t, idx i GROUP BY 1, 2
+),
+norms AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS ss FROM sums GROUP BY 1),
+counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM sums a JOIN sums b ON a.d = b.d AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT p.label_a, p.label_b, ca.n AS n_a, cb.n AS n_b,
+       CAST(p.dot AS DOUBLE)
+         / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS centroid_cosine
+FROM pairs p
+JOIN norms na ON na.label = p.label_a
+JOIN norms nb ON nb.label = p.label_b
+JOIN counts ca ON ca.label = p.label_a
+JOIN counts cb ON cb.label = p.label_b
+ORDER BY p.label_a, p.label_b
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
@@ -605,6 +695,7 @@ QUERIES = {
     "hard_negative_mining": hard_negative_mining,
     "hybrid_search_rrf": hybrid_search_rrf,
     "ann_recall_report": ann_recall_report,
+    "label_centroid_separation": label_centroid_separation,
 }
 
 ORACLES = {
@@ -616,4 +707,5 @@ ORACLES = {
     "hard_negative_mining": _HARDNEG_SQL,
     "hybrid_search_rrf": _HYBRID_SQL,
     "ann_recall_report": _RECALL_SQL,
+    "label_centroid_separation": _CENTROID_SEP_SQL,
 }

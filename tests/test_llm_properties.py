@@ -497,3 +497,41 @@ def test_ann_recall_report_invariants(spark, sf_dir):
         assert r.recall_permille == (1000 * r.hits) // RECALL_K
         if r.recall_permille == 1000:
             assert r.n_candidates >= RECALL_K
+
+
+def test_label_centroid_separation_known_geometry(spark, tmp_path):
+    """Axis-aligned classes: labels 0 and 2 share the e1 direction
+    (centroid cosine 1), label 1 sits on e2 (orthogonal, cosine 0);
+    counts cancel so duplicate members must not change the cosine."""
+    from rdbms_metadata_manager_spark.llm.similarity import label_centroid_separation
+
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    rows = [
+        (0, e1, 0),
+        (1, e1, 0),  # duplicate member: centroid direction unchanged
+        (2, e2, 1),
+        (3, e1, 2),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = {(r.label_a, r.label_b): r for r in label_centroid_separation(spark, d).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert got[(0, 1)].centroid_cosine == 0.0 and got[(1, 2)].centroid_cosine == 0.0
+    assert got[(0, 2)].centroid_cosine == 1.0
+    assert got[(0, 1)].n_a == 2 and got[(0, 1)].n_b == 1
+
+
+def test_label_centroid_separation_testdata_bounds(spark, sf_dir):
+    """All C(L,2) pairs present exactly once, cosine within [-1, 1]."""
+    from rdbms_metadata_manager_spark.llm.similarity import label_centroid_separation
+
+    rows = label_centroid_separation(spark, sf_dir).collect()
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1.0 <= r.centroid_cosine <= 1.0
