@@ -156,5 +156,103 @@ ORDER BY cid
 """
 
 
-QUERIES = {"kmeans_clusters": kmeans_clusters}
-ORACLES = {"kmeans_clusters": _KMEANS_SQL}
+BOUNDARY_PERMILLE = 100
+
+
+def kmeans_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette QA of the trained quantizer — the
+    clustering-quality gate a curation pipeline runs before trusting
+    cluster-level decisions ([[semdedup_embedding_clusters]],
+    [[d4_prototype_prune]]): per cluster, how cleanly its members
+    prefer their own centroid over the runner-up.
+
+    Per point: a = distance to the assigned (nearest) centroid, b =
+    distance to the second-nearest; s = (b−a)/max(a,b) — in [0, 1]
+    by construction since assignment IS the argmin (simplified
+    silhouette; full silhouette's pairwise a would be O(n²)).  The
+    per-point score is floored to int per-mille BEFORE aggregation,
+    so per-cluster sums are exact integers — no order-dependent
+    float accumulation (same contract as the gram/centroid kernels).
+
+    Scale: scoring reuses the one broadcast(K×D centroids) + n×K
+    scored relation every Lloyd step already pays; the per-point
+    top-2 is a bounded window over K rows.  ``n_boundary`` counts
+    points within 100 per-mille of indifference — the mislabel-risk
+    mass on the cluster frontier."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    centroids, _ = trained_assignments(emb, checkpoint_assigned=False)
+    scored = emb.join(F.broadcast(centroids)).withColumn(
+        "d2", _dist2(F.col("v"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    per_vec = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("cid"))).alias("cluster"),
+            F.min(F.when(F.col("rk") == 1, F.sqrt("d2"))).alias("a"),
+            F.min(F.when(F.col("rk") == 2, F.sqrt("d2"))).alias("b"),
+        )
+    )
+    sil = per_vec.withColumn(
+        "s",
+        F.when(F.greatest("a", "b") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.floor(F.lit(1000) * (F.col("b") - F.col("a")) / F.greatest("a", "b")).cast(
+                "bigint"
+            )
+        ),
+    )
+    return (
+        sil.groupBy(F.col("cluster").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr("sum(s) div count(1)").alias("mean_sil_permille"),
+            F.min("s").alias("min_sil_permille"),
+            F.sum((F.col("s") < BOUNDARY_PERMILLE).cast("bigint")).alias("n_boundary"),
+        )
+        .orderBy("cid")
+    )
+
+
+_SILHOUETTE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{sql_training_prologue()},
+ranked AS (
+  SELECT vec_id, cid, sqrt(d2) AS d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+  FROM a3_scored
+),
+per_vec AS (
+  SELECT vec_id,
+         min(CASE WHEN rk = 1 THEN cid END) AS cluster,
+         min(CASE WHEN rk = 1 THEN d END) AS a,
+         min(CASE WHEN rk = 2 THEN d END) AS b
+  FROM ranked WHERE rk <= 2 GROUP BY 1
+),
+sil AS (
+  SELECT cluster,
+         CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(1000 * (b - a) / greatest(a, b)) AS BIGINT) END AS s
+  FROM per_vec
+)
+SELECT cluster AS cid, count(*) AS n_vecs,
+       (CAST(sum(s) AS BIGINT) // count(*)) AS mean_sil_permille,
+       CAST(min(s) AS BIGINT) AS min_sil_permille,
+       count_if(s < {BOUNDARY_PERMILLE}) AS n_boundary
+FROM sil
+GROUP BY cluster
+ORDER BY cid
+"""
+
+
+QUERIES = {
+    "kmeans_clusters": kmeans_clusters,
+    "kmeans_silhouette_report": kmeans_silhouette_report,
+}
+ORACLES = {
+    "kmeans_clusters": _KMEANS_SQL,
+    "kmeans_silhouette_report": _SILHOUETTE_SQL,
+}

@@ -179,3 +179,21 @@ def test_d4_matches_oracle_on_random_vectors(spark, tmp_path_factory, vecs):
     )
     want = sorted(tuple(r) for r in con.execute(_D4_SQL).fetchall())
     assert got == want
+
+
+def test_silhouette_consistent_with_cluster_sizes(spark, sf_dir):
+    """Silhouette scores are non-negative by construction (assignment
+    is the argmin), per-mille bounded, and the report's per-cluster
+    membership counts must equal kmeans_clusters' — both derive from
+    the same trained quantizer."""
+    from rdbms_metadata_manager_spark.llm.kmeans import (
+        kmeans_clusters,
+        kmeans_silhouette_report,
+    )
+
+    sil = {r.cid: r for r in kmeans_silhouette_report(spark, sf_dir).collect()}
+    sizes = {r.cid: r.n_vecs for r in kmeans_clusters(spark, sf_dir).collect()}
+    assert {c: r.n_vecs for c, r in sil.items()} == sizes
+    for r in sil.values():
+        assert 0 <= r.min_sil_permille <= r.mean_sil_permille <= 1000
+        assert 0 <= r.n_boundary <= r.n_vecs
