@@ -149,3 +149,29 @@ def test_bfs_levels_hand_graph(spark, sf_dir, monkeypatch):
     )
     got = {r.dist: r.n_nodes for r in mining.bfs_levels_from_hub(spark, sf_dir).collect()}
     assert got == {0: 1, 1: 1, 2: 1, 3: 1, -1: 3}, got
+
+
+def test_link_prediction_known_graph(spark, tmp_path):
+    """Hub 1 with N(1)={2,3}: node 4 shares both neighbors (AA =
+    1e6//deg(2) + 1e6//deg(3)), node 5 shares only node 2; existing
+    neighbors and the hub itself must not appear as candidates."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdbms_metadata_manager_spark.queries.mining import link_prediction_hub_cn
+
+    baskets = [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5)]
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [i for i, pair in enumerate(baskets) for _ in pair],
+            "l_partkey": [p for pair in baskets for p in pair],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(li), str(tmp_path / "lineitem.parquet"))
+    rows = {r.part: r for r in link_prediction_hub_cn(spark, str(tmp_path)).collect()}
+    assert set(rows) == {4, 5}
+    assert rows[4].common_neighbors == 2
+    assert rows[4].aa_micro == 1_000_000 // 3 + 1_000_000 // 2
+    assert rows[5].common_neighbors == 1
+    assert rows[5].aa_micro == 1_000_000 // 3
