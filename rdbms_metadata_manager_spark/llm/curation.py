@@ -484,6 +484,66 @@ ORDER BY score_bin
 """
 
 
+BOILERPLATE_N = 5
+TOP_BOILERPLATE = 20
+
+
+def boilerplate_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-frequency word 5-grams — the C4-style boilerplate
+    census: navigation chrome, licence blurbs, and template headers
+    surface as n-grams shared by many documents, and this report is
+    what you read before writing removal rules (the removal itself is
+    [[dedup_chunk_ratio]]'s passage dedup; the inverted-index df caps
+    in the dedup family prune these same shingles silently — this
+    face makes them visible).
+
+    Plan: per-doc DISTINCT shingles (df counts documents, not
+    occurrences), one explode → groupBy(ngram) count with map-side
+    partials, TakeOrderedAndProject top-20 — never a global sort.
+    The share denominator is a 1-row broadcast scalar.  At 100 TB
+    you would aggregate on the shingle HASH and join the winning 20
+    back to text; grouping the text directly is the same shuffle
+    class as TF-IDF's word relation and keeps the report one job."""
+    from .hashing import word_shingles
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    shingled = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.split("text", " "), n=BOILERPLATE_N)).alias("ngram"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        shingled.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "ngram",
+            "df",
+            F.expr("(1000 * df) div n_docs").alias("df_permille"),
+        )
+        .orderBy(F.col("df").desc(), "ngram")
+        .limit(TOP_BOILERPLATE)
+    )
+
+
+def _boilerplate_sql() -> str:
+    from .hashing import word_shingles_sql
+
+    shingles = word_shingles_sql("string_split(text, ' ')", n=BOILERPLATE_N)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles}) AS ngram
+  FROM documents
+),
+df AS (SELECT ngram, count(*) AS df FROM sh GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT ngram, df, (1000 * df) // n_docs AS df_permille
+FROM df, n
+ORDER BY df DESC, ngram
+LIMIT {TOP_BOILERPLATE}
+"""
+
+
 QUERIES = {
     "dedup_chunk_ratio": dedup_chunk_ratio,
     "quality_filter_gate": quality_filter_gate,
@@ -491,6 +551,7 @@ QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "quality_classifier_scores": quality_classifier_scores,
     "score_calibration_bins": score_calibration_bins,
+    "boilerplate_ngram_report": boilerplate_ngram_report,
 }
 ORACLES = {
     "dedup_chunk_ratio": _CHUNK_SQL,
@@ -499,4 +560,5 @@ ORACLES = {
     "dsir_importance_weights": _DSIR_SQL,
     "quality_classifier_scores": _QC_SQL,
     "score_calibration_bins": _CALIBRATION_SQL,
+    "boilerplate_ngram_report": _boilerplate_sql(),
 }

@@ -261,3 +261,26 @@ def test_benford_permille_partition_on_testdata(spark, sf_dir):
         for r in mr:
             assert r.expected_permille == quality._BENFORD_PERMILLE[r.digit]
             assert r.deviation_permille == abs(r.observed_permille - r.expected_permille)
+
+
+def test_boilerplate_ngram_census(spark, tmp_path):
+    """A 5-gram shared by three docs must outrank one shared by two;
+    a repeated 5-gram within ONE doc counts once (df counts docs)."""
+    from rdbms_metadata_manager_spark.llm.curation import boilerplate_ngram_report
+
+    tpl = "all rights reserved by example"
+    other = "click here to sign up"
+    texts = [
+        f"{tpl} unique one",
+        f"{tpl} unique two",
+        f"{tpl} {tpl}",          # template twice in one doc: df += 1
+        f"{other} filler filler",
+        f"{other} more filler",
+    ]
+    d = _write_documents(tmp_path, texts)
+    rows = boilerplate_ngram_report(spark, d).collect()
+    by_ngram = {r.ngram: r for r in rows}
+    assert by_ngram[tpl].df == 3
+    assert by_ngram[other].df == 2
+    assert by_ngram[tpl].df_permille == 600 and by_ngram[other].df_permille == 400
+    assert rows[0].ngram == tpl  # df-desc ordering
