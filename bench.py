@@ -80,6 +80,12 @@ HEADLINE = [
     "hard_negative_mining",
     "embedding_random_projection",
     "shard_packing_nextfit",
+    "lang_vocab_overlap_matrix",
+    "benford_digit_audit",
+    "label_centroid_separation",
+    "kmeans_silhouette_report",
+    "link_prediction_hub_cn",
+    "boilerplate_ngram_report",
 ]
 
 
