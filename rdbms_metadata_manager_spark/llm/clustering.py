@@ -86,6 +86,107 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     return labels
 
 
+MAX_STAR_ROUNDS = 15
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node links its LARGER neighbors to the
+    minimum of its closed neighborhood. Output edges oriented
+    (a=hi, b=lo)."""
+    both = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    m = (
+        both.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    return (
+        both.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every node links its SMALLER neighbors (and
+    itself) to the minimum of that set. Input/output edges oriented
+    (a=hi, b=lo)."""
+    m = e.groupBy("a").agg(F.min("b").alias("m"))
+    relink = (
+        e.join(m, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    selfedge = m.select(F.col("a"), F.col("m").alias("b"))
+    return relink.union(selfedge).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(node, cluster_id=component min) via alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — O(log n) rounds regardless of component
+    DIAMETER, where min-label propagation needs diameter rounds.
+    This is the scale path for adversarial graphs (long duplicate
+    chains, crawl link graphs); `connected_components` stays the
+    cheaper choice for the tiny-clique topology of near-dup families.
+
+    Each round is two groupBy(min) + join + distinct passes on the
+    shrinking edge list; convergence = edge-set fixpoint (checked
+    exactly here with two anti-semidifferences; at 100 TB a
+    (count, xxhash64-sum) checksum pair is the cheap equivalent).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(MAX_STAR_ROUNDS):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
+            converged = True
+            e = new_e
+            break
+        e = new_e
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge within {MAX_STAR_ROUNDS} rounds"
+        )
+    # Fixpoint edges form stars (child → component min); roots keep
+    # themselves. min() guards the (already-converged) invariant that
+    # each child has exactly one root without assuming it.
+    stars = e.groupBy("a").agg(F.min("b").alias("root"))
+    return nodes.join(stars, nodes["node"] == stars["a"], "left").select(
+        "node", F.coalesce("root", "node").alias("label")
+    )
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract (and oracle) as `dedup_clusters`, computed by
+    star contraction instead of min-label propagation — the
+    diameter-independent variant."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components_star(pairs)
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over the exact-Jaccard pair list: each doc in
     a pair gets its component's minimum doc_id as cluster keeper."""
@@ -115,5 +216,11 @@ ORDER BY doc_id
 """
 
 
-QUERIES = {"dedup_clusters": dedup_clusters}
-ORACLES = {"dedup_clusters": _CLUSTERS_SQL}
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
+}
+ORACLES = {
+    "dedup_clusters": _CLUSTERS_SQL,
+    "dedup_clusters_star": _CLUSTERS_SQL,
+}

@@ -518,6 +518,74 @@ ORDER BY i.lang_a, i.lang_b
 """
 
 
+VOCAB_SIZE = 16
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage report: fit a frequency vocabulary of the
+    top ``VOCAB_SIZE`` corpus words (ties broken lexicographically),
+    then score every document's out-of-vocabulary token share — the
+    standard pre-training check that a tokenizer's vocab actually
+    covers the corpus it is about to encode (high OOV → the corpus
+    will fragment into byte fallbacks and waste sequence length).
+
+    Two phases over ONE exploded token relation: (1) vocab fit =
+    partial-agged word counts + TakeOrdered top-V (never a global
+    sort); (2) scoring = broadcast LEFT join of the V-row vocab
+    against the token stream + one per-doc partial agg. Rates are
+    integer per-mille (floor), exact across engines.
+
+    Scale: phase 1 shuffles ≤ |vocab| rows after map-side combine;
+    phase 2 is a broadcast probe + groupBy(doc_id) that rides the
+    same scan — no quadratic anything, no Python.
+    """
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(1000 * n_oov) div n_tokens").alias("oov_per_mille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_VOCAB_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT {VOCAB_SIZE}
+  )
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+       ((1000 * count(*) FILTER (WHERE v.tok IS NULL)) // count(*))::BIGINT
+         AS oov_per_mille
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
@@ -528,6 +596,7 @@ QUERIES = {
     "lexical_rarity_stats": lexical_rarity_stats,
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
     "lang_vocab_overlap_matrix": lang_vocab_overlap_matrix,
+    "vocab_oov_rate": vocab_oov_rate,
 }
 
 ORACLES = {
@@ -540,4 +609,5 @@ ORACLES = {
     "lexical_rarity_stats": _RARITY_SQL,
     "bigram_lm_doc_scores": _BIGRAM_LM_SQL,
     "lang_vocab_overlap_matrix": _LANG_OVERLAP_SQL,
+    "vocab_oov_rate": _VOCAB_OOV_SQL,
 }
