@@ -92,17 +92,16 @@ MAX_STAR_ROUNDS = 15
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star: every node links its LARGER neighbors to the
     minimum of its closed neighborhood. Output edges oriented
-    (a=hi, b=lo)."""
+    (a=hi, b=lo). Window-min instead of groupBy+self-join: the
+    neighborhood minimum rides ONE exchange on u."""
+    from pyspark.sql import Window
+
     both = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    m = (
-        both.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select("u", F.least("u", "mv").alias("m"))
-    )
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
     return (
-        both.join(m, "u")
+        both.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("a"), F.col("m").alias("b"))
         .distinct()
@@ -112,14 +111,14 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star: every node links its SMALLER neighbors (and
     itself) to the minimum of that set. Input/output edges oriented
-    (a=hi, b=lo)."""
-    m = e.groupBy("a").agg(F.min("b").alias("m"))
-    relink = (
-        e.join(m, "a")
-        .where(F.col("b") != F.col("m"))
-        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    (a=hi, b=lo). Same one-exchange window-min shape as large-star."""
+    from pyspark.sql import Window
+
+    j = e.withColumn("m", F.min("b").over(Window.partitionBy("a")))
+    relink = j.where(F.col("b") != F.col("m")).select(
+        F.col("b").alias("a"), F.col("m").alias("b")
     )
-    selfedge = m.select(F.col("a"), F.col("m").alias("b"))
+    selfedge = j.select("a", F.col("m").alias("b"))
     return relink.union(selfedge).distinct()
 
 
@@ -135,9 +134,12 @@ def connected_components_star(
     cheaper choice for the tiny-clique topology of near-dup families.
 
     Each round is two groupBy(min) + join + distinct passes on the
-    shrinking edge list; convergence = edge-set fixpoint (checked
-    exactly here with two anti-semidifferences; at 100 TB a
-    (count, xxhash64-sum) checksum pair is the cheap equivalent).
+    shrinking edge list; convergence = edge-set fixpoint, detected
+    with a one-job (count, xxhash64-sum) checksum per round and then
+    CONFIRMED with two exact anti-semidifferences only on the
+    candidate final round — so the O(rounds) cost is the cheap
+    checksum and a checksum collision can never stop the loop early
+    with wrong labels.
     """
     e = (
         edges.select(
@@ -148,20 +150,36 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Node set from the CHECKPOINTED canonical edges, not the raw
+    # `edges` argument — the argument may be an expensive unsaved
+    # pipeline (e.g. the Jaccard pair join) and re-deriving nodes
+    # from it would execute that pipeline a second time. Self-loop
+    # inputs (a == b) are filtered above, matching the fixpoint
+    # variant's node universe (endpoints of real pairs).
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    def _checksum(df: DataFrame) -> tuple:
+        # decimal(38,0) fold: a long sum of 64-bit hashes overflows
+        # under ANSI mode
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     converged = False
+    prev_sum = _checksum(e)
     for _ in range(MAX_STAR_ROUNDS):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
+        new_sum = _checksum(new_e)
+        if new_sum == prev_sum and new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
             converged = True
             e = new_e
             break
-        e = new_e
+        e, prev_sum = new_e, new_sum
     if not converged:
         raise RuntimeError(
             f"star contraction did not converge within {MAX_STAR_ROUNDS} rounds"
