@@ -82,5 +82,95 @@ ORDER BY vec_id, plane
 """
 
 
-QUERIES = {"embedding_random_projection": embedding_random_projection}
-ORACLES = {"embedding_random_projection": _PROJ_SQL}
+def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health report: exact median, MAD,
+    5×MAD outlier count, and a dead-dimension flag (MAD = 0) over
+    integer ticks — the robust-statistics QA an embedding pipeline
+    runs to catch collapsed, saturated, or exploding dimensions
+    before they poison downstream ANN/clustering. Medians are
+    ``percentile_disc`` (actual data values, rank-exact in both
+    engines); everything stays int64.
+
+    Plan: three pruned scans of the vector column — (1) per-dim
+    median, (2) per-dim MAD with the 64-row median table broadcast,
+    (3) outlier count with the 64-row (median, MAD) table broadcast.
+    Each pass is one partial-agged groupBy on a 64-value key; at
+    100 TB you'd cache the exploded relation once instead of
+    rescanning, but the shuffle story is already minimal (64 keys)."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    elems = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.floor(F.col("x").cast("double") * TICK).cast("long").alias("t")
+    )
+    med = elems.groupBy("dim").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY t)").alias("med_tick")
+    )
+    mad = (
+        elems.join(F.broadcast(med), "dim")
+        .select("dim", F.abs(F.col("t") - F.col("med_tick")).alias("ad"))
+        .groupBy("dim")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").alias("mad_tick"))
+    )
+    stats = med.join(mad, "dim")
+    return (
+        elems.join(F.broadcast(stats), "dim")
+        .groupBy("dim", "med_tick", "mad_tick")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum(
+                F.when(
+                    (F.col("mad_tick") > 0)
+                    & (F.abs(F.col("t") - F.col("med_tick")) > 5 * F.col("mad_tick")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "dim",
+            "n_vals",
+            "med_tick",
+            "mad_tick",
+            "n_outliers",
+            (F.col("mad_tick") == 0).alias("is_dead"),
+        )
+        .orderBy("dim")
+    )
+
+
+_DIM_STATS_SQL = f"""
+WITH elems AS (
+  SELECT d - 1 AS dim,
+         CAST(floor(embedding[d]::DOUBLE * {TICK}) AS BIGINT) AS t
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(d)
+),
+med AS (
+  SELECT dim, percentile_disc(0.5) WITHIN GROUP (ORDER BY t) AS med_tick
+  FROM elems GROUP BY dim
+),
+mad AS (
+  SELECT e.dim,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(e.t - m.med_tick)) AS mad_tick
+  FROM elems e JOIN med m USING (dim)
+  GROUP BY e.dim
+)
+SELECT e.dim,
+       count(*) AS n_vals,
+       m.med_tick,
+       d.mad_tick,
+       CAST(count(*) FILTER (
+         WHERE d.mad_tick > 0 AND abs(e.t - m.med_tick) > 5 * d.mad_tick
+       ) AS BIGINT) AS n_outliers,
+       d.mad_tick = 0 AS is_dead
+FROM elems e JOIN med m USING (dim) JOIN mad d USING (dim)
+GROUP BY e.dim, m.med_tick, d.mad_tick
+ORDER BY e.dim
+"""
+
+
+QUERIES = {
+    "embedding_random_projection": embedding_random_projection,
+    "embedding_dim_robust_stats": embedding_dim_robust_stats,
+}
+ORACLES = {
+    "embedding_random_projection": _PROJ_SQL,
+    "embedding_dim_robust_stats": _DIM_STATS_SQL,
+}

@@ -73,6 +73,50 @@ ORDER BY doc_id
 """
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on CONTENT (md5 of text), not doc_id —
+    every verbatim copy of a document lands in the same split, so an
+    exact duplicate can never sit in train while its twin sits in
+    test (the eval-leakage failure mode of row-keyed splits; the
+    near-dup-safe extension keys on the dedup cluster id instead).
+    Same deterministic hash-bucket machinery as
+    `split_train_val_test`; the per-group invariant is pinned by
+    test, and the testdata's planted duplicate families exercise it
+    for real.
+
+    Scale: pure projection — the content hash is computed where the
+    row already is; no shuffle, no group materialization."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5("text")
+    bucket = _split_bucket(fp)
+    return (
+        docs.select(
+            "doc_id",
+            fp.alias("text_hash"),
+            bucket.alias("bucket"),
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LEAK_KEY = "'split:' || md5(text)"
+_LEAK_BUCKET_SQL = f"{h32_sql(_LEAK_KEY)} % 100"
+
+_LEAK_SPLIT_SQL = f"""
+SELECT doc_id, md5(text) AS text_hash,
+       {_LEAK_BUCKET_SQL} AS bucket,
+       CASE WHEN {_LEAK_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_LEAK_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified Bernoulli sample with per-language keep rates
     (STRAT_RATES, per-mille) — hash-deterministic, so the sampled
@@ -303,6 +347,7 @@ ORDER BY source, doc_id
 
 QUERIES = {
     "split_train_val_test": split_train_val_test,
+    "leakage_safe_split": leakage_safe_split,
     "sample_stratified_lang": sample_stratified_lang,
     "pack_training_sequences": pack_training_sequences,
     "sample_reservoir_per_source": sample_reservoir_per_source,
@@ -312,6 +357,7 @@ QUERIES = {
 
 ORACLES = {
     "split_train_val_test": _SPLIT_SQL,
+    "leakage_safe_split": _LEAK_SPLIT_SQL,
     "sample_stratified_lang": _STRAT_SQL,
     "pack_training_sequences": _PACK_SQL,
     "sample_reservoir_per_source": _RESERVOIR_SQL,

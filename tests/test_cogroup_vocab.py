@@ -84,3 +84,58 @@ def test_vocab_oov_counts_token_occurrences_not_types(spark, tmp_path):
     rows = {r["doc_id"]: r.asDict() for r in vocab_oov_rate(spark, d).collect()}
     assert rows[1]["n_tokens"] == 4 and rows[1]["n_oov"] == 0
     assert rows[2]["n_tokens"] == 2 and rows[2]["n_oov"] == 0
+
+
+def test_leakage_safe_split_keeps_dup_families_in_one_split(spark, tmp_path):
+    """Verbatim copies must land in the same split regardless of
+    doc_id (the testdata's planted dups are NEAR-dups, so verbatim
+    families are crafted here). With 40 distinct texts copied twice
+    under scattered doc_ids, a doc_id-keyed split would separate at
+    least one family with probability ~1 − 0.82⁴⁰; the content-keyed
+    split never does."""
+    from pyspark.sql import functions as F
+
+    from rdbms_metadata_manager_spark.llm.sampling import leakage_safe_split
+
+    texts = [f"unique document body number {i} with payload" for i in range(40)]
+    d = _write_documents(tmp_path, texts + texts)
+    df = leakage_safe_split(spark, d)
+    fam = df.groupBy("text_hash").agg(
+        F.countDistinct("split").alias("n_splits"), F.count("*").alias("n_docs")
+    )
+    assert fam.filter(F.col("n_splits") > 1).count() == 0
+    assert fam.filter(F.col("n_docs") == 2).count() == 40
+    # sanity: more than one split value actually occurs
+    assert df.select("split").distinct().count() > 1
+
+
+def _write_embeddings(tmp_path, vecs):
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_embedding_dim_robust_stats_hand_computed(spark, tmp_path):
+    from rdbms_metadata_manager_spark.llm.projection import embedding_dim_robust_stats
+
+    # dim 0: constant 0.5 → MAD 0 → dead, no outliers even though all
+    #        deviations are 0
+    # dim 1: ticks [1000,2000,3000,4000,100000] → med 3000, MAD 1000,
+    #        one 5×MAD outlier (the 100000)
+    vecs = [[0.5, 1.0], [0.5, 2.0], [0.5, 3.0], [0.5, 4.0], [0.5, 100.0]]
+    d = _write_embeddings(tmp_path, vecs)
+    rows = {r["dim"]: r.asDict() for r in embedding_dim_robust_stats(spark, d).collect()}
+    assert rows[0] == {
+        "dim": 0, "n_vals": 5, "med_tick": 500, "mad_tick": 0,
+        "n_outliers": 0, "is_dead": True,
+    }
+    assert rows[1] == {
+        "dim": 1, "n_vals": 5, "med_tick": 3000, "mad_tick": 1000,
+        "n_outliers": 1, "is_dead": False,
+    }
