@@ -82,55 +82,59 @@ ORDER BY vec_id, plane
 """
 
 
+def _dim_stats_kernel(table):
+    """Whole-group Arrow kernel: one numpy sort per dimension.
+    percentile_disc(q) = smallest value with CDF ≥ q, i.e. sorted
+    index ceil(q·n) − 1 — reproduced exactly so the DuckDB oracle
+    hash-matches."""
+    import numpy as np
+    import pyarrow as pa
+
+    t = np.sort(table.column("t").to_numpy(zero_copy_only=False))
+    n = len(t)
+    med = int(t[(n + 1) // 2 - 1])
+    ad = np.sort(np.abs(t - med))
+    mad = int(ad[(n + 1) // 2 - 1])
+    n_out = int((ad > 5 * mad).sum()) if mad > 0 else 0
+    dim = int(table.column("dim")[0].as_py())
+    return pa.table(
+        {
+            "dim": pa.array([dim], pa.int32()),
+            "n_vals": pa.array([n], pa.int64()),
+            "med_tick": pa.array([med], pa.int64()),
+            "mad_tick": pa.array([mad], pa.int64()),
+            "n_outliers": pa.array([n_out], pa.int64()),
+            "is_dead": pa.array([mad == 0], pa.bool_()),
+        }
+    )
+
+
 def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DIMENSION embedding health report: exact median, MAD,
     5×MAD outlier count, and a dead-dimension flag (MAD = 0) over
     integer ticks — the robust-statistics QA an embedding pipeline
     runs to catch collapsed, saturated, or exploding dimensions
-    before they poison downstream ANN/clustering. Medians are
-    ``percentile_disc`` (actual data values, rank-exact in both
-    engines); everything stays int64.
+    before they poison downstream ANN/clustering.
 
-    Plan: three pruned scans of the vector column — (1) per-dim
-    median, (2) per-dim MAD with the 64-row median table broadcast,
-    (3) outlier count with the 64-row (median, MAD) table broadcast.
-    Each pass is one partial-agged groupBy on a 64-value key; at
-    100 TB you'd cache the exploded relation once instead of
-    rescanning, but the shuffle story is already minimal (64 keys)."""
+    Plan: ONE codegen posexplode scan → one exchange of compact
+    (dim:int, tick:int64) rows on the 64-value key → a grouped-map
+    `applyInArrow` kernel (whole group as an arrow Table, one numpy
+    sort each). The all-relational percentile_disc form measured
+    3.6 s at sf0.1 (three scans, interpreted SortAggregates over the
+    1.6 M-row exploded relation); this shape is one shuffle and
+    vectorized math. Per-group rows = corpus size — for billions of
+    vectors switch the kernel to streaming batches with a two-pass
+    histogram median; the 64-way key fan-out stays the same."""
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     elems = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
         "dim", F.floor(F.col("x").cast("double") * TICK).cast("long").alias("t")
     )
-    med = elems.groupBy("dim").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY t)").alias("med_tick")
-    )
-    mad = (
-        elems.join(F.broadcast(med), "dim")
-        .select("dim", F.abs(F.col("t") - F.col("med_tick")).alias("ad"))
-        .groupBy("dim")
-        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").alias("mad_tick"))
-    )
-    stats = med.join(mad, "dim")
     return (
-        elems.join(F.broadcast(stats), "dim")
-        .groupBy("dim", "med_tick", "mad_tick")
-        .agg(
-            F.count(F.lit(1)).alias("n_vals"),
-            F.sum(
-                F.when(
-                    (F.col("mad_tick") > 0)
-                    & (F.abs(F.col("t") - F.col("med_tick")) > 5 * F.col("mad_tick")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_outliers"),
-        )
-        .select(
-            "dim",
-            "n_vals",
-            "med_tick",
-            "mad_tick",
-            "n_outliers",
-            (F.col("mad_tick") == 0).alias("is_dead"),
+        elems.groupBy("dim")
+        .applyInArrow(
+            _dim_stats_kernel,
+            "dim int, n_vals long, med_tick long, mad_tick long, "
+            "n_outliers long, is_dead boolean",
         )
         .orderBy("dim")
     )
