@@ -448,8 +448,41 @@ FROM (
 )
 """
 
+def pipe_syntax_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>` operators, SPARK-49555): the
+    linear FROM → WHERE → AGGREGATE → WHERE → ORDER BY chain, where
+    the post-aggregate WHERE plays HAVING. Semantically identical to
+    the nested ANSI form the oracle runs — the face under test is the
+    parser/analyzer path, not new semantics. Money sums are floor-tick
+    cents (exact int64 both engines)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+           GROUP BY o_orderpriority
+        |> WHERE n_orders >= 10
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+_PIPE_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING count(*) >= 10
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "variant_event_props": variant_event_props,
+    "pipe_syntax_order_stats": pipe_syntax_order_stats,
     "lateral_top_customers_per_nation": lateral_top_customers_per_nation,
     "recursive_balance_replay": recursive_balance_replay,
     "sql_udf_price_bands": sql_udf_price_bands,
@@ -461,6 +494,7 @@ QUERIES = {
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
+    "pipe_syntax_order_stats": _PIPE_SQL,
     "lateral_top_customers_per_nation": _LATERAL_SQL,
     "recursive_balance_replay": _RECURSIVE_SQL,
     "sql_udf_price_bands": _SQL_UDF_SQL,
