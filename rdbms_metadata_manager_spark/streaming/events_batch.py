@@ -205,8 +205,93 @@ ORDER BY entry_type
 """
 
 
+def session_pattern_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over sessions — the MATCH_RECOGNIZE
+    use case (Spark has no MATCH_RECOGNIZE; the pattern compiles to a
+    per-session ordered type string + LIKE predicates, all codegen):
+    a session is ABANDONED when it contains a click with no purchase
+    anywhere after it ("added to cart, never checked out"). The
+    ordered sequence is deterministic — events sort by (ts, event_id)
+    inside the session, so simultaneous timestamps can't flip the
+    string between engines. `'%click%purchase%'` is exact here
+    because no event-type token contains another as a substring and
+    '>' separates tokens.
+
+    Scale: one session_window shuffle on user_id (same state bound as
+    the streaming face), then per-session strings — the report rolls
+    up sessions, not events. Sessions with 10³ events make a 10⁴-char
+    string, not a blow-up."""
+    e = load(spark, sf_dir, "events")
+    sess = e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id").agg(
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+            ">",
+        ).alias("seq"),
+    )
+    flags = sess.select(
+        F.split("seq", ">").getItem(0).alias("entry_type"),
+        F.col("seq").like("%click%").cast("bigint").alias("clicked"),
+        (F.col("seq").like("%click%") & ~F.col("seq").like("%click%purchase%"))
+        .cast("bigint")
+        .alias("abandoned"),
+    )
+    return (
+        flags.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("clicked").alias("n_clicked"),
+            F.sum("abandoned").alias("n_abandoned"),
+        )
+        .withColumn(
+            "abandoned_pm",
+            F.expr("CASE WHEN n_clicked = 0 THEN NULL ELSE n_abandoned * 1000 div n_clicked END"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+_PATTERN_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+seqs AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+  FROM sessions
+  GROUP BY user_id, session_id
+),
+flags AS (
+  SELECT split_part(seq, '>', 1) AS entry_type,
+         (seq LIKE '%click%')::BIGINT AS clicked,
+         (seq LIKE '%click%' AND seq NOT LIKE '%click%purchase%')::BIGINT AS abandoned
+  FROM seqs
+)
+SELECT entry_type,
+       count(*)::BIGINT AS n_sessions,
+       sum(clicked)::BIGINT AS n_clicked,
+       sum(abandoned)::BIGINT AS n_abandoned,
+       CASE WHEN sum(clicked) = 0 THEN NULL
+            ELSE sum(abandoned) * 1000 // sum(clicked) END AS abandoned_pm
+FROM flags
+GROUP BY entry_type
+ORDER BY entry_type
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
+    "session_pattern_abandonment": session_pattern_abandonment,
     "events_session_stats": events_session_stats,
     "events_sliding_10min": events_sliding_10min,
     "session_bounce_stats": session_bounce_stats,
@@ -214,6 +299,7 @@ QUERIES = {
 
 ORACLES = {
     "events_tumbling_hourly": _TUMBLING_SQL,
+    "session_pattern_abandonment": _PATTERN_SQL,
     "events_session_stats": _SESSION_SQL,
     "events_sliding_10min": _SLIDING_SQL,
     "session_bounce_stats": _BOUNCE_SQL,

@@ -139,3 +139,41 @@ def test_embedding_dim_robust_stats_hand_computed(spark, tmp_path):
         "dim": 1, "n_vals": 5, "med_tick": 3000, "mad_tick": 1000,
         "n_outliers": 1, "is_dead": False,
     }
+
+
+def test_session_pattern_abandonment_hand_cases(spark, tmp_path):
+    """click→no-purchase-after = abandoned; purchase BEFORE the click
+    doesn't save a session; purchase after does."""
+    import datetime as dt
+
+    from rdbms_metadata_manager_spark.streaming.events_batch import (
+        session_pattern_abandonment,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=30)
+    rows = [
+        # user 1: click → view         → abandoned
+        (1, t0, 1, "click", 0.0, "{}"),
+        (2, t0 + s, 1, "view", 0.0, "{}"),
+        # user 2: click → purchase     → converted
+        (3, t0, 2, "click", 0.0, "{}"),
+        (4, t0 + s, 2, "purchase", 0.0, "{}"),
+        # user 3: view only            → not clicked
+        (5, t0, 3, "view", 0.0, "{}"),
+        # user 4: purchase → click     → abandoned (no purchase AFTER)
+        (6, t0, 4, "purchase", 0.0, "{}"),
+        (7, t0 + s, 4, "click", 0.0, "{}"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    got = {r["entry_type"]: r.asDict() for r in session_pattern_abandonment(spark, str(tmp_path)).collect()}
+    assert got["click"] == {
+        "entry_type": "click", "n_sessions": 2, "n_clicked": 2,
+        "n_abandoned": 1, "abandoned_pm": 500,
+    }
+    assert got["view"]["n_clicked"] == 0 and got["view"]["abandoned_pm"] is None
+    assert got["purchase"] == {
+        "entry_type": "purchase", "n_sessions": 1, "n_clicked": 1,
+        "n_abandoned": 1, "abandoned_pm": 1000,
+    }
