@@ -11,7 +11,7 @@ import pytest
 @pytest.fixture(scope="module")
 def empty_dir(spark, sf_dir, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("empty_sf"))
-    for t in ["orders", "documents", "events", "customer", "lineitem", "embeddings"]:
+    for t in ["orders", "documents", "events", "customer", "supplier", "lineitem", "embeddings"]:
         (
             spark.read.parquet(f"{sf_dir}/{t}.parquet")
             .limit(0)
@@ -79,6 +79,13 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.shared_runs", "dedup_longest_shared_run"),
         ("llm.projection", "embedding_random_projection"),
         ("llm.sampling", "shard_packing_nextfit"),
+        ("llm.sampling", "leakage_safe_split"),
+        ("llm.text", "vocab_oov_rate"),
+        ("llm.projection", "embedding_dim_robust_stats"),
+        ("llm.clustering", "dedup_clusters_star"),
+        ("queries.cogroup", "cogroup_balance_ks"),
+        ("queries.modern", "pipe_syntax_order_stats"),
+        ("streaming.events_batch", "session_pattern_abandonment"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
