@@ -32,8 +32,15 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import StructType
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructType
 
 from ..catalog import jdbc_source, pg_live, schemas
 
@@ -44,12 +51,26 @@ _FACE_QUERIES = {
 }
 
 
-def _bucket_rows(face: str, database: str, host: str, n: int, p: int) -> list[tuple]:
+def _sql_literal(v) -> str | None:
+    """Render a pushable literal, or None if the type isn't safe to
+    inline (everything else stays Spark-side)."""
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
+def _bucket_rows(
+    face: str, database: str, host: str, n: int, p: int, conjuncts: Sequence[str] = ()
+) -> list[tuple]:
     base, schema = _FACE_QUERIES[face]
-    sql = (
-        f"SELECT * FROM ({base.rstrip().rstrip(';')}) q "
-        f"WHERE (hashtext(q.table_name) & 2147483647) % {n} = {p}"
-    )
+    where = f"WHERE (hashtext(q.table_name) & 2147483647) % {n} = {p}"
+    for c in conjuncts:
+        where += f" AND {c}"
+    sql = f"SELECT * FROM ({base.rstrip().rstrip(';')}) q {where}"
     return pg_live._coerce(pg_live.run_sql(sql, database, host), schema)
 
 
@@ -64,13 +85,45 @@ class _PgCatalogReader(DataSourceReader):
         self.database = database
         self.host = host
         self.n_partitions = n_partitions
+        self.pushed: list[str] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Spark 4.1 Python DataSource filter pushdown: EqualTo / In
+        on this face's top-level string/int columns become WHERE
+        conjuncts of the ONE catalog query each bucket runs — at a
+        10⁵-table warehouse a `table_name = ...` probe then ships a
+        handful of rows instead of the whole catalog. Everything else
+        (and every pushed filter too — a conjunct is also returned so
+        Spark re-checks it, keeping correctness independent of the
+        rendering) stays Spark-side. Returning a filter we also
+        pushed is explicitly allowed: pushdown is an optimization,
+        re-evaluation is free relative to the scan."""
+        cols = {f.name for f in _FACE_QUERIES[self.face][1].fields}
+        for f in filters:
+            sql = None
+            if isinstance(f, EqualTo) and len(f.attribute) == 1 and f.attribute[0] in cols:
+                lit = _sql_literal(f.value)
+                if lit is not None:
+                    sql = f'q."{f.attribute[0]}" = {lit}'
+            elif isinstance(f, In) and len(f.attribute) == 1 and f.attribute[0] in cols:
+                lits = [_sql_literal(v) for v in f.value]
+                if lits and all(x is not None for x in lits):
+                    sql = f'q."{f.attribute[0]}" IN ({", ".join(lits)})'
+            if sql is not None:
+                self.pushed.append(sql)
+            yield f
 
     def partitions(self) -> Sequence[InputPartition]:
         return [_BucketPartition(p) for p in range(self.n_partitions)]
 
     def read(self, partition: _BucketPartition) -> Iterator[tuple]:
         yield from _bucket_rows(
-            self.face, self.database, self.host, self.n_partitions, partition.bucket
+            self.face,
+            self.database,
+            self.host,
+            self.n_partitions,
+            partition.bucket,
+            self.pushed,
         )
 
 

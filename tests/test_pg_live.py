@@ -30,6 +30,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from rdbms_metadata_manager_spark.catalog import fixtures, pg_live
 from rdbms_metadata_manager_spark.queries.metadata import _rules_oracle_sql
 from rdbms_metadata_manager_spark.rules import detect_schema_flaws
@@ -362,3 +364,54 @@ def test_pg_catalog_datasource_matches_driver_side_read(spark, pg_host, live_cat
     ).collect()
     seen = [t for s in per_part for t in s]
     assert len(seen) == len(set(seen))
+
+
+def test_pg_catalog_datasource_filter_pushdown(spark, pg_host, live_catalog):
+    """Spark 4.1 PyDS pushFilters: an EqualTo/In on table_name must
+    (a) return exactly the Spark-side-filtered rows — correctness of
+    the WHERE rendering, including quote escaping — and (b) actually
+    reach the reader (asserted through the reader API directly, since
+    the scan re-checks pushed filters Spark-side by design)."""
+    from pyspark.sql.datasource import EqualTo, In, IsNull
+
+    from rdbms_metadata_manager_spark.sources import read_pg_catalog
+    from rdbms_metadata_manager_spark.sources.pg_catalog import _PgCatalogReader
+
+    cols, _, _ = live_catalog
+    base = read_pg_catalog(spark, "columns", "ecommerce_db", pg_host)
+
+    got_eq = base.filter(F.col("table_name") == "Products")
+    want_eq = sorted(tuple(r) for r in cols.collect() if r["table_name"] == "Products")
+    assert sorted(tuple(r) for r in got_eq.collect()) == want_eq and want_eq
+
+    got_in = base.filter(F.col("table_name").isin("Products", "Users"))
+    want_in = sorted(
+        tuple(r) for r in cols.collect() if r["table_name"] in ("Products", "Users")
+    )
+    assert sorted(tuple(r) for r in got_in.collect()) == want_in
+
+    # reader-level contract: supported filters render to conjuncts,
+    # unsupported ones pass through untouched; everything is returned
+    r = _PgCatalogReader("columns", "ecommerce_db", pg_host, 2)
+    fs = [
+        EqualTo(("table_name",), "it's"),          # escaping
+        In(("table_name",), ("Products", "Users")),
+        EqualTo(("no_such_col",), "x"),            # not in schema
+        IsNull(("table_name",)),                   # unsupported class
+    ]
+    back = list(r.pushFilters(fs))
+    assert back == fs
+    assert r.pushed == [
+        "q.\"table_name\" = 'it''s'",
+        "q.\"table_name\" IN ('Products', 'Users')",
+    ]
+    # pushed conjuncts shrink the per-bucket query result
+    from rdbms_metadata_manager_spark.sources.pg_catalog import _bucket_rows
+
+    full = sum(len(_bucket_rows("columns", "ecommerce_db", pg_host, 2, p)) for p in (0, 1))
+    pruned = sum(
+        len(_bucket_rows("columns", "ecommerce_db", pg_host, 2, p,
+                         ["q.\"table_name\" = 'Products'"]))
+        for p in (0, 1)
+    )
+    assert 0 < pruned < full
