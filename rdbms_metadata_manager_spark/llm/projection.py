@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.base import load_spread
+from ..queries.base import load, load_spread
 from .hashing import h32, h32_sql
 
 N_PROJ = 16
@@ -124,8 +124,12 @@ def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.6 M-row exploded relation); this shape is one shuffle and
     vectorized math. Per-group rows = corpus size — for billions of
     vectors switch the kernel to streaming batches with a two-pass
-    histogram median; the 64-way key fan-out stays the same."""
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    histogram median; the 64-way key fan-out stays the same. Plain
+    ``load`` (not ``load_spread``): the pre-kernel work is one
+    trivial explode projection, and the dim exchange redistributes
+    anyway — a vec_id repartition would just be a second shuffle
+    (plan-pinned to exactly one)."""
+    emb = load(spark, sf_dir, "embeddings")
     elems = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
         "dim", F.floor(F.col("x").cast("double") * TICK).cast("long").alias("t")
     )

@@ -544,3 +544,42 @@ def test_bpe_counts_on_dictionary_not_corpus(spark, sf_dir):
     pair_gen = plan.index("Generate explode(sequence")
     word_agg = plan.index("Exchange hashpartitioning(w#")
     assert pair_gen < word_agg, "pair explode must consume the aggregated dictionary"
+
+
+def test_vocab_oov_vocab_fit_is_take_ordered_and_probe_is_broadcast(spark, sf_dir):
+    """The top-V vocabulary must compile to TakeOrderedAndProject
+    (never a global sort of the word counts) and the V-row probe to a
+    broadcast join; the token scan must prune to (doc_id, text)."""
+    from rdbms_metadata_manager_spark.llm.text import vocab_oov_rate
+
+    plan = physical_plan(vocab_oov_rate(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" not in read_schema, read_schema
+
+
+def test_cogroup_ks_shuffles_each_side_once(spark, sf_dir):
+    """Cogroup = one exchange per side on the key (plus the display
+    sort), and the scans must prune to (nationkey, acctbal)."""
+    from rdbms_metadata_manager_spark.queries.cogroup import cogroup_balance_ks
+
+    plan = physical_plan(cogroup_balance_ks(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan, plan
+    pre = plan.split("FlatMapCoGroups")[0] if "FlatMapCoGroups" in plan else plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    for rs in plan.split("ReadSchema: ")[1:]:
+        line = rs.split("\n")[0]
+        assert "name" not in line and "address" not in line, line
+
+
+def test_dim_stats_is_single_exchange_arrow_kernel(spark, sf_dir):
+    """The per-dim health report: exactly ONE hash exchange (on dim)
+    feeding the grouped Arrow kernel — the whole point of leaving the
+    relational percentile_disc form."""
+    from rdbms_metadata_manager_spark.llm.projection import embedding_dim_robust_stats
+
+    plan = physical_plan(embedding_dim_robust_stats(spark, sf_dir))
+    assert "FlatMapGroupsInArrow" in plan or "MapGroupsInArrow" in plan or "InArrow" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortAggregate" not in plan, plan
