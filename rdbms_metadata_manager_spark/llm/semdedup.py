@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.base import load_spread
+from ..queries.base import load, load_spread
 from .kmeans import sql_training_prologue, trained_assignments
 from .similarity import DIM, _as_double, _cosine, _cosine_sql
 
@@ -184,11 +184,66 @@ ORDER BY vec_id
 """
 
 
+CROSSMODAL_COSINE = 0.4
+
+
+def crossmodal_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-semantic agreement audit: every NEAR-DUP TEXT pair
+    (exact n-gram Jaccard detector) scored with its embedding cosine
+    (doc_id ↔ vec_id is the corpus's 1:1 correspondence). Pairs where
+    the two signals disagree — verbatim-ish text but low cosine —
+    are exactly the pairs a semantic-dedup pass would MISS and a
+    lexical pass catches (or, inverted, where the embedding model is
+    broken for that slice); this is the QA join run before trusting
+    SemDeDup-style pruning on a new embedding model.
+
+    Scale: the pair list is tiny relative to the corpus (near-dup
+    density), so the two id-keyed hash joins against ``embeddings``
+    ship |pairs| probe rows; the cosine is the same bit-pinned
+    element-order fold every similarity operator uses."""
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    ea = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_a"), _as_double("embedding").alias("va")
+    )
+    eb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_b"), _as_double("embedding").alias("vb")
+    )
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .withColumn("semantic_agree", F.col("cosine") >= CROSSMODAL_COSINE)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _crossmodal_sql() -> str:
+    from .dedup import _JACCARD_SQL
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL}))
+SELECT p.doc_a, p.doc_b,
+       {_cosine_sql("a.v", "b.v")} AS cosine,
+       {_cosine_sql("a.v", "b.v")} >= {CROSSMODAL_COSINE} AS semantic_agree
+FROM p JOIN e a ON a.vec_id = p.doc_a JOIN e b ON b.vec_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 QUERIES = {
     "semdedup_embedding_clusters": semdedup_embedding_clusters,
     "d4_prototype_prune": d4_prototype_prune,
+    "crossmodal_dup_audit": crossmodal_dup_audit,
 }
 ORACLES = {
     "semdedup_embedding_clusters": _SEMDEDUP_SQL,
     "d4_prototype_prune": _D4_SQL,
+    "crossmodal_dup_audit": _crossmodal_sql(),
 }
