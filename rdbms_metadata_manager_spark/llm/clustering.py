@@ -133,8 +133,9 @@ def connected_components_star(
     chains, crawl link graphs); `connected_components` stays the
     cheaper choice for the tiny-clique topology of near-dup families.
 
-    Each round is two groupBy(min) + join + distinct passes on the
-    shrinking edge list; convergence = edge-set fixpoint, detected
+    Each round is two window-min + distinct passes on the shrinking
+    edge list (one exchange each — see the star helpers);
+    convergence = edge-set fixpoint, detected
     with a one-job (count, xxhash64-sum) checksum per round and then
     CONFIRMED with two exact anti-semidifferences only on the
     candidate final round — so the O(rounds) cost is the cheap

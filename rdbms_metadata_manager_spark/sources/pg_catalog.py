@@ -40,7 +40,7 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
 )
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import StructType
 
 from ..catalog import jdbc_source, pg_live, schemas
 

@@ -209,13 +209,14 @@ def session_pattern_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-pattern matching over sessions — the MATCH_RECOGNIZE
     use case (Spark has no MATCH_RECOGNIZE; the pattern compiles to a
     per-session ordered type string + LIKE predicates, all codegen):
-    a session is ABANDONED when it contains a click with no purchase
-    anywhere after it ("added to cart, never checked out"). The
-    ordered sequence is deterministic — events sort by (ts, event_id)
-    inside the session, so simultaneous timestamps can't flip the
-    string between engines. `'%click%purchase%'` is exact here
-    because no event-type token contains another as a substring and
-    '>' separates tokens.
+    a session is ABANDONED when no purchase occurs after its LAST
+    click ("the final add-to-cart was never checked out" — a
+    re-click after an earlier purchase re-abandons the session). The
+    pattern is evaluated on (ts, event_id) struct extrema, not the
+    sequence string, so a LIKE-style first-click approximation can't
+    misclassify click→purchase→click; the ordered type string is
+    still built for the entry-type rollup, deterministic under the
+    same (ts, event_id) tie-break.
 
     Scale: one session_window shuffle on user_id (same state bound as
     the streaming face), then per-session strings — the report rolls
@@ -227,11 +228,23 @@ def session_pattern_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
             ">",
         ).alias("seq"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.struct("ts", "event_id"))
+        ).alias("last_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.struct("ts", "event_id"))
+        ).alias("last_purchase"),
     )
     flags = sess.select(
         F.split("seq", ">").getItem(0).alias("entry_type"),
-        F.col("seq").like("%click%").cast("bigint").alias("clicked"),
-        (F.col("seq").like("%click%") & ~F.col("seq").like("%click%purchase%"))
+        F.col("last_click").isNotNull().cast("bigint").alias("clicked"),
+        (
+            F.col("last_click").isNotNull()
+            & (
+                F.col("last_purchase").isNull()
+                | (F.col("last_purchase") < F.col("last_click"))
+            )
+        )
         .cast("bigint")
         .alias("abandoned"),
     )
@@ -267,14 +280,16 @@ sessions AS (
 ),
 seqs AS (
   SELECT user_id, session_id,
-         string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+         max(CASE WHEN event_type = 'click' THEN row(ts, event_id) END) AS lc,
+         max(CASE WHEN event_type = 'purchase' THEN row(ts, event_id) END) AS lp
   FROM sessions
   GROUP BY user_id, session_id
 ),
 flags AS (
   SELECT split_part(seq, '>', 1) AS entry_type,
-         (seq LIKE '%click%')::BIGINT AS clicked,
-         (seq LIKE '%click%' AND seq NOT LIKE '%click%purchase%')::BIGINT AS abandoned
+         (lc IS NOT NULL)::BIGINT AS clicked,
+         (lc IS NOT NULL AND (lp IS NULL OR lp < lc))::BIGINT AS abandoned
   FROM seqs
 )
 SELECT entry_type,

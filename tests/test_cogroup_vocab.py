@@ -164,13 +164,19 @@ def test_session_pattern_abandonment_hand_cases(spark, tmp_path):
         # user 4: purchase → click     → abandoned (no purchase AFTER)
         (6, t0, 4, "purchase", 0.0, "{}"),
         (7, t0 + s, 4, "click", 0.0, "{}"),
+        # user 5: click → purchase → click → abandoned: the LAST
+        # add-to-cart was never checked out (the case a first-click
+        # LIKE pattern would misclassify as converted)
+        (8, t0, 5, "click", 0.0, "{}"),
+        (9, t0 + s, 5, "purchase", 0.0, "{}"),
+        (10, t0 + 2 * s, 5, "click", 0.0, "{}"),
     ]
     df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
     pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
     got = {r["entry_type"]: r.asDict() for r in session_pattern_abandonment(spark, str(tmp_path)).collect()}
     assert got["click"] == {
-        "entry_type": "click", "n_sessions": 2, "n_clicked": 2,
-        "n_abandoned": 1, "abandoned_pm": 500,
+        "entry_type": "click", "n_sessions": 3, "n_clicked": 3,
+        "n_abandoned": 2, "abandoned_pm": 666,
     }
     assert got["view"]["n_clicked"] == 0 and got["view"]["abandoned_pm"] is None
     assert got["purchase"] == {

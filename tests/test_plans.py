@@ -566,8 +566,15 @@ def test_cogroup_ks_shuffles_each_side_once(spark, sf_dir):
 
     plan = physical_plan(cogroup_balance_ks(spark, sf_dir))
     assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan, plan
-    pre = plan.split("FlatMapCoGroups")[0] if "FlatMapCoGroups" in plan else plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # tree strings print root-first: text ABOVE the operator line is
+    # downstream of the kernel (display sort only — no hash
+    # exchange), text BELOW is the input side (exactly one hash
+    # exchange per cogrouped relation). Split so a stray post-kernel
+    # repartition can't mask a missing input-side exchange.
+    downstream = plan.split("FlatMapCoGroups")[0] if "FlatMapCoGroups" in plan else plan
+    assert downstream.count("Exchange hashpartitioning") == 0, downstream
+    feeding = plan[len(downstream):]
+    assert feeding.count("Exchange hashpartitioning") == 2, feeding
     for rs in plan.split("ReadSchema: ")[1:]:
         line = rs.split("\n")[0]
         assert "name" not in line and "address" not in line, line
