@@ -437,6 +437,51 @@ ORDER BY region
 """
 
 
+def null_safe_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`eqNullSafe` / `<=>` ↔ SQL
+    `IS NOT DISTINCT FROM`): events banded by value-hundreds, with
+    NULL as a first-class band (error events carry no monetary band),
+    joined to an inline band-dimension whose rows INCLUDE the NULL
+    band. A plain equi-join silently drops every NULL-keyed row —
+    the classic "unknown bucket vanished from the rollup" bug; the
+    null-safe operator keeps NULL = NULL matches inside an ordinary
+    broadcast hash join (Spark plans `<=>` as a coalesce-normalized
+    hash key, so the join strategy and its scale story are unchanged).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.floor(F.col("value") / 100).cast("long"))
+        .alias("band")
+    )
+    dim = spark.sql(
+        "SELECT * FROM VALUES (0, 'band0'), (1, 'band1'), (2, 'band2'), "
+        "(3, 'band3'), (4, 'band4'), (CAST(NULL AS BIGINT), 'unbanded') AS t(band, label)"
+    )
+    return (
+        ev.join(F.broadcast(dim), ev["band"].eqNullSafe(dim["band"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("label")
+    )
+
+
+_NULL_SAFE_JOIN_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(floor(value / 100) AS BIGINT) END AS band
+  FROM events
+),
+dim(band, label) AS (
+  VALUES (0, 'band0'), (1, 'band1'), (2, 'band2'),
+         (3, 'band3'), (4, 'band4'), (CAST(NULL AS BIGINT), 'unbanded')
+)
+SELECT d.label, count(*) AS n_events
+FROM ev JOIN dim d ON ev.band IS NOT DISTINCT FROM d.band
+GROUP BY d.label
+ORDER BY d.label
+"""
+
+
 QUERIES = {
     "listagg_nations_per_region": listagg_nations_per_region,
     "asof_join_last_click": asof_join_last_click,
@@ -450,6 +495,7 @@ QUERIES = {
     "window_range_frame": window_range_frame,
     "array_posexplode_part_words": array_posexplode_part_words,
     "null_handling_order_gaps": null_handling_order_gaps,
+    "null_safe_band_join": null_safe_band_join,
     "datetime_functions_orders": datetime_functions_orders,
     "conditional_aggregates": conditional_aggregates,
 }
@@ -467,6 +513,7 @@ ORACLES = {
     "window_range_frame": _WINDOW_RANGE_SQL,
     "array_posexplode_part_words": _ARRAY_SQL,
     "null_handling_order_gaps": _NULL_SQL,
+    "null_safe_band_join": _NULL_SAFE_JOIN_SQL,
     "datetime_functions_orders": _DATETIME_SQL,
     "conditional_aggregates": _CONDITIONAL_SQL,
 }
