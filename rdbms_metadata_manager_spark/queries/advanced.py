@@ -465,6 +465,43 @@ def null_safe_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic (`try_divide` / `try_cast`): Spark 4 runs
+    ANSI mode by default, so a plain `value / floor(value)` THROWS on
+    the sub-1.0 events (floor → 0) instead of silently returning
+    null; `try_*` is the documented per-expression escape that keeps
+    the job alive and turns the failure into an auditable NULL. The
+    report counts, per event type, rows whose division degraded and
+    whose props-key cast survived — the data-quality triage a
+    pipeline runs before tightening its schema. Oracle expresses the
+    same semantics with guard CASEs (DuckDB division never throws)."""
+    ev = load(spark, sf_dir, "events")
+    q = F.expr("try_divide(value, floor(value))")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(q.isNull().cast("bigint")).alias("n_div_degraded"),
+            F.sum(k.isNotNull().cast("bigint")).alias("n_k_parsed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TRY_ARITH_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       sum(CASE WHEN floor(value) = 0 OR value IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_div_degraded,
+       sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_k_parsed
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 _NULL_SAFE_JOIN_SQL = """
 WITH ev AS (
   SELECT CASE WHEN event_type = 'error' THEN NULL
@@ -496,6 +533,7 @@ QUERIES = {
     "array_posexplode_part_words": array_posexplode_part_words,
     "null_handling_order_gaps": null_handling_order_gaps,
     "null_safe_band_join": null_safe_band_join,
+    "try_arithmetic_audit": try_arithmetic_audit,
     "datetime_functions_orders": datetime_functions_orders,
     "conditional_aggregates": conditional_aggregates,
 }
@@ -514,6 +552,7 @@ ORACLES = {
     "array_posexplode_part_words": _ARRAY_SQL,
     "null_handling_order_gaps": _NULL_SQL,
     "null_safe_band_join": _NULL_SAFE_JOIN_SQL,
+    "try_arithmetic_audit": _TRY_ARITH_SQL,
     "datetime_functions_orders": _DATETIME_SQL,
     "conditional_aggregates": _CONDITIONAL_SQL,
 }
