@@ -183,3 +183,32 @@ def test_session_pattern_abandonment_hand_cases(spark, tmp_path):
         "entry_type": "purchase", "n_sessions": 1, "n_clicked": 1,
         "n_abandoned": 1, "abandoned_pm": 1000,
     }
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "cogroup_balance_ks",
+        "vocab_oov_rate",
+        "dedup_clusters_star",
+        "leakage_safe_split",
+        "embedding_dim_robust_stats",
+        "pipe_syntax_order_stats",
+        "session_pattern_abandonment",
+        "crossmodal_dup_audit",
+        "null_safe_band_join",
+        "try_arithmetic_audit",
+    ],
+)
+def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):
+    """Two independent executions must be byte-identical — guards the
+    Arrow kernels (group/batch split sensitivity), the iterative star
+    contraction, and the hash-keyed split against any hidden
+    nondeterminism."""
+    from rdbms_metadata_manager_spark.registry import all_queries
+
+    q = all_queries()[name]
+    assert q(spark, sf_dir).collect() == q(spark, sf_dir).collect()
