@@ -159,7 +159,7 @@ def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    centroids, assigned = trained_assignments(emb)
+    centroids, assigned = trained_assignments(emb, cache_key=sf_dir)
 
     qv = assigned.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     q_cells = (

@@ -41,7 +41,7 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    _, assigned = trained_assignments(emb)
+    _, assigned = trained_assignments(emb, cache_key=sf_dir)
 
     # Within-cluster pairwise cosine, two-stage for whole-stage
     # codegen: a zip_with/aggregate cosine straight on the pair join
@@ -146,7 +146,7 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("v")
     )
     # single consumer of `assigned` → no eager checkpoint needed
-    centroids, assigned = trained_assignments(emb, checkpoint_assigned=False)
+    centroids, assigned = trained_assignments(emb, checkpoint_assigned=False, cache_key=sf_dir)
     scored = (
         assigned.join(F.broadcast(centroids), assigned["cluster"] == centroids["cid"])
         .withColumn("d2", _dist2(F.col("v"), F.col("centroid")))

@@ -121,3 +121,22 @@ def test_quantized_rerank_plans_heap_topk(spark, sf_dir):
 
     plan = physical_plan(similarity_quantized_rerank(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_centroid_memo_is_exact_and_no_arrow_safe(spark, sf_dir):
+    """The trained-centroid memo must (a) reproduce the trained
+    result bit-exactly on a hit and (b) rebuild its local centroid
+    relation under a NON-Arrow session — the driver's posture, where
+    numpy-int64 cells crash the createDataFrame verifier (the round-2
+    fixtures failure class)."""
+    from rdbms_metadata_manager_spark.llm import kmeans
+
+    kmeans._CENTROID_CACHE.clear()
+    cold = kmeans.kmeans_clusters(spark, sf_dir).collect()
+    assert sf_dir in kmeans._CENTROID_CACHE
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    try:
+        warm = kmeans.kmeans_clusters(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    assert cold == warm
