@@ -44,10 +44,21 @@ TOP_PAIRS = 20
 MAX_BASKET = 50  # a-priori fanout guard: C(50,2) ≈ 1.2k pairs max per order
 
 
+# Materialized-once basket relation, keyed by (corpus dir, Spark app
+# id): SEVEN graph/mining operators start from the same expensive
+# groupBy+pair-explode, exactly the "edge list is a cached table"
+# layout a cluster deployment uses. The app-id key stops a DataFrame
+# whose context died from being served to a new session. The value is
+# an eagerly localCheckpoint-ed DataFrame — deterministic content, so
+# a hit changes nothing downstream.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All ordered within-order part pairs (part_a < part_b), one row
     per (order, pair) — the market-basket kernel shared by the pair
-    counter and the triangle counter.
+    counter, the triangle counter, k-core, LPA, BFS, and the rule
+    miner; materialized once per corpus (module cache above).
 
     Shape: ONE groupBy(l_orderkey) with collect_set (dedup folded
     into the aggregation — no separate DISTINCT shuffle), a size cap
@@ -55,22 +66,32 @@ def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     via nested transform/flatten inside whole-stage codegen.  No
     self-join: the aliased-join form paid a second shuffle and
     computed the basket relation twice."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") <= MAX_BASKET)
     )
-    return baskets.select(
-        "l_orderkey",
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS part_a, y AS part_b))))"
-            )
-        ).alias("p"),
-    ).select("l_orderkey", "p.part_a", "p.part_b")
+    out = (
+        baskets.select(
+            "l_orderkey",
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p"),
+        )
+        .select("l_orderkey", "p.part_a", "p.part_b")
+        .localCheckpoint(eager=True)
+    )
+    _PAIRS_CACHE[key] = out
+    return out
 
 
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
