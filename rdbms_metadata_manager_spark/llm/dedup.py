@@ -162,6 +162,9 @@ common AS (
 )"""
 
 
+_JACCARD_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard ≥ 0.5 pairs via inverted-index join,
     computed over each document's RARE shingles only: shingles whose
@@ -175,14 +178,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fingerprint.MAX_DF`` does for winnowing. Semantics: a pair's
     score changes only if its overlap leaned on corpus-ubiquitous
     shingles — which is noise, not duplication signal, at scale.
-    Pipeline shared with dedup_containment (_capped_pair_counts)."""
-    return (
+    Pipeline shared with dedup_containment (_capped_pair_counts).
+
+    The pair list is materialized once per (corpus, Spark app) — it
+    feeds both connected-components variants and the cross-modal
+    audit, which would otherwise each re-run the inverted-index join
+    (the "near-dup pairs are a cached table" layout at scale)."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _JACCARD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = (
         _capped_pair_counts(spark, sf_dir)
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
+    _JACCARD_CACHE[key] = out
+    return out
 
 
 _JACCARD_SQL = f"""
