@@ -107,12 +107,18 @@ WHERE len(string_split(text, ' ')) >= 3
 """
 
 
+_PAIR_COUNTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _capped_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df-capped inverted-index pair pipeline SHARED by
     ``dedup_ngram_jaccard`` (symmetric metric) and
     ``dedup_containment`` (asymmetric) — one definition so the cap
     semantics, the hapax drop, and the join strategy can never drift
-    apart. Returns (doc_a, doc_b, n_common, n_a, n_b).
+    apart; materialized once per (corpus, Spark app), so the second
+    metric reads the ~10⁵-row candidate relation instead of re-running
+    the posting-list self-join. Returns (doc_a, doc_b, n_common,
+    n_a, n_b).
 
     - hashes are array_distinct per doc, so count(*) = document freq.
       The cap rides a window count over the SAME shingle partitioning
@@ -128,6 +134,10 @@ def _capped_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       and keeps the join output co-partitioned for the pair groupBy."""
     from pyspark.sql import Window
 
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _PAIR_COUNTS_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh = _shingled(spark, sf_dir)
     ex_all = sh.select("doc_id", F.explode("hashes").alias("shingle"))
     ex = ex_all.withColumn(
@@ -143,7 +153,9 @@ def _capped_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return common.join(sa, "doc_a").join(sb, "doc_b")
+    out = common.join(sa, "doc_a").join(sb, "doc_b").localCheckpoint(eager=True)
+    _PAIR_COUNTS_CACHE[key] = out
+    return out
 
 
 # The matching oracle CTE chain (ends with common/sizes exposed);
