@@ -224,6 +224,9 @@ ORDER BY doc_a, doc_b
 """
 
 
+_MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH banding (4×4) candidate pairs, verified with
     exact Jaccard ≥ 0.5. Candidate generation shuffles on the band
@@ -235,7 +238,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output = verified pairs, so precision is exact; recall is the
     standard LSH s-curve (J=0.5 → P(candidate) ≈ 1-(1-0.5⁴)⁴ ≈ 23%
     per band family — parameters chosen for the near-identical
-    planted dups at J≈0.99 where recall ≈ 1)."""
+    planted dups at J≈0.99 where recall ≈ 1).
+
+    Materialized once per (corpus, Spark app): the recall-QA report
+    and the cross-source matrix both start from this pair list."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _MINHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Signatures as explode + 16 groupBy-min aggregates rather than 16
     # array_min(transform(...)) expressions over the hashes column:
     # projection collapsing inlines the (md5-heavy) hashes expression
@@ -284,7 +294,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("sh_b"))
-    return (
+    out = (
         candidates.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -295,7 +305,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
+    _MINHASH_CACHE[key] = out
+    return out
 
 
 _MINHASH_SIG_SQL = "[" + ", ".join(
