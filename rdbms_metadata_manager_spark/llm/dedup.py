@@ -78,6 +78,9 @@ ORDER BY keeper_doc_id
 """
 
 
+_SHINGLED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc → distinct 32-bit shingle-hash array. Strings die inside
     this projection: everything downstream (signatures, joins,
@@ -87,14 +90,26 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle hashes identically so both engines agree exactly.
 
     Single-row-group parquet → one input split; load_spread fans the
-    CPU-bound shingling across all cores."""
+    CPU-bound shingling across all cores. Materialized once per
+    (corpus, Spark app): the md5-heavy shingling feeds the capped
+    pair index, MinHash, and the prefix-filter join."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _SHINGLED_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
     words = F.split(F.col("text"), " ")
     shingles = word_shingles(words)
-    return docs.select(
-        "doc_id",
-        F.array_distinct(F.transform(shingles, h32)).alias("hashes"),
-    ).filter(F.size("hashes") > 0)
+    out = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(F.transform(shingles, h32)).alias("hashes"),
+        )
+        .filter(F.size("hashes") > 0)
+        .localCheckpoint(eager=True)
+    )
+    _SHINGLED_CACHE[key] = out
+    return out
 
 
 _SHINGLED_SQL = f"""

@@ -82,10 +82,30 @@ def _fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", winnow_udf(F.col("text")).alias("fps"))
 
 
+# Materialized once per (corpus, Spark app): the summary query and
+# the overlap join both need the Arrow winnow kernel's output, and
+# the overlap SELF-join previously re-ran the kernel on both sides
+# (fresh lineage was required to dodge the shared-lambda self-join
+# trap — a checkpoint sidesteps it by materializing instead).
+_FP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _fingerprints_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _FP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _fingerprints(load_spread(spark, sf_dir, "documents", "doc_id")).localCheckpoint(
+        eager=True
+    )
+    _FP_CACHE[key] = out
+    return out
+
+
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fingerprint-set summary (count/min/max/sum pin the
     selected set exactly without shipping ~n/W rows per doc)."""
-    fp = _fingerprints(load_spread(spark, sf_dir, "documents", "doc_id"))
+    fp = _fingerprints_for(spark, sf_dir)
     return (
         fp.filter(F.size("fps") > 0)  # drop docs shorter than K+W-1 (as the oracle does)
         .select(
@@ -103,8 +123,8 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by winnow-fingerprint containment >= 1/2."""
 
     def exploded() -> DataFrame:
-        # fresh scan lineage per call
-        fp = _fingerprints(load_spread(spark, sf_dir, "documents", "doc_id"))
+        # both sides read the one checkpointed kernel output
+        fp = _fingerprints_for(spark, sf_dir)
         return fp.select(
             "doc_id", F.size("fps").alias("n_fp"), F.explode("fps").alias("fp")
         )
