@@ -330,12 +330,22 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
 
 def test_winnow_overlap_kernel_is_arrow_batched(spark, sf_dir):
     """The fingerprint kernel must run as one Arrow-batched python
-    eval per scan (no row-at-a-time BatchEvalPython), and the
-    inverted-index join must be an equi hash join."""
-    from rdbms_metadata_manager_spark.llm.fingerprint import dedup_winnow_overlap
+    eval (no row-at-a-time BatchEvalPython). Since the session-G
+    materialize-once memo, the kernel executes when the fingerprint
+    relation is checkpointed — so pin it on the PRE-checkpoint
+    lineage — and the overlap join plan (reading checkpoint blocks)
+    keeps its no-cartesian / no-python-eval shape."""
+    from rdbms_metadata_manager_spark.llm.fingerprint import (
+        _fingerprints,
+        dedup_winnow_overlap,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load_spread
+
+    kernel_plan = physical_plan(_fingerprints(load_spread(spark, sf_dir, "documents", "doc_id")))
+    assert "ArrowEvalPython" in kernel_plan, kernel_plan
+    assert "BatchEvalPython" not in kernel_plan, kernel_plan
 
     plan = physical_plan(dedup_winnow_overlap(spark, sf_dir))
-    assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
