@@ -544,6 +544,87 @@ LIMIT {TOP_BOILERPLATE}
 """
 
 
+# A source whose per-mille document reject rate reaches this is
+# flagged for curator review (the C4/RefinedWeb "bad domain" cut).
+SOURCE_GATE_PM = 150
+
+
+def source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality rollup of the per-document rule cascade:
+    reject counts and per-mille reject rate per source, plus the
+    dominant (modal) failure rule — the report that turns a document
+    gate into a DOMAIN blocklist decision. Web-scale curation prunes
+    at the source/domain level first (one bad crawl seed poisons
+    millions of docs); this is that decision table.
+
+    Rides ``quality_filter_gate``'s per-doc verdicts (same
+    ``_doc_features`` definition — the rollup can never disagree with
+    the gate) joined back to the corpus for the source key; one
+    |sources|-group aggregate on top. The modal rule uses a
+    deterministic (count DESC, rule ASC) tie-break so both engines
+    pick the same mode. Integer per-mille only."""
+    verdicts = quality_filter_gate(spark, sf_dir).select("doc_id", "first_fail")
+    src = load_spread(spark, sf_dir, "documents", "doc_id").select("doc_id", "source")
+    j = verdicts.join(src, "doc_id")
+    per_source = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("first_fail") != "").alias("n_rejected"),
+    )
+    rule_counts = (
+        j.filter(F.col("first_fail") != "")
+        .groupBy("source", "first_fail")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("first_fail"))
+    modal = (
+        rule_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("first_fail").alias("top_fail_rule"))
+    )
+    return (
+        per_source.join(modal, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_rejected",
+            F.expr("n_rejected * 1000 div n_docs").alias("reject_pm"),
+            F.coalesce("top_fail_rule", F.lit("")).alias("top_fail_rule"),
+            (F.expr("n_rejected * 1000 div n_docs") >= SOURCE_GATE_PM).alias("gated"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_GATE_SQL = f"""
+WITH g AS ({_GATE_SQL}),
+j AS (
+  SELECT d.source, g.first_fail
+  FROM g JOIN documents d USING (doc_id)
+),
+per_source AS (
+  SELECT source, count(*) AS n_docs,
+         count(*) FILTER (WHERE first_fail <> '') AS n_rejected
+  FROM j GROUP BY source
+),
+modal AS (
+  SELECT source, first_fail AS top_fail_rule
+  FROM (
+    SELECT source, first_fail,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, first_fail) AS rn
+    FROM j WHERE first_fail <> ''
+    GROUP BY source, first_fail
+  ) WHERE rn = 1
+)
+SELECT source, n_docs, n_rejected,
+       (n_rejected * 1000 // n_docs)::BIGINT AS reject_pm,
+       coalesce(top_fail_rule, '') AS top_fail_rule,
+       (n_rejected * 1000 // n_docs) >= {SOURCE_GATE_PM} AS gated
+FROM per_source LEFT JOIN modal USING (source)
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_chunk_ratio": dedup_chunk_ratio,
     "quality_filter_gate": quality_filter_gate,
@@ -552,6 +633,7 @@ QUERIES = {
     "quality_classifier_scores": quality_classifier_scores,
     "score_calibration_bins": score_calibration_bins,
     "boilerplate_ngram_report": boilerplate_ngram_report,
+    "source_quality_gate": source_quality_gate,
 }
 ORACLES = {
     "dedup_chunk_ratio": _CHUNK_SQL,
@@ -561,4 +643,5 @@ ORACLES = {
     "quality_classifier_scores": _QC_SQL,
     "score_calibration_bins": _CALIBRATION_SQL,
     "boilerplate_ngram_report": _boilerplate_sql(),
+    "source_quality_gate": _SOURCE_GATE_SQL,
 }

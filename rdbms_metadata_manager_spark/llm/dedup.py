@@ -799,6 +799,88 @@ ORDER BY source_a, source_b
 """
 
 
+SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)  # Jaccard, in per-cent
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning report: how many near-dup pairs (and how many
+    documents) a Jaccard cutoff of 0.5 … 0.9 would flag. This is the
+    knob-setting curve a curator reads BEFORE committing a dedup run —
+    too low deletes distinct documents, too high leaves templated spam;
+    the elbow of this curve is where the threshold goes.
+
+    Cost: a 5-way literal explode over the already-materialized capped
+    pair relation (``_capped_pair_counts``) — the sweep is free
+    relative to the inverted-index join it audits, which is the point:
+    at 100 TB you sweep the cached candidate table, never re-run the
+    join per threshold. The Jaccard test is kept in integers
+    (``n_common·100 ≥ t·(n_a+n_b−n_common)``) so both engines compare
+    exactly — no float thresholding at band edges."""
+    pairs = _capped_pair_counts(spark, sf_dir)
+    swept = pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])).alias("threshold_pct"),
+    )
+    hit = swept.filter(
+        F.col("n_common") * 100
+        >= F.col("threshold_pct") * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
+    per_t = hit.groupBy("threshold_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs = (
+        hit.select("threshold_pct", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("threshold_pct")
+        .agg(F.count_distinct("d").alias("n_docs_affected"))
+    )
+    spine = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])).alias("threshold_pct")
+    )
+    return (
+        spine.join(per_t, "threshold_pct", "left")
+        .join(docs, "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0).cast("long")).alias("n_docs_affected"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+_SWEEP_SQL = f"""
+WITH {_CAPPED_PAIRS_CTES},
+pairs AS (
+  SELECT doc_a, doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+th AS (SELECT unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}]) AS threshold_pct),
+hit AS (
+  SELECT th.threshold_pct, doc_a, doc_b
+  FROM pairs, th
+  WHERE n_common * 100 >= th.threshold_pct * (n_a + n_b - n_common)
+),
+per_t AS (SELECT threshold_pct, count(*) AS n_pairs FROM hit GROUP BY 1),
+docs AS (
+  SELECT threshold_pct, count(DISTINCT d) AS n_docs_affected
+  FROM (SELECT threshold_pct, doc_a AS d FROM hit
+        UNION ALL SELECT threshold_pct, doc_b FROM hit)
+  GROUP BY 1
+)
+SELECT th.threshold_pct,
+       coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(n_docs_affected, 0)::BIGINT AS n_docs_affected
+FROM th
+LEFT JOIN per_t USING (threshold_pct)
+LEFT JOIN docs USING (threshold_pct)
+ORDER BY threshold_pct
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -809,6 +891,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_sketch_recall_report": dedup_sketch_recall_report,
     "cross_source_dup_matrix": cross_source_dup_matrix,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
 }
 
 ORACLES = {
@@ -821,4 +904,5 @@ ORACLES = {
     "dedup_containment": _CONTAINMENT_SQL,
     "dedup_sketch_recall_report": _SKETCH_RECALL_SQL,
     "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
+    "dedup_threshold_sweep": _SWEEP_SQL,
 }

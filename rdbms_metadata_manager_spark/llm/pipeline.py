@@ -237,6 +237,74 @@ ORDER BY source
 """
 
 
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixture (the UniMax / multilingual-T5
+    α=0.5 sampling shape): per-source sampling weights ∝ (token
+    mass)^α, which upsamples tail sources relative to proportional
+    sampling without letting any single giant source dominate —
+    the standard fix for head-heavy web corpora.
+
+    Exactness: α=0.5 is computed as ``floor(sqrt(n_tokens))`` — IEEE
+    sqrt is correctly rounded in both engines over the same operand,
+    so the floor is bit-identical, and everything downstream is
+    integer arithmetic (ppm weights by integer division). Reported
+    per source: the unnormalized weight, the normalized sampling
+    weight in ppm, and the upsampling factor vs proportional
+    sampling in per-mille (1000 = drawn at its natural rate).
+
+    Scale: one groupBy(source) + a 1-row broadcast of the totals —
+    the weight table is |sources| rows, consumed by the sampler as a
+    broadcast, identical to ``source_mix_weights``. At 100 TB the
+    only caveat is the ×1000 ppm products (cast through decimal if
+    token counts approach 2^53)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).withColumn("sqrt_tokens", F.floor(F.sqrt("n_tokens")))
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("grand_tokens"),
+        F.sum("sqrt_tokens").alias("total_sqrt"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "sqrt_tokens",
+            F.expr("sqrt_tokens * 1000000 div total_sqrt").alias("weight_ppm"),
+            F.expr(
+                "(sqrt_tokens * grand_tokens * 1000) div (total_sqrt * n_tokens)"
+            ).alias("upsample_pm"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEMPERATURE_SQL = """
+WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+per_source AS (
+  SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+         floor(sqrt(sum(n_tokens)::BIGINT))::BIGINT AS sqrt_tokens
+  FROM d GROUP BY source
+),
+t AS (
+  SELECT sum(n_tokens)::BIGINT AS grand_tokens, sum(sqrt_tokens)::BIGINT AS total_sqrt
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens, sqrt_tokens,
+       (sqrt_tokens * 1000000 // total_sqrt)::BIGINT AS weight_ppm,
+       ((sqrt_tokens * grand_tokens * 1000) // (total_sqrt * n_tokens))::BIGINT AS upsample_pm
+FROM per_source, t
+ORDER BY source
+"""
+
+
 def write_training_shards(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Materialize the survivor set as lang-partitioned parquet —
     the pipeline's production sink (partition pruning for readers)."""
@@ -247,9 +315,11 @@ QUERIES = {
     "pipeline_stage_counts": pipeline_stage_counts,
     "source_token_budget_cap": source_token_budget_cap,
     "source_mix_weights": source_mix_weights,
+    "corpus_temperature_mix": corpus_temperature_mix,
 }
 ORACLES = {
     "pipeline_stage_counts": _PIPELINE_SQL,
     "source_token_budget_cap": _BUDGET_SQL,
     "source_mix_weights": _MIX_SQL,
+    "corpus_temperature_mix": _TEMPERATURE_SQL,
 }

@@ -345,6 +345,69 @@ FROM walk
 ORDER BY source, doc_id
 """
 
+# Power-of-two histogram edges (tokens). A doc with n tokens falls in
+# the bucket whose lo ≤ n < next lo; the open top bucket catches the
+# long tail a packing run has to split.
+LEN_BUCKETS = (0, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def sequence_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution + padding-waste report for a
+    SEQ_BUDGET-token training run — the capacity-planning readout a
+    packing job (``pack_training_sequences``) is sized from. Per
+    power-of-two length bucket: document count, total tokens, and the
+    pad tokens a naive one-doc-per-sequence loader would burn
+    (``SEQ_BUDGET·ceil(n/SEQ_BUDGET) − n``); the waste column is what
+    justifies concat-and-chunk packing to the team that owns the GPUs.
+
+    One codegen projection + one 8-group aggregate — runs at scan
+    speed at any corpus size. The bucket edges are a literal CASE
+    chain (not log2: libm rounding is engine-dependent, a CASE on
+    integers is exact everywhere)."""
+    edges = list(LEN_BUCKETS)
+    bucket = F.lit(edges[-1])
+    for lo, hi in zip(reversed(edges[:-1]), reversed(edges[1:])):
+        bucket = F.when(F.col("n_tokens") < hi, F.lit(lo)).otherwise(bucket)
+    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    pad = F.expr(
+        f"(({SEQ_BUDGET} - n_tokens % {SEQ_BUDGET}) % {SEQ_BUDGET})"
+    )
+    return (
+        d.select(bucket.alias("bucket_lo"), "n_tokens", pad.alias("pad"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+            F.sum("pad").alias("pad_waste_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+def _len_bucket_sql(col: str) -> str:
+    edges = list(LEN_BUCKETS)
+    branches = "".join(
+        f"WHEN {col} < {hi} THEN {lo} " for lo, hi in zip(edges[:-1], edges[1:])
+    )
+    return f"CASE {branches}ELSE {edges[-1]} END"
+
+
+_LEN_HIST_SQL = f"""
+WITH d AS (
+  SELECT len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+)
+SELECT {_len_bucket_sql("n_tokens")} AS bucket_lo,
+       count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens_total,
+       sum(({SEQ_BUDGET} - n_tokens % {SEQ_BUDGET}) % {SEQ_BUDGET})::BIGINT AS pad_waste_tokens
+FROM d
+GROUP BY 1
+ORDER BY bucket_lo
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
     "leakage_safe_split": leakage_safe_split,
@@ -353,6 +416,7 @@ QUERIES = {
     "sample_reservoir_per_source": sample_reservoir_per_source,
     "sample_weighted_topk": sample_weighted_topk,
     "shard_packing_nextfit": shard_packing_nextfit,
+    "sequence_length_histogram": sequence_length_histogram,
 }
 
 ORACLES = {
@@ -363,4 +427,5 @@ ORACLES = {
     "sample_reservoir_per_source": _RESERVOIR_SQL,
     "sample_weighted_topk": _WEIGHTED_SQL,
     "shard_packing_nextfit": _SHARD_SQL,
+    "sequence_length_histogram": _LEN_HIST_SQL,
 }

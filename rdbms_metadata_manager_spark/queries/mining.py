@@ -210,6 +210,138 @@ SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri
 """
 
 
+def local_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering-coefficient histogram over the co-purchase
+    graph: for every node with degree ≥ 2, C(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)), bucketed in per-cent — the
+    community-structure fingerprint (random graphs sit at C ≈ edge
+    density; real co-purchase graphs show a fat high-C tail of
+    tightly-bundled product kits).
+
+    Per-vertex triangle counts come from the SAME degree-oriented
+    adjacency-intersection kernel as ``copurchase_triangles``, but
+    EXPLODING the intersection elements instead of summing sizes:
+    each triangle surfaces exactly once (at its orientation apex) as
+    (u, v, w) and charges all three corners. Work is O(Σ intersection
+    sizes) = O(#triangles) on top of the oriented O(E^1.5) bound —
+    no wedge materialization. C(v) is kept integer (per-mille then
+    per-cent bucket), so both engines bucket identically; the oracle
+    recounts triangles by the id-ordered triple join (correct but
+    not the scale shape) over MATERIALIZED CTEs.
+
+    Scale: rides the memoized ``_basket_pairs`` kernel; the adjacency
+    broadcast carries Σ|N+| = |E| longs — on a graph too big for
+    that, the same plan runs as two O(E)-row shuffle joins."""
+    e = (
+        _basket_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    adj = ed.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    corners = (
+        ed.join(F.broadcast(adj.select(F.col("src"), F.col("nbrs").alias("n_src"))), "src")
+        .join(
+            F.broadcast(adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("n_dst"))),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.explode(F.array_intersect("n_src", "n_dst")).alias("w"),
+        )
+    )
+    charges = (
+        corners.select(F.col("src").alias("v"))
+        .unionAll(corners.select(F.col("dst").alias("v")))
+        .unionAll(corners.select(F.col("w").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    per_v = (
+        deg.filter(F.col("deg") >= 2)
+        .join(charges.withColumnRenamed("v", "n"), "n", "left")
+        .select("n", "deg", F.coalesce("t", F.lit(0).cast("long")).alias("t"))
+    )
+    return (
+        per_v.select(
+            F.expr("(2000 * t div (cast(deg AS BIGINT) * (deg - 1))) div 10").alias(
+                "coef_bucket_pct"
+            ),
+            "deg",
+            "t",
+        )
+        .groupBy("coef_bucket_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("sum_deg"),
+            F.sum("t").alias("sum_triangles"),
+        )
+        .orderBy("coef_bucket_pct")
+    )
+
+
+_LCC_SQL = f"""
+WITH b AS (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+tri AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcounts AS (
+  SELECT v, count(*) AS t
+  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY v
+),
+deg AS (
+  SELECT n, count(*) AS deg
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+  GROUP BY n
+),
+per_v AS (
+  SELECT n, deg, coalesce(t, 0) AS t
+  FROM deg LEFT JOIN tcounts ON tcounts.v = deg.n
+  WHERE deg >= 2
+)
+SELECT ((2000 * t // (deg * (deg - 1))) // 10)::BIGINT AS coef_bucket_pct,
+       count(*) AS n_nodes,
+       sum(deg)::BIGINT AS sum_deg,
+       sum(t)::BIGINT AS sum_triangles
+FROM per_v
+GROUP BY 1
+ORDER BY coef_bucket_pct
+"""
+
+
 def drift_event_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.unix_micros("ts").alias("us"), "event_type"
@@ -936,6 +1068,7 @@ QUERIES = {
     "association_rules_lift": association_rules_lift,
     "bfs_levels_from_hub": bfs_levels_from_hub,
     "link_prediction_hub_cn": link_prediction_hub_cn,
+    "local_clustering_coefficients": local_clustering_coefficients,
 }
 ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
@@ -948,4 +1081,5 @@ ORACLES = {
     "association_rules_lift": _RULES_SQL,
     "bfs_levels_from_hub": _bfs_oracle(),
     "link_prediction_hub_cn": _LINKPRED_SQL,
+    "local_clustering_coefficients": _LCC_SQL,
 }
