@@ -86,6 +86,8 @@ HEADLINE = [
     "kmeans_silhouette_report",
     "link_prediction_hub_cn",
     "boilerplate_ngram_report",
+    "dedup_threshold_sweep",
+    "local_clustering_coefficients",
 ]
 
 

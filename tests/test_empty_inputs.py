@@ -86,6 +86,10 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.cogroup", "cogroup_balance_ks"),
         ("queries.modern", "pipe_syntax_order_stats"),
         ("streaming.events_batch", "session_pattern_abandonment"),
+        ("llm.sampling", "sequence_length_histogram"),
+        ("llm.pipeline", "corpus_temperature_mix"),
+        ("llm.curation", "source_quality_gate"),
+        ("queries.mining", "local_clustering_coefficients"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
@@ -95,6 +99,18 @@ def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
     df = mod.QUERIES[query](spark, empty_dir)
     assert df.count() == 0
     assert len(df.columns) > 0  # schema survives
+
+
+def test_threshold_sweep_on_empty_corpus_reports_zero_spine(spark, empty_dir):
+    """The sweep's threshold spine is fixed: an empty corpus yields
+    all five thresholds with zero pair/doc counts, not zero rows —
+    the report a curator reads must never silently vanish."""
+    from rdbms_metadata_manager_spark.llm.dedup import SWEEP_THRESHOLDS, dedup_threshold_sweep
+
+    rows = dedup_threshold_sweep(spark, empty_dir).collect()
+    assert [r.threshold_pct for r in rows] == sorted(SWEEP_THRESHOLDS)
+    for r in rows:
+        assert r.n_pairs == 0 and r.n_docs_affected == 0
 
 
 def test_profile_on_empty_table_reports_zero_rows(spark, empty_dir):
