@@ -88,6 +88,7 @@ HEADLINE = [
     "boilerplate_ngram_report",
     "dedup_threshold_sweep",
     "local_clustering_coefficients",
+    "ngram_novelty_curve",
 ]
 
 

@@ -799,6 +799,67 @@ ORDER BY source_a, source_b
 """
 
 
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-saturation curve: per ingest-order decile of the
+    corpus, how many of its shingles were never seen in an earlier
+    document. A falling novelty rate is the dedup-ROI signal a
+    crawl/ingest pipeline watches — when late deciles contribute
+    mostly repeats, the marginal crawl is buying storage, not
+    information (the RefinedWeb/C4 "diminishing new data" readout).
+
+    "First seen" = the shingle's minimum doc_id (ingest order); a
+    shingle counts as novel only in that document. Rides the
+    materialized shingle relation (``_shingled``), adds one shuffle
+    on the shingle hash (groupBy-min + join share the partitioning)
+    and a 10-group rollup — integer per-mille only. At 100 TB the
+    first-seen relation IS the incremental dedup index
+    (``dedup_incremental_batch``); this report is a free scan of it."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("hashes").alias("h"))
+    first = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ex.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("novel"),
+        )
+    )
+    mx = sh.agg(F.max("doc_id").alias("mx"))
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .select(F.expr("doc_id * 10 div (mx + 1)").alias("ingest_decile"), "n", "novel")
+        .groupBy("ingest_decile")
+        .agg(
+            F.sum("n").alias("n_shingles"),
+            F.sum("novel").alias("n_novel"),
+            F.expr("sum(novel) * 1000 div sum(n)").alias("novelty_pm"),
+        )
+        .orderBy("ingest_decile")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH sh AS ({_SHINGLED_SQL}),
+ex AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+first AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h),
+per_doc AS (
+  SELECT e.doc_id, count(*) AS n,
+         count(*) FILTER (WHERE f.first_doc = e.doc_id) AS novel
+  FROM ex e JOIN first f USING (h)
+  GROUP BY e.doc_id
+),
+m AS (SELECT max(doc_id) AS mx FROM sh)
+SELECT (doc_id * 10 // (mx + 1))::BIGINT AS ingest_decile,
+       sum(n)::BIGINT AS n_shingles,
+       sum(novel)::BIGINT AS n_novel,
+       (sum(novel) * 1000 // sum(n))::BIGINT AS novelty_pm
+FROM per_doc, m
+GROUP BY 1
+ORDER BY ingest_decile
+"""
+
+
 SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)  # Jaccard, in per-cent
 
 
@@ -892,6 +953,7 @@ QUERIES = {
     "dedup_sketch_recall_report": dedup_sketch_recall_report,
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "ngram_novelty_curve": ngram_novelty_curve,
 }
 
 ORACLES = {
@@ -905,4 +967,5 @@ ORACLES = {
     "dedup_sketch_recall_report": _SKETCH_RECALL_SQL,
     "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
     "dedup_threshold_sweep": _SWEEP_SQL,
+    "ngram_novelty_curve": _NOVELTY_SQL,
 }

@@ -586,6 +586,105 @@ ORDER BY t.doc_id
 """
 
 
+PMI_MIN_PAIR_COUNT = 20  # support floor: PMI is noise below this
+PMI_TOPK = 20
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-word collocations by pointwise mutual information
+    — the classic collocation-extraction table (Church & Hanks '90)
+    that surfaces multi-word units ("new york", "machine learning")
+    a word-level tokenizer should treat as one token. PMI =
+    log(p(w1,w2) / (p(w1)·p(w2))); since log is monotone the ranking
+    only needs the RATIO, carried as an exact integer
+    numerator/denominator pair (``c12·N²`` / ``M·c1·c2``) — the
+    hash-compared columns never touch a float or a libm log; the
+    float division is used ONLY to order, on identical operands in
+    both engines (the BM25 discipline, curation.py). A support floor
+    kills the hapax-pair noise PMI is notorious for.
+
+    Plan: bigrams are built JVM-side inside codegen (transform over
+    the token array — no self-join), aggregated once with map-side
+    combine; unigram counts and the two grand totals are tiny
+    broadcasts. At 100 TB this is two corpus scans + one vocab²-bound
+    aggregate; the ×N² products need a decimal(38,0) cast once token
+    counts approach 2^26 (documented here, BIGINT-exact at every
+    tested SF)."""
+    toks = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), "
+                "(w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = toks.select(F.explode("toks").alias("w"))
+    pair_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    word_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = word_counts.agg(F.sum("cw").alias("n_tokens")).crossJoin(
+        pair_counts.agg(F.sum("c12").alias("m_bigrams"))
+    )
+    scored = (
+        pair_counts.filter(F.col("c12") >= PMI_MIN_PAIR_COUNT)
+        .join(
+            F.broadcast(
+                word_counts.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                word_counts.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.expr("c12 * n_tokens * n_tokens").alias("pmi_num"),
+            F.expr("m_bigrams * c1 * c2").alias("pmi_den"),
+        )
+    )
+    return scored.orderBy(
+        (F.col("pmi_num") / F.col("pmi_den")).desc(), "w1", "w2"
+    ).limit(PMI_TOPK)
+
+
+_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+bi AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i)
+),
+uni AS (SELECT unnest(l) AS w FROM toks),
+pc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+wc AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+t AS (
+  SELECT (SELECT sum(cw) FROM wc)::BIGINT AS n_tokens,
+         (SELECT sum(c12) FROM pc)::BIGINT AS m_bigrams
+)
+SELECT pc.w1, pc.w2, pc.c12, a.cw AS c1, b.cw AS c2,
+       (pc.c12 * n_tokens * n_tokens)::BIGINT AS pmi_num,
+       (m_bigrams * a.cw * b.cw)::BIGINT AS pmi_den
+FROM pc
+JOIN wc a ON a.w = pc.w1
+JOIN wc b ON b.w = pc.w2, t
+WHERE pc.c12 >= {PMI_MIN_PAIR_COUNT}
+ORDER BY (pc.c12 * n_tokens * n_tokens) * 1.0 / (m_bigrams * a.cw * b.cw) DESC,
+         pc.w1, pc.w2
+LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
@@ -597,6 +696,7 @@ QUERIES = {
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
     "lang_vocab_overlap_matrix": lang_vocab_overlap_matrix,
     "vocab_oov_rate": vocab_oov_rate,
+    "pmi_collocations": pmi_collocations,
 }
 
 ORACLES = {
@@ -610,4 +710,5 @@ ORACLES = {
     "bigram_lm_doc_scores": _BIGRAM_LM_SQL,
     "lang_vocab_overlap_matrix": _LANG_OVERLAP_SQL,
     "vocab_oov_rate": _VOCAB_OOV_SQL,
+    "pmi_collocations": _PMI_SQL,
 }

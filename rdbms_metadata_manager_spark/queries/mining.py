@@ -342,6 +342,76 @@ ORDER BY coef_bucket_pct
 """
 
 
+# Power-of-two degree buckets; the open top bucket catches hubs.
+DEG_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree distribution of the co-purchase graph — the
+    first QA plot of any graph pipeline (a power-law tail here is
+    what makes the degree-oriented triangle kernel necessary; a
+    missing tail means the broadcast-adjacency plan is safe). Per
+    power-of-two bucket: node count and total degree mass. Rides the
+    memoized basket-pair kernel + one groupBy; the bucket edges are a
+    literal integer CASE chain (no libm log2)."""
+    e = (
+        _basket_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    edges = list(DEG_BUCKETS)
+    bucket = F.lit(edges[-1])
+    for lo, hi in zip(reversed(edges[:-1]), reversed(edges[1:])):
+        bucket = F.when(F.col("deg") < hi, F.lit(lo)).otherwise(bucket)
+    return (
+        deg.select(bucket.alias("deg_bucket_lo"), "deg")
+        .groupBy("deg_bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("deg").alias("sum_deg"))
+        .orderBy("deg_bucket_lo")
+    )
+
+
+def _deg_bucket_sql(col: str) -> str:
+    edges = list(DEG_BUCKETS)
+    branches = "".join(
+        f"WHEN {col} < {hi} THEN {lo} " for lo, hi in zip(edges[:-1], edges[1:])
+    )
+    return f"CASE {branches}ELSE {edges[-1]} END"
+
+
+_DEG_HIST_SQL = f"""
+WITH b AS (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+  SELECT n, count(*) AS deg
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+  GROUP BY n
+)
+SELECT {_deg_bucket_sql("deg")} AS deg_bucket_lo,
+       count(*) AS n_nodes,
+       sum(deg)::BIGINT AS sum_deg
+FROM deg
+GROUP BY 1
+ORDER BY deg_bucket_lo
+"""
+
+
 def drift_event_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.unix_micros("ts").alias("us"), "event_type"
@@ -1069,6 +1139,7 @@ QUERIES = {
     "bfs_levels_from_hub": bfs_levels_from_hub,
     "link_prediction_hub_cn": link_prediction_hub_cn,
     "local_clustering_coefficients": local_clustering_coefficients,
+    "copurchase_degree_histogram": copurchase_degree_histogram,
 }
 ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
@@ -1082,4 +1153,5 @@ ORACLES = {
     "bfs_levels_from_hub": _bfs_oracle(),
     "link_prediction_hub_cn": _LINKPRED_SQL,
     "local_clustering_coefficients": _LCC_SQL,
+    "copurchase_degree_histogram": _DEG_HIST_SQL,
 }

@@ -90,6 +90,9 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.pipeline", "corpus_temperature_mix"),
         ("llm.curation", "source_quality_gate"),
         ("queries.mining", "local_clustering_coefficients"),
+        ("llm.text", "pmi_collocations"),
+        ("llm.dedup", "ngram_novelty_curve"),
+        ("queries.mining", "copurchase_degree_histogram"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

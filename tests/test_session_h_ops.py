@@ -121,6 +121,89 @@ def test_source_quality_gate_flags_spam_source(spark, tmp_path):
     assert n_rej == sum(v["n_rejected"] for v in got.values())
 
 
+def test_pmi_collocations_match_bruteforce(spark, tmp_path):
+    """Top-k list equals a Python brute-force PMI computation over
+    the same corpus (support floor included, float-ordered exactly
+    as both engines order)."""
+    from rdbms_metadata_manager_spark.llm.text import (
+        PMI_MIN_PAIR_COUNT,
+        PMI_TOPK,
+        pmi_collocations,
+    )
+
+    d = str(tmp_path)
+    texts = {
+        1: "new york " * 30,          # (new,york)x30, (york,new)x29
+        2: "hot dog " * 30,
+        3: "new dog hot york " * 15,  # crossings dilute the pairs above
+        4: "alpha beta gamma delta " * 12,
+    }
+    rows = [(i, t.strip(), "en", "w", 0) for i, t in texts.items()]
+    _write_docs(spark, d, rows)
+
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for t in texts.values():
+        w = t.strip().split(" ")
+        uni.update(w)
+        bi.update(zip(w, w[1:]))
+    n = sum(uni.values())
+    m = sum(bi.values())
+    expected = [
+        (w1, w2, c, uni[w1], uni[w2], c * n * n, m * uni[w1] * uni[w2])
+        for (w1, w2), c in bi.items()
+        if c >= PMI_MIN_PAIR_COUNT
+    ]
+    expected.sort(key=lambda r: (-(r[5] / r[6]), r[0], r[1]))
+    got = [tuple(r) for r in pmi_collocations(spark, d).collect()]
+    assert got == expected[:PMI_TOPK]
+
+
+def test_ngram_novelty_curve_first_seen_semantics(spark, tmp_path):
+    """A verbatim copy contributes zero novelty; a part-copy
+    contributes exactly its unseen shingles."""
+    from rdbms_metadata_manager_spark.llm.dedup import ngram_novelty_curve
+
+    d = str(tmp_path)
+    rows = [
+        (0, "w0 w1 w2 w3 w4", "en", "s", 0),        # 3 shingles, all novel
+        (1, "w0 w1 w2 w3 w4", "en", "s", 0),        # verbatim copy → 0 novel
+        (2, "x0 x1 x2 x3", "en", "s", 0),           # 2 shingles, novel
+        # 4 shingles; (w0 w1 w2) seen in doc 0, (x0 x1 x2) seen in
+        # doc 2 → only the 2 boundary-crossing shingles are novel
+        (3, "w0 w1 w2 x0 x1 x2", "en", "s", 0),
+    ]
+    _write_docs(spark, d, rows)
+    got = {
+        r.ingest_decile: (r.n_shingles, r.n_novel, r.novelty_pm)
+        for r in ngram_novelty_curve(spark, d).collect()
+    }
+    # deciles: doc_id * 10 div 4
+    assert got == {
+        0: (3, 3, 1000),
+        2: (3, 0, 0),
+        5: (2, 2, 1000),
+        7: (4, 2, 500),
+    }
+
+
+def test_degree_histogram_known_graph(spark, tmp_path):
+    from rdbms_metadata_manager_spark.queries.mining import copurchase_degree_histogram
+
+    d = str(tmp_path)
+    li = [(10, 1), (10, 2), (10, 3), (20, 3), (20, 4), (30, 4), (30, 5)]
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/lineitem.parquet")
+    got = {
+        r.deg_bucket_lo: (r.n_nodes, r.sum_deg)
+        for r in copurchase_degree_histogram(spark, d).collect()
+    }
+    # degrees: node5→1; nodes 1,2,4→2; node3→3 (buckets [1,2), [2,4))
+    assert got == {1: (1, 1), 2: (4, 9)}
+
+
 def test_local_clustering_coefficients_known_graph(spark, tmp_path):
     """Baskets {1,2,3}, {3,4}, {4,5}: one triangle; C(1)=C(2)=1.0,
     C(3)=1/3, C(4)=0, node 5 excluded (degree 1)."""
