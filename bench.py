@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "local_clustering_coefficients",
     "ngram_novelty_curve",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -235,11 +235,50 @@ ORDER BY doc_id
 """
 
 
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution: per family size, how many
+    clusters, how many documents they cover, and how many are
+    DELETABLE (size − 1 per family, one keeper each) — the storage-
+    reclaim estimate a dedup run is justified by, and the skew alarm
+    for the clustering itself (one giant family usually means a
+    boilerplate template, not true duplication, and argues for the
+    O(log n) star contraction over diameter-bound propagation).
+
+    Rides the connected-components labels (which ride the memoized
+    near-dup pair list); two tiny groupBys on top. All-integer."""
+    cc = dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("family_size"))
+    return (
+        sizes.groupBy("family_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("family_size").alias("n_docs"),
+            F.sum(F.col("family_size") - 1).alias("n_deletable"),
+        )
+        .orderBy("family_size")
+    )
+
+
+_CLUSTER_SIZES_SQL = f"""
+WITH cc AS ({_CLUSTERS_SQL}),
+sizes AS (SELECT cluster_id, count(*) AS family_size FROM cc GROUP BY cluster_id)
+SELECT family_size,
+       count(*) AS n_clusters,
+       sum(family_size)::BIGINT AS n_docs,
+       sum(family_size - 1)::BIGINT AS n_deletable
+FROM sizes
+GROUP BY family_size
+ORDER BY family_size
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
+    "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
 }
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
     "dedup_clusters_star": _CLUSTERS_SQL,
+    "dedup_cluster_size_histogram": _CLUSTER_SIZES_SQL,
 }

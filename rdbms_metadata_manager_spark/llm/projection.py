@@ -174,11 +174,81 @@ ORDER BY e.dim
 """
 
 
+MAX_MAD_BAND = 5
+
+
+def embedding_norm_outlier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-vector norm health: histogram of |‖v‖² − median| in
+    median-absolute-deviation bands — the cheap full-corpus screen
+    for broken embeddings (zero vectors, un-normalized batches, a
+    model half misconfigured mid-backfill) that per-dimension stats
+    ([[embedding_dim_robust_stats]]) dilute across 64 columns.
+
+    Exactness: ‖v‖² is an ORDERED left fold over double-cast
+    elements (both engines fold the array in index order → identical
+    doubles); median and MAD are ``percentile_disc`` — actual data
+    values, no interpolated arithmetic; the band index is one float
+    division on identical operands. Plan: one map-side fold per row,
+    two tiny order-statistics aggregates, one 6-group rollup — the
+    broadcast of (med, mad) is 1 row. MAD = 0 (perfectly uniform
+    norms) puts every vector in band 0 rather than dividing by zero."""
+    from .similarity import _as_double
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    norms = emb.select(
+        "vec_id",
+        F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x).alias("norm2"),
+    )
+    stats = norms.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY norm2)").alias("med")
+    )
+    devs = norms.crossJoin(F.broadcast(stats)).select(
+        "vec_id", "norm2", F.abs(F.col("norm2") - F.col("med")).alias("adev")
+    )
+    mad = devs.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    band = F.expr(
+        f"CASE WHEN mad = 0.0 THEN 0 "
+        f"ELSE least(cast(floor(adev / mad) AS BIGINT), {MAX_MAD_BAND}) END"
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .select(band.alias("mad_band"), "vec_id")
+        .groupBy("mad_band")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("mad_band")
+    )
+
+
+_NORM_BANDS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+norms AS (
+  SELECT vec_id,
+         list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS norm2
+  FROM e
+),
+med AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY norm2) AS med FROM norms),
+devs AS (SELECT vec_id, abs(norm2 - med) AS adev FROM norms, med),
+mad AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad FROM devs)
+SELECT CASE WHEN mad = 0.0 THEN 0
+            ELSE least(floor(adev / mad)::BIGINT, {MAX_MAD_BAND}) END AS mad_band,
+       count(*) AS n_vecs
+FROM devs, mad
+GROUP BY 1
+ORDER BY mad_band
+"""
+
+
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "embedding_dim_robust_stats": embedding_dim_robust_stats,
+    "embedding_norm_outlier_bands": embedding_norm_outlier_bands,
 }
 ORACLES = {
     "embedding_random_projection": _PROJ_SQL,
     "embedding_dim_robust_stats": _DIM_STATS_SQL,
+    "embedding_norm_outlier_bands": _NORM_BANDS_SQL,
 }

@@ -93,6 +93,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.text", "pmi_collocations"),
         ("llm.dedup", "ngram_novelty_curve"),
         ("queries.mining", "copurchase_degree_histogram"),
+        ("llm.projection", "embedding_norm_outlier_bands"),
+        ("llm.clustering", "dedup_cluster_size_histogram"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

@@ -204,6 +204,63 @@ def test_degree_histogram_known_graph(spark, tmp_path):
     assert got == {1: (1, 1), 2: (4, 9)}
 
 
+def test_embedding_norm_bands_closed_form(spark, tmp_path):
+    """Known norms: med=4, MAD=3 → bands {0:2, 1:2, capped 5:1}."""
+    from rdbms_metadata_manager_spark.llm.projection import embedding_norm_outlier_bands
+
+    d = str(tmp_path)
+    vecs = [
+        (1, [1.0, 0.0], 0),   # norm2 1  → adev 3 → band 1
+        (2, [0.0, 1.0], 0),   # norm2 1  → band 1
+        (3, [2.0, 0.0], 0),   # norm2 4  → adev 0 → band 0
+        (4, [0.0, 2.0], 0),   # norm2 4  → band 0
+        (5, [10.0, 0.0], 0),  # norm2 100 → adev 96 → floor(32) → capped 5
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = {r.mad_band: r.n_vecs for r in embedding_norm_outlier_bands(spark, d).collect()}
+    assert got == {0: 2, 1: 2, 5: 1}
+
+
+def test_embedding_norm_bands_zero_mad(spark, tmp_path):
+    """Uniform norms → MAD 0 → everything lands in band 0 (no
+    divide-by-zero)."""
+    from rdbms_metadata_manager_spark.llm.projection import embedding_norm_outlier_bands
+
+    d = str(tmp_path)
+    vecs = [(i, [1.0, 0.0], 0) for i in range(4)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = {r.mad_band: r.n_vecs for r in embedding_norm_outlier_bands(spark, d).collect()}
+    assert got == {0: 4}
+
+
+def test_cluster_size_histogram_counts_families(spark, tmp_path):
+    """One 3-doc family → exactly one size-3 row with 2 deletable."""
+    from rdbms_metadata_manager_spark.llm.clustering import (
+        dedup_cluster_size_histogram,
+        dedup_clusters,
+    )
+
+    d = str(tmp_path)
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta kappa lam mu nu", "en", "w", 0),
+        (2, "alpha beta gamma delta epsilon zeta eta theta kappa lam mu xi", "en", "w", 0),
+        (3, "alpha beta gamma delta epsilon zeta eta theta kappa lam mu nu", "en", "w", 0),
+        (4, "one two three four five six seven eight nine ten", "en", "w", 0),
+    ]
+    _write_docs(spark, d, rows)
+    got = {
+        r.family_size: (r.n_clusters, r.n_docs, r.n_deletable)
+        for r in dedup_cluster_size_histogram(spark, d).collect()
+    }
+    assert got == {3: (1, 3, 2)}
+    # histogram totals must equal the label relation it summarizes
+    assert sum(v[1] for v in got.values()) == dedup_clusters(spark, d).count()
+
+
 def test_local_clustering_coefficients_known_graph(spark, tmp_path):
     """Baskets {1,2,3}, {3,4}, {4,5}: one triangle; C(1)=C(2)=1.0,
     C(3)=1/3, C(4)=0, node 5 excluded (degree 1)."""
