@@ -197,15 +197,22 @@ def embedding_norm_outlier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    # Materialize the (vec_id, norm2) and deviation relations: the
+    # median/MAD branches would otherwise each re-plan the fold over
+    # the raw vectors (3 scans of the corpus for a 16-byte/row
+    # intermediate). On a cluster these are the tiny side tables of
+    # the two order-statistics jobs.
     norms = emb.select(
         "vec_id",
         F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x).alias("norm2"),
-    )
+    ).localCheckpoint(eager=True)
     stats = norms.agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY norm2)").alias("med")
     )
-    devs = norms.crossJoin(F.broadcast(stats)).select(
-        "vec_id", "norm2", F.abs(F.col("norm2") - F.col("med")).alias("adev")
+    devs = (
+        norms.crossJoin(F.broadcast(stats))
+        .select("vec_id", "norm2", F.abs(F.col("norm2") - F.col("med")).alias("adev"))
+        .localCheckpoint(eager=True)
     )
     mad = devs.agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")

@@ -600,3 +600,55 @@ def test_dim_stats_is_single_exchange_arrow_kernel(spark, sf_dir):
     assert "FlatMapGroupsInArrow" in plan or "MapGroupsInArrow" in plan or "InArrow" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortAggregate" not in plan, plan
+
+
+def test_pmi_broadcasts_counts_and_takes_ordered_topk(spark, sf_dir):
+    """PMI: unigram counts and totals must be broadcast (tiny
+    relations), and the top-k must plan as TakeOrderedAndProject —
+    never a global sort of the full pair relation."""
+    from rdbms_metadata_manager_spark.llm.text import pmi_collocations
+
+    plan = physical_plan(pmi_collocations(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_threshold_sweep_reads_memo_not_parquet(spark, sf_dir):
+    """The sweep must scan the materialized candidate relation
+    (localCheckpoint → RDD scan), not re-run the inverted-index join
+    from the parquet corpus — the cached-candidate-table design."""
+    from rdbms_metadata_manager_spark.llm.dedup import (
+        _capped_pair_counts,
+        dedup_threshold_sweep,
+    )
+
+    _capped_pair_counts(spark, sf_dir)  # warm the memo
+    plan = physical_plan(dedup_threshold_sweep(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "documents.parquet" not in plan, plan
+
+
+def test_length_histogram_partial_aggregates_single_scan(spark, sf_dir):
+    """One pruned corpus scan, map-side partial agg before the
+    8-group exchange."""
+    from rdbms_metadata_manager_spark.llm.sampling import sequence_length_histogram
+
+    plan = physical_plan(sequence_length_histogram(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" not in read_schema, read_schema
+
+
+def test_norm_bands_folds_vectors_once(spark, sf_dir):
+    """The final plan must read the materialized deviation relation
+    (RDD scan), never re-fold the raw vectors per stats branch: one
+    1-row MAD broadcast, zero parquet scans."""
+    from rdbms_metadata_manager_spark.llm.projection import embedding_norm_outlier_bands
+
+    plan = physical_plan(embedding_norm_outlier_bands(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # the 1-row MAD
+    assert "Scan ExistingRDD" in plan, plan
+    assert "embeddings.parquet" not in plan, plan
