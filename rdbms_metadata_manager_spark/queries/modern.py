@@ -480,6 +480,64 @@ ORDER BY o_orderpriority
 """
 
 
+def group_by_all_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 4, adopted from
+    DuckDB): group on every non-aggregate select item without
+    restating the list — the face that kills the group-by/select
+    drift bug in wide rollups. The oracle is the IDENTICAL SQL text
+    run by DuckDB (its home dialect), proving the Spark parser binds
+    the same columns. Money is floor-tick cents (BIGINT)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+# One text, two engines — the query IS the oracle.
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       count(*) AS n_orders,
+       sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+APPROX_TOPK_CAPACITY = 20
+
+
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` sketch aggregation (Spark 4.1) over the event
+    stream — the bounded-memory, mergeable frequent-items path that
+    replaces an exact groupBy at 100 TB (each executor keeps a
+    fixed-size sketch; the merge is one reduce). Demonstrated in the
+    regime where the sketch is PROVABLY exact — tracked capacity
+    exceeds the distinct-value count, so every counter is exact and
+    the DuckDB exact-count oracle hash-matches. Past capacity the
+    counts become estimates (the production trade-off; monitored by
+    comparing against a sampled exact count, the
+    ``dedup_sketch_recall_report`` discipline)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        SELECT t.item AS event_type, t.count AS n_events
+        FROM (
+          SELECT explode(approx_top_k(event_type, {APPROX_TOPK_CAPACITY})) AS t
+          FROM events
+        )
+        ORDER BY n_events DESC, event_type
+        """
+    )
+
+
+_APPROX_TOPK_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type
+"""
+
+
 QUERIES = {
     "variant_event_props": variant_event_props,
     "pipe_syntax_order_stats": pipe_syntax_order_stats,
@@ -491,6 +549,8 @@ QUERIES = {
     "sql_scripting_threshold_report": sql_scripting_threshold_report,
     "collation_ci_event_rollup": collation_ci_event_rollup,
     "transpose_region_revenue": transpose_region_revenue,
+    "group_by_all_order_stats": group_by_all_order_stats,
+    "approx_topk_event_types": approx_topk_event_types,
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
@@ -503,4 +563,6 @@ ORACLES = {
     "sql_scripting_threshold_report": _SCRIPTING_SQL,
     "collation_ci_event_rollup": _COLLATION_SQL,
     "transpose_region_revenue": _TRANSPOSE_SQL,
+    "group_by_all_order_stats": _GROUP_BY_ALL_SQL,
+    "approx_topk_event_types": _APPROX_TOPK_SQL,
 }

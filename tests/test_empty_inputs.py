@@ -95,6 +95,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.mining", "copurchase_degree_histogram"),
         ("llm.projection", "embedding_norm_outlier_bands"),
         ("llm.clustering", "dedup_cluster_size_histogram"),
+        ("queries.modern", "group_by_all_order_stats"),
+        ("queries.modern", "approx_topk_event_types"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
