@@ -68,11 +68,21 @@ EMB_MAX_K = 3
 # l_partkey, so the co-purchase graphs are disjoint — edge and
 # triangle counts must grow exactly Kx, and the adjacency-
 # intersection work is per-replica-local.
-GRAPH_KERNELS = ["copurchase_triangles", "kcore_copurchase_parts"]
-# Kernels with CONSTANT-size output (a 2 080-row matrix / a top-20):
-# work grows with the input, output must not — wall should track K,
-# rows must stay flat.
-FIXED_OUTPUT_KERNELS = ["embedding_gram_matrix", "bpe_pair_merge_counts"]
+GRAPH_KERNELS = [
+    "copurchase_triangles",
+    "kcore_copurchase_parts",
+    "local_clustering_coefficients",
+]
+# Kernels with CONSTANT-size output (a 2 080-row matrix / a top-20 /
+# a fixed histogram): work grows with the input, output must not —
+# wall should track K, rows must stay flat.
+FIXED_OUTPUT_KERNELS = [
+    "embedding_gram_matrix",
+    "bpe_pair_merge_counts",
+    "pmi_collocations",
+    "ngram_novelty_curve",
+    "dedup_cluster_size_histogram",
+]
 
 # versioned: v2 replicas additionally carry lineitem.parquet; a v1 _done
 # marker must not serve a dir that lacks it
@@ -165,7 +175,10 @@ def main() -> None:
             if name in EMB_KERNELS and k > EMB_MAX_K:
                 cells.append(f"{'—':>9s} {'—':>9s}")
                 continue
-            best, rows = None, None
+            # first run = COLD (includes any materialize-once memo
+            # build for this corpus dir — the number that must scale);
+            # second run = WARM (the memo-hit consumer path).
+            times, rows = [], None
             for _ in range(2):
                 t0 = time.time()
                 out_df = qs[name](spark, d)
@@ -175,9 +188,8 @@ def main() -> None:
                     rows = out_df.collect()[0].n_core_edges
                 else:
                     rows = out_df.count()
-                el = time.time() - t0
-                best = el if best is None or el < best else best
-            cells.append(f"{best:9.2f} {rows:9d}")
+                times.append(time.time() - t0)
+            cells.append(f"{times[0]:5.1f}/{times[1]:5.1f} {rows:7d}")
         print(f"{name:34s} " + " ".join(cells))
 
 
