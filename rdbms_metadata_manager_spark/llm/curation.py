@@ -108,6 +108,92 @@ FROM freq GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup REWRITE (C4/RefinedWeb shape): cut every
+    doc into consecutive 16-word chunks, keep only the corpus-wide
+    FIRST occurrence of each distinct chunk (smallest (doc_id, ord)),
+    and reconstruct the cleaned text from the surviving chunks in
+    their original order. ``dedup_chunk_ratio`` is the report face of
+    this; this is the transform that actually edits the corpus —
+    exact-duplicate docs come back empty, partially-quoted docs lose
+    just the quoted passage.
+
+    Plan: the ranking shuffle carries (doc_id, ord, md5) — 16 B/chunk
+    regardless of text size; chunk TEXT never enters a shuffle. The
+    kept ordinals fold to one array per doc, and the cleaned text is
+    re-sliced from the original ``text`` column after a doc_id-keyed
+    join (a second scan lineage, not a cached text payload). At
+    100 TB: one narrow hash shuffle + one doc-keyed join, both
+    key-partitioned; the transform/slice reconstruction is per-row
+    projection work.
+    """
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, (size(split(text, ' ')) + {CHUNK_WORDS - 1}) div {CHUNK_WORDS}),"
+                f" i -> md5(array_join(slice(split(text, ' '), (i - 1) * {CHUNK_WORDS} + 1, {CHUNK_WORDS}), ' ')))"
+            )
+        ).alias("pos", "chunk_hash"),
+    ).select("doc_id", (F.col("pos") + 1).alias("ord"), "chunk_hash")
+    first = Window.partitionBy("chunk_hash").orderBy("doc_id", "ord")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("ord")).alias("kept_ords"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    # fresh scan lineage for the reconstruction join (HOF-projection
+    # self-join lineage trap; see ROADMAP invariants)
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    n_chunks = F.expr(f"(size(split(text, ' ')) + {CHUNK_WORDS - 1}) div {CHUNK_WORDS}").cast("bigint")
+    return (
+        docs.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_chunks.alias("n_chunks"),
+            (n_chunks - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("removed_chunks"),
+            F.expr(
+                f"array_join(transform(coalesce(kept_ords, array()),"
+                f" i -> array_join(slice(split(text, ' '), (i - 1) * {CHUNK_WORDS} + 1, {CHUNK_WORDS}), ' ')), ' ')"
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_REWRITE_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+chunks AS (
+  SELECT doc_id, i AS ord,
+         array_to_string(list_slice(words, (i - 1) * {CHUNK_WORDS} + 1, i * {CHUNK_WORDS}), ' ') AS chunk
+  FROM w, unnest(range(1, (len(words) + {CHUNK_WORDS} - 1) // {CHUNK_WORDS} + 1)) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, ord, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, ord) AS rn
+  FROM chunks
+),
+kept AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE rn = 1) AS n_kept,
+         coalesce(string_agg(chunk, ' ' ORDER BY ord) FILTER (WHERE rn = 1), '') AS clean_text
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ((len(string_split(d.text, ' ')) + {CHUNK_WORDS - 1}) // {CHUNK_WORDS})::BIGINT AS n_chunks,
+       ((len(string_split(d.text, ' ')) + {CHUNK_WORDS - 1}) // {CHUNK_WORDS}
+        - coalesce(k.n_kept, 0))::BIGINT AS removed_chunks,
+       coalesce(k.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _doc_features(d: DataFrame) -> DataFrame:
     """Per-document per-mille text features SHARED by the rule-
     cascade gate and the classifier scorer (one definition so the
@@ -627,6 +713,7 @@ ORDER BY source
 
 QUERIES = {
     "dedup_chunk_ratio": dedup_chunk_ratio,
+    "chunk_dedup_rewrite": chunk_dedup_rewrite,
     "quality_filter_gate": quality_filter_gate,
     "bm25_keyword_search": bm25_keyword_search,
     "dsir_importance_weights": dsir_importance_weights,
@@ -637,6 +724,7 @@ QUERIES = {
 }
 ORACLES = {
     "dedup_chunk_ratio": _CHUNK_SQL,
+    "chunk_dedup_rewrite": _CHUNK_REWRITE_SQL,
     "quality_filter_gate": _GATE_SQL,
     "bm25_keyword_search": _BM25_SQL,
     "dsir_importance_weights": _DSIR_SQL,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from rdbms_metadata_manager_spark.llm import curation
 from rdbms_metadata_manager_spark.queries import mining, quality
+from rdbms_metadata_manager_spark.queries.base import load
 
 
 def _write_documents(tmp_path, texts):
@@ -41,6 +42,44 @@ def test_chunk_dedup_flags_shared_passage(spark, tmp_path):
     assert rows[2]["dup_chunks"] == 1
     assert rows[3]["dup_chunks"] == 0 and rows[3]["dup_pm"] == 0
     assert rows[1]["dup_pm"] == 500
+
+
+def test_chunk_rewrite_keeps_first_and_empties_exact_dup(spark, tmp_path):
+    shared = " ".join(f"w{i}" for i in range(curation.CHUNK_WORDS))
+    uniq_a = " ".join(f"a{i}" for i in range(curation.CHUNK_WORDS))
+    uniq_b = " ".join(f"b{i}" for i in range(curation.CHUNK_WORDS))
+    # doc 1 owns the shared chunk (first occurrence), doc 2 loses it,
+    # doc 3 is a verbatim copy of doc 1 and must come back empty,
+    # doc 4 is untouched and must reconstruct byte-identically.
+    d = _write_documents(
+        tmp_path,
+        [f"{shared} {uniq_a}", f"{shared} {uniq_b}", f"{shared} {uniq_a}", uniq_b[::-1]],
+    )
+    rows = {r["doc_id"]: r for r in curation.chunk_dedup_rewrite(spark, d).collect()}
+    assert rows[1]["removed_chunks"] == 0 and rows[1]["clean_text"] == f"{shared} {uniq_a}"
+    assert rows[2]["removed_chunks"] == 1 and rows[2]["clean_text"] == uniq_b
+    assert rows[3]["removed_chunks"] == 2 and rows[3]["clean_text"] == ""
+    assert rows[4]["removed_chunks"] == 0 and rows[4]["clean_text"] == uniq_b[::-1]
+
+
+def test_chunk_rewrite_identity_and_conservation_on_testdata(spark, sf_dir):
+    out = curation.chunk_dedup_rewrite(spark, sf_dir).cache()
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # untouched docs reconstruct byte-identically (single-space corpus)
+    mismatch = (
+        out.filter(F.col("removed_chunks") == 0)
+        .join(docs, "doc_id")
+        .filter(F.col("clean_text") != F.col("text"))
+        .count()
+    )
+    assert mismatch == 0
+    # non-vacuous on the planted near-dups at every SF (31 docs lose
+    # chunks at sf0.001, 37 at sf0.01); fully-emptied exact dups are
+    # pinned by the crafted-corpus test (they exist at sf>=0.01 but
+    # not sf0.001).
+    removed = out.agg(F.sum("removed_chunks").alias("r")).collect()[0]["r"]
+    assert removed > 0
+    out.unpersist()
 
 
 def test_chunk_dedup_nonvacuous_on_testdata(spark, sf_dir):

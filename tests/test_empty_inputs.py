@@ -71,6 +71,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.pipeline", "source_mix_weights"),
         ("llm.semdedup", "semdedup_embedding_clusters"),
         ("llm.curation", "dsir_importance_weights"),
+        ("llm.curation", "chunk_dedup_rewrite"),
         ("llm.semdedup", "d4_prototype_prune"),
         ("llm.dedup", "cross_source_dup_matrix"),
         ("llm.gram", "embedding_gram_matrix"),

@@ -652,3 +652,22 @@ def test_norm_bands_folds_vectors_once(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # the 1-row MAD
     assert "Scan ExistingRDD" in plan, plan
     assert "embeddings.parquet" not in plan, plan
+
+
+def test_chunk_rewrite_ranking_shuffle_carries_no_text(spark, sf_dir):
+    """The keep-first ranking must ship (doc_id, ord, md5) through the
+    chunk-hash exchange — never chunk or document text — and Catalyst
+    must apply the rank<=1 WindowGroupLimit map-side, so the sort
+    input is pre-shrunk to one candidate row per (hash, partition)."""
+    from rdbms_metadata_manager_spark.llm.curation import chunk_dedup_rewrite
+
+    plan = physical_plan(chunk_dedup_rewrite(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    window_block = plan.split("Window [row_number()")[1]
+    exchange_line = next(
+        line for line in window_block.splitlines() if "hashpartitioning(chunk_hash" in line
+    )
+    assert "text" not in exchange_line, exchange_line
+    # reconstruction joins the kept ordinals back on doc_id; the kept
+    # side is tiny per-doc arrays, so it must broadcast at test SFs
+    assert "BroadcastHashJoin" in plan, plan
