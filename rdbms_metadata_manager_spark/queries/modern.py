@@ -538,6 +538,108 @@ ORDER BY n_events DESC, event_type
 """
 
 
+# ------------------------------------------------------- SQL TABLE FUNCTION
+
+def sql_tvf_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 SQL TABLE function (CREATE FUNCTION … RETURNS TABLE
+    … RETURN SELECT) invoked through a correlated LATERAL join — the
+    reusable-view-with-parameters face that `sql_udf_price_bands`
+    (scalar) and `lateral_top_customers_per_nation` (inline subquery)
+    each cover half of. Catalyst inlines the function body per outer
+    row and decorrelates the whole thing into ONE broadcast join plus
+    a per-key group limit — no per-nation re-scan of customer, which
+    is what makes the face survive a 100 TB customer table (probed
+    per key, the naive interpretation would be N scans).
+
+    TRAP (probed, Spark 4.1): LIMIT inside a correlated TVF body is
+    NOT per-invocation — decorrelation hoists it into one GLOBAL
+    limit (3 rows total, not 3 per nation), and a parameterized limit
+    is rejected outright (INVALID_LIMIT_LIKE_EXPRESSION). The sound
+    per-key top-k body is a window rank filtered OUTSIDE the call —
+    decorrelation turns the body's ORDER-BY-all window into a
+    partition-by-key rank, which the probe confirms row-for-row.
+    Balances ride floor-tick cents so ordering and hashing never
+    touch doubles.
+    """
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION nation_ranked_customers(nk BIGINT)
+        RETURNS TABLE(c_name STRING, acct_cents BIGINT, rn BIGINT)
+        RETURN SELECT c_name,
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents,
+                      CAST(row_number() OVER (
+                          ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) DESC,
+                                   c_name) AS BIGINT)
+               FROM customer
+               WHERE c_nationkey = nk
+        """
+    )
+    return spark.sql(
+        """
+        SELECT n_name, t.c_name, t.acct_cents
+        FROM nation, LATERAL nation_ranked_customers(n_nationkey) t
+        WHERE t.rn <= 3
+        ORDER BY n_name, acct_cents DESC, c_name
+        """
+    )
+
+
+_SQL_TVF_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey, c_name,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents,
+         row_number() OVER (
+             PARTITION BY c_nationkey
+             ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) DESC, c_name
+         ) AS rn
+  FROM customer
+)
+SELECT n.n_name, r.c_name, r.acct_cents
+FROM nation n JOIN ranked r ON r.c_nationkey = n.n_nationkey
+WHERE r.rn <= 3
+ORDER BY n_name, acct_cents DESC, c_name
+"""
+
+
+# --------------------------------------------------- LATERAL COLUMN ALIASES
+
+def lateral_alias_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 lateral column aliases: each SELECT-list expression
+    references the alias defined immediately before it (n_words →
+    est_tokens → n_seqs → pad_waste), so a four-step derivation reads
+    as four lines instead of a pyramid of nested subqueries — the
+    parser/binder face DuckDB and Spark both adopted. The chain is
+    all-integer (ceil-div via `(x + k - 1) div k`), so the packing
+    plan it derives (sequences needed at a 512-token budget and the
+    padding wasted without packing) hash-matches exactly.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(size(split(text, ' ')) AS BIGINT) AS n_words,
+               (n_words * 4) div 3 AS est_tokens,
+               (est_tokens + 511) div 512 AS n_seqs,
+               n_seqs * 512 - est_tokens AS pad_waste
+        FROM documents
+        ORDER BY doc_id
+        """
+    )
+
+
+_LATERAL_ALIAS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_words,
+       (n_words * 4) // 3 AS est_tokens,
+       (est_tokens + 511) // 512 AS n_seqs,
+       n_seqs * 512 - est_tokens AS pad_waste
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "variant_event_props": variant_event_props,
     "pipe_syntax_order_stats": pipe_syntax_order_stats,
@@ -551,6 +653,8 @@ QUERIES = {
     "transpose_region_revenue": transpose_region_revenue,
     "group_by_all_order_stats": group_by_all_order_stats,
     "approx_topk_event_types": approx_topk_event_types,
+    "sql_tvf_top_customers_per_nation": sql_tvf_top_customers_per_nation,
+    "lateral_alias_packing_plan": lateral_alias_packing_plan,
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
@@ -565,4 +669,6 @@ ORACLES = {
     "transpose_region_revenue": _TRANSPOSE_SQL,
     "group_by_all_order_stats": _GROUP_BY_ALL_SQL,
     "approx_topk_event_types": _APPROX_TOPK_SQL,
+    "sql_tvf_top_customers_per_nation": _SQL_TVF_SQL,
+    "lateral_alias_packing_plan": _LATERAL_ALIAS_SQL,
 }

@@ -671,3 +671,18 @@ def test_chunk_rewrite_ranking_shuffle_carries_no_text(spark, sf_dir):
     # reconstruction joins the kept ordinals back on doc_id; the kept
     # side is tiny per-doc arrays, so it must broadcast at test SFs
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sql_tvf_lateral_decorrelates_to_one_scan(spark, sf_dir):
+    """The correlated SQL table function must NOT replay its body per
+    outer row: one customer scan, the body's ORDER-BY-all row_number
+    decorrelated into a partition-by-nationkey window, and one
+    broadcast join with nation."""
+    from rdbms_metadata_manager_spark.queries.modern import (
+        sql_tvf_top_customers_per_nation,
+    )
+
+    plan = physical_plan(sql_tvf_top_customers_per_nation(spark, sf_dir))
+    assert plan.count("customer.parquet") == 1, plan
+    assert "[c_nationkey" in plan.split("Window [row_number()")[1].splitlines()[0], plan
+    assert "BroadcastHashJoin" in plan, plan
