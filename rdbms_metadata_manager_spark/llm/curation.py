@@ -419,6 +419,108 @@ ORDER BY doc_id
 """
 
 
+def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two quality filters the repo ships —
+    the Gopher-style rule cascade (``quality_filter_gate``) and the
+    frozen linear classifier (``quality_classifier_scores``) — the QA
+    a pipeline runs BEFORE swapping one filter for the other: raw
+    agreement flatters any pair of lenient filters, kappa corrects
+    for chance.
+
+    Both verdicts derive from the SAME ``_doc_features`` relation, so
+    the 2x2 confusion table is one projection over one corpus pass +
+    one map-side-partial aggregate — never a join between two scorer
+    jobs. For a 2x2 table [[a,b],[c,d]] kappa collapses to
+    2(ad-bc) / ((a+b)(b+d) + (a+c)(c+d)); products ride
+    DECIMAL(38,0)/HUGEINT (counts at 100 TB overflow an int64
+    product), and the per-mille division splits sign from magnitude
+    because Spark's ``div`` truncates toward zero while DuckDB's
+    ``//`` floors — they disagree exactly on negative kappa.
+    """
+    feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
+    verdicts = feats.select(
+        F.expr(
+            f"NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}"
+            f" OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}"
+            f" OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})"
+        ).alias("rule_keep"),
+        (
+            F.expr(
+                f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
+                f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
+                f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+            )
+            >= 0
+        ).alias("clf_keep"),
+    )
+    cells = verdicts.agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("rule_keep") & F.col("clf_keep")).alias("both_keep"),
+        F.count_if(F.col("rule_keep") & ~F.col("clf_keep")).alias("rule_only"),
+        F.count_if(~F.col("rule_keep") & F.col("clf_keep")).alias("clf_only"),
+        F.count_if(~F.col("rule_keep") & ~F.col("clf_keep")).alias("both_drop"),
+    )
+    return _kappa_projection(cells)
+
+
+def _kappa_projection(cells: DataFrame) -> DataFrame:
+    """2x2 kappa over a 1-row (n_docs, both_keep, rule_only,
+    clf_only, both_drop) relation — separated so the negative-kappa
+    sign-split is unit-testable on crafted cells."""
+    dec = "CAST({} AS DECIMAL(38,0))"
+    a, b, c, d = (dec.format(x) for x in ("both_keep", "rule_only", "clf_only", "both_drop"))
+    return cells.select(
+        "n_docs",
+        "both_keep",
+        "rule_only",
+        "clf_only",
+        "both_drop",
+        F.expr("(both_keep + both_drop) * 1000 div nullif(n_docs, 0)").alias("agree_pm"),
+        F.expr(
+            f"CASE WHEN ({a} + {b}) * ({b} + {d}) + ({a} + {c}) * ({c} + {d}) = 0"
+            f" THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST(CASE WHEN {a} * {d} < {b} * {c} THEN -1 ELSE 1 END"
+            f"   * ((2000 * abs({a} * {d} - {b} * {c}))"
+            f"      div (({a} + {b}) * ({b} + {d}) + ({a} + {c}) * ({c} + {d})))"
+            f"   AS BIGINT) END"
+        ).alias("kappa_pm"),
+    )
+
+
+_AGREEMENT_SQL = f"""
+WITH {_DOC_FEATURES_CTES},
+v AS (
+  SELECT NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}
+              OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}
+              OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM}) AS rule_keep,
+         ({QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm
+            + {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) // 4)
+            + {QC_W_NWORDS} * n_words + {QC_BIAS}) >= 0 AS clf_keep
+  FROM scored
+),
+cells AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         count(*) FILTER (WHERE rule_keep AND clf_keep)::BIGINT AS both_keep,
+         count(*) FILTER (WHERE rule_keep AND NOT clf_keep)::BIGINT AS rule_only,
+         count(*) FILTER (WHERE NOT rule_keep AND clf_keep)::BIGINT AS clf_only,
+         count(*) FILTER (WHERE NOT rule_keep AND NOT clf_keep)::BIGINT AS both_drop
+  FROM v
+)
+SELECT n_docs, both_keep, rule_only, clf_only, both_drop,
+       ((both_keep + both_drop) * 1000 // nullif(n_docs, 0))::BIGINT AS agree_pm,
+       CASE WHEN (both_keep::HUGEINT + rule_only) * (rule_only::HUGEINT + both_drop)
+               + (both_keep::HUGEINT + clf_only) * (clf_only::HUGEINT + both_drop) = 0
+            THEN NULL
+            ELSE (CASE WHEN both_keep::HUGEINT * both_drop < rule_only::HUGEINT * clf_only
+                       THEN -1 ELSE 1 END
+                  * ((2000 * abs(both_keep::HUGEINT * both_drop - rule_only::HUGEINT * clf_only))
+                     // ((both_keep::HUGEINT + rule_only) * (rule_only::HUGEINT + both_drop)
+                         + (both_keep::HUGEINT + clf_only) * (clf_only::HUGEINT + both_drop))))::BIGINT
+       END AS kappa_pm
+FROM cells
+"""
+
+
 DSIR_TARGET_LANG = "en"
 DSIR_SCALE = 1_000_000
 
@@ -718,6 +820,7 @@ QUERIES = {
     "bm25_keyword_search": bm25_keyword_search,
     "dsir_importance_weights": dsir_importance_weights,
     "quality_classifier_scores": quality_classifier_scores,
+    "quality_scorer_agreement": quality_scorer_agreement,
     "score_calibration_bins": score_calibration_bins,
     "boilerplate_ngram_report": boilerplate_ngram_report,
     "source_quality_gate": source_quality_gate,
@@ -729,6 +832,7 @@ ORACLES = {
     "bm25_keyword_search": _BM25_SQL,
     "dsir_importance_weights": _DSIR_SQL,
     "quality_classifier_scores": _QC_SQL,
+    "quality_scorer_agreement": _AGREEMENT_SQL,
     "score_calibration_bins": _CALIBRATION_SQL,
     "boilerplate_ngram_report": _boilerplate_sql(),
     "source_quality_gate": _SOURCE_GATE_SQL,

@@ -82,6 +82,64 @@ def test_chunk_rewrite_identity_and_conservation_on_testdata(spark, sf_dir):
     out.unpersist()
 
 
+def test_scorer_agreement_cells_match_the_two_scorers(spark, sf_dir):
+    """The fused one-pass confusion table must equal the join of the
+    two standalone scorers, and kappa_pm must match a Python
+    recomputation from the same cells."""
+    gate = curation.quality_filter_gate(spark, sf_dir).select("doc_id", "keep")
+    clf = curation.quality_classifier_scores(spark, sf_dir).select("doc_id", "accepted")
+    j = gate.join(clf, "doc_id").collect()
+    a = sum(1 for r in j if r.keep and r.accepted)
+    b = sum(1 for r in j if r.keep and not r.accepted)
+    c = sum(1 for r in j if not r.keep and r.accepted)
+    d = sum(1 for r in j if not r.keep and not r.accepted)
+    row = curation.quality_scorer_agreement(spark, sf_dir).collect()[0]
+    assert (row.both_keep, row.rule_only, row.clf_only, row.both_drop) == (a, b, c, d)
+    assert row.n_docs == a + b + c + d
+    den = (a + b) * (b + d) + (a + c) * (c + d)
+    knum = 2 * (a * d - b * c)
+    sign = -1 if knum < 0 else 1
+    assert row.kappa_pm == sign * (1000 * abs(knum) // den)
+    assert row.agree_pm == (a + d) * 1000 // (a + b + c + d)
+
+
+def test_kappa_sign_split_matches_python_on_crafted_cells(spark):
+    """Negative kappa is where Spark's truncating div and DuckDB's
+    flooring // can diverge — the sign-split must make both equal the
+    Python sign * (1000*|num|) // den on every quadrant mix."""
+    import duckdb
+
+    cases = [
+        (0, 2, 2, 0),   # perfect disagreement: kappa = -1000
+        (2, 0, 0, 2),   # perfect agreement: +1000
+        (1, 1, 1, 1),   # chance: 0
+        (5, 1, 3, 2),   # negative non-integer kappa
+        (7, 2, 1, 9),   # positive non-integer kappa
+        (3, 0, 0, 0),   # degenerate margin: den = 0 -> NULL
+    ]
+    for a, b, c, d in cases:
+        n = a + b + c + d
+        pdf = pd.DataFrame(
+            {"n_docs": [n], "both_keep": [a], "rule_only": [b],
+             "clf_only": [c], "both_drop": [d]}
+        ).astype("int64")
+        got = curation._kappa_projection(spark.createDataFrame(pdf)).collect()[0].kappa_pm
+        den = (a + b) * (b + d) + (a + c) * (c + d)
+        knum = 2 * (a * d - b * c)
+        want = None if den == 0 else (-1 if knum < 0 else 1) * (1000 * abs(knum) // den)
+        assert got == want, (a, b, c, d, got, want)
+        # and the DuckDB oracle's kappa arithmetic agrees cell-for-cell
+        dk = duckdb.sql(
+            f"""SELECT CASE WHEN ({a}::HUGEINT + {b}) * ({b}::HUGEINT + {d})
+                        + ({a}::HUGEINT + {c}) * ({c}::HUGEINT + {d}) = 0 THEN NULL
+                 ELSE (CASE WHEN {a}::HUGEINT * {d} < {b}::HUGEINT * {c} THEN -1 ELSE 1 END
+                       * ((2000 * abs({a}::HUGEINT * {d} - {b}::HUGEINT * {c}))
+                          // (({a}::HUGEINT + {b}) * ({b}::HUGEINT + {d})
+                              + ({a}::HUGEINT + {c}) * ({c}::HUGEINT + {d}))))::BIGINT END"""
+        ).fetchone()[0]
+        assert dk == want, (a, b, c, d, dk, want)
+
+
 def test_chunk_dedup_nonvacuous_on_testdata(spark, sf_dir):
     agg = (
         curation.dedup_chunk_ratio(spark, sf_dir)

@@ -121,6 +121,19 @@ def test_threshold_sweep_on_empty_corpus_reports_zero_spine(spark, empty_dir):
         assert r.n_pairs == 0 and r.n_docs_affected == 0
 
 
+def test_scorer_agreement_on_empty_corpus_is_one_null_row(spark, empty_dir):
+    """Global-aggregate report: an empty corpus yields ONE row of
+    zero cells with NULL agree_pm/kappa_pm (guarded divisions), not
+    zero rows and never an ANSI divide-by-zero."""
+    from rdbms_metadata_manager_spark.llm.curation import quality_scorer_agreement
+
+    rows = quality_scorer_agreement(spark, empty_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.both_keep, r.rule_only, r.clf_only, r.both_drop) == (0, 0, 0, 0, 0)
+    assert r.agree_pm is None and r.kappa_pm is None
+
+
 def test_profile_on_empty_table_reports_zero_rows(spark, empty_dir):
     from rdbms_metadata_manager_spark.queries.profiling import profile_orders_columns
 
