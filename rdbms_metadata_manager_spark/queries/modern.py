@@ -640,6 +640,63 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- MERGEABLE HLL SKETCHES
+
+def hll_sketch_partition_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL as a MERGEABLE column (`hll_sketch_agg` →
+    `hll_union_agg`) — the pattern a 100 TB pipeline actually runs:
+    materialize one tiny sketch per partition/source/day, answer
+    corpus-wide distinct questions by merging sketches, never by
+    rescanning the corpus. `approx_distinct_stats` covers the scalar
+    estimate face; this covers the sketch-as-data face (the union leg
+    consumes only the 25-sketch relation).
+
+    Oracle pattern (tpch_extra.approx_distinct_stats): emitted
+    columns are the EXACT distinct counts plus a flag that the
+    estimate landed within 5% (lgConfigK=12 → rsd ≈ 1.6%, flag at
+    ~3σ); the oracle emits the same exacts with literal TRUE.
+    `test_hll_union_tracks_direct_sketch` pins that merging
+    per-source sketches tracks the directly-built global sketch
+    within the same band (NOT bit-identical — datasketches promotes
+    LIST→SET→HLL along different paths for the two builds; measured
+    501 vs 502 at sf0.001).
+    """
+    d = load(spark, sf_dir, "documents")
+    ps = d.groupBy("source").agg(
+        F.expr("hll_sketch_agg(text, 12)").alias("sk"),
+        F.countDistinct("text").alias("exact_docs"),
+    )
+    per_source = ps.select(
+        F.col("source").alias("scope"),
+        "exact_docs",
+        (
+            F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_docs"))
+            <= 0.05 * F.col("exact_docs")
+        ).alias("approx_ok"),
+    )
+    merged = ps.agg(F.expr("hll_union_agg(sk, false)").alias("sk")).select(
+        F.expr("hll_sketch_estimate(sk)").alias("est_all")
+    )
+    global_exact = d.agg(F.countDistinct("text").alias("exact_docs"))
+    all_row = global_exact.crossJoin(merged).select(
+        F.lit("ALL").alias("scope"),
+        "exact_docs",
+        (F.abs(F.col("est_all") - F.col("exact_docs")) <= 0.05 * F.col("exact_docs")).alias(
+            "approx_ok"
+        ),
+    )
+    return per_source.unionByName(all_row).orderBy("scope")
+
+
+_HLL_SQL = """
+SELECT source AS scope, count(DISTINCT text)::BIGINT AS exact_docs, TRUE AS approx_ok
+FROM documents GROUP BY source
+UNION ALL
+SELECT 'ALL', count(DISTINCT text)::BIGINT, TRUE FROM documents
+ORDER BY scope
+"""
+
+
 QUERIES = {
     "variant_event_props": variant_event_props,
     "pipe_syntax_order_stats": pipe_syntax_order_stats,
@@ -655,6 +712,7 @@ QUERIES = {
     "approx_topk_event_types": approx_topk_event_types,
     "sql_tvf_top_customers_per_nation": sql_tvf_top_customers_per_nation,
     "lateral_alias_packing_plan": lateral_alias_packing_plan,
+    "hll_sketch_partition_union": hll_sketch_partition_union,
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
@@ -671,4 +729,5 @@ ORACLES = {
     "approx_topk_event_types": _APPROX_TOPK_SQL,
     "sql_tvf_top_customers_per_nation": _SQL_TVF_SQL,
     "lateral_alias_packing_plan": _LATERAL_ALIAS_SQL,
+    "hll_sketch_partition_union": _HLL_SQL,
 }
