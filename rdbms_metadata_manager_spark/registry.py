@@ -58,6 +58,7 @@ def _modules():
         multimodal,
         pii,
         pipeline,
+        pq,
         projection,
         quantize,
         ranking,
@@ -75,6 +76,7 @@ def _modules():
         dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
         clustering, kmeans, sampling, hygiene, pii, quantize, entity,
         fingerprint, curation, semdedup, gram, bpe, shared_runs, projection,
+        pq,
     ]
     mods += [events_batch, state_inspect, stream_dedup, pyds_sink]
     return mods

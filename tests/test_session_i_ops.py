@@ -45,3 +45,62 @@ def test_hll_scopes_and_flags(spark, sf_dir):
     # the ALL row counts cross-source dups once: <= sum of per-source
     all_row = next(r for r in rows if r["scope"] == "ALL")
     assert all_row["exact_docs"] <= sum(r["exact_docs"] for r in rows if r["scope"] != "ALL")
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    """Every vector gets exactly M_SUB codes, all codes land in
+    [0, K_PQ); re-running the full train+encode path reproduces the
+    identical code table (the no-RNG contract every oracle-matched
+    iterative op shares)."""
+    from rdbms_metadata_manager_spark.llm import pq
+    from rdbms_metadata_manager_spark.llm.similarity import _as_double
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    sv = pq._subvectors(emb)
+    codebook = pq._train_codebook(sv)
+    assert codebook.count() == pq.M_SUB * pq.K_PQ
+    codes = pq._pq_assign(sv, codebook).select("vec_id", "sub", "code")
+    n_vecs = emb.count()
+    assert codes.count() == n_vecs * pq.M_SUB
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= pq.K_PQ)).count()
+    assert bad == 0
+    again = pq._pq_assign(sv, pq._train_codebook(sv)).select("vec_id", "sub", "code")
+    assert codes.exceptAll(again).count() == 0 and again.exceptAll(codes).count() == 0
+
+
+def test_pq_adc_ranks_by_true_distance_on_separated_clusters(spark, tmp_path):
+    """On a corpus with two well-separated blobs, the ADC top-k must
+    come entirely from the query's blob — the scale-separation
+    property quantization must preserve (testdata vectors are nearly
+    equidistant, so this needs a crafted corpus; see memory note)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from rdbms_metadata_manager_spark.llm.pq import pq_adc_search
+
+    near, far = [], []
+    for i in range(40):
+        base = [0.0] * 64
+        base[i % 8] = 1.0 + (i % 5) * 0.01       # query blob: mass in dims 0-7
+        near.append(base)
+        base2 = [0.0] * 64
+        base2[56 + i % 8] = 9.0 + (i % 5) * 0.01  # far blob: dims 56-63, larger norm
+        far.append(base2)
+    vecs = near + far
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [pd.Series(v, dtype="float32").tolist() for v in vecs],
+            "label": [0] * len(near) + [1] * len(far),
+        }
+    )
+    tbl = pa.Table.from_pandas(pdf, schema=pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]
+    ))
+    pq_.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = pq_adc_search(spark, str(tmp_path)).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.vec_id < 40 for r in rows), rows  # all hits from the query blob
