@@ -91,6 +91,7 @@ HEADLINE = [
     "ngram_novelty_curve",
     "dedup_cluster_size_histogram",
     "pq_adc_search",
+    "ivfpq_residual_search",
 ]
 
 

@@ -263,9 +263,179 @@ LIMIT {PQ_K}
 """
 
 
+IVFPQ_NPROBE = 2
+
+
+def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the full FAISS-style billion-scale ANN layout,
+    composed from the two trained quantizers this repo already ships:
+    the deterministic-Lloyd coarse quantizer (`llm/kmeans.py`, K=8
+    cells — the write-time partition key) and a PQ codebook trained
+    on RESIDUALS v − centroid(cell) (residuals concentrate near 0, so
+    the same 16 centroids/subspace spend their resolution where the
+    mass is — the reason IVFPQ beats flat PQ at equal bits).
+
+    Search: the query probes its `IVFPQ_NPROBE` nearest cells; for
+    each probed cell a separate 128-row LUT is built from the
+    query's residual AGAINST THAT CELL (asymmetric distance needs the
+    query expressed in the same residual frame as the stored codes).
+    Candidates are only the probed cells' code rows — nprobe/K of the
+    code table, which is itself ~64x smaller than the float corpus —
+    then the usual exact-cosine rerank of the top `PQ_CANDIDATES`.
+
+    Exactness: residual subtraction is elementwise IEEE (6-dp-rounded
+    centroids make it engine-stable), LUT entries are BIGINT ticks,
+    and the oracle replays BOTH trainings — the kmeans prologue CTEs
+    feed residual CTEs that feed the unrolled PQ rounds.
+    """
+    from .kmeans import _dist2, trained_assignments
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    centroids, assigned = trained_assignments(emb, cache_key=sf_dir)
+    resid = (
+        assigned.join(F.broadcast(centroids), assigned.cluster == centroids.cid)
+        .select(
+            "vec_id",
+            "cluster",
+            F.zip_with("v", "centroid", lambda x, c: x - c).alias("v"),
+        )
+    )
+    rsv = _subvectors(resid.select("vec_id", "v"))
+    cached = f"{sf_dir}#residual" in _CODEBOOK_CACHE
+    if not cached:
+        rsv = rsv.localCheckpoint(eager=True)
+    codebook = _train_codebook(rsv, cache_key=f"{sf_dir}#residual")
+    codes = _pq_assign(rsv, codebook).select("vec_id", "sub", "code").join(
+        assigned.select("vec_id", "cluster"), "vec_id"
+    )
+    q_cells = (
+        emb.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(centroids))
+        .withColumn("d2", _dist2(F.col("v"), F.col("centroid")))
+        .orderBy("d2", "cid")
+        .limit(IVFPQ_NPROBE)
+        .select(F.col("cid").alias("qcell"), F.col("centroid").alias("qcell_centroid"))
+    )
+    q_resid = (
+        emb.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(q_cells))
+        .select(
+            "qcell",
+            F.zip_with("v", "qcell_centroid", lambda x, c: x - c).alias("v"),
+        )
+    )
+    qrsv = q_resid.select(
+        "qcell",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {M_SUB - 1}),"
+                f" s -> struct(s AS sub, slice(v, s * {SUBDIM} + 1, {SUBDIM}) AS sv))"
+            )
+        ).alias("e"),
+    ).select("qcell", F.col("e.sub").alias("qsub"), F.col("e.sv").alias("qsv"))
+    lut = (
+        qrsv.join(F.broadcast(codebook), qrsv.qsub == codebook.sub)
+        .select(
+            "qcell",
+            "qsub",
+            F.col("cid").alias("l_cid"),
+            F.floor(_sub_fold(F.col("qsv"), F.col("centroid")) * TICK).cast("bigint").alias(
+                "ticks"
+            ),
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(lut),
+            (F.col("cluster") == F.col("qcell"))
+            & (F.col("sub") == F.col("qsub"))
+            & (F.col("code") == F.col("l_cid")),
+        )
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum("ticks").alias("adc_d2_ticks"))
+    )
+    candidates = adc.orderBy("adc_d2_ticks", "vec_id").limit(PQ_CANDIDATES)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        candidates.join(emb, "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cell"),
+            "adc_d2_ticks",
+            _cosine(F.col("v"), F.col("qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(PQ_K)
+    )
+
+
+def _ivfpq_sql() -> str:
+    from .kmeans import sql_training_prologue
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{sql_training_prologue()},
+resid AS (
+  SELECT a3.vec_id, a3.cluster,
+         list_transform(range(1, {DIM + 1}), i -> a3.v[i] - c2.centroid[i]) AS rv
+  FROM a3 JOIN c2 ON c2.cid = a3.cluster
+),
+sv AS (
+  SELECT vec_id, s AS sub,
+         list_slice(rv, s * {SUBDIM} + 1, (s + 1) * {SUBDIM}) AS sv
+  FROM resid, unnest(range(0, {M_SUB})) AS t(s)
+),
+cb0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS centroid FROM sv WHERE vec_id < {K_PQ}),
+{_sql_pq_assign('cb0', 'pa1')},
+{_sql_pq_update('pa1', 'cb1')},
+{_sql_pq_assign('cb1', 'pa2')},
+{_sql_pq_update('pa2', 'cb2')},
+{_sql_pq_assign('cb2', 'codes')},
+q_cells AS (
+  SELECT s.cid AS qcell, c2.centroid AS qcell_centroid
+  FROM a3_scored s JOIN c2 ON c2.cid = s.cid
+  WHERE s.vec_id = 0
+  ORDER BY s.d2, s.cid LIMIT {IVFPQ_NPROBE}
+),
+qrsv AS (
+  SELECT qc.qcell, t.s AS sub,
+         list_slice(list_transform(range(1, {DIM + 1}), i -> q.v[i] - qc.qcell_centroid[i]),
+                    t.s * {SUBDIM} + 1, (t.s + 1) * {SUBDIM}) AS qsv
+  FROM q_cells qc, (SELECT v FROM e WHERE vec_id = 0) q, unnest(range(0, {M_SUB})) AS t(s)
+),
+lut AS (
+  SELECT qrsv.qcell, qrsv.sub, c.cid,
+         CAST(floor({_sub_d2_sql('qrsv.qsv', 'c.centroid')} * {TICK}) AS BIGINT) AS ticks
+  FROM qrsv JOIN cb2 c ON c.sub = qrsv.sub
+),
+adc AS (
+  SELECT codes.vec_id, a.cluster, sum(lut.ticks)::BIGINT AS adc_d2_ticks
+  FROM codes
+  JOIN (SELECT vec_id, cluster FROM a3) a ON a.vec_id = codes.vec_id
+  JOIN lut ON lut.qcell = a.cluster AND lut.sub = codes.sub AND lut.cid = codes.code
+  WHERE codes.vec_id != 0
+  GROUP BY 1, 2
+),
+candidates AS (
+  SELECT * FROM adc ORDER BY adc_d2_ticks, vec_id LIMIT {PQ_CANDIDATES}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT c.vec_id, c.cluster AS cell, c.adc_d2_ticks, {_cosine_sql('e.v', 'q.qv')} AS cosine
+FROM candidates c JOIN e ON e.vec_id = c.vec_id, q
+ORDER BY cosine DESC, c.vec_id
+LIMIT {PQ_K}
+"""
+
+
 QUERIES = {
     "pq_adc_search": pq_adc_search,
+    "ivfpq_residual_search": ivfpq_residual_search,
 }
 ORACLES = {
     "pq_adc_search": _PQ_SQL,
+    "ivfpq_residual_search": _ivfpq_sql(),
 }

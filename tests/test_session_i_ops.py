@@ -104,3 +104,48 @@ def test_pq_adc_ranks_by_true_distance_on_separated_clusters(spark, tmp_path):
     rows = pq_adc_search(spark, str(tmp_path)).collect()
     assert 0 < len(rows) <= 10
     assert all(r.vec_id < 40 for r in rows), rows  # all hits from the query blob
+
+
+def test_ivfpq_hits_come_from_probed_cells(spark, sf_dir):
+    """Every IVFPQ hit must lie in one of the query's IVFPQ_NPROBE
+    nearest coarse cells (the index never scans other partitions),
+    with a non-negative integer ADC distance."""
+    from rdbms_metadata_manager_spark.llm.kmeans import _dist2, trained_assignments
+    from rdbms_metadata_manager_spark.llm.pq import IVFPQ_NPROBE, ivfpq_residual_search
+    from rdbms_metadata_manager_spark.llm.similarity import _as_double
+
+    rows = ivfpq_residual_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    centroids, _ = trained_assignments(emb, checkpoint_assigned=False, cache_key=sf_dir)
+    probed = [
+        r.cid
+        for r in (
+            emb.filter(F.col("vec_id") == 0)
+            .join(F.broadcast(centroids))
+            .withColumn("d2", _dist2(F.col("v"), F.col("centroid")))
+            .orderBy("d2", "cid")
+            .limit(IVFPQ_NPROBE)
+            .collect()
+        )
+    ]
+    assert all(r.cell in probed for r in rows), (probed, rows)
+    assert all(r.adc_d2_ticks >= 0 for r in rows)
+
+
+def test_ivfpq_and_flat_pq_rerank_identically_on_shared_hits(spark, sf_dir):
+    """Both searches rerank candidates by EXACT cosine against the
+    float originals, so any vec_id surfaced by both paths must carry
+    a bit-identical cosine — the quantization scheme may change WHICH
+    candidates surface, never how a surfaced candidate is scored."""
+    from rdbms_metadata_manager_spark.llm import pq as pqmod
+
+    flat = {r.vec_id: r for r in pqmod.pq_adc_search(spark, sf_dir).collect()}
+    ivf = {r.vec_id: r for r in pqmod.ivfpq_residual_search(spark, sf_dir).collect()}
+    assert len(flat) == 10 and len(ivf) == 10
+    # both searches rerank by exact cosine, so the reported cosine of
+    # any shared vec_id must be bit-identical across the two paths
+    for vid in set(flat) & set(ivf):
+        assert flat[vid].cosine == ivf[vid].cosine
