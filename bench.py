@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "pq_adc_search",
     "ivfpq_residual_search",
+    "gopher_repetition_profile",
 ]
 
 

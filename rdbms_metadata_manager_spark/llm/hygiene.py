@@ -170,12 +170,139 @@ ORDER BY doc_id
 """
 
 
+GOPHER_TOP_MAX_N = 4     # n = 2..4: top n-gram char fraction
+GOPHER_MAX_N = 10        # n = 5..10: duplicated n-gram char fraction
+
+
+def gopher_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition table (Rae et al. 2021, Table A1):
+    per document, for n = 2..4 the per-mille of characters covered by
+    the single most frequent word n-gram (count x gram length /
+    doc chars), and for n = 5..10 the per-mille covered by ALL
+    duplicated n-grams (occurrences counted, overlaps NOT unioned —
+    the convention production filters use, so values can exceed 1000
+    on degenerate text). `text_repetition_stats` is the single-size
+    screen; this is the 9-row-per-doc profile the paper thresholds.
+
+    One generator builds every (n, gram) pair in a single explode
+    (flatten of a nested transform — 9 gram streams, one pass), one
+    (doc, n, hash, len) count, one doc rollup. Grams are counted by
+    (h32, length) instead of text — the `text_repetition_stats`
+    convention: the shuffle carries ~24 fixed bytes per gram instead
+    of the gram string (up to ~65 chars at n=10), and the oracle
+    applies the IDENTICAL md5-prefix hash, so any h32 collision
+    collapses the same rows in both engines. Determinism: the top
+    gram tie-breaks on (count DESC, hash ASC, len ASC) via one
+    min-of-struct aggregate — no window, no regroup. All-integer
+    per-mille output.
+
+    Scale: the gram shuffle is the cost center at ~9 rows per corpus
+    word; (doc_id, n, h, len)-keyed partial aggregation collapses
+    repeats map-side — exactly the repetitive documents the profile
+    exists to catch shrink their own shuffle volume.
+    """
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("doc_chars"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(2, {GOPHER_MAX_N}), n ->"
+                    " transform(sequence(1, greatest(size(split(text, ' ')) - n + 1, 1)),"
+                    " i -> struct(n AS n, array_join(slice(split(text, ' '), i, n), ' ') AS gram))))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "doc_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        # the greatest(..., 1) guard emits one short gram for docs
+        # with fewer than n words; drop it (DuckDB's range() lateral
+        # is empty there by construction)
+        .filter(F.expr("size(split(gram, ' ')) = n"))
+        .select(
+            "doc_id",
+            "doc_chars",
+            "n",
+            h32(F.col("gram")).alias("h"),
+            F.length("gram").alias("len"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "doc_chars", "n", "h", "len").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # top gram = min over struct(-cnt, h, len): largest count first,
+    # deterministic hash tie-break — ONE fully-mutable-buffer
+    # (doc, n) aggregate instead of a window + regroup
+    stats = counts.groupBy("doc_id", "doc_chars", "n").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"), F.col("h").alias("th"), F.col("len").alias("tl")
+            )
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("len")).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    )
+    return stats.select(
+        "doc_id",
+        "n",
+        F.when(F.col("n") <= GOPHER_TOP_MAX_N, F.lit("top_ngram_pm"))
+        .otherwise(F.lit("dup_ngram_pm"))
+        .alias("metric"),
+        F.expr(
+            f"CASE WHEN n <= {GOPHER_TOP_MAX_N}"
+            " THEN 1000 * (-top.nc) * top.tl div doc_chars"
+            " ELSE 1000 * dup_chars div doc_chars END"
+        ).cast("bigint").alias("pm"),
+    ).orderBy("doc_id", "n")
+
+
+_GOPHER_SQL = f"""
+WITH w AS (SELECT doc_id, length(text) AS doc_chars, string_split(text, ' ') AS words
+           FROM documents),
+grams AS (
+  SELECT doc_id, doc_chars, n.n AS n,
+         array_to_string(list_slice(words, i.i, i.i + n.n - 1), ' ') AS gram
+  FROM w, unnest(range(2, {GOPHER_MAX_N + 1})) AS n(n),
+       unnest(range(1, len(words) - n.n + 2)) AS i(i)
+),
+hashed AS (
+  SELECT doc_id, doc_chars, n, {h32_sql('gram')} AS h, length(gram) AS len
+  FROM grams
+),
+counts AS (
+  SELECT doc_id, doc_chars, n, h, len, count(*) AS cnt
+  FROM hashed GROUP BY doc_id, doc_chars, n, h, len
+),
+mc AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, h, len) AS rk
+  FROM counts
+),
+stats AS (
+  SELECT doc_id, doc_chars, n,
+         min(CASE WHEN rk = 1 THEN cnt END) AS max_cnt,
+         min(CASE WHEN rk = 1 THEN len END) AS top_len,
+         sum(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END) AS dup_chars
+  FROM mc GROUP BY doc_id, doc_chars, n
+)
+SELECT doc_id, n,
+       CASE WHEN n <= {GOPHER_TOP_MAX_N} THEN 'top_ngram_pm' ELSE 'dup_ngram_pm' END AS metric,
+       (CASE WHEN n <= {GOPHER_TOP_MAX_N}
+             THEN 1000 * max_cnt * top_len
+             ELSE 1000 * dup_chars END // doc_chars)::BIGINT AS pm
+FROM stats
+ORDER BY doc_id, n
+"""
+
+
 QUERIES = {
     "decontaminate_train_test": decontaminate_train_test,
     "text_repetition_stats": text_repetition_stats,
+    "gopher_repetition_profile": gopher_repetition_profile,
 }
 
 ORACLES = {
     "decontaminate_train_test": _DECONTAM_SQL,
     "text_repetition_stats": _REPETITION_SQL,
+    "gopher_repetition_profile": _GOPHER_SQL,
 }

@@ -149,3 +149,35 @@ def test_ivfpq_and_flat_pq_rerank_identically_on_shared_hits(spark, sf_dir):
     # any shared vec_id must be bit-identical across the two paths
     for vid in set(flat) & set(ivf):
         assert flat[vid].cosine == ivf[vid].cosine
+
+
+def test_gopher_profile_flags_repetition_and_clean_docs(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from rdbms_metadata_manager_spark.llm.hygiene import gopher_repetition_profile
+
+    spam = " ".join(["spam"] * 20)                      # 20 words, 99 chars
+    clean = " ".join(f"w{i:02d}" for i in range(20))    # all distinct
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [spam, clean],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [len(spam), len(clean)],
+        }
+    )
+    pq_.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "documents.parquet"))
+    rows = {(r.doc_id, r.n): r for r in gopher_repetition_profile(spark, str(tmp_path)).collect()}
+    assert len(rows) == 2 * 9
+    # spam doc, n=2: top gram 'spam spam' occurs 19x, 9 chars each ->
+    # 19*9*1000 // 99 = 1727 (>1000: occurrences counted, not unioned)
+    assert rows[(1, 2)].metric == "top_ngram_pm" and rows[(1, 2)].pm == 19 * 9 * 1000 // 99
+    # spam doc, n=5: every 5-gram identical -> dup covers 16 * 24 chars
+    assert rows[(1, 5)].metric == "dup_ngram_pm" and rows[(1, 5)].pm == 16 * 24 * 1000 // 99
+    # clean doc: top 2-gram is unique (count 1), no dup n-grams at all
+    assert rows[(2, 2)].pm == 1000 * 7 // len(clean)  # one 7-char gram
+    for n in range(5, 11):
+        assert rows[(2, n)].pm == 0
