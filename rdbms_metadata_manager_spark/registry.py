@@ -70,7 +70,7 @@ def _modules():
         udfs,
     )
     from .sources import pyds_sink
-    from .streaming import events_batch, state_inspect, stream_dedup
+    from .streaming import events_batch, sketch_state, state_inspect, stream_dedup
 
     mods += [
         dedup, similarity, text, multimodal, ranking, udfs, ivf, pipeline,
@@ -78,7 +78,7 @@ def _modules():
         fingerprint, curation, semdedup, gram, bpe, shared_runs, projection,
         pq,
     ]
-    mods += [events_batch, state_inspect, stream_dedup, pyds_sink]
+    mods += [events_batch, state_inspect, stream_dedup, sketch_state, pyds_sink]
     return mods
 
 
