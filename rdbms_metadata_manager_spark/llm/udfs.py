@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 from pyspark.sql.types import DoubleType, LongType
 
-from ..queries.base import load_spread
+from ..queries.base import load, load_spread
 
 CHUNK_TOKENS = 32
 
@@ -289,12 +289,72 @@ GROUP BY source
 ORDER BY source
 """
 
+@udtf(
+    returnType="source: string, n_docs: bigint, total_chars: bigint,"
+    " first_doc: bigint, max_chars: bigint"
+)
+class SourceProfile:
+    """Python UDTF consuming a TABLE argument: with
+    ``PARTITION BY source ORDER BY doc_id`` Spark routes each
+    source's rows (in doc_id order) through one UDTF instance —
+    ``eval`` accumulates, ``terminate`` emits the partition summary.
+    This is the grouped-UDTF face `ChunkDocument` (scalar-args,
+    row-per-call) doesn't cover: per-group sequential Python state
+    with the GROUPING DONE BY THE ENGINE, the UDTF twin of
+    ``applyInPandas`` grouped-map."""
+
+    def __init__(self) -> None:
+        self.src = None
+        self.n = 0
+        self.chars = 0
+        self.first_doc = None
+        self.max_chars = 0
+
+    def eval(self, row) -> None:
+        self.src = row["source"]
+        self.n += 1
+        c = len(row["text"])
+        self.chars += c
+        self.max_chars = max(self.max_chars, c)
+        if self.first_doc is None:  # ORDER BY doc_id => first = min
+            self.first_doc = row["doc_id"]
+
+    def terminate(self) -> Iterator[tuple]:
+        yield self.src, self.n, self.chars, self.first_doc, self.max_chars
+
+
+def udtf_table_arg_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF TABLE argument with PARTITION BY / ORDER BY —
+    engine-partitioned per-group Python accumulation (see
+    SourceProfile). One source-keyed exchange, one UDTF instance per
+    group, bounded state. The oracle is the plain SQL rollup the
+    accumulator reimplements — equality proves the partition routing
+    delivered every row exactly once and the ORDER BY made first_doc
+    the min."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.udtf.register("source_profile", SourceProfile)
+    return spark.sql(
+        """
+        SELECT * FROM source_profile(TABLE(documents) PARTITION BY source ORDER BY doc_id)
+        ORDER BY source
+        """
+    )
+
+
+_TABLE_ARG_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs, sum(length(text))::BIGINT AS total_chars,
+       min(doc_id)::BIGINT AS first_doc, max(length(text))::BIGINT AS max_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "pandas_udf_text_scores": pandas_udf_text_scores,
     "udtf_document_chunks": udtf_document_chunks,
     "pandas_udaf_gini_acctbal": pandas_udaf_gini_acctbal,
     "udtf_polymorphic_doc_stats": udtf_polymorphic_doc_stats,
     "arrow_doc_byte_stats": arrow_doc_byte_stats,
+    "udtf_table_arg_source_profile": udtf_table_arg_source_profile,
 }
 
 ORACLES = {
@@ -303,4 +363,5 @@ ORACLES = {
     "pandas_udaf_gini_acctbal": _UDAF_SQL,
     "udtf_polymorphic_doc_stats": _POLY_UDTF_SQL,
     "arrow_doc_byte_stats": _ARROW_BYTES_SQL,
+    "udtf_table_arg_source_profile": _TABLE_ARG_SQL,
 }
