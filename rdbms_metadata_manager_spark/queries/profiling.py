@@ -522,8 +522,36 @@ WHERE l_shipdate <= DATE '1998-09-02'
 """
 
 
+def crosstab_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.stat.crosstab` — the contingency-table API face
+    (pair frequencies pivoted to a wide table). Spark implements it
+    as one pair-count aggregate + driver-side pivot over the distinct
+    column-2 values, which is exactly its scale contract: fine while
+    |distinct(col2)| is small (2 here), and the reason the oracle is
+    a plain conditional-aggregation pivot. Output row order is
+    undefined, so the face adds the orderBy the driver compare
+    needs."""
+    li = load(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        "l_returnflag_l_linestatus",
+        *[F.col(c).cast("bigint").alias(c) for c in ct.columns[1:]],
+    ).orderBy("l_returnflag_l_linestatus")
+
+
+_CROSSTAB_SQL = """
+SELECT l_returnflag AS l_returnflag_l_linestatus,
+       count(*) FILTER (WHERE l_linestatus = 'F')::BIGINT AS "F",
+       count(*) FILTER (WHERE l_linestatus = 'O')::BIGINT AS "O"
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "profile_orders_columns": profile_orders_columns,
+    "crosstab_returnflag_linestatus": crosstab_returnflag_linestatus,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "resample_events_hourly": resample_events_hourly,
     "resample_events_hourly_locf": resample_events_hourly_locf,
@@ -536,6 +564,7 @@ QUERIES = {
 
 ORACLES = {
     "profile_orders_columns": _PROFILE_SQL,
+    "crosstab_returnflag_linestatus": _CROSSTAB_SQL,
     "unpivot_lineitem_measures": _UNPIVOT_SQL,
     "resample_events_hourly": _RESAMPLE_SQL,
     "resample_events_hourly_locf": _RESAMPLE_LOCF_SQL,
