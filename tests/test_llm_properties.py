@@ -535,3 +535,54 @@ def test_label_centroid_separation_testdata_bounds(spark, sf_dir):
     for r in rows:
         assert r.label_a < r.label_b
         assert -1.0 <= r.centroid_cosine <= 1.0
+
+
+def _chunk_rewrite_reference(texts: dict[int, str], chunk_words: int) -> dict[int, tuple]:
+    """Keep-first passage dedup in plain Python."""
+    seen: set[str] = set()
+    out: dict[int, tuple] = {}
+    for doc_id in sorted(texts):
+        words = texts[doc_id].split(" ")
+        n_chunks = (len(words) + chunk_words - 1) // chunk_words
+        kept = []
+        removed = 0
+        for i in range(n_chunks):
+            chunk = " ".join(words[i * chunk_words : (i + 1) * chunk_words])
+            if chunk in seen:
+                removed += 1
+            else:
+                seen.add(chunk)
+                kept.append(chunk)
+        out[doc_id] = (n_chunks, removed, " ".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from([f"t{i}" for i in range(6)]), min_size=1, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    st.data(),
+)
+def test_chunk_rewrite_matches_python_reference(spark, tmp_path_factory, docs, data):
+    """Random tiny-vocab corpora (so chunk collisions actually occur),
+    optionally with one doc duplicated verbatim, checked against the
+    sequential keep-first Python reference — pins the corpus-wide
+    first-occurrence order (doc_id, ord) and the reconstruction."""
+    from rdbms_metadata_manager_spark.llm.curation import CHUNK_WORDS, chunk_dedup_rewrite
+
+    if data.draw(st.booleans()):
+        docs.append(docs[data.draw(st.integers(0, len(docs) - 1))])
+    texts = {k: " ".join(words) for k, words in enumerate(docs)}
+    d = str(tmp_path_factory.mktemp("chunk_rw_prop"))
+    spark.createDataFrame(
+        [(k, t, "en", "w", 0) for k, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_chunks, r.removed_chunks, r.clean_text)
+        for r in chunk_dedup_rewrite(spark, d).collect()
+    }
+    assert got == _chunk_rewrite_reference(texts, CHUNK_WORDS)
