@@ -408,6 +408,125 @@ ORDER BY bucket_lo
 """
 
 
+SPAN_START_PM = 50  # 5% of positions open a span; x SPAN_LEN ~= 15% noise
+SPAN_LEN = 3
+
+
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair generation (Raffel et al. 2020):
+    each document becomes a (input, target) denoising example — ~15%
+    of tokens are masked in contiguous spans, each span replaced by a
+    sentinel ``<extra_id_k>`` in the input and spelled out after the
+    same sentinel in the target. The "randomness" is the corpus
+    convention of this repo: a per-(doc, position) md5-derived draw
+    (`h32(doc_id:i) % 1000 < 50` opens a 3-token span), so the same
+    document always corrupts identically, on any partitioning, in
+    both engines — `randomSplit`-style RNG would be neither
+    repartition-stable nor oracle-checkable.
+
+    Shape: one posexplode, two windows on the SAME (doc_id, i) sort
+    (coverage lookback, then lag + running span count — single
+    exchange), one doc rollup that rebuilds both texts via
+    sorted-struct folds. Overlapping spans merge into one island, so
+    sentinels number consecutive masked runs. Docs with no draw come
+    back verbatim with an empty target.
+    """
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select("doc_id", (F.col("pos") + 1).alias("i"), "w")
+    u = (
+        h32(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string")))
+        % 1000
+    )
+    flagged = words.withColumn("start", (u < SPAN_START_PM).cast("int"))
+    lookback = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(SPAN_LEN - 1), 0)
+    seq = Window.partitionBy("doc_id").orderBy("i")
+    isl = (
+        flagged.withColumn("covered", F.max("start").over(lookback) == 1)
+        .withColumn("prev_cov", F.lag("covered", 1, False).over(seq))
+        .withColumn("span_first", F.col("covered") & ~F.col("prev_cov"))
+        .withColumn("span_id", F.sum(F.col("span_first").cast("int")).over(seq))
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), (F.col("span_id") - 1).cast("string"), F.lit(">"))
+    p_in = F.when(~F.col("covered"), F.col("w")).when(F.col("span_first"), sentinel)
+    p_tgt = F.when(
+        F.col("covered") & F.col("span_first"), F.concat(sentinel, F.lit(" "), F.col("w"))
+    ).when(F.col("covered"), F.col("w"))
+
+    def _joined(piece):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(piece.isNotNull(), F.struct(F.col("i").alias("i"), piece.alias("p")))
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        )
+
+    return (
+        isl.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("covered"), F.col("span_id"))), F.lit(0)
+            ).cast("bigint").alias("n_spans"),
+            _joined(p_in).alias("input_text"),
+            _joined(p_tgt).alias("target_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS w FROM w
+),
+flagged AS (
+  SELECT doc_id, i, w,
+         CASE WHEN {h32_sql("doc_id::VARCHAR || ':' || i::VARCHAR")} % 1000
+                   < {SPAN_START_PM} THEN 1 ELSE 0 END AS start
+  FROM tok
+),
+cov AS (
+  SELECT *, max(start) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN {SPAN_LEN - 1} PRECEDING AND CURRENT ROW) = 1
+            AS covered
+  FROM flagged
+),
+isl AS (
+  SELECT *,
+         covered AND NOT coalesce(lag(covered) OVER (PARTITION BY doc_id ORDER BY i), false)
+           AS span_first
+  FROM cov
+),
+spans AS (
+  SELECT *, sum(CASE WHEN span_first THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+  FROM isl
+),
+pieces AS (
+  SELECT doc_id, i, covered, span_id,
+         CASE WHEN NOT covered THEN w
+              WHEN span_first THEN '<extra_id_' || (span_id - 1)::VARCHAR || '>' END AS p_in,
+         CASE WHEN covered AND span_first
+                   THEN '<extra_id_' || (span_id - 1)::VARCHAR || '> ' || w
+              WHEN covered THEN w END AS p_tgt
+  FROM spans
+)
+SELECT doc_id,
+       coalesce(max(CASE WHEN covered THEN span_id END), 0)::BIGINT AS n_spans,
+       coalesce(string_agg(p_in, ' ' ORDER BY i), '') AS input_text,
+       coalesce(string_agg(p_tgt, ' ' ORDER BY i), '') AS target_text
+FROM pieces
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
     "leakage_safe_split": leakage_safe_split,
@@ -417,6 +536,7 @@ QUERIES = {
     "sample_weighted_topk": sample_weighted_topk,
     "shard_packing_nextfit": shard_packing_nextfit,
     "sequence_length_histogram": sequence_length_histogram,
+    "span_corruption_pairs": span_corruption_pairs,
 }
 
 ORACLES = {
@@ -428,4 +548,5 @@ ORACLES = {
     "sample_weighted_topk": _WEIGHTED_SQL,
     "shard_packing_nextfit": _SHARD_SQL,
     "sequence_length_histogram": _LEN_HIST_SQL,
+    "span_corruption_pairs": _SPAN_SQL,
 }

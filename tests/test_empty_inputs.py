@@ -75,6 +75,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.pq", "pq_adc_search"),
         ("llm.hygiene", "gopher_repetition_profile"),
         ("llm.udfs", "udtf_table_arg_source_profile"),
+        ("llm.sampling", "span_corruption_pairs"),
         ("llm.semdedup", "d4_prototype_prune"),
         ("llm.dedup", "cross_source_dup_matrix"),
         ("llm.gram", "embedding_gram_matrix"),

@@ -181,3 +181,39 @@ def test_gopher_profile_flags_repetition_and_clean_docs(spark, tmp_path):
     assert rows[(2, 2)].pm == 1000 * 7 // len(clean)  # one 7-char gram
     for n in range(5, 11):
         assert rows[(2, n)].pm == 0
+
+
+def test_span_corruption_roundtrip_reconstructs_originals(spark, sf_dir):
+    """THE span-corruption invariant: splicing each sentinel's target
+    span back into the input must reproduce the original document
+    byte-for-byte — proves inputs and targets partition the token
+    stream with consistent sentinel numbering. Also bounds the noise
+    rate at the configured ~15% corpus-wide."""
+    import re
+
+    from rdbms_metadata_manager_spark.llm.sampling import span_corruption_pairs
+
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    rows = span_corruption_pairs(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    masked = total = 0
+    for r in rows:
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for tok in r.target_text.split(" ") if r.target_text else []:
+            if re.fullmatch(r"<extra_id_\d+>", tok):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        assert len(spans) == r.n_spans
+        rebuilt = []
+        for tok in r.input_text.split(" "):
+            if re.fullmatch(r"<extra_id_\d+>", tok):
+                rebuilt.extend(spans[tok])
+            else:
+                rebuilt.append(tok)
+        assert " ".join(rebuilt) == docs[r.doc_id], r.doc_id
+        masked += sum(len(v) for v in spans.values())
+        total += len(docs[r.doc_id].split(" "))
+    assert 0.05 <= masked / total <= 0.30  # ~15% target, hash-driven
