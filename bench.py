@@ -93,6 +93,7 @@ HEADLINE = [
     "pq_adc_search",
     "ivfpq_residual_search",
     "gopher_repetition_profile",
+    "autocorr_daily_events",
 ]
 
 

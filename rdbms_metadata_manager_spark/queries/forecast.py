@@ -229,13 +229,126 @@ ORDER BY c_mktsegment
 """
 
 
+MAX_LAG = 7
+
+
+def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the global daily event count at
+    lags 1..7 — the seasonality detector that tells a capacity planner
+    whether the weekly cycle the seasonal-naive forecast assumes
+    actually exists. [beyond-reference] time-series face.
+
+    Semantics: the series is the ZERO-FILLED contiguous daily count
+    spine from the first to the last observed day (an ACF over only
+    observed days would silently treat gaps as adjacent). For each lag
+    k the Pearson correlation r_k is carried as exact integers via
+    sufficient statistics — num = n·Σxy − Σx·Σy and the two variance
+    legs — and reported as sign(r)·⌊1000·num²/(den_x·den_y)⌋, the
+    signed r² in per-mille, so both engines agree bit-for-bit (no
+    sqrt, no float accumulation).
+
+    Scale shape: ONE map-side-combined daily rollup touches the raw
+    events; everything after runs on the days-long rollup (the spine
+    join and the 7-lag self-join are O(days·lags) — thousands of rows
+    no matter the corpus size). The min/max bounds ride a 1-row
+    broadcast, the sanctioned scalar pattern."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_timestamp("ts") / DAY_SECONDS).alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.agg(F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1"))
+    spine = bounds.select(F.explode(F.expr("sequence(d0, d1)")).alias("day_idx"))
+    series = spine.join(daily, "day_idx", "left").select(
+        "day_idx", F.coalesce(F.col("n"), F.lit(0)).alias("x")
+    )
+    return _acf_report(series)
+
+
+def _acf_report(series: DataFrame) -> DataFrame:
+    """Signed-r²-per-mille ACF at lags 1..MAX_LAG over any contiguous
+    (day_idx, x) integer series (testable on hand-built series)."""
+    left = series.select(
+        F.col("day_idx"),
+        F.col("x").alias("xl"),
+        F.explode(F.expr(f"sequence(1, {MAX_LAG})")).alias("lag"),
+    )
+    right = series.select(F.col("day_idx").alias("rd"), F.col("x").alias("xr"))
+    pairs = left.join(
+        F.broadcast(right), left["day_idx"] + left["lag"] == right["rd"]
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xl").alias("sx"),
+        F.sum("xr").alias("sy"),
+        F.sum(F.col("xl") * F.col("xr")).alias("sxy"),
+        F.sum(F.col("xl") * F.col("xl")).alias("sxx"),
+        F.sum(F.col("xr") * F.col("xr")).alias("syy"),
+    )
+    return stats.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            "CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"
+            " * ((1000 * CAST(n * sxy - sx * sy AS DECIMAL(38,0))"
+            "          * CAST(n * sxy - sx * sy AS DECIMAL(38,0)))"
+            "    div nullif(CAST(n * sxx - sx * sx AS DECIMAL(38,0))"
+            "             * CAST(n * syy - sy * sy AS DECIMAL(38,0)), 0))"
+        ).alias("acf_r2_permille_signed"),
+    ).orderBy("lag")
+
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS day_idx,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM daily),
+spine AS (
+  SELECT r.day_idx FROM bounds, UNNEST(generate_series(d0, d1)) AS r(day_idx)
+),
+series AS (
+  SELECT s.day_idx, coalesce(d.n, 0) AS x
+  FROM spine s LEFT JOIN daily d ON s.day_idx = d.day_idx
+),
+pairs AS (
+  SELECT k.lag, l.x AS xl, r.x AS xr
+  FROM series l,
+       UNNEST(generate_series(1, {MAX_LAG})) AS k(lag),
+       series r
+  WHERE r.day_idx = l.day_idx + k.lag
+),
+stats AS (
+  SELECT lag,
+         count(*)::BIGINT AS n,
+         sum(xl)::BIGINT AS sx, sum(xr)::BIGINT AS sy,
+         sum(xl * xr)::BIGINT AS sxy,
+         sum(xl * xl)::BIGINT AS sxx,
+         sum(xr * xr)::BIGINT AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       n AS n_pairs,
+       (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+        * ((1000 * CAST(n * sxy - sx * sy AS HUGEINT)
+                 * CAST(n * sxy - sx * sy AS HUGEINT))
+           // nullif(CAST(n * sxx - sx * sx AS HUGEINT)
+                   * CAST(n * syy - sy * sy AS HUGEINT), 0)))::BIGINT
+         AS acf_r2_permille_signed
+FROM stats
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
     "ewma_daily_events": ewma_daily_events,
     "ols_trend_per_segment": ols_trend_per_segment,
+    "autocorr_daily_events": autocorr_daily_events,
 }
 ORACLES = {
     "forecast_seasonal_naive_backtest": _FORECAST_SQL,
     "ewma_daily_events": _EWMA_SQL,
     "ols_trend_per_segment": _OLS_SQL,
+    "autocorr_daily_events": _ACF_SQL,
 }

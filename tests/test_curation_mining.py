@@ -289,6 +289,26 @@ def test_ols_fit_exact_line_and_flat_noise(spark):
     assert got["FLAT"] == (0, None), got
 
 
+def test_acf_report_alternating_and_linear_series(spark):
+    """A perfect period-2 series (0,10,0,10,...) has r = -1 at odd
+    lags and r = +1 at even lags (signed r^2 per-mille = ∓1000); a
+    constant series has zero variance at every lag -> NULL."""
+    from rdbms_metadata_manager_spark.queries.forecast import MAX_LAG, _acf_report
+
+    alt = spark.createDataFrame(
+        [(i, 10 * (i % 2)) for i in range(40)], "day_idx long, x long"
+    )
+    got = {r.lag: r.acf_r2_permille_signed for r in _acf_report(alt).collect()}
+    assert set(got) == set(range(1, MAX_LAG + 1))
+    for lag, r2 in got.items():
+        assert r2 == (1000 if lag % 2 == 0 else -1000), (lag, r2)
+
+    flat = spark.createDataFrame([(i, 7) for i in range(40)], "day_idx long, x long")
+    assert all(
+        r.acf_r2_permille_signed is None for r in _acf_report(flat).collect()
+    )
+
+
 def test_association_rules_confidence_consistency(spark, sf_dir):
     """Every reported rule must satisfy the definitional inequalities:
     conf <= 1000, co >= MIN_SUPPORT, and lift consistent with the
