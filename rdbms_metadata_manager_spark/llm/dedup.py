@@ -242,23 +242,26 @@ ORDER BY doc_a, doc_b
 _MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH banding (4×4) candidate pairs, verified with
-    exact Jaccard ≥ 0.5. Candidate generation shuffles on the band
-    key only — the linear-scale near-dup path. Hash family i is the
-    AFFINE ``(a_i·h32(shingle) + b_i) mod MINHASH_PRIME`` (one md5
-    per shingle, not one per (i, shingle) — see the constants block
-    above), reproducible in SQL.
+_MINHASH_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-    Output = verified pairs, so precision is exact; recall is the
-    standard LSH s-curve (J=0.5 → P(candidate) ≈ 1-(1-0.5⁴)⁴ ≈ 23%
-    per band family — parameters chosen for the near-identical
-    planted dups at J≈0.99 where recall ≈ 1).
 
-    Materialized once per (corpus, Spark app): the recall-QA report
-    and the cross-source matrix both start from this pair list."""
+def _minhash_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with BOTH the sketch-side and truth-side
+    per-pair stats: ``doc_a, doc_b, n_sig_match`` (matching signature
+    components, 0..MINHASH_K) and ``n_common, n_a, n_b`` (exact
+    uncapped shingle-set overlap/sizes). Candidate generation shuffles
+    on the band key only — the linear-scale near-dup path. Hash
+    family i is the AFFINE ``(a_i·h32(shingle) + b_i) mod
+    MINHASH_PRIME`` (one md5 per shingle, not one per (i, shingle) —
+    see the constants block above), reproducible in SQL.
+
+    Materialized once per (corpus, Spark app): the verified pair
+    list (dedup_minhash_lsh) and the estimator-calibration report
+    both derive from this table with nothing heavier than a filter —
+    the "candidate stats are a cached table" layout a production
+    dedup service would keep anyway for QA dashboards."""
     key = (sf_dir, spark.sparkContext.applicationId)
-    cached = _MINHASH_CACHE.get(key)
+    cached = _MINHASH_STATS_CACHE.get(key)
     if cached is not None:
         return cached
     # Signatures as explode + 16 groupBy-min aggregates rather than 16
@@ -309,13 +312,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("sh_b"))
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    # 16 plain positional comparisons (not a zip_with HOF — Catalyst
+    # lambdas run interpreted; these codegen).
+    n_sig_match = sum(
+        F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+        for i in range(MINHASH_K)
+    ).cast("bigint")
     out = (
-        candidates.join(sh_a, "doc_a")
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_sig_match.alias("n_sig_match"),
+            "n_common",
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _MINHASH_STATS_CACHE[key] = out
+    return out
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (4×4) candidate pairs, verified with
+    exact Jaccard ≥ 0.5 (candidate generation and per-pair stats:
+    ``_minhash_candidate_stats``).
+
+    Output = verified pairs, so precision is exact; recall is the
+    standard LSH s-curve (J=0.5 → P(candidate) ≈ 1-(1-0.5⁴)⁴ ≈ 23%
+    per band family — parameters chosen for the near-identical
+    planted dups at J≈0.99 where recall ≈ 1).
+
+    Materialized once per (corpus, Spark app): the recall-QA report
+    and the cross-source matrix both start from this pair list."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _MINHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    stats = _minhash_candidate_stats(spark, sf_dir)
+    out = (
+        stats.withColumn(
             "jaccard",
-            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -326,13 +371,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration table for the MinHash sketch: for each
+    signature-agreement level k (matching components out of
+    MINHASH_K=16, the sketch's Jaccard estimate k/16), the count of
+    LSH candidate pairs at that level and the exact-Jaccard summary
+    (mean/min/max, integer per-mille) of those pairs.
+
+    This is the other half of the QA story next to
+    [[dedup_sketch_recall_report]]: recall tells you what the banding
+    MISSED; calibration tells you how far the unbiased k/16 estimator
+    wanders from truth at K=16 (stderr ≈ √(J(1-J)/16) ≈ 0.12 — a
+    production run alarms when the observed spread leaves that band).
+    Runs entirely on the memoized candidate-stats table — zero extra
+    scans, one tiny aggregation. All-integer output (floor-divided
+    per-milles), so both engines agree bit-for-bit."""
+    stats = _minhash_candidate_stats(spark, sf_dir)
+    jp = F.expr("(1000 * n_common) div (n_a + n_b - n_common)")
+    return (
+        stats.select(F.col("n_sig_match").alias("sig_matches"), jp.alias("jp"))
+        .groupBy("sig_matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(jp) div count(*)").alias("mean_jaccard_permille"),
+            F.min("jp").alias("min_jaccard_permille"),
+            F.max("jp").alias("max_jaccard_permille"),
+        )
+        .orderBy("sig_matches")
+    )
+
+
 _MINHASH_SIG_SQL = "[" + ", ".join(
     f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
     for a, b in zip(MINHASH_A, MINHASH_B)
 ) + "]"
 
-_MINHASH_SQL = f"""
-WITH sh AS ({_SHINGLED_SQL}),
+_MINHASH_CAND_CTES = f"""sh AS ({_SHINGLED_SQL}),
 sig AS (
   SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
   FROM sh
@@ -346,7 +420,10 @@ candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
+)"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_CAND_CTES},
 verified AS (
   SELECT doc_a, doc_b,
          len(list_intersect(sa.hashes, sb.hashes)) * 1.0
@@ -359,6 +436,29 @@ verified AS (
 SELECT doc_a, doc_b, jaccard FROM verified
 WHERE jaccard >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
+"""
+
+_MINHASH_CALIB_SQL = f"""
+WITH {_MINHASH_CAND_CTES},
+pair_stats AS (
+  SELECT ({" + ".join(f"(CASE WHEN ga.sig[{i + 1}] = gb.sig[{i + 1}] THEN 1 ELSE 0 END)" for i in range(MINHASH_K))})::BIGINT AS sig_matches,
+         (1000 * len(list_intersect(ha.hashes, hb.hashes)))
+           // (len(ha.hashes) + len(hb.hashes)
+               - len(list_intersect(ha.hashes, hb.hashes))) AS jp
+  FROM candidates
+  JOIN sig ga ON ga.doc_id = doc_a
+  JOIN sig gb ON gb.doc_id = doc_b
+  JOIN sh ha ON ha.doc_id = doc_a
+  JOIN sh hb ON hb.doc_id = doc_b
+)
+SELECT sig_matches,
+       count(*)::BIGINT AS n_pairs,
+       (sum(jp) // count(*))::BIGINT AS mean_jaccard_permille,
+       min(jp)::BIGINT AS min_jaccard_permille,
+       max(jp)::BIGINT AS max_jaccard_permille
+FROM pair_stats
+GROUP BY sig_matches
+ORDER BY sig_matches
 """
 
 
@@ -951,6 +1051,7 @@ QUERIES = {
     "dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter,
     "dedup_containment": dedup_containment,
     "dedup_sketch_recall_report": dedup_sketch_recall_report,
+    "minhash_estimate_calibration": minhash_estimate_calibration,
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "ngram_novelty_curve": ngram_novelty_curve,
@@ -965,6 +1066,7 @@ ORACLES = {
     "dedup_jaccard_prefix_filter": _PREFIX_FILTER_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
     "dedup_sketch_recall_report": _SKETCH_RECALL_SQL,
+    "minhash_estimate_calibration": _MINHASH_CALIB_SQL,
     "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
     "dedup_threshold_sweep": _SWEEP_SQL,
     "ngram_novelty_curve": _NOVELTY_SQL,
