@@ -18,7 +18,7 @@ yields no prediction instead of silently lagging to an older day).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import DAY_SECONDS, load, tables
@@ -252,29 +252,57 @@ def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     join and the 7-lag self-join are O(days·lags) — thousands of rows
     no matter the corpus size). The min/max bounds ride a 1-row
     broadcast, the sanctioned scalar pattern."""
+    return _acf_report(_daily_series(spark, sf_dir))
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled contiguous (day_idx, x) daily event-count series.
+
+    SINGLE-LINEAGE gap fill: each observed day emits the run of days
+    up to (not including) the next observed day via one lead() window
+    — one events scan total, where the min/max-bounds + spine-join
+    form re-derives the rollup per branch (2-3 scans of the 100 TB
+    table for the same tiny result). The window is a single ≤days-long
+    partition — bounded by calendar time, not corpus size."""
     events = load(spark, sf_dir, "events")
     daily = events.groupBy(
         F.floor(F.unix_timestamp("ts") / DAY_SECONDS).alias("day_idx")
     ).agg(F.count(F.lit(1)).alias("n"))
-    bounds = daily.agg(F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1"))
-    spine = bounds.select(F.explode(F.expr("sequence(d0, d1)")).alias("day_idx"))
-    series = spine.join(daily, "day_idx", "left").select(
-        "day_idx", F.coalesce(F.col("n"), F.lit(0)).alias("x")
+    nxt = F.lead("day_idx").over(Window.orderBy("day_idx"))
+    filled = daily.select("day_idx", "n", nxt.alias("nxt")).select(
+        F.col("day_idx").alias("obs_day"),
+        "n",
+        F.explode(F.expr("sequence(day_idx, coalesce(nxt - 1, day_idx))")).alias(
+            "day_idx"
+        ),
     )
-    return _acf_report(series)
+    return filled.select(
+        "day_idx",
+        F.when(F.col("day_idx") == F.col("obs_day"), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("x"),
+    )
 
 
 def _acf_report(series: DataFrame) -> DataFrame:
     """Signed-r²-per-mille ACF at lags 1..MAX_LAG over any contiguous
-    (day_idx, x) integer series (testable on hand-built series)."""
-    left = series.select(
-        F.col("day_idx"),
+    (day_idx, x) integer series (testable on hand-built series).
+
+    Lag pairs come from MAX_LAG lead() columns over ONE window sort
+    rather than a self-join — the series is one lineage, so the
+    upstream events rollup runs once, and the window partition is
+    days-long (calendar-bounded) at any corpus size. lead() past the
+    series end is NULL; dropping those rows reproduces the join
+    semantics exactly because the series is contiguous."""
+    w = Window.orderBy("day_idx")
+    leads = series.select(
         F.col("x").alias("xl"),
-        F.explode(F.expr(f"sequence(1, {MAX_LAG})")).alias("lag"),
+        F.array(*[F.lead("x", k).over(w) for k in range(1, MAX_LAG + 1)]).alias("xs"),
     )
-    right = series.select(F.col("day_idx").alias("rd"), F.col("x").alias("xr"))
-    pairs = left.join(
-        F.broadcast(right), left["day_idx"] + left["lag"] == right["rd"]
+    pairs = leads.select(
+        "xl", F.posexplode("xs").alias("pos", "xr")
+    ).select((F.col("pos") + 1).alias("lag"), "xl", "xr").filter(
+        F.col("xr").isNotNull()
     )
     stats = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -297,8 +325,7 @@ def _acf_report(series: DataFrame) -> DataFrame:
     ).orderBy("lag")
 
 
-_ACF_SQL = f"""
-WITH daily AS (
+_SERIES_CTES = f"""daily AS (
   SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS day_idx,
          count(*)::BIGINT AS n
   FROM events GROUP BY 1
@@ -310,7 +337,10 @@ spine AS (
 series AS (
   SELECT s.day_idx, coalesce(d.n, 0) AS x
   FROM spine s LEFT JOIN daily d ON s.day_idx = d.day_idx
-),
+)"""
+
+_ACF_SQL = f"""
+WITH {_SERIES_CTES},
 pairs AS (
   SELECT k.lag, l.x AS xl, r.x AS xr
   FROM series l,
@@ -340,15 +370,73 @@ ORDER BY lag
 """
 
 
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal indices of the daily event count — the
+    decomposition that justifies (or falsifies) the lag the
+    seasonal-naive forecast uses, companion to
+    [[autocorr_daily_events]]. [beyond-reference] time-series face.
+
+    phase = day_idx mod 7 (an epoch-anchored 7-phase, deliberately
+    NOT the calendar weekday — the series is an abstract integer
+    spine and the index only needs a consistent phase alignment).
+    seasonal index = mean(phase) / mean(overall) carried as the exact
+    integer ⌊1000·Σx_phase·n_days_total / (n_days_phase·Σx_total)⌋
+    (per-mille; 1000 = an average day). Zero-filled spine as in the
+    ACF, so missing days count as 0 rather than being skipped.
+
+    Scale shape: ONE daily rollup touches the raw events (the totals
+    come from a global window over the ≤7-row phase table — same
+    lineage, not a second scan; a 7-row single-partition window is
+    free at any corpus size). The decimal(38,0) casts keep the
+    cross-multiplication exact at any corpus size (DuckDB side
+    mirrors with HUGEINT)."""
+    series = _daily_series(spark, sf_dir)
+    per_phase = series.groupBy(F.pmod("day_idx", F.lit(7)).alias("phase")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("total_events")
+    )
+    return per_phase.select(
+        "phase",
+        "n_days",
+        "total_events",
+        F.expr(
+            "(1000 * CAST(total_events AS DECIMAL(38,0))"
+            " * (sum(n_days) OVER (PARTITION BY 1)))"
+            " div nullif(CAST(n_days AS DECIMAL(38,0))"
+            " * (sum(total_events) OVER (PARTITION BY 1)), 0)"
+        )
+        .cast("bigint")
+        .alias("seasonal_permille"),
+    ).orderBy("phase")
+
+
+_SEASONAL_SQL = f"""
+WITH {_SERIES_CTES},
+per_phase AS (
+  SELECT day_idx % 7 AS phase,
+         count(*)::BIGINT AS n_days,
+         sum(x)::BIGINT AS total_events
+  FROM series GROUP BY 1
+)
+SELECT phase, n_days, total_events,
+       ((1000 * total_events::HUGEINT * (sum(n_days) OVER ()))
+        // nullif(n_days::HUGEINT * (sum(total_events) OVER ()), 0))::BIGINT
+         AS seasonal_permille
+FROM per_phase
+ORDER BY phase
+"""
+
+
 QUERIES = {
     "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
     "ewma_daily_events": ewma_daily_events,
     "ols_trend_per_segment": ols_trend_per_segment,
     "autocorr_daily_events": autocorr_daily_events,
+    "seasonal_decompose_daily": seasonal_decompose_daily,
 }
 ORACLES = {
     "forecast_seasonal_naive_backtest": _FORECAST_SQL,
     "ewma_daily_events": _EWMA_SQL,
     "ols_trend_per_segment": _OLS_SQL,
     "autocorr_daily_events": _ACF_SQL,
+    "seasonal_decompose_daily": _SEASONAL_SQL,
 }
