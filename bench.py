@@ -94,6 +94,12 @@ HEADLINE = [
     "ivfpq_residual_search",
     "gopher_repetition_profile",
     "autocorr_daily_events",
+    "seasonal_decompose_daily",
+    "minhash_estimate_calibration",
+    "language_id_confusion",
+    "zipf_rank_frequency_audit",
+    "dedup_edit_distance_verify",
+    "bpe_train_merges",
 ]
 
 

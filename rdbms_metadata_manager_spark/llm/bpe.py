@@ -77,5 +77,137 @@ LIMIT {TOP_MERGES}
 """
 
 
-QUERIES = {"bpe_pair_merge_counts": bpe_pair_merge_counts}
-ORACLES = {"bpe_pair_merge_counts": _BPE_SQL}
+# Iterative trainer: the number of merge rounds. Small on purpose —
+# each round is one dictionary-sized job; the POINT is the loop
+# structure (argmax → re-segment → recount), not a production vocab.
+N_TRAIN_MERGES = 6
+_US = "\x1f"  # symbol delimiter; never occurs in whitespace-split words
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE training for N_TRAIN_MERGES rounds — the
+    actual Sennrich '16 loop, not just round one's pair count
+    ([[bpe_pair_merge_counts]]): each round picks the most frequent
+    adjacent symbol pair over the word DICTIONARY (weighted by word
+    count), merges it greedily left-to-right in every word, and
+    recounts. Returns the learned merge table in order.
+
+    Distribution shape: the corpus contributes ONE word-count shuffle
+    (the dictionary is localCheckpoint-ed so the loop never rescans
+    the corpus); each round is a dictionary-sized aggregation whose
+    single winning row is the only thing the driver ever sees — the
+    same "iterate on a tiny relation, collect one scalar per round"
+    layout as the k-means Lloyd loop. Re-segmentation uses a
+    delimiter-wrapped string form (⟨US⟩sym⟨US⟩ per symbol) so plain
+    non-regex replace() — identical left-to-right non-overlapping
+    semantics in Spark and DuckDB — implements the BPE greedy merge
+    exactly; ties break (count DESC, sym_a, sym_b), both engines
+    binary collation."""
+    wc = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias(
+                "arr"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = _train_merges(wc)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, sym_a string, sym_b string, merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+def _train_merges(wc: DataFrame) -> list[tuple]:
+    """The merge loop over any (n, arr) dictionary DataFrame —
+    testable against a sequential Python BPE reference."""
+    d = wc
+    merges: list[tuple] = []
+    for r in range(1, N_TRAIN_MERGES + 1):
+        top = (
+            d.filter(F.size("arr") >= 2)
+            .select(
+                "n", "arr", F.explode(F.expr("sequence(1, size(arr) - 1)")).alias("i")
+            )
+            .select("n", F.expr("arr[i - 1]").alias("s1"), F.expr("arr[i]").alias("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "s1", "s2")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        s1, s2, cnt = top[0].s1, top[0].s2, top[0].cnt
+        merges.append((r, s1, s2, s1 + s2, cnt))
+        pattern, repl = _US + s1 + _US + _US + s2 + _US, _US + s1 + s2 + _US
+        wrapped = F.concat_ws(
+            "", F.transform("arr", lambda s: F.concat(F.lit(_US), s, F.lit(_US)))
+        )
+        d = d.select(
+            "n",
+            F.filter(
+                F.split(F.replace(wrapped, F.lit(pattern), F.lit(repl)), _US),
+                lambda x: x != "",
+            ).alias("arr"),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def _bpe_train_sql() -> str:
+    head = """WITH wc AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS n
+  FROM (SELECT t.w FROM documents,
+        UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w))
+  GROUP BY w
+),
+d0 AS MATERIALIZED (
+  SELECT n, [substr(w, CAST(i AS INTEGER), 1) FOR i IN range(1, length(w) + 1)] AS arr
+  FROM wc
+)"""
+    rounds = []
+    for r in range(1, N_TRAIN_MERGES + 1):
+        rounds.append(f""",
+p{r} AS (
+  SELECT arr[CAST(i AS INTEGER)] AS s1, arr[CAST(i AS INTEGER) + 1] AS s2,
+         sum(n)::BIGINT AS cnt
+  FROM d{r - 1}, UNNEST(range(1, len(arr))) AS t(i)
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (
+  SELECT s1, s2, cnt FROM p{r} ORDER BY cnt DESC, s1, s2 LIMIT 1
+),
+d{r} AS MATERIALIZED (
+  SELECT n, list_filter(string_split(
+    replace(
+      array_to_string(list_transform(arr, s -> chr(31) || s || chr(31)), ''),
+      (SELECT chr(31) || s1 || chr(31) || chr(31) || s2 || chr(31) FROM m{r}),
+      (SELECT chr(31) || s1 || s2 || chr(31) FROM m{r})
+    ), chr(31)), x -> x <> '') AS arr
+  FROM d{r - 1}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS merge_rank, s1 AS sym_a, s2 AS sym_b,"
+        f" s1 || s2 AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, N_TRAIN_MERGES + 1)
+    )
+    return f"{head}{''.join(rounds)}\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+
+
+_BPE_TRAIN_SQL = _bpe_train_sql()
+
+
+QUERIES = {
+    "bpe_pair_merge_counts": bpe_pair_merge_counts,
+    "bpe_train_merges": bpe_train_merges,
+}
+ORACLES = {
+    "bpe_pair_merge_counts": _BPE_SQL,
+    "bpe_train_merges": _BPE_TRAIN_SQL,
+}

@@ -242,6 +242,59 @@ ORDER BY doc_a, doc_b
 _MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the shingle-based near-dup
+    pairs: exact Levenshtein distance and its length-normalized
+    similarity (per-mille) for every [[dedup_ngram_jaccard]] pair.
+    Set-based Jaccard is blind to ORDER (a shuffled paragraph scores
+    1.0); edit distance is the orthogonal check a curation team runs
+    before trusting "near-identical" verdicts enough to delete data.
+
+    Scale: Levenshtein is O(len²) per pair, so it is only ever run on
+    the candidate pair list (never all-pairs) — here the memoized
+    Jaccard pair table, joined back to the two texts. Both engines'
+    levenshtein() are exact integer DP, so the per-mille similarity
+    ⌊1000·(maxlen − dist)/maxlen⌋ is cross-engine exact."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_distance"),
+            F.greatest(F.length("text_a"), F.length("text_b"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+        .withColumn(
+            "sim_permille",
+            F.expr("1000 * (max_len - edit_distance) div nullif(max_len, 0)"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_EDIT_VERIFY_SQL = f"""
+WITH pairs AS ({_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")}),
+stats AS (
+  SELECT doc_a, doc_b,
+         levenshtein(da.text, db.text)::BIGINT AS edit_distance,
+         greatest(length(da.text), length(db.text))::BIGINT AS max_len
+  FROM pairs
+  JOIN documents da ON da.doc_id = doc_a
+  JOIN documents db ON db.doc_id = doc_b
+)
+SELECT doc_a, doc_b, edit_distance, max_len,
+       1000 * (max_len - edit_distance) // nullif(max_len, 0) AS sim_permille
+FROM stats
+ORDER BY doc_a, doc_b
+"""
+
+
 _MINHASH_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -1052,6 +1105,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_sketch_recall_report": dedup_sketch_recall_report,
     "minhash_estimate_calibration": minhash_estimate_calibration,
+    "dedup_edit_distance_verify": dedup_edit_distance_verify,
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "ngram_novelty_curve": ngram_novelty_curve,
@@ -1067,6 +1121,7 @@ ORACLES = {
     "dedup_containment": _CONTAINMENT_SQL,
     "dedup_sketch_recall_report": _SKETCH_RECALL_SQL,
     "minhash_estimate_calibration": _MINHASH_CALIB_SQL,
+    "dedup_edit_distance_verify": _EDIT_VERIFY_SQL,
     "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
     "dedup_threshold_sweep": _SWEEP_SQL,
     "ngram_novelty_curve": _NOVELTY_SQL,

@@ -685,6 +685,108 @@ LIMIT {PMI_TOPK}
 """
 
 
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the [[language_id_ngram]] classifier
+    against the labeled ``lang`` column — the QA face a corpus team
+    watches before trusting auto-language routing: per (true,
+    predicted) cell, the doc count and its per-mille share of the
+    true language's row (row recall on the diagonal).
+
+    Scale: aggregates the classifier's per-doc output down to
+    |langs|² rows; the per-row totals come from a window over that
+    tiny table (one lineage — the classifier pipeline runs once).
+    All-integer (floor per-mille), cross-engine exact."""
+    preds = language_id_ngram(spark, sf_dir).select(
+        F.col("lang").alias("true_lang"), "predicted_lang"
+    )
+    return (
+        preds.groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "true_lang",
+            "predicted_lang",
+            "n_docs",
+            F.expr(
+                "1000 * n_docs div (sum(n_docs) OVER (PARTITION BY true_lang))"
+            ).alias("share_permille"),
+        )
+        .orderBy("true_lang", "predicted_lang")
+    )
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH preds AS ({_LANG_ID_SQL})
+SELECT lang AS true_lang, predicted_lang,
+       count(*)::BIGINT AS n_docs,
+       (1000 * count(*) // (sum(count(*)) OVER (PARTITION BY lang)))::BIGINT
+         AS share_permille
+FROM preds
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# Zipf audit: probe the rank-frequency curve at powers of two. Under
+# Zipf's law rank·freq is roughly constant, so the product column IS
+# the audit signal — no log-log regression (libm-dependent) needed.
+ZIPF_MAX_RANK_LOG2 = 13
+
+
+def zipf_rank_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary rank-frequency audit at ranks 1, 2, 4, …, 2^13:
+    the classic sanity check that a text corpus is natural language
+    (rank·freq ≈ constant) rather than boilerplate or generator
+    output (flat head or truncated tail). Reported per probe rank:
+    the token, its frequency, and rank·freq — all integers, with the
+    (freq DESC, token ASC) total order making ranks deterministic.
+
+    Scale: one token-count shuffle (map-side combined), then a global
+    rank over the vocabulary-sized table and a 14-row filter. At
+    100 TB the vocabulary table is millions of rows — still one
+    executor's worth after the count; the probe-rank filter pushes
+    into the window's single pass."""
+    from pyspark.sql import Window
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    probes = [2**k for k in range(ZIPF_MAX_RANK_LOG2 + 1)]
+    return (
+        vocab.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank").isin(probes))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "token",
+            "freq",
+            (F.col("rank") * F.col("freq")).cast("bigint").alias("rank_x_freq"),
+        )
+        .orderBy("rank")
+    )
+
+
+_ZIPF_SQL = f"""
+WITH vocab AS (
+  SELECT token, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM vocab
+)
+SELECT rank::BIGINT AS rank, token, freq,
+       (rank * freq)::BIGINT AS rank_x_freq
+FROM ranked
+WHERE rank IN ({", ".join(str(2**k) for k in range(ZIPF_MAX_RANK_LOG2 + 1))})
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
@@ -697,6 +799,8 @@ QUERIES = {
     "lang_vocab_overlap_matrix": lang_vocab_overlap_matrix,
     "vocab_oov_rate": vocab_oov_rate,
     "pmi_collocations": pmi_collocations,
+    "language_id_confusion": language_id_confusion,
+    "zipf_rank_frequency_audit": zipf_rank_frequency_audit,
 }
 
 ORACLES = {
@@ -711,4 +815,6 @@ ORACLES = {
     "lang_vocab_overlap_matrix": _LANG_OVERLAP_SQL,
     "vocab_oov_rate": _VOCAB_OOV_SQL,
     "pmi_collocations": _PMI_SQL,
+    "language_id_confusion": _LANG_CONFUSION_SQL,
+    "zipf_rank_frequency_audit": _ZIPF_SQL,
 }

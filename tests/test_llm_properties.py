@@ -278,6 +278,57 @@ def test_bpe_pair_counts_on_crafted_corpus(spark, tmp_path):
     assert got == {"lo": 4, "ow": 4, "we": 3, "er": 2}
 
 
+def test_bpe_train_merges_matches_sequential_reference(spark, tmp_path):
+    """The distributed merge loop must reproduce a direct sequential
+    BPE (Sennrich '16) over the same dictionary: argmax by (count
+    DESC, sym_a, sym_b), greedy left-to-right non-overlapping
+    re-segmentation, repeat. Corpus includes a word with overlapping
+    repeats ('aaaa') to pin the non-overlap greedy semantics."""
+    texts = ["low lower lowest", "low lower we", "aaaa aaaa we wider", "aaaa low"]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "a", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    from rdbms_metadata_manager_spark.llm.bpe import N_TRAIN_MERGES, bpe_train_merges
+
+    def sequential_bpe(words: list[str], rounds: int):
+        from collections import Counter
+
+        wc = Counter(words)
+        dic = {w: [list(w), n] for w, n in wc.items()}
+        out = []
+        for r in range(1, rounds + 1):
+            pc = Counter()
+            for arr, n in dic.values():
+                for i in range(len(arr) - 1):
+                    pc[(arr[i], arr[i + 1])] += n
+            if not pc:
+                break
+            (s1, s2), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, s1, s2, s1 + s2, cnt))
+            for w, (arr, n) in dic.items():
+                new, i = [], 0
+                while i < len(arr):
+                    if i + 1 < len(arr) and arr[i] == s1 and arr[i + 1] == s2:
+                        new.append(s1 + s2)
+                        i += 2
+                    else:
+                        new.append(arr[i])
+                        i += 1
+                dic[w][0] = new
+        return out
+
+    words = [w for t in texts for w in t.split(" ") if w]
+    expected = sequential_bpe(words, N_TRAIN_MERGES)
+    got = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.merged, r.pair_count)
+        for r in bpe_train_merges(spark, d).collect()
+    ]
+    assert got == expected, (got, expected)
+
+
 def test_gram_matrix_matches_numpy_direct(spark, sf_dir):
     """The mapInPandas partial-sum fold must equal a single-process
     numpy X^T X on the same fixed-point ticks — proves the partial
