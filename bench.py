@@ -100,6 +100,7 @@ HEADLINE = [
     "zipf_rank_frequency_audit",
     "dedup_edit_distance_verify",
     "bpe_train_merges",
+    "event_markov_transitions",
 ]
 
 

@@ -360,8 +360,70 @@ ORDER BY 1, 2, 3
 """
 
 
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types over
+    per-user histories — the behavior model behind next-event
+    prediction and funnel simulation, and the 1-gram companion of
+    [[event_path_trigrams]]. Per (from_type, to_type): transition
+    count and row-conditional probability P(to|from) in exact integer
+    per-mille.
+
+    Scale: one shuffle on user_id for the lag window (the same
+    partitioning every sequence query here rides), then a map-side
+    combined count on ≤|event_types|² groups; the row totals come
+    from a window over that tiny matrix — no second pass over the
+    events. Ordering ties break on (ts, event_id), the repo-wide
+    sequence convention."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr(
+                "1000 * n_transitions"
+                " div (sum(n_transitions) OVER (PARTITION BY from_type))"
+            ).alias("prob_permille"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+cells AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       (1000 * n_transitions
+        // (sum(n_transitions) OVER (PARTITION BY from_type)))::BIGINT
+         AS prob_permille
+FROM cells
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
+    "event_markov_transitions": event_markov_transitions,
     "event_path_trigrams": event_path_trigrams,
     "rolling_7d_active_users": rolling_7d_active_users,
     "rfm_customer_segments": rfm_customer_segments,
@@ -369,6 +431,7 @@ QUERIES = {
 }
 ORACLES = {
     "cohort_retention": _COHORT_SQL,
+    "event_markov_transitions": _MARKOV_SQL,
     "event_path_trigrams": _PATHS_SQL,
     "rolling_7d_active_users": _WAU_SQL,
     "rfm_customer_segments": _RFM_SQL,
