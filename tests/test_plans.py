@@ -686,3 +686,69 @@ def test_sql_tvf_lateral_decorrelates_to_one_scan(spark, sf_dir):
     assert plan.count("customer.parquet") == 1, plan
     assert "[c_nationkey" in plan.split("Window [row_number()")[1].splitlines()[0], plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_daily_series_queries_scan_events_once(spark, sf_dir):
+    """The ACF and the seasonal decomposition must stay single-lineage:
+    the spine-join form re-derived the daily rollup per branch (2-3
+    full events scans for a days-long result); the lead()-window form
+    keeps exactly ONE parquet scan in the plan."""
+    from rdbms_metadata_manager_spark.queries.forecast import (
+        autocorr_daily_events,
+        seasonal_decompose_daily,
+    )
+
+    for q in (autocorr_daily_events, seasonal_decompose_daily):
+        plan = physical_plan(q(spark, sf_dir))
+        assert plan.count("events.parquet") == 1, (q.__name__, plan)
+
+
+def test_markov_row_totals_reuse_cell_aggregate(spark, sf_dir):
+    """event_markov_transitions: one events scan, one user_id window,
+    and the row-conditional totals from a window over the tiny cell
+    matrix — NOT a second scan/aggregation of the events."""
+    from rdbms_metadata_manager_spark.queries.cohort import event_markov_transitions
+
+    plan = physical_plan(event_markov_transitions(spark, sf_dir))
+    assert plan.count("events.parquet") == 1, plan
+    assert "partial_count" in plan, plan  # map-side combine on the cells
+
+
+def test_zipf_probe_filter_runs_before_rank_projection(spark, sf_dir):
+    """zipf_rank_frequency_audit: the vocabulary count must be
+    map-side combined (partial_count before the exchange), and the
+    14-probe filter must run inside the window stage (no second
+    shuffle after the rank)."""
+    from rdbms_metadata_manager_spark.llm.text import zipf_rank_frequency_audit
+
+    plan = physical_plan(zipf_rank_frequency_audit(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_edit_distance_verify_reads_pair_memo_not_shingles(spark, sf_dir):
+    """dedup_edit_distance_verify must start from the materialized
+    Jaccard pair list (an ExistingRDD scan), not re-run the
+    inverted-index self-join: the only parquet scans are the two
+    2-column text join-backs (a-side and b-side, both broadcast), and
+    no shingle hashing appears in the plan."""
+    from rdbms_metadata_manager_spark.llm import dedup
+
+    dedup.dedup_ngram_jaccard(spark, sf_dir)  # ensure memo built
+    plan = physical_plan(dedup.dedup_edit_distance_verify(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("documents.parquet") == 2, plan
+    assert "md5" not in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_minhash_calibration_is_one_pass_over_stats_memo(spark, sf_dir):
+    """minhash_estimate_calibration runs on the checkpointed
+    candidate-stats relation: no parquet scan at all in its plan, one
+    map-side-combined aggregation."""
+    from rdbms_metadata_manager_spark.llm import dedup
+
+    dedup.dedup_minhash_lsh(spark, sf_dir)  # builds the shared memo
+    plan = physical_plan(dedup.minhash_estimate_calibration(spark, sf_dir))
+    assert ".parquet" not in plan, plan
+    assert "partial_count" in plan, plan
