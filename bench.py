@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_edit_distance_verify",
     "bpe_train_merges",
     "event_markov_transitions",
+    "dedup_tf_cosine",
 ]
 
 

@@ -242,6 +242,107 @@ ORDER BY doc_a, doc_b
 _MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+# Word-level df cap for the weighted-cosine inverted index (same Σdf²
+# bound as MAX_SHINGLE_DF; common words are exactly the ones a
+# cosine dedup drops as stop-words anyway).
+MAX_WORD_DF = 100
+COS2_THRESHOLD_PM = 500  # cos² ≥ 0.5  ⇔  cos ≥ ~0.707
+
+
+def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bag-of-words cosine near-dup pairs — the CCNet/C4
+    style frequency-weighted metric, complementing the SET-based
+    shingle Jaccard (which ignores how often a term repeats). Terms
+    with document frequency > MAX_WORD_DF are dropped from both the
+    dot product and the norms (the stop-word cut doubles as the Σdf²
+    scale guard; the oracle applies the identical cap).
+
+    cos² is carried exactly: per pair ⌊1000·(Σtf_a·tf_b)² /
+    (Σtf_a²·Σtf_b²)⌋ — all integer products, no sqrt — reported with
+    the integer dot product. Pairs at cos² ≥ COS2_THRESHOLD_PM/1000.
+
+    Scale: one (doc_id, word) tf aggregate; the df cap rides a window
+    over the SAME word partitioning the inverted-index self-join
+    shuffles on (no extra df join); df=1 hapax words are dropped from
+    the join input (length-1 posting lists can't pair). The decimal
+    casts keep the squared dot exact at any tf magnitude."""
+    from pyspark.sql import Window
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    capped = tf.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("word"))
+    ).filter(F.col("_df") <= MAX_WORD_DF)
+    norms = capped.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm2")
+    )
+    joinable = capped.filter(F.col("_df") >= 2).select("doc_id", "word", "tf")
+    a, b = joinable.alias("a"), joinable.hint("shuffle_merge").alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("norm2_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("norm2_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cos2_permille",
+            F.expr(
+                "(1000 * CAST(dot AS DECIMAL(38,0)) * dot)"
+                " div (CAST(norm2_a AS DECIMAL(38,0)) * norm2_b)"
+            ).cast("bigint"),
+        )
+        .filter(F.col("cos2_permille") >= COS2_THRESHOLD_PM)
+        .select("doc_a", "doc_b", "dot", "cos2_permille")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_TF_COSINE_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, t.word, count(*)::BIGINT AS tf
+  FROM documents,
+       UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(word)
+  GROUP BY 1, 2
+),
+capped AS (
+  SELECT doc_id, word, tf,
+         count(*) OVER (PARTITION BY word) AS _df
+  FROM tf QUALIFY _df <= {MAX_WORD_DF}
+),
+norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS norm2 FROM capped GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.tf * b.tf)::BIGINT AS dot
+  FROM (SELECT * FROM capped WHERE _df >= 2) a
+  JOIN (SELECT * FROM capped WHERE _df >= 2) b
+    ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot,
+       ((1000 * dot::HUGEINT * dot) // (na.norm2::HUGEINT * nb.norm2))::BIGINT
+         AS cos2_permille
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE (1000 * dot::HUGEINT * dot) // (na.norm2::HUGEINT * nb.norm2)
+      >= {COS2_THRESHOLD_PM}
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level verification of the shingle-based near-dup
     pairs: exact Levenshtein distance and its length-normalized
@@ -1106,6 +1207,7 @@ QUERIES = {
     "dedup_sketch_recall_report": dedup_sketch_recall_report,
     "minhash_estimate_calibration": minhash_estimate_calibration,
     "dedup_edit_distance_verify": dedup_edit_distance_verify,
+    "dedup_tf_cosine": dedup_tf_cosine,
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "ngram_novelty_curve": ngram_novelty_curve,
@@ -1122,6 +1224,7 @@ ORACLES = {
     "dedup_sketch_recall_report": _SKETCH_RECALL_SQL,
     "minhash_estimate_calibration": _MINHASH_CALIB_SQL,
     "dedup_edit_distance_verify": _EDIT_VERIFY_SQL,
+    "dedup_tf_cosine": _TF_COSINE_SQL,
     "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
     "dedup_threshold_sweep": _SWEEP_SQL,
     "ngram_novelty_curve": _NOVELTY_SQL,
