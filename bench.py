@@ -102,6 +102,7 @@ HEADLINE = [
     "bpe_train_merges",
     "event_markov_transitions",
     "dedup_tf_cosine",
+    "countmin_heavy_hitters",
 ]
 
 

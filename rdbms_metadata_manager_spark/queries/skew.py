@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..llm.hashing import h32, h32_sql
 from .base import load
 from .relational import _money
 
@@ -153,11 +154,107 @@ ORDER BY n_events DESC, user_id
 """
 
 
+# Count-Min sketch geometry: 4 md5-derived hash rows × 256 buckets.
+# Small on purpose so the test corpora actually exhibit collisions
+# (overestimate > 0) — the audit has something to audit.
+CMS_ROWS = 4
+CMS_WIDTH = 256
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit for the top-{HEAVY_K} heaviest users:
+    exact event count vs the CMS estimate (min over CMS_ROWS hashed
+    counters) and the collision overestimate. The frequency-sketch
+    companion of the HLL distinct-sketch face
+    (modern.hll_sketch_partition_union): CMS cells are mergeable by
+    plain cell-wise addition, so a 100 TB pipeline materializes one
+    CMS_ROWS×CMS_WIDTH integer grid per source/day and answers "how
+    often does key k appear corpus-wide" by summing grids — never by
+    rescanning. CMS guarantees estimate ≥ truth; the audit column
+    shows the collision inflation at this tiny width.
+
+    Cross-engine exactness: bucket hashes are md5-derived
+    (llm.hashing convention), cells and estimates are integer sums
+    and mins — bit-identical in DuckDB. Scale shape: ONE map-side
+    combined per-user aggregate feeds both the sketch build (a
+    {CMS_ROWS}×-explode of the per-user rollup, NOT of the raw
+    events) and the exact top-K (TakeOrdered); the 1024-cell grid
+    broadcasts to the probe join."""
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    buckets = [
+        F.struct(
+            F.lit(r).alias("r"),
+            (h32(F.concat(F.lit(f"cm{r}:"), F.col("user_id"))) % CMS_WIDTH).alias(
+                "bucket"
+            ),
+        )
+        for r in range(CMS_ROWS)
+    ]
+    keyed = counts.select(
+        "user_id", "n_events", F.explode(F.array(*buckets)).alias("rb")
+    ).select("user_id", "n_events", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    cells = keyed.groupBy("r", "bucket").agg(F.sum("n_events").alias("cell"))
+    top = counts.orderBy(F.desc("n_events"), "user_id").limit(HEAVY_K)
+    probe = top.select(
+        "user_id", "n_events", F.explode(F.array(*buckets)).alias("rb")
+    ).select("user_id", "n_events", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probe.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "n_events")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "n_events",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_events")).alias("overestimate"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+def _cms_bucket_sql(r: int) -> str:
+    keyed = f"'cm{r}:' || user_id"
+    return f"({h32_sql(keyed)} % {CMS_WIDTH})"
+
+
+_CMS_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id
+),
+keyed AS (
+  SELECT user_id, n_events, t.r,
+         CASE t.r {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r)}" for r in range(CMS_ROWS))} END AS bucket
+  FROM counts, UNNEST(range(0, {CMS_ROWS})) AS t(r)
+),
+cells AS (
+  SELECT r, bucket, sum(n_events)::BIGINT AS cell FROM keyed GROUP BY 1, 2
+),
+top AS (
+  SELECT user_id, n_events FROM counts
+  ORDER BY n_events DESC, user_id LIMIT {HEAVY_K}
+),
+est AS (
+  SELECT k.user_id, k.n_events, min(c.cell)::BIGINT AS cms_estimate
+  FROM keyed k
+  JOIN top USING (user_id)
+  JOIN cells c ON c.r = k.r AND c.bucket = k.bucket
+  GROUP BY 1, 2
+)
+SELECT user_id, n_events, cms_estimate,
+       cms_estimate - n_events AS overestimate
+FROM est
+ORDER BY n_events DESC, user_id
+"""
+
+
 QUERIES = {
     "salted_join_revenue": salted_join_revenue,
     "heavy_hitter_users": heavy_hitter_users,
+    "countmin_heavy_hitters": countmin_heavy_hitters,
 }
 ORACLES = {
     "salted_join_revenue": _SALTED_SQL,
     "heavy_hitter_users": _HEAVY_SQL,
+    "countmin_heavy_hitters": _CMS_SQL,
 }
