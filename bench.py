@@ -103,6 +103,7 @@ HEADLINE = [
     "event_markov_transitions",
     "dedup_tf_cosine",
     "countmin_heavy_hitters",
+    "source_signature_chisq",
 ]
 
 

@@ -787,6 +787,84 @@ ORDER BY rank
 """
 
 
+TOP_SIGNATURE_CELLS = 20
+
+
+def source_signature_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: the TOP_SIGNATURE_CELLS
+    (source, word) cells with the largest χ² contribution against
+    the independence hypothesis "word usage doesn't depend on
+    source" — the domain-signature report a corpus team reads to
+    spot boilerplate-dominated or off-distribution sources before
+    mixing. Cell statistic: (O−E)²/E with E = R·C/N, carried as the
+    exact integer ⌊10⁶·(O·N − R·C)²/(N·R·C)⌋ (decimal/HUGEINT cross
+    multiplication — no float χ²; both engines floor identically;
+    exact while 10⁶·(O·N−R·C)² fits decimal(38) — corpora past ~10⁹
+    tokens would scale the 10⁶ down or bucket the marginals).
+
+    Scale: ONE (source, word) aggregate over the corpus (map-side
+    combined); the row/column marginals are windows over that
+    contingency relation — same lineage, no second scan. Top-K plans
+    as TakeOrdered. Ties break (word, source) so the cut is
+    deterministic."""
+    from pyspark.sql import Window
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    cells = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    marg = cells.select(
+        "source",
+        "word",
+        "o",
+        F.sum("o").over(Window.partitionBy("source")).alias("r"),
+        F.sum("o").over(Window.partitionBy("word")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    chi = marg.select(
+        "source",
+        "word",
+        "o",
+        F.expr(
+            "(1000000 * (CAST(o AS DECIMAL(19,0)) * n - CAST(r AS DECIMAL(19,0)) * c)"
+            "         * (CAST(o AS DECIMAL(19,0)) * n - CAST(r AS DECIMAL(19,0)) * c))"
+            " div (CAST(n AS DECIMAL(38,0)) * r * c)"
+        )
+        .cast("bigint")
+        .alias("chi2_micros"),
+    )
+    return chi.orderBy(F.desc("chi2_micros"), "word", "source").limit(
+        TOP_SIGNATURE_CELLS
+    )
+
+
+_SIGNATURE_SQL = f"""
+WITH cells AS (
+  SELECT source, t.word, count(*)::BIGINT AS o
+  FROM documents,
+       UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(word)
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT source, word, o,
+         sum(o) OVER (PARTITION BY source) AS r,
+         sum(o) OVER (PARTITION BY word) AS c,
+         sum(o) OVER () AS n
+  FROM cells
+)
+SELECT source, word, o,
+       ((1000000 * (o::HUGEINT * n - r::HUGEINT * c)
+                 * (o::HUGEINT * n - r::HUGEINT * c))
+        // (n::HUGEINT * r * c))::BIGINT AS chi2_micros
+FROM marg
+ORDER BY chi2_micros DESC, word, source
+LIMIT {TOP_SIGNATURE_CELLS}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
@@ -801,6 +879,7 @@ QUERIES = {
     "pmi_collocations": pmi_collocations,
     "language_id_confusion": language_id_confusion,
     "zipf_rank_frequency_audit": zipf_rank_frequency_audit,
+    "source_signature_chisq": source_signature_chisq,
 }
 
 ORACLES = {
@@ -817,4 +896,5 @@ ORACLES = {
     "pmi_collocations": _PMI_SQL,
     "language_id_confusion": _LANG_CONFUSION_SQL,
     "zipf_rank_frequency_audit": _ZIPF_SQL,
+    "source_signature_chisq": _SIGNATURE_SQL,
 }
