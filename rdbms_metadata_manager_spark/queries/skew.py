@@ -161,6 +161,22 @@ CMS_ROWS = 4
 CMS_WIDTH = 256
 
 
+def cms_bucket_structs() -> list:
+    """The (r, bucket) struct per hash row for a user_id column —
+    ONE definition shared by the batch audit and the streaming
+    foreachBatch sink (streaming.sketch_state) so the sketch geometry
+    can never drift between the two faces."""
+    return [
+        F.struct(
+            F.lit(r).alias("r"),
+            (h32(F.concat(F.lit(f"cm{r}:"), F.col("user_id"))) % CMS_WIDTH).alias(
+                "bucket"
+            ),
+        )
+        for r in range(CMS_ROWS)
+    ]
+
+
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch audit for the top-{HEAVY_K} heaviest users:
     exact event count vs the CMS estimate (min over CMS_ROWS hashed
@@ -182,15 +198,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts to the probe join."""
     events = load(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    buckets = [
-        F.struct(
-            F.lit(r).alias("r"),
-            (h32(F.concat(F.lit(f"cm{r}:"), F.col("user_id"))) % CMS_WIDTH).alias(
-                "bucket"
-            ),
-        )
-        for r in range(CMS_ROWS)
-    ]
+    buckets = cms_bucket_structs()
     keyed = counts.select(
         "user_id", "n_events", F.explode(F.array(*buckets)).alias("rb")
     ).select("user_id", "n_events", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))

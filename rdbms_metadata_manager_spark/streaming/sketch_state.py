@@ -141,5 +141,128 @@ ORDER BY scope
 """
 
 
-QUERIES = {"streaming_hll_distinct": streaming_hll_distinct}
-ORACLES = {"streaming_hll_distinct": _STREAM_HLL_SQL}
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min: the frequency-sketch sibling of
+    [[streaming_hll_distinct]], built over ``events`` drained one
+    file per micro-batch with a ``foreachBatch`` sink folding each
+    batch's CMS cells into the state grid by cell-wise ADDITION.
+
+    The contract is STRONGER than the HLL face's tolerance band:
+    CMS cells are exactly additive, so the streamed state must equal
+    the batch-built sketch BIT-FOR-BIT — the emitted report is the
+    same top-K audit as ``queries.skew.countmin_heavy_hitters`` (per
+    heavy user: exact count, CMS estimate, collision overestimate)
+    plus the batch count, and the oracle recomputes the full sketch
+    in SQL. Any lost batch, double merge, or geometry drift between
+    the batch and streaming faces shifts a cell and breaks the hash.
+
+    Scale: state is the fixed CMS_ROWS×CMS_WIDTH integer grid
+    regardless of stream length; each micro-batch contributes one
+    map-side-combined per-user rollup and a grid-sized union-sum.
+    Same write-next-then-replace state versioning as the HLL face."""
+    from ..queries.skew import HEAVY_K, cms_bucket_structs
+
+    d = tempfile.mkdtemp(prefix="stream_cms_")
+    src = os.path.join(d, "src")
+    state_root = os.path.join(d, "state")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(state_root)
+    try:
+        base = load(spark, sf_dir, "events")
+        base.repartition(3).write.parquet(src)
+
+        def _latest_state() -> DataFrame | None:
+            versions = sorted(
+                (p for p in os.listdir(state_root) if p.startswith("state_v")),
+                key=lambda p: int(p.rsplit("v", 1)[1]),
+            )
+            if not versions:
+                return None
+            return spark.read.parquet(os.path.join(state_root, versions[-1]))
+
+        def _batch_cells(df: DataFrame) -> DataFrame:
+            counts = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            return (
+                counts.select("n", F.explode(F.array(*cms_bucket_structs())).alias("rb"))
+                .select("n", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+                .groupBy("r", "bucket")
+                .agg(F.sum("n").alias("cell"))
+            )
+
+        def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_cells = _batch_cells(batch_df)
+            prev = _latest_state()
+            merged = (
+                batch_cells
+                if prev is None
+                else prev.unionByName(batch_cells)
+                .groupBy("r", "bucket")
+                .agg(F.sum("cell").alias("cell"))
+            )
+            merged.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(state_root, f"state_v{batch_id}")
+            )
+
+        q = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, "streaming_cms_heavy_hitters")
+
+        cells = _latest_state()
+        assert cells is not None, "stream drained without producing state"
+        n_batches = len([p for p in os.listdir(state_root) if p.startswith("state_v")])
+        counts = base.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        top = counts.orderBy(F.desc("n_events"), "user_id").limit(HEAVY_K)
+        probe = top.select(
+            "user_id", "n_events", F.explode(F.array(*cms_bucket_structs())).alias("rb")
+        ).select(
+            "user_id", "n_events", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+        )
+        result = (
+            probe.join(F.broadcast(cells), ["r", "bucket"])
+            .groupBy("user_id", "n_events")
+            .agg(F.min("cell").alias("cms_estimate"))
+            .select(
+                "user_id",
+                "n_events",
+                "cms_estimate",
+                (F.col("cms_estimate") - F.col("n_events")).alias("overestimate"),
+                F.lit(n_batches).cast("bigint").alias("n_batches"),
+            )
+            .orderBy(F.desc("n_events"), "user_id")
+            .localCheckpoint(eager=True)  # materialize before staging dir dies
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return result
+
+
+def _stream_cms_sql() -> str:
+    from ..queries.skew import _CMS_SQL
+
+    # the streamed state must equal the batch sketch exactly, so the
+    # oracle IS the batch oracle plus the pinned 3-batch count
+    body = _CMS_SQL.replace(
+        "SELECT user_id, n_events, cms_estimate,\n       cms_estimate - n_events AS overestimate",
+        "SELECT user_id, n_events, cms_estimate,\n"
+        "       cms_estimate - n_events AS overestimate,\n"
+        "       3::BIGINT AS n_batches",
+    )
+    assert "n_batches" in body, "oracle splice failed"
+    return body
+
+
+QUERIES = {
+    "streaming_hll_distinct": streaming_hll_distinct,
+    "streaming_cms_heavy_hitters": streaming_cms_heavy_hitters,
+}
+ORACLES = {
+    "streaming_hll_distinct": _STREAM_HLL_SQL,
+    "streaming_cms_heavy_hitters": _stream_cms_sql(),
+}
