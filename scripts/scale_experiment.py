@@ -52,6 +52,11 @@ TEXT_KERNELS = [
     "text_winnow_fingerprints",
     "dedup_winnow_overlap",
     "dsir_importance_weights",
+    # session-J additions: tf-cosine shares the renamed-token
+    # invariance (per-replica tf vectors identical, zero cross-replica
+    # words); edit-distance verify rides the Kx-grown pair list.
+    "dedup_tf_cosine",
+    "dedup_edit_distance_verify",
 ]
 # Embedding kernels block with FIXED parameters (K=8 clusters,
 # 2^6 LSH buckets) pinned by their oracles; at fixed parameters the
@@ -82,6 +87,14 @@ FIXED_OUTPUT_KERNELS = [
     "pmi_collocations",
     "ngram_novelty_curve",
     "dedup_cluster_size_histogram",
+    # session-J fixed-output additions: ≤17-row calibration table,
+    # 14 Zipf probes, 6 merges, top-20 χ² cells, |langs|² confusion
+    # cells — work grows Kx, rows must stay flat.
+    "minhash_estimate_calibration",
+    "zipf_rank_frequency_audit",
+    "bpe_train_merges",
+    "source_signature_chisq",
+    "language_id_confusion",
 ]
 
 # versioned: v2 replicas additionally carry lineitem.parquet; a v1 _done

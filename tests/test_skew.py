@@ -77,3 +77,44 @@ def test_two_path_join_extremes_all_hot_and_none_hot(spark):
     for threshold in (0, 10**9):
         got = two_path_skew_join(probe, build, "k", "bk", threshold=threshold, buckets=4)
         assert sorted((r.k, r.pv, r.bk, r.bv) for r in got.collect()) == want, threshold
+
+
+def test_countmin_never_underestimates_and_matches_hand_sketch(spark, sf_dir):
+    """The Count-Min guarantee: estimate >= exact for EVERY key (min
+    over rows of sums that each include the key's own mass). Also
+    rebuild the sketch in plain Python from the per-user counts and
+    assert the reported estimates match it exactly — pins the md5
+    bucket derivation end to end."""
+    import hashlib
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.skew import (
+        CMS_ROWS,
+        CMS_WIDTH,
+        countmin_heavy_hitters,
+    )
+
+    rows = countmin_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "no heavy hitters reported"
+    assert all(r.overestimate >= 0 for r in rows), rows
+
+    counts = {
+        r.user_id: r.n_events
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_events")
+        .collect()
+    }
+
+    def bucket(r: int, user: int) -> int:
+        return int(hashlib.md5(f"cm{r}:{user}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
+
+    cells: dict[tuple[int, int], int] = {}
+    for user, n in counts.items():
+        for r in range(CMS_ROWS):
+            key = (r, bucket(r, user))
+            cells[key] = cells.get(key, 0) + n
+    for row in rows:
+        est = min(cells[(r, bucket(r, row.user_id))] for r in range(CMS_ROWS))
+        assert (row.n_events, row.cms_estimate) == (counts[row.user_id], est), row
