@@ -242,51 +242,77 @@ ORDER BY doc_a, doc_b
 _MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-# Word-level df cap for the weighted-cosine inverted index (same Σdf²
-# bound as MAX_SHINGLE_DF; common words are exactly the ones a
-# cosine dedup drops as stop-words anyway).
-MAX_WORD_DF = 100
 COS2_THRESHOLD_PM = 500  # cos² ≥ 0.5  ⇔  cos ≥ ~0.707
+
+_TF_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _capped_tf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, tf, _df) over NON-distinct 3-word shingle hashes,
+    df-capped — the weighted twin of ``_shingled`` (which is a
+    distinct SET). Materialized once per (corpus, Spark app): the
+    md5-heavy shingling is the dominant cost of the weighted-cosine
+    metric."""
+    from pyspark.sql import Window
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _TF_SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    words = F.split(F.col("text"), " ")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(word_shingles(words, distinct=False), h32)
+            ).alias("sh"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    out = (
+        tf.withColumn("_df", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .localCheckpoint(eager=True)
+    )
+    _TF_SHINGLE_CACHE[key] = out
+    return out
 
 
 def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted bag-of-words cosine near-dup pairs — the CCNet/C4
-    style frequency-weighted metric, complementing the SET-based
-    shingle Jaccard (which ignores how often a term repeats). Terms
-    with document frequency > MAX_WORD_DF are dropped from both the
-    dot product and the norms (the stop-word cut doubles as the Σdf²
-    scale guard; the oracle applies the identical cap).
+    """Frequency-weighted shingle-cosine near-dup pairs — the
+    CCNet/C4-style weighted metric, complementing the SET-based
+    Jaccard (which ignores how often a shingle repeats: a doc that
+    quotes a passage ONCE and a doc that loops it fifty times have
+    the same shingle set but very different tf vectors). Terms are
+    3-word shingle HASHES with their repeat counts (word-level tf is
+    degenerate here — the corpus vocabulary is ~31 words, every word
+    in most docs; shingle space is combinatorial, exactly why the
+    whole dedup family shingles); document frequency > MAX_SHINGLE_DF
+    drops a shingle from both the dot product and the norms (the
+    stop-shingle cut doubles as the Σdf² scale guard; the oracle
+    applies the identical cap).
 
     cos² is carried exactly: per pair ⌊1000·(Σtf_a·tf_b)² /
     (Σtf_a²·Σtf_b²)⌋ — all integer products, no sqrt — reported with
     the integer dot product. Pairs at cos² ≥ COS2_THRESHOLD_PM/1000.
 
-    Scale: one (doc_id, word) tf aggregate; the df cap rides a window
-    over the SAME word partitioning the inverted-index self-join
-    shuffles on (no extra df join); df=1 hapax words are dropped from
-    the join input (length-1 posting lists can't pair). The decimal
+    Scale: one (doc_id, shingle-hash) tf aggregate; the df cap rides
+    a window over the SAME key the inverted-index self-join shuffles
+    on (no extra df join); df=1 hapax shingles are dropped from the
+    join input (length-1 posting lists can't pair). The decimal
     casts keep the squared dot exact at any tf magnitude."""
-    from pyspark.sql import Window
-
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    capped = tf.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("word"))
-    ).filter(F.col("_df") <= MAX_WORD_DF)
+    capped = _capped_tf_shingles(spark, sf_dir)
     norms = capped.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("norm2")
     )
-    joinable = capped.filter(F.col("_df") >= 2).select("doc_id", "word", "tf")
+    joinable = capped.filter(F.col("_df") >= 2).select("doc_id", "sh", "tf")
     a, b = joinable.alias("a"), joinable.hint("shuffle_merge").alias("b")
     dots = (
         a.join(
             b,
-            (F.col("a.word") == F.col("b.word"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -312,15 +338,20 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TF_COSINE_SQL = f"""
 WITH tf AS (
-  SELECT doc_id, t.word, count(*)::BIGINT AS tf
-  FROM documents,
-       UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(word)
+  SELECT doc_id, t.sh, count(*)::BIGINT AS tf
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             {word_shingles_sql("string_split(text, ' ')", distinct=False)},
+             s -> {h32_sql('s')}) AS shs
+    FROM documents
+  ), UNNEST(shs) AS t(sh)
   GROUP BY 1, 2
 ),
 capped AS (
-  SELECT doc_id, word, tf,
-         count(*) OVER (PARTITION BY word) AS _df
-  FROM tf QUALIFY _df <= {MAX_WORD_DF}
+  SELECT doc_id, sh, tf,
+         count(*) OVER (PARTITION BY sh) AS _df
+  FROM tf QUALIFY _df <= {MAX_SHINGLE_DF}
 ),
 norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS norm2 FROM capped GROUP BY 1),
 dots AS (
@@ -328,7 +359,7 @@ dots AS (
          sum(a.tf * b.tf)::BIGINT AS dot
   FROM (SELECT * FROM capped WHERE _df >= 2) a
   JOIN (SELECT * FROM capped WHERE _df >= 2) b
-    ON a.word = b.word AND a.doc_id < b.doc_id
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, dot,

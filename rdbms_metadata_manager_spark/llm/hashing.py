@@ -45,8 +45,9 @@ def word_shingles(words: Column, n: int = 3, distinct: bool = True) -> Column:
     return F.array_distinct(shingles) if distinct else shingles
 
 
-def word_shingles_sql(words_expr: str, n: int = 3) -> str:
-    return (
-        f"list_distinct(list_transform(range(1, len({words_expr}) - {n - 2}), "
-        f"j -> array_to_string({words_expr}[j:j+{n - 1}], ' ')))"
+def word_shingles_sql(words_expr: str, n: int = 3, distinct: bool = True) -> str:
+    inner = (
+        f"list_transform(range(1, len({words_expr}) - {n - 2}), "
+        f"j -> array_to_string({words_expr}[j:j+{n - 1}], ' '))"
     )
+    return f"list_distinct({inner})" if distinct else inner

@@ -102,6 +102,20 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.clustering", "dedup_cluster_size_histogram"),
         ("queries.modern", "group_by_all_order_stats"),
         ("queries.modern", "approx_topk_event_types"),
+        # session-J additions (streaming_cms_heavy_hitters excluded
+        # like streaming_hll_distinct: a zero-file staged stream
+        # never produces state by design)
+        ("queries.forecast", "autocorr_daily_events"),
+        ("queries.forecast", "seasonal_decompose_daily"),
+        ("llm.dedup", "minhash_estimate_calibration"),
+        ("llm.dedup", "dedup_edit_distance_verify"),
+        ("llm.dedup", "dedup_tf_cosine"),
+        ("llm.text", "language_id_confusion"),
+        ("llm.text", "zipf_rank_frequency_audit"),
+        ("llm.text", "source_signature_chisq"),
+        ("llm.bpe", "bpe_train_merges"),
+        ("queries.cohort", "event_markov_transitions"),
+        ("queries.skew", "countmin_heavy_hitters"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
