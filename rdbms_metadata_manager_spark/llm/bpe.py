@@ -103,6 +103,24 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics in Spark and DuckDB — implements the BPE greedy merge
     exactly; ties break (count DESC, sym_a, sym_b), both engines
     binary collation."""
+    merges, _ = _trained(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, sym_a string, sym_b string, merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+_TRAIN_CACHE: dict[tuple[str, str], tuple[list[tuple], DataFrame]] = {}
+
+
+def _trained(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
+    """(merge table, final re-segmented dictionary) — the training
+    run is memoized per (corpus, Spark app) so the merge-table face
+    and the encoded-vocabulary face share one loop."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _TRAIN_CACHE.get(key)
+    if cached is not None:
+        return cached
     wc = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
@@ -117,16 +135,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    merges = _train_merges(wc)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank long, sym_a string, sym_b string, merged string, pair_count long",
-    ).orderBy("merge_rank")
+    out = _train_merges(wc)
+    _TRAIN_CACHE[key] = out
+    return out
 
 
-def _train_merges(wc: DataFrame) -> list[tuple]:
+def _train_merges(wc: DataFrame) -> tuple[list[tuple], DataFrame]:
     """The merge loop over any (n, arr) dictionary DataFrame —
-    testable against a sequential Python BPE reference."""
+    testable against a sequential Python BPE reference. Returns the
+    merge table AND the final re-segmented dictionary."""
     d = wc
     merges: list[tuple] = []
     for r in range(1, N_TRAIN_MERGES + 1):
@@ -157,7 +174,7 @@ def _train_merges(wc: DataFrame) -> list[tuple]:
                 lambda x: x != "",
             ).alias("arr"),
         ).localCheckpoint(eager=True)
-    return merges
+    return merges, d
 
 
 def _bpe_train_sql() -> str:
@@ -203,11 +220,57 @@ d{r} AS MATERIALIZED (
 _BPE_TRAIN_SQL = _bpe_train_sql()
 
 
+TOP_VOCAB = 20
+
+
+def bpe_vocab_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE face of BPE training: after applying the
+    N_TRAIN_MERGES learned merges, the TOP_VOCAB most frequent
+    symbols in the corpus (occurrences weighted by word count) plus
+    each symbol's length — the vocabulary report that shows merges
+    actually displacing raw characters. Shares the memoized training
+    run with [[bpe_train_merges]]; this face only explodes the final
+    re-segmented dictionary and counts. Ties break (count DESC,
+    symbol) so the cut is deterministic.
+
+    Oracle: the same unrolled 6-round CTE chain, read at d6 — the
+    encoded dictionary IS the last training state."""
+    _, d_final = _trained(spark, sf_dir)
+    return (
+        d_final.select("n", F.explode("arr").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("occurrences"))
+        .select(
+            "symbol",
+            F.length("symbol").cast("bigint").alias("sym_len"),
+            "occurrences",
+        )
+        .orderBy(F.desc("occurrences"), "symbol")
+        .limit(TOP_VOCAB)
+    )
+
+
+def _bpe_vocab_sql() -> str:
+    # reuse the training CTE chain up to the final dictionary d{N}
+    head = _BPE_TRAIN_SQL.split("\nSELECT * FROM (")[0]
+    return f"""{head}
+SELECT t.symbol,
+       length(t.symbol)::BIGINT AS sym_len,
+       sum(n)::BIGINT AS occurrences
+FROM d{N_TRAIN_MERGES}, UNNEST(arr) AS t(symbol)
+GROUP BY t.symbol
+ORDER BY occurrences DESC, symbol
+LIMIT {TOP_VOCAB}
+"""
+
+
 QUERIES = {
     "bpe_pair_merge_counts": bpe_pair_merge_counts,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_vocab_after_merges": bpe_vocab_after_merges,
 }
 ORACLES = {
     "bpe_pair_merge_counts": _BPE_SQL,
     "bpe_train_merges": _BPE_TRAIN_SQL,
+    "bpe_vocab_after_merges": _bpe_vocab_sql(),
 }
