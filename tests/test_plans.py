@@ -752,3 +752,28 @@ def test_minhash_calibration_is_one_pass_over_stats_memo(spark, sf_dir):
     plan = physical_plan(dedup.minhash_estimate_calibration(spark, sf_dir))
     assert ".parquet" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_tf_cosine_joins_the_memoized_tf_relation(spark, sf_dir):
+    """dedup_tf_cosine must read the checkpointed tf relation (no
+    parquet scan, no md5 in the plan) and run the posting-list
+    self-join as the hinted sort-merge join — a broadcast build of a
+    corpus-sized posting list would serialize on the driver."""
+    from rdbms_metadata_manager_spark.llm import dedup
+
+    dedup.dedup_tf_cosine(spark, sf_dir)  # builds the memo
+    plan = physical_plan(dedup.dedup_tf_cosine(spark, sf_dir))
+    assert ".parquet" not in plan, plan
+    assert "md5" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_countmin_topk_is_take_ordered_and_cells_broadcast(spark, sf_dir):
+    """countmin_heavy_hitters: the exact top-K must plan as
+    TakeOrderedAndProject (never a global sort) and the 1024-cell
+    grid must be the broadcast side of the probe join."""
+    from rdbms_metadata_manager_spark.queries.skew import countmin_heavy_hitters
+
+    plan = physical_plan(countmin_heavy_hitters(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
