@@ -104,6 +104,8 @@ HEADLINE = [
     "dedup_tf_cosine",
     "countmin_heavy_hitters",
     "source_signature_chisq",
+    "dedup_negative_control",
+    "bpe_vocab_after_merges",
 ]
 
 

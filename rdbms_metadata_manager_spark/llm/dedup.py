@@ -427,6 +427,81 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_negative_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-control audit for the near-dup pipeline: pair every
+    doc with a DETERMINISTIC pseudo-random partner (md5-rank
+    shuffle → adjacent ids — no doc picks itself, every doc appears
+    in ≤2 pairs) and summarize the exact Jaccard of those background
+    pairs. A dedup threshold is only meaningful if the background
+    similarity sits far below it — this one row (pair count, mean /
+    max Jaccard per-mille, count over JACCARD_THRESHOLD) is the
+    false-positive floor a curator checks before believing the near-
+    dup counts. Complements [[dedup_sketch_recall_report]] (which
+    audits what the sketch MISSED, not what the metric would
+    over-claim).
+
+    Scale: the control pairing is one md5-rank window (a shuffle of
+    (doc_id, hash) pairs only) + a self-join on adjacent rank —
+    O(corpus) with 16-byte rows, never quadratic; the verify is one
+    array intersect per control pair (exactly |docs|/2 pairs)."""
+    from pyspark.sql import Window
+
+    sh = _shingled(spark, sf_dir)
+    ranked = sh.select(
+        "doc_id",
+        "hashes",
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.concat(F.lit("ctl:"), F.col("doc_id"))), F.col("doc_id")))
+        .alias("rk"),
+    )
+    a = ranked.filter(F.col("rk") % 2 == 1).select(
+        (F.col("rk") + 1).alias("rk2"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("hashes").alias("sh_a"),
+    )
+    b = ranked.filter(F.col("rk") % 2 == 0).select(
+        F.col("rk").alias("rk2"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("hashes").alias("sh_b"),
+    )
+    pairs = a.join(b, "rk2").select(
+        F.expr(
+            "(1000 * CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT))"
+            " div (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+        ).alias("jp")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_control_pairs"),
+        F.expr("sum(jp) div count(*)").alias("mean_jaccard_permille"),
+        F.max("jp").alias("max_jaccard_permille"),
+        F.sum(
+            (F.col("jp") >= int(JACCARD_THRESHOLD * 1000)).cast("bigint")
+        ).alias("n_over_threshold"),
+    )
+
+
+_NEGATIVE_CONTROL_SQL = f"""
+WITH sh AS ({_SHINGLED_SQL}),
+ranked AS (
+  SELECT doc_id, hashes,
+         row_number() OVER (ORDER BY md5('ctl:' || doc_id), doc_id) AS rk
+  FROM sh
+),
+pairs AS (
+  SELECT (1000 * len(list_intersect(a.hashes, b.hashes)))
+           // (len(a.hashes) + len(b.hashes)
+               - len(list_intersect(a.hashes, b.hashes))) AS jp
+  FROM ranked a JOIN ranked b ON b.rk = a.rk + 1 AND a.rk % 2 = 1
+)
+SELECT count(*)::BIGINT AS n_control_pairs,
+       (sum(jp) // count(*))::BIGINT AS mean_jaccard_permille,
+       max(jp)::BIGINT AS max_jaccard_permille,
+       sum(CASE WHEN jp >= {int(JACCARD_THRESHOLD * 1000)} THEN 1 ELSE 0 END)::BIGINT
+         AS n_over_threshold
+FROM pairs
+"""
+
+
 _MINHASH_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -1237,6 +1312,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_sketch_recall_report": dedup_sketch_recall_report,
     "minhash_estimate_calibration": minhash_estimate_calibration,
+    "dedup_negative_control": dedup_negative_control,
     "dedup_edit_distance_verify": dedup_edit_distance_verify,
     "dedup_tf_cosine": dedup_tf_cosine,
     "cross_source_dup_matrix": cross_source_dup_matrix,
@@ -1254,6 +1330,7 @@ ORACLES = {
     "dedup_containment": _CONTAINMENT_SQL,
     "dedup_sketch_recall_report": _SKETCH_RECALL_SQL,
     "minhash_estimate_calibration": _MINHASH_CALIB_SQL,
+    "dedup_negative_control": _NEGATIVE_CONTROL_SQL,
     "dedup_edit_distance_verify": _EDIT_VERIFY_SQL,
     "dedup_tf_cosine": _TF_COSINE_SQL,
     "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
