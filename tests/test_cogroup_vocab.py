@@ -201,6 +201,20 @@ import pytest
         "crossmodal_dup_audit",
         "null_safe_band_join",
         "try_arithmetic_audit",
+        # session-J ops: iterative BPE (driver-decision loop), the
+        # md5-rank control pairing, tie-broken rank/argmax cuts
+        "bpe_train_merges",
+        "bpe_vocab_after_merges",
+        "zipf_rank_frequency_audit",
+        "language_id_confusion",
+        "minhash_estimate_calibration",
+        "dedup_negative_control",
+        "dedup_tf_cosine",
+        "source_signature_chisq",
+        "countmin_heavy_hitters",
+        "event_markov_transitions",
+        "autocorr_daily_events",
+        "seasonal_decompose_daily",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):
