@@ -91,6 +91,8 @@ FIXED_OUTPUT_KERNELS = [
     # 14 Zipf probes, 6 merges, top-20 χ² cells, |langs|² confusion
     # cells — work grows Kx, rows must stay flat.
     "minhash_estimate_calibration",
+    "dedup_negative_control",
+    "bpe_vocab_after_merges",
     "zipf_rank_frequency_audit",
     "bpe_train_merges",
     "source_signature_chisq",
