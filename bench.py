@@ -106,6 +106,7 @@ HEADLINE = [
     "source_signature_chisq",
     "dedup_negative_control",
     "bpe_vocab_after_merges",
+    "ktruss_copurchase_edges",
 ]
 
 

@@ -140,13 +140,9 @@ def test_bfs_levels_hand_graph(spark, sf_dir, monkeypatch):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
     )
-    monkeypatch.setattr(
-        mining, "_basket_pairs", lambda s, d: edges.select(
-            F.lit(0).alias("l_orderkey"),
-            F.col("a").alias("part_a"),
-            F.col("b").alias("part_b"),
-        )
-    )
+    # patch the memoized edge kernel itself: _copurchase_edges caches
+    # by (sf_dir, app) and would otherwise serve the real corpus
+    monkeypatch.setattr(mining, "_copurchase_edges", lambda s, d: edges)
     got = {r.dist: r.n_nodes for r in mining.bfs_levels_from_hub(spark, sf_dir).collect()}
     assert got == {0: 1, 1: 1, 2: 1, 3: 1, -1: 3}, got
 

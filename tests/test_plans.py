@@ -501,17 +501,23 @@ def test_ivf_cell_partitioned_probe_prunes_partitions(spark, sf_dir, tmp_path):
 
 
 def test_triangle_count_has_no_wedge_join(spark, sf_dir):
-    """copurchase_triangles counts per-edge via adjacency-array
+    """The triangle kernel enumerates via adjacency-array
     intersection: no semi-join closing a materialized wedge set, and
     the two adjacency probes are broadcast hash joins (O(E) rows in
-    flight, never O(wedges))."""
-    from rdbms_metadata_manager_spark.queries.mining import copurchase_triangles
+    flight, never O(wedges)). The count query itself must read the
+    memoized triple relation (ExistingRDD), not re-enumerate."""
+    from rdbms_metadata_manager_spark.queries import mining
 
-    plan = physical_plan(copurchase_triangles(spark, sf_dir))
-    assert "LeftSemi" not in plan, plan
-    assert "array_intersect" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    kernel = mining._edge_triangle_triples(mining._copurchase_edges(spark, sf_dir))
+    kplan = physical_plan(kernel)
+    assert "LeftSemi" not in kplan, kplan
+    assert "array_intersect" in kplan, kplan
+    assert "BroadcastHashJoin" in kplan, kplan
+    assert "CartesianProduct" not in kplan, kplan
+
+    plan = physical_plan(mining.copurchase_triangles(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert ".parquet" not in plan, plan
 
 
 def test_d4_prune_is_one_broadcast_and_one_cluster_window(spark, sf_dir):
