@@ -116,6 +116,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.bpe", "bpe_train_merges"),
         ("queries.cohort", "event_markov_transitions"),
         ("queries.skew", "countmin_heavy_hitters"),
+        ("llm.bpe", "bpe_vocab_after_merges"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
@@ -180,3 +181,29 @@ def test_triangle_summary_on_empty_graph_is_all_zero(spark, empty_dir):
 
     rows = copurchase_triangles(spark, empty_dir).collect()
     assert [tuple(r) for r in rows] == [(0, 0, 0)]
+
+
+def test_ktruss_on_empty_corpus_keeps_fixed_round_spine(spark, empty_dir):
+    """Fixed-round report: an empty graph yields TRUSS_ROUNDS rows of
+    zero counts (the report a grapher reads must never silently
+    vanish), not zero rows."""
+    from rdbms_metadata_manager_spark.queries.mining import (
+        TRUSS_ROUNDS,
+        ktruss_copurchase_edges,
+    )
+
+    rows = ktruss_copurchase_edges(spark, empty_dir).collect()
+    assert [r.round for r in rows] == list(range(1, TRUSS_ROUNDS + 1))
+    assert all(r.n_edges_before == 0 and r.n_peeled == 0 for r in rows)
+
+
+def test_negative_control_on_empty_corpus_is_one_zero_row(spark, empty_dir):
+    """Global-aggregate report: one row, zero pairs, NULL summary
+    stats (guarded divisions) — never an empty result or a crash."""
+    from rdbms_metadata_manager_spark.llm.dedup import dedup_negative_control
+
+    rows = dedup_negative_control(spark, empty_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_control_pairs == 0
+    assert r.mean_jaccard_permille is None and r.max_jaccard_permille is None
