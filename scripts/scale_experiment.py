@@ -77,6 +77,7 @@ GRAPH_KERNELS = [
     "copurchase_triangles",
     "kcore_copurchase_parts",
     "local_clustering_coefficients",
+    "ktruss_copurchase_edges",
 ]
 # Kernels with CONSTANT-size output (a 2 080-row matrix / a top-20 /
 # a fixed histogram): work grows with the input, output must not —

@@ -215,6 +215,7 @@ import pytest
         "event_markov_transitions",
         "autocorr_daily_events",
         "seasonal_decompose_daily",
+        "ktruss_copurchase_edges",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):
