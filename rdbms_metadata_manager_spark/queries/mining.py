@@ -1119,7 +1119,7 @@ TRUSS_ROUNDS = 2
 
 
 def ktruss_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-truss peeling (k={TRUSS_K}, {TRUSS_ROUNDS} fixed rounds) of
+    """k-truss peeling (k=TRUSS_K=4, TRUSS_ROUNDS=2 fixed rounds) of
     the co-purchase graph: each round computes per-EDGE triangle
     support and removes edges in fewer than k−2 triangles — the
     edge-level strengthening of [[kcore_copurchase_parts]]'s

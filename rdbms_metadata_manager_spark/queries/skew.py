@@ -178,7 +178,7 @@ def cms_bucket_structs() -> list:
 
 
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch audit for the top-{HEAVY_K} heaviest users:
+    """Count-Min sketch audit for the top-HEAVY_K heaviest users:
     exact event count vs the CMS estimate (min over CMS_ROWS hashed
     counters) and the collision overestimate. The frequency-sketch
     companion of the HLL distinct-sketch face
@@ -193,7 +193,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm.hashing convention), cells and estimates are integer sums
     and mins — bit-identical in DuckDB. Scale shape: ONE map-side
     combined per-user aggregate feeds both the sketch build (a
-    {CMS_ROWS}×-explode of the per-user rollup, NOT of the raw
+    CMS_ROWS×-explode of the per-user rollup, NOT of the raw
     events) and the exact top-K (TakeOrdered); the 1024-cell grid
     broadcasts to the probe join."""
     events = load(spark, sf_dir, "events")
