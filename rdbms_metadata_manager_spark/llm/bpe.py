@@ -201,11 +201,17 @@ m{r} AS MATERIALIZED (
   SELECT s1, s2, cnt FROM p{r} ORDER BY cnt DESC, s1, s2 LIMIT 1
 ),
 d{r} AS MATERIALIZED (
+  -- coalesce to a never-occurring sentinel (chr(30)): when merges
+  -- exhaust before this round, m{r} is EMPTY, the scalar subqueries
+  -- are NULL, and replace(s, NULL, NULL) would null every arr —
+  -- silently emptying d{r}..dN and the encoded-vocab face with them.
+  -- The guard makes an exhausted round a no-op, matching the Spark
+  -- loop's early break (which keeps the last dictionary).
   SELECT n, list_filter(string_split(
     replace(
       array_to_string(list_transform(arr, s -> chr(31) || s || chr(31)), ''),
-      (SELECT chr(31) || s1 || chr(31) || chr(31) || s2 || chr(31) FROM m{r}),
-      (SELECT chr(31) || s1 || s2 || chr(31) FROM m{r})
+      coalesce((SELECT chr(31) || s1 || chr(31) || chr(31) || s2 || chr(31) FROM m{r}), chr(30)),
+      coalesce((SELECT chr(31) || s1 || s2 || chr(31) FROM m{r}), chr(30))
     ), chr(31)), x -> x <> '') AS arr
   FROM d{r - 1}
 )""")

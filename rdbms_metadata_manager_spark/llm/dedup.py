@@ -384,9 +384,13 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Levenshtein is O(len²) per pair, so it is only ever run on
     the candidate pair list (never all-pairs) — here the memoized
-    Jaccard pair table, joined back to the two texts. Both engines'
-    levenshtein() are exact integer DP, so the per-mille similarity
-    ⌊1000·(maxlen − dist)/maxlen⌋ is cross-engine exact."""
+    Jaccard pair table, joined back to the two texts. Both engines
+    run an exact integer DP, so the per-mille similarity
+    ⌊1000·(maxlen − dist)/maxlen⌋ is cross-engine exact on ASCII
+    text. CAVEAT: DuckDB's levenshtein is BYTE-based while Spark's is
+    codepoint-based ('café' vs 'cafe' = 2 vs 1), so a non-ASCII
+    corpus needs a byte-level normalization before this oracle
+    pairing holds; the corpora here are pure ASCII."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))

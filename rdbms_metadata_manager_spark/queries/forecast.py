@@ -412,7 +412,10 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEASONAL_SQL = f"""
 WITH {_SERIES_CTES},
 per_phase AS (
-  SELECT day_idx % 7 AS phase,
+  -- floor-mod, matching Spark's pmod: a pre-1970 timestamp gives a
+  -- NEGATIVE day_idx, where plain % would yield -6..0 here but 0..6
+  -- in Spark
+  SELECT ((day_idx % 7) + 7) % 7 AS phase,
          count(*)::BIGINT AS n_days,
          sum(x)::BIGINT AS total_events
   FROM series GROUP BY 1

@@ -198,14 +198,22 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts to the probe join."""
     events = load(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    buckets = cms_bucket_structs()
     keyed = counts.select(
-        "user_id", "n_events", F.explode(F.array(*buckets)).alias("rb")
+        "user_id", "n_events", F.explode(F.array(*cms_bucket_structs())).alias("rb")
     ).select("user_id", "n_events", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
     cells = keyed.groupBy("r", "bucket").agg(F.sum("n_events").alias("cell"))
+    return cms_report(counts, cells)
+
+
+def cms_report(counts: DataFrame, cells: DataFrame) -> DataFrame:
+    """The top-HEAVY_K exact-vs-estimate audit over any per-user
+    (user_id, n_events) counts and (r, bucket, cell) CMS grid — ONE
+    definition shared by the batch face above and the streaming
+    foreachBatch face (streaming.sketch_state), whose contract is
+    that the streamed grid reports IDENTICALLY to the batch one."""
     top = counts.orderBy(F.desc("n_events"), "user_id").limit(HEAVY_K)
     probe = top.select(
-        "user_id", "n_events", F.explode(F.array(*buckets)).alias("rb")
+        "user_id", "n_events", F.explode(F.array(*cms_bucket_structs())).alias("rb")
     ).select("user_id", "n_events", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
     return (
         probe.join(F.broadcast(cells), ["r", "bucket"])

@@ -160,7 +160,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of stream length; each micro-batch contributes one
     map-side-combined per-user rollup and a grid-sized union-sum.
     Same write-next-then-replace state versioning as the HLL face."""
-    from ..queries.skew import HEAVY_K, cms_bucket_structs
+    from ..queries.skew import cms_bucket_structs, cms_report
 
     d = tempfile.mkdtemp(prefix="stream_cms_")
     src = os.path.join(d, "src")
@@ -218,24 +218,9 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert cells is not None, "stream drained without producing state"
         n_batches = len([p for p in os.listdir(state_root) if p.startswith("state_v")])
         counts = base.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-        top = counts.orderBy(F.desc("n_events"), "user_id").limit(HEAVY_K)
-        probe = top.select(
-            "user_id", "n_events", F.explode(F.array(*cms_bucket_structs())).alias("rb")
-        ).select(
-            "user_id", "n_events", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
-        )
         result = (
-            probe.join(F.broadcast(cells), ["r", "bucket"])
-            .groupBy("user_id", "n_events")
-            .agg(F.min("cell").alias("cms_estimate"))
-            .select(
-                "user_id",
-                "n_events",
-                "cms_estimate",
-                (F.col("cms_estimate") - F.col("n_events")).alias("overestimate"),
-                F.lit(n_batches).cast("bigint").alias("n_batches"),
-            )
-            .orderBy(F.desc("n_events"), "user_id")
+            cms_report(counts, cells)  # the batch face's report, verbatim
+            .withColumn("n_batches", F.lit(n_batches).cast("bigint"))
             .localCheckpoint(eager=True)  # materialize before staging dir dies
         )
     finally:

@@ -637,3 +637,37 @@ def test_chunk_rewrite_matches_python_reference(spark, tmp_path_factory, docs, d
         for r in chunk_dedup_rewrite(spark, d).collect()
     }
     assert got == _chunk_rewrite_reference(texts, CHUNK_WORDS)
+
+
+def test_bpe_faces_match_oracle_when_merges_exhaust_early(spark, tmp_path):
+    """Corpus whose merges exhaust before N_TRAIN_MERGES rounds
+    ('ab ab ab' is fully merged after round 1): the train face must
+    emit only the realized merges and the vocab face the final
+    dictionary — and BOTH oracles must agree (regression: an empty
+    m{r} made the oracle's replace() scalar subqueries NULL, nulling
+    every arr in d{r}..dN and emptying the vocab oracle)."""
+    from conftest import assert_matches_oracle
+
+    from rdbms_metadata_manager_spark.llm.bpe import (
+        _BPE_TRAIN_SQL,
+        _bpe_vocab_sql,
+        bpe_train_merges,
+        bpe_vocab_after_merges,
+    )
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "text": ["ab ab ab"], "lang": ["en"], "source": ["a"], "n_chars": [8]}
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), f"{d}/documents.parquet")
+
+    merges = bpe_train_merges(spark, d).collect()
+    assert [(r.merge_rank, r.merged, r.pair_count) for r in merges] == [(1, "ab", 3)]
+    vocab = bpe_vocab_after_merges(spark, d).collect()
+    assert [(r.symbol, r.sym_len, r.occurrences) for r in vocab] == [("ab", 2, 3)]
+    assert_matches_oracle(bpe_train_merges(spark, d), _BPE_TRAIN_SQL, d)
+    assert_matches_oracle(bpe_vocab_after_merges(spark, d), _bpe_vocab_sql(), d)
