@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_negative_control",
     "bpe_vocab_after_merges",
     "ktruss_copurchase_edges",
+    "embedding_pair_cosine_profile",
 ]
 
 

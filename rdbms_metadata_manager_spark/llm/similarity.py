@@ -686,6 +686,84 @@ ORDER BY p.label_a, p.label_b
 """
 
 
+
+
+COSINE_PROFILE_BANDS = 20  # bucket width 0.05 over [-1, 1]
+
+
+def embedding_pair_cosine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background cosine profile over |vecs|/2 DETERMINISTIC control
+    pairs (md5-rank shuffle → adjacent ranks, the same pairing as
+    dedup.dedup_negative_control) — the embedding-space baseline an
+    ANN deployment reads before picking similarity thresholds: if
+    random pairs concentrate at cosine ≈ c, any threshold below
+    c + noise returns the whole corpus. Per 0.05-wide cosine band:
+    pair count and the exact min/max cosine (the ordered-fold cosine
+    is bit-identical cross-engine, so floor-bucketing on it is too).
+
+    Scale: one md5-rank window over (vec_id, vector) rows + one
+    adjacent-rank join — O(corpus) with |docs|/2 cosine folds, never
+    the all-pairs distribution it approximates."""
+    from pyspark.sql import Window
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    ranked = emb.select(
+        "vec_id",
+        "v",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.md5(F.concat(F.lit("ctl:"), F.col("vec_id"))), F.col("vec_id")
+            )
+        )
+        .alias("rk"),
+    )
+    a = ranked.filter(F.col("rk") % 2 == 1).select(
+        (F.col("rk") + 1).alias("rk2"), F.col("v").alias("va")
+    )
+    b = ranked.filter(F.col("rk") % 2 == 0).select(
+        F.col("rk").alias("rk2"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "rk2").select(
+        _cosine(F.col("va"), F.col("vb")).alias("cosine")
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("cosine") * COSINE_PROFILE_BANDS).cast("bigint").alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("cosine").alias("min_cosine"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("band")
+    )
+
+
+_COSINE_PROFILE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY md5('ctl:' || vec_id), vec_id) AS rk
+  FROM emb
+),
+pairs AS (
+  SELECT {_cosine_sql("a.v", "b.v")} AS cosine
+  FROM ranked a JOIN ranked b ON b.rk = a.rk + 1 AND a.rk % 2 = 1
+)
+SELECT floor(cosine * {COSINE_PROFILE_BANDS})::BIGINT AS band,
+       count(*)::BIGINT AS n_pairs,
+       min(cosine) AS min_cosine,
+       max(cosine) AS max_cosine
+FROM pairs
+GROUP BY 1
+ORDER BY band
+"""
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
@@ -696,10 +774,12 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "ann_recall_report": ann_recall_report,
     "label_centroid_separation": label_centroid_separation,
+    "embedding_pair_cosine_profile": embedding_pair_cosine_profile,
 }
 
 ORACLES = {
     "similarity_topk_bruteforce": _TOPK_SQL,
+    "embedding_pair_cosine_profile": _COSINE_PROFILE_SQL,
     "similarity_ann_lsh": _ANN_SQL,
     "similarity_same_label_pairs": _PAIRS_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,
