@@ -108,6 +108,8 @@ HEADLINE = [
     "bpe_vocab_after_merges",
     "ktruss_copurchase_edges",
     "embedding_pair_cosine_profile",
+    "user_event_gap_histogram",
+    "funnel_time_to_convert",
 ]
 
 

@@ -421,9 +421,140 @@ ORDER BY from_type, to_type
 """
 
 
+# Gap histogram edges in seconds (log-ish bands); the CASE chain is
+# literal integers so both engines bucket identically.
+GAP_BANDS = [1, 10, 60, 600, 3600, 86400]
+
+
+def user_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the time between a user's consecutive events
+    in log-ish second bands — the activity-cadence readout behind
+    session-gap threshold choices (the 15-minute sessionization gap
+    used by the session queries should sit in a histogram valley).
+    Per band: gap count and total seconds. All integers (floor-second
+    epochs, literal band edges), cross-engine exact.
+
+    Scale: one user_id window shuffle (the same partitioning every
+    sequence query rides), then a map-side-combined count on ≤7
+    bands."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_s")
+        )
+    )
+    edges = " ".join(
+        f"WHEN gap_s <= {b} THEN {i}" for i, b in enumerate(GAP_BANDS)
+    )
+    band = F.expr(f"CASE {edges} ELSE {len(GAP_BANDS)} END")
+    return (
+        gaps.groupBy(band.cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_s").alias("total_gap_seconds"),
+        )
+        .orderBy("band")
+    )
+
+
+_GAP_HIST_SQL = f"""
+WITH gaps AS (
+  SELECT epoch_us(ts) // 1000000
+         - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             // 1000000 AS gap_s
+  FROM events
+)
+SELECT (CASE {" ".join(f"WHEN gap_s <= {b} THEN {i}" for i, b in enumerate(GAP_BANDS))}
+        ELSE {len(GAP_BANDS)} END)::BIGINT AS band,
+       count(*)::BIGINT AS n_gaps,
+       sum(gap_s)::BIGINT AS total_gap_seconds
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY 1
+ORDER BY band
+"""
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency distribution of the click→purchase funnel: for every
+    converted user (first purchase at-or-after the first click — the
+    same frame as funnel_click_to_purchase), seconds from click to
+    purchase, summarized as exact order statistics (percentile_disc
+    = actual data values, integer seconds — no interpolation, no
+    float contract). The companion metric to the funnel's conversion
+    COUNT: how long conversion takes, not just whether it happens.
+
+    Scale: two filtered aggregations over the user_id shuffle, a
+    1-row summary — the heavy work is the same first-click/first-
+    purchase rollup the funnel already pays."""
+    e = load(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    latencies = (
+        first_click.join(purchases, "user_id")
+        .filter(F.col("p_ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_p_ts"), F.min("c_ts").alias("c_ts2"))
+        .select(
+            (F.unix_timestamp("first_p_ts") - F.unix_timestamp("c_ts2")).alias(
+                "latency_s"
+            )
+        )
+    )
+    return latencies.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_s").alias("min_s"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_s)")
+        .cast("bigint")
+        .alias("p50_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_s)")
+        .cast("bigint")
+        .alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+    )
+
+
+_TIME_TO_CONVERT_SQL = """
+WITH fc AS (
+  SELECT user_id, min(ts) AS c_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+lat AS (
+  SELECT e.user_id,
+         epoch_us(min(e.ts)) // 1000000 - epoch_us(min(fc.c_ts)) // 1000000
+           AS latency_s
+  FROM fc JOIN events e
+    ON e.user_id = fc.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= fc.c_ts
+  GROUP BY e.user_id
+)
+SELECT count(*)::BIGINT AS n_converted,
+       min(latency_s)::BIGINT AS min_s,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_s)::BIGINT AS p50_s,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_s)::BIGINT AS p90_s,
+       max(latency_s)::BIGINT AS max_s
+FROM lat
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "event_markov_transitions": event_markov_transitions,
+    "user_event_gap_histogram": user_event_gap_histogram,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "event_path_trigrams": event_path_trigrams,
     "rolling_7d_active_users": rolling_7d_active_users,
     "rfm_customer_segments": rfm_customer_segments,
@@ -432,6 +563,8 @@ QUERIES = {
 ORACLES = {
     "cohort_retention": _COHORT_SQL,
     "event_markov_transitions": _MARKOV_SQL,
+    "user_event_gap_histogram": _GAP_HIST_SQL,
+    "funnel_time_to_convert": _TIME_TO_CONVERT_SQL,
     "event_path_trigrams": _PATHS_SQL,
     "rolling_7d_active_users": _WAU_SQL,
     "rfm_customer_segments": _RFM_SQL,
