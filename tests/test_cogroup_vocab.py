@@ -216,6 +216,9 @@ import pytest
         "autocorr_daily_events",
         "seasonal_decompose_daily",
         "ktruss_copurchase_edges",
+        "embedding_pair_cosine_profile",
+        "user_event_gap_histogram",
+        "funnel_time_to_convert",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

@@ -117,6 +117,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.cohort", "event_markov_transitions"),
         ("queries.skew", "countmin_heavy_hitters"),
         ("llm.bpe", "bpe_vocab_after_merges"),
+        ("llm.similarity", "embedding_pair_cosine_profile"),
+        ("queries.cohort", "user_event_gap_histogram"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
@@ -207,3 +209,15 @@ def test_negative_control_on_empty_corpus_is_one_zero_row(spark, empty_dir):
     r = rows[0]
     assert r.n_control_pairs == 0
     assert r.mean_jaccard_permille is None and r.max_jaccard_permille is None
+
+
+def test_time_to_convert_on_empty_corpus_is_one_zero_row(spark, empty_dir):
+    """Global-aggregate report: zero converted users yields one row
+    with n_converted=0 and NULL order statistics — never a crash."""
+    from rdbms_metadata_manager_spark.queries.cohort import funnel_time_to_convert
+
+    rows = funnel_time_to_convert(spark, empty_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_converted == 0
+    assert r.min_s is None and r.p50_s is None and r.max_s is None
