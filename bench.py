@@ -110,6 +110,7 @@ HEADLINE = [
     "embedding_pair_cosine_profile",
     "user_event_gap_histogram",
     "funnel_time_to_convert",
+    "bitmap_distinct_users",
 ]
 
 

@@ -697,6 +697,60 @@ ORDER BY scope
 """
 
 
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's mergeable bitmap aggregates
+    (`bitmap_bucket_number` / `bitmap_bit_position` /
+    `bitmap_construct_agg`) — the exact middle ground between a raw
+    countDistinct reshuffle and the HLL sketch face: per (event_type,
+    bucket) a fixed 4 KB bitmap, buckets partition the id space, so
+    summing per-bucket bitmap_count()s IS the exact distinct. A
+    100 TB pipeline materializes the per-bucket bitmaps once per
+    partition/day and answers distinct questions by OR-merging
+    (`bitmap_or_agg`) — mergeable like HLL but with zero error while
+    the key space stays bounded.
+
+    Oracle pattern (approx_distinct_stats): the emitted distinct
+    column is countDistinct and the `bitmap_matches` flag asserts the
+    bitmap path reproduced it exactly; the oracle emits the same
+    exacts with literal TRUE — any bucket/bit-position bug breaks the
+    hash while the output stays deterministic."""
+    e = load(spark, sf_dir, "events")
+    per_bucket = e.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    ).groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    bitmap_side = per_bucket.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias("bitmap_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_users")
+    )
+    return (
+        exact.join(bitmap_side, "event_type")
+        .select(
+            "event_type",
+            "n_distinct_users",
+            (F.col("bitmap_users") == F.col("n_distinct_users")).alias(
+                "bitmap_matches"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BITMAP_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_distinct_users,
+       TRUE AS bitmap_matches
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "variant_event_props": variant_event_props,
     "pipe_syntax_order_stats": pipe_syntax_order_stats,
@@ -713,6 +767,7 @@ QUERIES = {
     "sql_tvf_top_customers_per_nation": sql_tvf_top_customers_per_nation,
     "lateral_alias_packing_plan": lateral_alias_packing_plan,
     "hll_sketch_partition_union": hll_sketch_partition_union,
+    "bitmap_distinct_users": bitmap_distinct_users,
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
@@ -730,4 +785,5 @@ ORACLES = {
     "sql_tvf_top_customers_per_nation": _SQL_TVF_SQL,
     "lateral_alias_packing_plan": _LATERAL_ALIAS_SQL,
     "hll_sketch_partition_union": _HLL_SQL,
+    "bitmap_distinct_users": _BITMAP_SQL,
 }
