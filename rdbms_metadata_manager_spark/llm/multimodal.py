@@ -262,13 +262,101 @@ ORDER BY doc_id, frame_idx
 """
 
 
+
+
+# Audio chunking geometry: fake decode rate 8 samples/byte at 16 kHz;
+# 1-second windows with 50% overlap — the standard ASR/embedding
+# pre-segmentation (overlapping windows, unlike the video face's
+# discrete keyframes).
+AUDIO_SR = 16000
+AUDIO_WIN = 16000
+AUDIO_HOP = 8000
+
+CHUNK_SCHEMA = (
+    "doc_id bigint, chunk_idx int, start_ms bigint, end_ms bigint, "
+    "chunk_hash string"
+)
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio windowing is 1→N with OVERLAP: each audio blob yields
+    ceil((samples−WIN)/HOP)+1 half-overlapping windows — the batch
+    shape a real resample/VAD/embedding segmenter needs. Sample count
+    derives deterministically from the blob (real decoders slot in at
+    the gated probe); all window arithmetic is integer floor-division
+    so the SQL oracle reproduces it exactly."""
+    for pdf in batches:
+        rows = []
+        for doc_id, blob, mod in zip(pdf["doc_id"], pdf["blob"], pdf["modality"]):
+            if mod != "audio":
+                continue
+            _try_real_decode(blob, mod)  # real sample rate/count when codecs exist
+            h = hashlib.md5(blob).hexdigest()
+            n_samples = len(blob) * 8  # fake decode rate, documented above
+            if n_samples <= AUDIO_WIN:
+                n_chunks = 1
+            else:
+                n_chunks = (n_samples - AUDIO_WIN + AUDIO_HOP - 1) // AUDIO_HOP + 1
+            for j in range(n_chunks):
+                start = j * AUDIO_HOP
+                end = min(start + AUDIO_WIN, n_samples)
+                rows.append(
+                    (
+                        doc_id,
+                        j,
+                        start * 1000 // AUDIO_SR,
+                        end * 1000 // AUDIO_SR,
+                        hashlib.md5(f"{h[:8]}:{j}".encode()).hexdigest()[:8],
+                    )
+                )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "chunk_idx", "start_ms", "end_ms", "chunk_hash"],
+            ).astype({"chunk_idx": "int32"})
+
+
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window-chunking stage (1→N overlapping mapInPandas) —
+    completes the per-modality stage triple: image resize, video
+    keyframe sample, audio windowing."""
+    return (
+        _blobs(spark, sf_dir)
+        .mapInPandas(_audio_batches, CHUNK_SCHEMA)
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_AUDIO_SQL = f"""
+WITH a AS (
+  SELECT doc_id, substr(md5(text), 1, 8) AS h8,
+         strlen(text) * 8 AS n_samples
+  FROM documents WHERE doc_id % 3 = 1
+),
+c AS (
+  SELECT doc_id, h8, n_samples,
+         CASE WHEN n_samples <= {AUDIO_WIN} THEN 1
+              ELSE (n_samples - {AUDIO_WIN} + {AUDIO_HOP} - 1) // {AUDIO_HOP} + 1
+         END AS n_chunks
+  FROM a
+)
+SELECT doc_id, j::INT AS chunk_idx,
+       (j * {AUDIO_HOP} * 1000 // {AUDIO_SR})::BIGINT AS start_ms,
+       (least(j * {AUDIO_HOP} + {AUDIO_WIN}, n_samples) * 1000 // {AUDIO_SR})::BIGINT AS end_ms,
+       substr(md5(h8 || ':' || j), 1, 8) AS chunk_hash
+FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS j) t
+ORDER BY doc_id, chunk_idx
+"""
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_chunks": multimodal_audio_chunks,
 }
 ORACLES = {
     "multimodal_features": _FEATURES_SQL,
     "multimodal_resize": _RESIZE_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
+    "multimodal_audio_chunks": _AUDIO_SQL,
 }
