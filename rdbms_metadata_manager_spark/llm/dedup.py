@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.base import load, load_spread
-from .hashing import h32, h32_sql, word_shingles, word_shingles_sql
+from .hashing import (
+    CONTROL_PAIR_JOIN,
+    h32,
+    h32_sql,
+    md5_control_pairs_ctes,
+    word_shingles,
+    word_shingles_sql,
+)
 from .sampling import _SPLIT_BUCKET_SQL
 
 # MinHash parameters: 16 hash functions in 4 bands of 4 rows.
@@ -448,30 +455,14 @@ def dedup_negative_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, hash) pairs only) + a self-join on adjacent rank —
     O(corpus) with 16-byte rows, never quadratic; the verify is one
     array intersect per control pair (exactly |docs|/2 pairs)."""
-    from pyspark.sql import Window
+    from .hashing import md5_control_pairs
 
     sh = _shingled(spark, sf_dir)
-    ranked = sh.select(
-        "doc_id",
-        "hashes",
-        F.row_number()
-        .over(Window.orderBy(F.md5(F.concat(F.lit("ctl:"), F.col("doc_id"))), F.col("doc_id")))
-        .alias("rk"),
-    )
-    a = ranked.filter(F.col("rk") % 2 == 1).select(
-        (F.col("rk") + 1).alias("rk2"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("hashes").alias("sh_a"),
-    )
-    b = ranked.filter(F.col("rk") % 2 == 0).select(
-        F.col("rk").alias("rk2"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("hashes").alias("sh_b"),
-    )
-    pairs = a.join(b, "rk2").select(
+    pairs = md5_control_pairs(sh, "doc_id").select(
         F.expr(
-            "(1000 * CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT))"
-            " div (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+            "(1000 * CAST(size(array_intersect(a_hashes, b_hashes)) AS BIGINT))"
+            " div (size(a_hashes) + size(b_hashes)"
+            "      - size(array_intersect(a_hashes, b_hashes)))"
         ).alias("jp")
     )
     return pairs.agg(
@@ -485,17 +476,12 @@ def dedup_negative_control(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEGATIVE_CONTROL_SQL = f"""
-WITH sh AS ({_SHINGLED_SQL}),
-ranked AS (
-  SELECT doc_id, hashes,
-         row_number() OVER (ORDER BY md5('ctl:' || doc_id), doc_id) AS rk
-  FROM sh
-),
+WITH {md5_control_pairs_ctes(_SHINGLED_SQL, "doc_id")},
 pairs AS (
   SELECT (1000 * len(list_intersect(a.hashes, b.hashes)))
            // (len(a.hashes) + len(b.hashes)
                - len(list_intersect(a.hashes, b.hashes))) AS jp
-  FROM ranked a JOIN ranked b ON b.rk = a.rk + 1 AND a.rk % 2 = 1
+  FROM {CONTROL_PAIR_JOIN}
 )
 SELECT count(*)::BIGINT AS n_control_pairs,
        (sum(jp) // count(*))::BIGINT AS mean_jaccard_permille,

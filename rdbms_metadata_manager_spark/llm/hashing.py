@@ -51,3 +51,49 @@ def word_shingles_sql(words_expr: str, n: int = 3, distinct: bool = True) -> str
         f"j -> array_to_string({words_expr}[j:j+{n - 1}], ' '))"
     )
     return f"list_distinct({inner})" if distinct else inner
+
+
+def md5_control_pairs(df, id_col: str):
+    """Deterministic |rows|/2 control pairing: md5-rank shuffle over
+    ``id_col`` (salt ``ctl:``) → adjacent ranks joined — no row pairs
+    with itself, every row appears in ≤1 pair. ONE definition shared
+    by ``dedup.dedup_negative_control`` (text) and
+    ``similarity.embedding_pair_cosine_profile`` (vectors), so the
+    salt / tie-break / odd-even join can never drift between the two
+    background-baseline faces. Returns every input column prefixed
+    ``a_``/``b_``. Scale: one rank window over (id, payload) rows +
+    one adjacent-rank join — O(corpus), never quadratic."""
+    from pyspark.sql import Window
+
+    ranked = df.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.md5(F.concat(F.lit("ctl:"), F.col(id_col))), F.col(id_col)
+            )
+        ),
+    )
+    a = ranked.filter(F.col("_rk") % 2 == 1).select(
+        (F.col("_rk") + 1).alias("_rk2"),
+        *[F.col(c).alias(f"a_{c}") for c in df.columns],
+    )
+    b = ranked.filter(F.col("_rk") % 2 == 0).select(
+        F.col("_rk").alias("_rk2"),
+        *[F.col(c).alias(f"b_{c}") for c in df.columns],
+    )
+    return a.join(b, "_rk2").drop("_rk2")
+
+
+def md5_control_pairs_ctes(source_sql: str, id_col: str) -> str:
+    """DuckDB rendering of the same pairing: a ``ranked`` CTE body to
+    splice, consumed with ``CONTROL_PAIR_JOIN``."""
+    return (
+        "ranked AS (\n"
+        f"  SELECT *, row_number() OVER (ORDER BY md5('ctl:' || {id_col}),"
+        f" {id_col}) AS _rk\n"
+        f"  FROM ({source_sql})\n"
+        ")"
+    )
+
+
+CONTROL_PAIR_JOIN = "ranked a JOIN ranked b ON b._rk = a._rk + 1 AND a._rk % 2 = 1"

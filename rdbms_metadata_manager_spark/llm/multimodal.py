@@ -264,10 +264,13 @@ ORDER BY doc_id, frame_idx
 
 
 
-# Audio chunking geometry: fake decode rate 8 samples/byte at 16 kHz;
-# 1-second windows with 50% overlap — the standard ASR/embedding
-# pre-segmentation (overlapping windows, unlike the video face's
-# discrete keyframes).
+# Audio chunking geometry: fake decode rate 64 samples/byte at
+# 16 kHz — chosen so the test corpora exercise BOTH branches (short
+# blobs -> a single clamped window, long blobs -> 3-4 overlapping
+# windows; at 8 samples/byte every blob fit one window and the
+# fan-out path was never executed). 1-second windows with 50%
+# overlap — the standard ASR/embedding pre-segmentation (overlapping
+# windows, unlike the video face's discrete keyframes).
 AUDIO_SR = 16000
 AUDIO_WIN = 16000
 AUDIO_HOP = 8000
@@ -290,9 +293,12 @@ def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, blob, mod in zip(pdf["doc_id"], pdf["blob"], pdf["modality"]):
             if mod != "audio":
                 continue
-            _try_real_decode(blob, mod)  # real sample rate/count when codecs exist
+            # a real deployment decodes the true sample count here
+            # (soundfile.read) IN PLACE of the fake rate below — the
+            # probe is deliberately not called on this path because
+            # its result would be discarded (decode is not free)
             h = hashlib.md5(blob).hexdigest()
-            n_samples = len(blob) * 8  # fake decode rate, documented above
+            n_samples = len(blob) * 64  # fake decode rate, documented above
             if n_samples <= AUDIO_WIN:
                 n_chunks = 1
             else:
@@ -330,7 +336,7 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUDIO_SQL = f"""
 WITH a AS (
   SELECT doc_id, substr(md5(text), 1, 8) AS h8,
-         strlen(text) * 8 AS n_samples
+         strlen(text) * 64 AS n_samples
   FROM documents WHERE doc_id % 3 = 1
 ),
 c AS (

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.base import load_spread
-from .hashing import h32_sql
+from .hashing import CONTROL_PAIR_JOIN, h32_sql, md5_control_pairs_ctes
 
 N_PLANES = 6
 DIM = 64
@@ -704,30 +704,13 @@ def embedding_pair_cosine_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: one md5-rank window over (vec_id, vector) rows + one
     adjacent-rank join — O(corpus) with |docs|/2 cosine folds, never
     the all-pairs distribution it approximates."""
-    from pyspark.sql import Window
+    from .hashing import md5_control_pairs
 
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    ranked = emb.select(
-        "vec_id",
-        "v",
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.md5(F.concat(F.lit("ctl:"), F.col("vec_id"))), F.col("vec_id")
-            )
-        )
-        .alias("rk"),
-    )
-    a = ranked.filter(F.col("rk") % 2 == 1).select(
-        (F.col("rk") + 1).alias("rk2"), F.col("v").alias("va")
-    )
-    b = ranked.filter(F.col("rk") % 2 == 0).select(
-        F.col("rk").alias("rk2"), F.col("v").alias("vb")
-    )
-    pairs = a.join(b, "rk2").select(
-        _cosine(F.col("va"), F.col("vb")).alias("cosine")
+    pairs = md5_control_pairs(emb, "vec_id").select(
+        _cosine(F.col("a_v"), F.col("b_v")).alias("cosine")
     )
     return (
         pairs.groupBy(
@@ -742,18 +725,15 @@ def embedding_pair_cosine_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_EMB_SOURCE_SQL = (
+    "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings"
+)
+
 _COSINE_PROFILE_SQL = f"""
-WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-),
-ranked AS (
-  SELECT vec_id, v,
-         row_number() OVER (ORDER BY md5('ctl:' || vec_id), vec_id) AS rk
-  FROM emb
-),
+WITH {md5_control_pairs_ctes(_EMB_SOURCE_SQL, "vec_id")},
 pairs AS (
   SELECT {_cosine_sql("a.v", "b.v")} AS cosine
-  FROM ranked a JOIN ranked b ON b.rk = a.rk + 1 AND a.rk % 2 = 1
+  FROM {CONTROL_PAIR_JOIN}
 )
 SELECT floor(cosine * {COSINE_PROFILE_BANDS})::BIGINT AS band,
        count(*)::BIGINT AS n_pairs,

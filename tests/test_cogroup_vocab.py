@@ -219,6 +219,8 @@ import pytest
         "embedding_pair_cosine_profile",
         "user_event_gap_histogram",
         "funnel_time_to_convert",
+        "multimodal_audio_chunks",
+        "bitmap_distinct_users",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

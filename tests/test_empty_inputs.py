@@ -119,6 +119,8 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.bpe", "bpe_vocab_after_merges"),
         ("llm.similarity", "embedding_pair_cosine_profile"),
         ("queries.cohort", "user_event_gap_histogram"),
+        ("llm.multimodal", "multimodal_audio_chunks"),
+        ("queries.modern", "bitmap_distinct_users"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
