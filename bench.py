@@ -111,6 +111,7 @@ HEADLINE = [
     "user_event_gap_histogram",
     "funnel_time_to_convert",
     "bitmap_distinct_users",
+    "corpus_overview_report",
 ]
 
 

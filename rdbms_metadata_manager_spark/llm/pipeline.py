@@ -311,14 +311,101 @@ def write_training_shards(spark: SparkSession, sf_dir: str, out_dir: str) -> Non
     pipeline_survivors(spark, sf_dir).write.mode("overwrite").partitionBy("lang").parquet(out_dir)
 
 
+def corpus_overview_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-page dataset card: (metric, value) rows summarizing
+    the corpus a data team pins on the wall — doc/token/char counts,
+    language and source cardinality, exact-duplicate mass, and the
+    near-dup pair count from the memoized MinHash pipeline. Every
+    value is an exact integer, so the card hash-matches the oracle.
+
+    Scale: one map-side-combined pass over documents for the scalar
+    stats, one text-hash groupBy for exact dups (16-byte shuffle
+    keys), and the near-dup count reads the memoized pair list —
+    the composed report costs what its cheapest parts cost."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    words = F.split(F.col("text"), " ")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words)).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    dup_mass = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias(
+                "exact_dup_docs"
+            )
+        )
+    )
+    near_dups = dedup_minhash_lsh(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("near_dup_pairs")
+    )
+    wide = base.join(dup_mass).join(near_dups)
+    metrics = [
+        "n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+        "exact_dup_docs", "near_dup_pairs",
+    ]
+    return (
+        wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("metric"),
+                            F.col(m).cast("bigint").alias("value"),
+                        )
+                        for m in metrics
+                    ]
+                )
+            ).alias("kv")
+        )
+        .select("kv.metric", "kv.value")
+        .orderBy("metric")
+    )
+
+
+_OVERVIEW_SQL = f"""
+WITH base AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+         sum(length(text))::BIGINT AS n_chars,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         count(DISTINCT source)::BIGINT AS n_sources
+  FROM documents
+),
+dups AS (
+  SELECT coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0)::BIGINT
+           AS exact_dup_docs
+  FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+),
+nd AS (
+  SELECT count(*)::BIGINT AS near_dup_pairs FROM ({_MINHASH_SQL}) mh
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+  UNION ALL SELECT 'n_chars', n_chars FROM base
+  UNION ALL SELECT 'n_langs', n_langs FROM base
+  UNION ALL SELECT 'n_sources', n_sources FROM base
+  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM dups
+  UNION ALL SELECT 'near_dup_pairs', near_dup_pairs FROM nd
+) ORDER BY metric
+"""
+
+
 QUERIES = {
     "pipeline_stage_counts": pipeline_stage_counts,
+    "corpus_overview_report": corpus_overview_report,
     "source_token_budget_cap": source_token_budget_cap,
     "source_mix_weights": source_mix_weights,
     "corpus_temperature_mix": corpus_temperature_mix,
 }
 ORACLES = {
     "pipeline_stage_counts": _PIPELINE_SQL,
+    "corpus_overview_report": _OVERVIEW_SQL,
     "source_token_budget_cap": _BUDGET_SQL,
     "source_mix_weights": _MIX_SQL,
     "corpus_temperature_mix": _TEMPERATURE_SQL,

@@ -221,6 +221,7 @@ import pytest
         "funnel_time_to_convert",
         "multimodal_audio_chunks",
         "bitmap_distinct_users",
+        "corpus_overview_report",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):
