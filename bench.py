@@ -164,17 +164,43 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_sec_total_steady_state_min",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+
+    # The external driver snapshots only the LAST 2000 bytes of stdout
+    # (measured: every BENCH_r*.json has len(tail)==2000; r3's 86-query
+    # line overflowed it and `parsed` came back null). Two outputs:
+    # the full per-query JSON goes to BENCH_FULL.json next to this
+    # script, and stdout gets ONE compact line guaranteed to fit the
+    # tail buffer — summary fields plus per-query timings added
+    # slowest-first until the 1900-byte budget is reached (the slow
+    # queries are the ones a round-over-round comparison needs).
+    full = {
+        "metric": "headline_query_sec_total_steady_state_min",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf_dir,
+        "n_queries": len(timings),
+        "queries_full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    budget = 1900
+    for name in sorted(timings, key=timings.get, reverse=True):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -47,6 +47,21 @@ def main() -> int:
         cols = fixtures.columns_meta(spark, database_name)
         idx = fixtures.indexes_meta(spark, database_name)
         fks = fixtures.foreign_keys_meta(spark, database_name)
+    elif db_url.startswith(("mysql://", "mysql+")):
+        # live MySQL over the mysql-CLI transport (no JDBC jar / DB-API
+        # client in this environment): mysql://[host]/<db>[?socket=<path>]
+        # — also accepts the reference's own mysql+pymysql:// URL shape
+        # (reference README.md:20).
+        from urllib.parse import parse_qs, urlparse
+
+        from .catalog import mysql_live
+
+        u = urlparse(db_url)
+        database_name = (u.path.lstrip("/") or "ecommerce_db").split("?")[0]
+        sock = parse_qs(u.query).get("socket", [None])[0]
+        cols, idx, fks = mysql_live.read_catalog_live(
+            spark, database_name, socket=sock, host=u.hostname
+        )
     elif db_url.startswith("psql://"):
         # live PostgreSQL over the psql transport (no JDBC jar in
         # this environment): psql://[host]/<db>[?host=<socket-dir>]

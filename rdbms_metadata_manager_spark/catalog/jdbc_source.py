@@ -39,6 +39,7 @@ _TYPE_NORMALIZATION = {
     "TIMESTAMP WITHOUT TIME ZONE": "TIMESTAMP",
     "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
     "DOUBLE PRECISION": "FLOAT",
+    "DOUBLE": "FLOAT",
     "REAL": "FLOAT",
     "BOOL": "BOOLEAN",
     "SERIAL": "INTEGER",

@@ -275,7 +275,7 @@ sil AS (
 SELECT cluster AS cid, count(*) AS n_vecs,
        (CAST(sum(s) AS BIGINT) // count(*)) AS mean_sil_permille,
        CAST(min(s) AS BIGINT) AS min_sil_permille,
-       count_if(s < {BOUNDARY_PERMILLE}) AS n_boundary
+       CAST(count_if(s < {BOUNDARY_PERMILLE}) AS BIGINT) AS n_boundary
 FROM sil
 GROUP BY cluster
 ORDER BY cid

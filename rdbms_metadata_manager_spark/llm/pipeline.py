@@ -108,7 +108,7 @@ SELECT (SELECT count(*) FROM documents)  AS docs_in,
        (SELECT count(*) FROM quality)    AS after_quality,
        (SELECT count(*) FROM exact)      AS after_exact_dedup,
        (SELECT count(*) FROM survivors)  AS after_near_dedup,
-       (SELECT sum(n_chunks) FROM survivors) AS total_chunks
+       CAST((SELECT sum(n_chunks) FROM survivors) AS BIGINT) AS total_chunks
 """
 
 
@@ -181,7 +181,7 @@ kept AS (
   SELECT c.source, count(*) AS n_docs_kept, sum(c.n_tokens) AS n_tokens_kept
   FROM cum c, b WHERE c.cum_tokens <= b.budget GROUP BY c.source
 )
-SELECT k.source, k.n_docs_kept, k.n_tokens_kept,
+SELECT k.source, k.n_docs_kept, CAST(k.n_tokens_kept AS BIGINT) AS n_tokens_kept,
        (k.n_tokens_kept < t.total_tokens) AS capped
 FROM kept k JOIN tot t ON k.source = t.source
 ORDER BY k.source
@@ -229,7 +229,7 @@ per_source AS (
   FROM d GROUP BY source
 ),
 g AS (SELECT sum(n_tokens) AS grand_tokens, count(*) AS n_sources FROM per_source)
-SELECT source, n_docs, n_tokens,
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
        n_tokens * 1.0 / grand_tokens                 AS token_share,
        grand_tokens * 1.0 / (n_sources * n_tokens)   AS mix_weight
 FROM per_source, g

@@ -244,7 +244,7 @@ WITH banded AS (
   FROM orders
 )
 SELECT band, count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM banded
 GROUP BY band
 ORDER BY band
@@ -309,7 +309,7 @@ def identifier_param_table_profile(spark: SparkSession, sf_dir: str) -> DataFram
 _IDENTIFIER_SQL = """
 SELECT o_orderstatus AS status,
        count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY status
@@ -434,11 +434,11 @@ def transpose_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRANSPOSE_SQL = """
 SELECT 'revenue_cents' AS key,
-       sum(cents) FILTER (r_name = 'AFRICA')      AS "AFRICA",
-       sum(cents) FILTER (r_name = 'AMERICA')     AS "AMERICA",
-       sum(cents) FILTER (r_name = 'ASIA')        AS "ASIA",
-       sum(cents) FILTER (r_name = 'EUROPE')      AS "EUROPE",
-       sum(cents) FILTER (r_name = 'MIDDLE EAST') AS "MIDDLE EAST"
+       CAST(sum(cents) FILTER (r_name = 'AFRICA') AS BIGINT)      AS "AFRICA",
+       CAST(sum(cents) FILTER (r_name = 'AMERICA') AS BIGINT)     AS "AMERICA",
+       CAST(sum(cents) FILTER (r_name = 'ASIA') AS BIGINT)        AS "ASIA",
+       CAST(sum(cents) FILTER (r_name = 'EUROPE') AS BIGINT)      AS "EUROPE",
+       CAST(sum(cents) FILTER (r_name = 'MIDDLE EAST') AS BIGINT) AS "MIDDLE EAST"
 FROM (
   SELECT r_name, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
@@ -471,7 +471,7 @@ def pipe_syntax_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIPE_SQL = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
@@ -496,7 +496,7 @@ _GROUP_BY_ALL_SQL = """
 SELECT o_orderstatus,
        o_orderpriority,
        count(*) AS n_orders,
-       sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 GROUP BY ALL
 ORDER BY ALL

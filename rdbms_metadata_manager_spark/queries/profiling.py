@@ -215,7 +215,7 @@ q AS (
          quantile_disc(n_orders, 0.75) AS q3
   FROM c
 ),
-f AS (SELECT q3 + 1.5 * (q3 - q1) AS hi_fence FROM q)
+f AS (SELECT CAST(q3 + 1.5 * (q3 - q1) AS DOUBLE) AS hi_fence FROM q)
 SELECT o_custkey, n_orders, hi_fence
 FROM c, f
 WHERE n_orders > hi_fence
@@ -515,7 +515,7 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OBSERVED_SQL = """
 SELECT count(*) AS n_rows,
-       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
        count(*) FILTER (l_discount >= 0.05) AS n_discounted
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'

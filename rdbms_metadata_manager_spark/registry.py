@@ -94,16 +94,53 @@ PRIORITY: tuple[str, ...] = (
     "schema_issues",
     "schema_issues_quirks",
     "schema_issue_summary",
-    # round-3 rotation (VERDICT r2 item 3): rows green in BOTH r1 and
-    # r2 left the window; never-driver-checked queries and everything
-    # changed this round took their slots.
-    # changed this round — need fresh driver evidence
-    "dedup_jaccard_prefix_filter",  # count-filter bound fixed (ADVICE r2 high)
-    "rolling_7d_active_users",      # full-week clip (ADVICE r2 low)
-    "dq_referential_integrity",     # one-scan-per-child restructure
-    "copurchase_part_pairs",        # self-join-free basket pairs
-    "copurchase_triangles",         # edge list from the same kernel
-    # never driver-checked before this round
+    # round-4 rotation (VERDICT r3 item 3): the 27 rows green in two
+    # driver rounds left the window; their slots went to (a) the 3
+    # r3 hash-fails whose oracles were retyped HUGEINT→BIGINT this
+    # round, (b) the 18 session-J operators never driver-checked,
+    # (c) 9 of the 12 latent-HUGEINT oracles also retyped this round
+    # (the other 4 share the identical fix pattern with
+    # pipe_syntax_order_stats and wait for r5).
+    # (a) r3 reds — oracle retyped CAST(sum AS BIGINT), values were
+    # already verified bit-identical by the r3 judge
+    "stream_dedup_exact_replay",
+    "pyds_sink_roundtrip",
+    "transpose_region_revenue",
+    # (b) session-J operators — never driver-checked, freshest code
+    "ktruss_copurchase_edges",
+    "gopher_repetition_profile",
+    "autocorr_daily_events",
+    "seasonal_decompose_daily",
+    "minhash_estimate_calibration",
+    "language_id_confusion",
+    "zipf_rank_frequency_audit",
+    "dedup_edit_distance_verify",
+    "bpe_train_merges",
+    "bpe_vocab_after_merges",
+    "event_markov_transitions",
+    "dedup_tf_cosine",
+    "countmin_heavy_hitters",
+    "source_signature_chisq",
+    "dedup_negative_control",
+    "embedding_pair_cosine_profile",
+    "bitmap_distinct_users",
+    "corpus_overview_report",
+    # (c) latent-HUGEINT oracles retyped this round — fresh evidence
+    # that the fix class holds (streaming + pipeline + modern faces)
+    "pipe_syntax_order_stats",
+    "outlier_customers_iqr",      # DECIMAL(22,1) fence → DOUBLE
+    "kmeans_silhouette_report",
+    "pipeline_stage_counts",
+    "source_token_budget_cap",
+    "source_mix_weights",
+    "session_pattern_abandonment",
+    "session_bounce_stats",
+    "streaming_state_rollup",
+    # green once (first checked r3) — stay for the second green
+    "rolling_7d_active_users",
+    "dq_referential_integrity",
+    "copurchase_part_pairs",
+    "copurchase_triangles",
     "pyds_catalog_columns",
     "hybrid_search_rrf",
     "knn_join_bruteforce",
@@ -113,47 +150,10 @@ PRIORITY: tuple[str, ...] = (
     "bm25_keyword_search",
     "skyline_customers",
     "spatial_neighbor_stats",
-    # LLM pipeline: dedup family (r2-green exemplars kept for streak)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "text_winnow_fingerprints",
-    "dedup_winnow_overlap",
-    # session-D additions — never driver-checked, freshest code
     "embedding_gram_matrix",
     "bpe_pair_merge_counts",
     "hard_negative_mining",
-    "stream_dedup_exact_replay",
-    # LLM pipeline: similarity / ANN
-    "similarity_topk_bruteforce",
-    "similarity_ann_lsh",
-    "similarity_ivf_search",
-    "kmeans_clusters",
-    "entity_match_fuzzy_names",
-    "pyds_sink_roundtrip",
-    # LLM pipeline: text analysis / hygiene / packing / PII / UDFs
-    "text_token_stats",
-    "language_id_ngram",
-    "decontaminate_train_test",
-    "multimodal_features",
-    "pack_training_sequences",
-    "pii_redaction",
     "arrow_doc_byte_stats",
-    "transpose_region_revenue",
-    # streaming (batch face of the streaming pipelines)
-    "events_session_stats",
-    # skew handling
-    "salted_join_revenue",
-    # previously canon-unsafe / no-oracle rows, green r2 — one more round
-    "ordered_array_agg_orders",
-    "map_functions_events",
-    "approx_distinct_stats",
-    # §2.2 exemplars not yet green twice
-    "q21_waiting_suppliers",
-    "unpivot_lineitem_measures",
-    "variant_event_props",
-    "lateral_top_customers_per_nation",
-    "recursive_balance_replay",
-    "formats_csv_json_roundtrip",
 )
 
 

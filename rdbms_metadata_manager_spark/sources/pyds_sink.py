@@ -146,7 +146,7 @@ def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SINK_ROUNDTRIP_SQL = """
 SELECT o_orderstatus,
        count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus

@@ -198,7 +198,7 @@ firsts AS (
 )
 SELECT entry_type, count(*)::BIGINT AS n_sessions,
        sum((n_events = 1)::BIGINT)::BIGINT AS n_bounces,
-       sum((n_events = 1)::BIGINT) * 1000 // count(*) AS bounce_pm
+       CAST(sum((n_events = 1)::BIGINT) * 1000 // count(*) AS BIGINT) AS bounce_pm
 FROM firsts
 GROUP BY entry_type
 ORDER BY entry_type
@@ -296,8 +296,8 @@ SELECT entry_type,
        count(*)::BIGINT AS n_sessions,
        sum(clicked)::BIGINT AS n_clicked,
        sum(abandoned)::BIGINT AS n_abandoned,
-       CASE WHEN sum(clicked) = 0 THEN NULL
-            ELSE sum(abandoned) * 1000 // sum(clicked) END AS abandoned_pm
+       CAST(CASE WHEN sum(clicked) = 0 THEN NULL
+            ELSE sum(abandoned) * 1000 // sum(clicked) END AS BIGINT) AS abandoned_pm
 FROM flags
 GROUP BY entry_type
 ORDER BY entry_type

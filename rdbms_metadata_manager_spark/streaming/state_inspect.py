@@ -122,7 +122,7 @@ def streaming_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATE_ROLLUP_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_ticks
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_ticks
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -103,7 +103,7 @@ _STREAM_DEDUP_SQL = """
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT event_id) AS n_distinct_ids,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_ticks
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_ticks
 FROM events
 GROUP BY event_type
 ORDER BY event_type
