@@ -112,6 +112,10 @@ HEADLINE = [
     "funnel_time_to_convert",
     "bitmap_distinct_users",
     "corpus_overview_report",
+    "scan_structural_similarity",
+    "similarity_mmr_rerank",
+    "changepoint_daily_events",
+    "tokenizer_fertility_report",
 ]
 
 

@@ -270,13 +270,94 @@ LIMIT {TOP_VOCAB}
 """
 
 
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: how many BPE tokens the
+    trained tokenizer spends per word and per character in each slice
+    of the corpus — THE acceptance metric for a tokenizer (a source
+    whose fertility is far above the corpus mean is being
+    over-fragmented, which silently taxes its effective context
+    length and training compute share). Reported as exact integer
+    micros: tokens_per_word_micro = 10⁶·n_tokens div n_words and
+    chars_per_token_micro = 10⁶·n_chars div n_tokens.
+
+    Scale shape — the Zipf split again: the corpus contributes ONE
+    per-(source, word) count aggregation; tokens-per-word comes from
+    the memoized trained dictionary ([[bpe_train_merges]]'s final
+    re-segmented state — concatenating a word's symbols reconstructs
+    the word, so the dictionary joins back by that key), and the
+    join is dictionary×sources sized, never corpus sized. Sharing
+    the memo means this face costs one groupBy + one hash join on
+    top of training that already ran."""
+    swc = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    _, d_final = _trained(spark, sf_dir)
+    tok = d_final.select(
+        F.concat_ws("", "arr").alias("w"),
+        F.size("arr").cast("bigint").alias("n_tok"),
+    )
+    return (
+        swc.join(tok, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.length("w") * F.col("cnt")).alias("n_chars"),
+            F.sum(F.col("n_tok") * F.col("cnt")).alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("1000000 * n_tokens div n_words").alias("tokens_per_word_micro"),
+            F.expr("1000000 * n_chars div n_tokens").alias("chars_per_token_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def _fertility_sql() -> str:
+    head = _BPE_TRAIN_SQL.split("\nSELECT * FROM (")[0]
+    return f"""{head},
+swc AS (
+  SELECT source, t.w, count(*)::BIGINT AS cnt
+  FROM documents,
+       UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+  GROUP BY 1, 2
+),
+tok AS (
+  SELECT array_to_string(arr, '') AS w, len(arr)::BIGINT AS n_tok
+  FROM d{N_TRAIN_MERGES}
+),
+agg AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_words,
+         CAST(sum(length(swc.w) * cnt) AS BIGINT) AS n_chars,
+         CAST(sum(n_tok * cnt) AS BIGINT) AS n_tokens
+  FROM swc JOIN tok ON swc.w = tok.w
+  GROUP BY source
+)
+SELECT source, n_words, n_chars, n_tokens,
+       CAST(1000000 * n_tokens // n_words AS BIGINT) AS tokens_per_word_micro,
+       CAST(1000000 * n_chars // n_tokens AS BIGINT) AS chars_per_token_micro
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES = {
     "bpe_pair_merge_counts": bpe_pair_merge_counts,
     "bpe_train_merges": bpe_train_merges,
     "bpe_vocab_after_merges": bpe_vocab_after_merges,
+    "tokenizer_fertility_report": tokenizer_fertility_report,
 }
 ORACLES = {
     "bpe_pair_merge_counts": _BPE_SQL,
     "bpe_train_merges": _BPE_TRAIN_SQL,
     "bpe_vocab_after_merges": _bpe_vocab_sql(),
+    "tokenizer_fertility_report": _fertility_sql(),
 }

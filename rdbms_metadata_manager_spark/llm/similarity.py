@@ -744,6 +744,128 @@ GROUP BY 1
 ORDER BY band
 """
 
+MMR_LAMBDA = "0.7"  # literal text so both engines parse the same double
+MMR_CANDIDATES = 20
+MMR_SELECT = 5
+
+
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein '98)
+    of the query's candidate pool — the diversity-aware final stage
+    every retrieval/RAG pipeline runs after ANN recall: greedily pick
+    K results maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so
+    near-duplicate hits don't crowd the result list.
+
+    Scale shape = the production rerank split: candidate GENERATION
+    is the distributed part (exact cosine top-MMR_CANDIDATES via
+    broadcast query + TakeOrderedAndProject — the same plan as
+    [[similarity_topk_bruteforce]], so at 100 TB it is one scan, no
+    global sort), and the greedy selection is a bounded driver-side
+    decision over the collected K×K sim matrix (400 doubles) — the
+    same sanctioned collect class as k-means centroids: rerank state
+    is O(K²), never data-sized. Pairwise sims are computed IN SPARK
+    with the shared ascending-d fold and collected, so the driver
+    never re-derives float values; the oracle unrolls the identical
+    greedy K times in SQL on the same folds — bit-equal doubles."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "v", _cosine(F.col("v"), F.col("qv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .localCheckpoint(eager=True)  # K rows; feeds the pair join twice
+    )
+    # K×K candidate-pair sims, computed with the shared fold (bounded
+    # crossJoin: both sides are the K-row candidate pool).
+    a = cand.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = cand.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    sims = {
+        (r["a"], r["b"]): r["sim"]
+        for r in a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", _cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .collect()
+    }
+    rel = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    lam = float(MMR_LAMBDA)
+    selected: list[tuple[int, int, float, float]] = []  # rank, id, rel, score
+    chosen: list[int] = []
+    for rank in range(1, MMR_SELECT + 1):
+        best = None
+        for c in sorted(rel):
+            if c in chosen:
+                continue
+            penalty = max((sims[(c, s)] for s in chosen), default=0.0)
+            score = lam * rel[c] - (1.0 - lam) * penalty
+            if best is None or score > best[1]:
+                best = (c, score)
+        if best is None:  # candidate pool exhausted (tiny/empty corpus)
+            break
+        selected.append((rank, best[0], rel[best[0]], best[1]))
+        chosen.append(best[0])
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "rank": pd.Series([s[0] for s in selected], dtype=object),
+            "vec_id": pd.Series([s[1] for s in selected], dtype=object),
+            "relevance": pd.Series([s[2] for s in selected], dtype=object),
+            "mmr_score": pd.Series([s[3] for s in selected], dtype=object),
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "rank bigint, vec_id bigint, relevance double, mmr_score double"
+    )
+
+
+def _mmr_oracle() -> str:
+    lam = MMR_LAMBDA
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"""cand AS MATERIALIZED (
+  SELECT vec_id, v, {_cosine_sql("v", "qv")} AS rel
+  FROM e, q WHERE vec_id != 0
+  ORDER BY rel DESC, vec_id LIMIT {MMR_CANDIDATES}
+)""",
+        f"""sims AS MATERIALIZED (
+  SELECT ca.vec_id AS a, cb.vec_id AS b,
+         {_cosine_sql("ca.v", "cb.v")} AS sim
+  FROM cand ca, cand cb WHERE ca.vec_id != cb.vec_id
+)""",
+    ]
+    prev_ids: list[str] = []
+    for k in range(1, MMR_SELECT + 1):
+        if prev_ids:
+            in_sel = ", ".join(prev_ids)
+            penalty = (
+                f"(SELECT max(s.sim) FROM sims s"
+                f" WHERE s.a = c.vec_id AND s.b IN ({in_sel}))"
+            )
+            not_in = f"WHERE c.vec_id NOT IN ({in_sel})"
+        else:
+            penalty = "0.0"
+            not_in = ""
+        ctes.append(
+            f"""sel{k} AS MATERIALIZED (
+  SELECT {k}::BIGINT AS rank, c.vec_id, c.rel,
+         {lam} * c.rel - (1.0 - {lam}) * {penalty} AS mmr_score
+  FROM cand c {not_in}
+  ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+)"""
+        )
+        prev_ids.append(f"(SELECT vec_id FROM sel{k})")
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, vec_id, rel AS relevance, mmr_score FROM sel{k}"
+        for k in range(1, MMR_SELECT + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{union}\n) ORDER BY rank"
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
@@ -755,6 +877,7 @@ QUERIES = {
     "ann_recall_report": ann_recall_report,
     "label_centroid_separation": label_centroid_separation,
     "embedding_pair_cosine_profile": embedding_pair_cosine_profile,
+    "similarity_mmr_rerank": similarity_mmr_rerank,
 }
 
 ORACLES = {
@@ -768,4 +891,5 @@ ORACLES = {
     "hybrid_search_rrf": _HYBRID_SQL,
     "ann_recall_report": _RECALL_SQL,
     "label_centroid_separation": _CENTROID_SEP_SQL,
+    "similarity_mmr_rerank": _mmr_oracle(),
 }

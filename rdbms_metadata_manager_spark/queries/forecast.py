@@ -429,12 +429,107 @@ ORDER BY phase
 """
 
 
+CHANGEPOINT_MIN_SEG = 3  # each side of a split must keep >= 3 days
+CHANGEPOINT_TOP = 5
+
+
+def changepoint_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection on the daily event series — the
+    binary-segmentation step (the CUSUM / likelihood-ratio scan every
+    monitoring stack runs to answer "did the event rate shift, and
+    when?"). For every admissible split day d the mean-shift score is
+    the squared CUSUM statistic (N·S_d − n_left·S)² normalized by
+    N·n_left·n_right (S_d = prefix sum through d; maximizing it is
+    the standard changepoint location estimator for a level shift) —
+    carried entirely in DECIMAL(38,0) integer arithmetic so both
+    engines agree bit-for-bit (no variance division, no floats).
+    Top-CHANGEPOINT_TOP candidate days by score; recursing on the
+    winning split is classic binary segmentation. [beyond-reference]
+    time-series face, shares [[autocorr_daily_events]]'s series spine.
+
+    Scale shape: ONE map-side-combined daily rollup touches the raw
+    events; the prefix sum runs on the days-long rollup (a single
+    calendar-bounded window partition), and the grand totals ride a
+    1-row broadcast — the sanctioned scalar pattern. O(days) rows
+    end to end regardless of corpus size."""
+    return _cusum_report(_daily_series(spark, sf_dir))
+
+
+def _cusum_report(series: DataFrame) -> DataFrame:
+    """Top-CHANGEPOINT_TOP split days by squared CUSUM score over any
+    contiguous (day_idx, x) integer series (testable on hand-built
+    step series).
+
+    Grand totals come from a FULL-FRAME window over the same single
+    ordered pass as the prefix sums — one series lineage, so the
+    upstream events rollup scans the corpus exactly once (a separate
+    totals aggregate + crossJoin would re-derive the series subtree
+    and scan events twice)."""
+    wcum = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = series.select(
+        "day_idx",
+        F.sum("x").over(wcum).alias("s_left"),
+        F.row_number().over(Window.orderBy("day_idx")).alias("n_left"),
+        F.sum("x").over(wall).alias("s_total"),
+        F.count(F.lit(1)).over(wall).alias("n_total"),
+    )
+    return (
+        cum
+        .filter(
+            (F.col("n_left") >= CHANGEPOINT_MIN_SEG)
+            & (F.col("n_left") <= F.col("n_total") - CHANGEPOINT_MIN_SEG)
+        )
+        .select(
+            "day_idx",
+            F.col("n_left").cast("bigint").alias("n_left"),
+            (F.col("n_total") - F.col("n_left")).cast("bigint").alias("n_right"),
+            F.expr(
+                "CAST((CAST(n_total * s_left - n_left * s_total AS DECIMAL(38,0))"
+                "      * CAST(n_total * s_left - n_left * s_total AS DECIMAL(38,0)))"
+                "     div CAST(n_total * n_left * (n_total - n_left) AS DECIMAL(38,0))"
+                "     AS BIGINT)"
+            ).alias("cusum_score"),
+        )
+        .orderBy(F.col("cusum_score").desc(), "day_idx")
+        .limit(CHANGEPOINT_TOP)
+    )
+
+
+_CHANGEPOINT_SQL = f"""
+WITH {_SERIES_CTES},
+cum AS (
+  SELECT day_idx,
+         sum(x) OVER (ORDER BY day_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_left,
+         row_number() OVER (ORDER BY day_idx) AS n_left,
+         sum(x) OVER () AS s_total,
+         count(*) OVER () AS n_total
+  FROM series
+)
+SELECT day_idx,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_total - n_left AS BIGINT) AS n_right,
+       CAST((CAST(n_total * s_left - n_left * s_total AS HUGEINT)
+             * CAST(n_total * s_left - n_left * s_total AS HUGEINT))
+            // CAST(n_total * n_left * (n_total - n_left) AS HUGEINT)
+            AS BIGINT) AS cusum_score
+FROM cum
+WHERE n_left >= {CHANGEPOINT_MIN_SEG} AND n_left <= n_total - {CHANGEPOINT_MIN_SEG}
+ORDER BY cusum_score DESC, day_idx
+LIMIT {CHANGEPOINT_TOP}
+"""
+
+
 QUERIES = {
     "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
     "ewma_daily_events": ewma_daily_events,
     "ols_trend_per_segment": ols_trend_per_segment,
     "autocorr_daily_events": autocorr_daily_events,
     "seasonal_decompose_daily": seasonal_decompose_daily,
+    "changepoint_daily_events": changepoint_daily_events,
 }
 ORACLES = {
     "forecast_seasonal_naive_backtest": _FORECAST_SQL,
@@ -442,4 +537,5 @@ ORACLES = {
     "ols_trend_per_segment": _OLS_SQL,
     "autocorr_daily_events": _ACF_SQL,
     "seasonal_decompose_daily": _SEASONAL_SQL,
+    "changepoint_daily_events": _CHANGEPOINT_SQL,
 }

@@ -1264,6 +1264,114 @@ def _ktruss_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{stats}\n) ORDER BY round"
 
 
+SCAN_TOP_EDGES = 50
+
+
+def scan_structural_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN-style structural similarity per co-purchase edge: the
+    neighborhood-overlap score (Xu et al., SCAN, KDD'07) that seeds
+    density-based graph clustering — an edge whose endpoints share
+    most of their neighbors is intra-cluster; one bridging two
+    communities scores near zero. Reported as open-neighborhood
+    Jaccard in exact integer permille (SCAN's cosine form needs a
+    sqrt; the Jaccard form is the same monotone signal with no float
+    hazard): 1000·|N(a)∩N(b)| div (deg(a)+deg(b)−|N(a)∩N(b)|).
+
+    Scale: |N(a)∩N(b)| per edge IS the edge's triangle support, so
+    the whole operator rides the memoized triangle-triple relation
+    (one explode + groupBy bounded by #edges) — no neighborhood
+    self-join, no wedge set. Degrees come from the memoized edge
+    list; the node-count-sized degree relation broadcasts. Top-K by
+    (similarity, edge) compiles to TakeOrderedAndProject — no global
+    sort. Same kernel family as [[ktruss_copurchase_edges]] (support
+    = peel signal there, similarity numerator here)."""
+    e = _copurchase_edges(spark, sf_dir)
+    tri = _triangle_triples(spark, sf_dir)
+    edge_struct = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+    )
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    edge_struct(F.col("src"), F.col("dst")),
+                    edge_struct(F.col("src"), F.col("w")),
+                    edge_struct(F.col("dst"), F.col("w")),
+                )
+            ).alias("c")
+        )
+        .select("c.a", "c.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        e.join(sup, ["a", "b"], "left")
+        .na.fill({"common_neighbors": 0})
+        .join(F.broadcast(deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))), "a")
+        .join(F.broadcast(deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "1000 * common_neighbors div (deg_a + deg_b - common_neighbors)"
+            ).alias("sim_permille"),
+        )
+        .orderBy(F.col("sim_permille").desc(), "a", "b")
+        .limit(SCAN_TOP_EDGES)
+    )
+
+
+_SCAN_SQL = f"""
+WITH bk AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+),
+e0 AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+tri AS MATERIALIZED (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sup AS (
+  SELECT a, b, count(*) AS common_neighbors FROM (
+    SELECT u AS a, v AS b FROM tri
+    UNION ALL SELECT u, w FROM tri
+    UNION ALL SELECT v, w FROM tri
+  ) GROUP BY 1, 2
+),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY 1
+)
+SELECT e.a, e.b,
+       CAST(coalesce(s.common_neighbors, 0) AS BIGINT) AS common_neighbors,
+       da.deg AS deg_a,
+       db.deg AS deg_b,
+       CAST(1000 * coalesce(s.common_neighbors, 0)
+            // (da.deg + db.deg - coalesce(s.common_neighbors, 0)) AS BIGINT)
+         AS sim_permille
+FROM e0 e
+LEFT JOIN sup s ON s.a = e.a AND s.b = e.b
+JOIN deg da ON da.n = e.a
+JOIN deg db ON db.n = e.b
+ORDER BY sim_permille DESC, e.a, e.b
+LIMIT {SCAN_TOP_EDGES}
+"""
+
+
 QUERIES = {
     "skyline_customers": skyline_customers,
     "pareto_revenue_concentration": pareto_revenue_concentration,
@@ -1278,6 +1386,7 @@ QUERIES = {
     "local_clustering_coefficients": local_clustering_coefficients,
     "copurchase_degree_histogram": copurchase_degree_histogram,
     "ktruss_copurchase_edges": ktruss_copurchase_edges,
+    "scan_structural_similarity": scan_structural_similarity,
 }
 ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
@@ -1293,4 +1402,5 @@ ORACLES = {
     "local_clustering_coefficients": _LCC_SQL,
     "copurchase_degree_histogram": _DEG_HIST_SQL,
     "ktruss_copurchase_edges": _ktruss_oracle(),
+    "scan_structural_similarity": _SCAN_SQL,
 }

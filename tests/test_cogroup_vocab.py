@@ -222,6 +222,12 @@ import pytest
         "multimodal_audio_chunks",
         "bitmap_distinct_users",
         "corpus_overview_report",
+        # round-4 ops: memo-riding SCAN scores, driver-decision MMR
+        # greedy, window CUSUM, dictionary-join fertility
+        "scan_structural_similarity",
+        "similarity_mmr_rerank",
+        "changepoint_daily_events",
+        "tokenizer_fertility_report",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

@@ -121,6 +121,11 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.cohort", "user_event_gap_histogram"),
         ("llm.multimodal", "multimodal_audio_chunks"),
         ("queries.modern", "bitmap_distinct_users"),
+        # round-4 additions
+        ("queries.mining", "scan_structural_similarity"),
+        ("queries.forecast", "changepoint_daily_events"),
+        ("llm.similarity", "similarity_mmr_rerank"),
+        ("llm.bpe", "tokenizer_fertility_report"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

@@ -783,3 +783,34 @@ def test_countmin_topk_is_take_ordered_and_cells_broadcast(spark, sf_dir):
     plan = physical_plan(countmin_heavy_hitters(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scan_similarity_rides_memos_take_ordered_no_smj(spark, sf_dir):
+    """scan_structural_similarity: supports come from the memoized
+    triangle triples and degrees from the memoized edge list (both
+    ExistingRDD scans — no parquet rescan), every join is broadcast
+    (degree relation is node-sized), and the top-K cut compiles to
+    TakeOrderedAndProject, never a global sort."""
+    from rdbms_metadata_manager_spark.queries.mining import (
+        scan_structural_similarity,
+    )
+
+    plan = physical_plan(scan_structural_similarity(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+
+
+def test_changepoint_is_one_rollup_single_lineage(spark, sf_dir):
+    """changepoint_daily_events: exactly ONE events parquet scan —
+    prefix sums AND grand totals ride the same full-frame window
+    pass (a totals-aggregate + crossJoin shape would re-derive the
+    series and scan events twice); candidate cut is
+    TakeOrderedAndProject."""
+    from rdbms_metadata_manager_spark.queries.forecast import (
+        changepoint_daily_events,
+    )
+
+    plan = physical_plan(changepoint_daily_events(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -1,0 +1,184 @@
+"""Round-4 operators: independent-reference semantic tests.
+
+Each operator already hash-matches its DuckDB oracle at three scales
+(tests/test_oracle_parity.py covers sf0.001 in-suite); these tests
+check the SEMANTICS against a second, independent implementation
+(plain Python/numpy over collected inputs) so an oracle that encoded
+the same mistake as the engine would still be caught."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_scan_similarity_matches_python_set_jaccard(spark, sf_dir):
+    """Top-50 SCAN edges vs a from-scratch Python computation:
+    neighborhoods as sets, common = |N(a)∩N(b)|, integer-permille
+    Jaccard, same (sim desc, a, b) cut."""
+    from rdbms_metadata_manager_spark.queries.mining import (
+        SCAN_TOP_EDGES,
+        _copurchase_edges,
+        scan_structural_similarity,
+    )
+
+    edges = [(r.a, r.b) for r in _copurchase_edges(spark, sf_dir).collect()]
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    rows = []
+    for a, b in edges:
+        common = len(nbrs[a] & nbrs[b])
+        da, db = len(nbrs[a]), len(nbrs[b])
+        rows.append((a, b, common, da, db, 1000 * common // (da + db - common)))
+    want = sorted(rows, key=lambda r: (-r[5], r[0], r[1]))[:SCAN_TOP_EDGES]
+    got = [tuple(r) for r in scan_structural_similarity(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_cusum_kernel_finds_planted_level_shift(spark):
+    """A hand-built step series (20 days at 100, then 20 days at 200)
+    must score its argmax exactly at the step boundary, and the score
+    must equal the closed-form integer formula."""
+    from rdbms_metadata_manager_spark.queries.forecast import _cusum_report
+
+    series = spark.createDataFrame(
+        [(d, 100 if d < 20 else 200) for d in range(40)], "day_idx long, x long"
+    )
+    got = _cusum_report(series).collect()
+    # boundary split: n_left=20, s_left=2000, S=6000, N=40
+    # score = (40*2000 - 20*6000)^2 // (40*20*20) = 1.6e9 // 16000 = 100000
+    assert got[0].day_idx == 19
+    assert (got[0].n_left, got[0].n_right) == (20, 20)
+    assert got[0].cusum_score == (40 * 2000 - 20 * 6000) ** 2 // (40 * 20 * 20)
+    # scores strictly decay moving away from the true changepoint
+    by_day = {r.day_idx: r.cusum_score for r in got}
+    assert set(by_day) == {17, 18, 19, 20, 21}
+
+
+def test_cusum_is_flat_zero_on_constant_series(spark):
+    from rdbms_metadata_manager_spark.queries.forecast import _cusum_report
+
+    series = spark.createDataFrame(
+        [(d, 7) for d in range(10)], "day_idx long, x long"
+    )
+    got = _cusum_report(series).collect()
+    assert got and all(r.cusum_score == 0 for r in got)
+
+
+def test_mmr_matches_independent_numpy_greedy(spark, sf_dir):
+    """MMR selection vs a from-scratch numpy implementation over the
+    raw embeddings: same candidate pool, same greedy, independent
+    float path (numpy vectorized cosine vs the SQL fold) — selected
+    ids must agree exactly, scores to 1e-9."""
+    import numpy as np
+
+    from rdbms_metadata_manager_spark.llm.similarity import (
+        MMR_CANDIDATES,
+        MMR_SELECT,
+        similarity_mmr_rerank,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    qv = emb[0]
+
+    def cos(u, v):
+        return float(u @ v / (np.sqrt(u @ u) * np.sqrt(v @ v)))
+
+    rel = {i: cos(v, qv) for i, v in emb.items() if i != 0}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_CANDIDATES]
+    chosen: list[int] = []
+    want = []
+    for rank in range(1, MMR_SELECT + 1):
+        best = None
+        for c in cand:
+            if c in chosen:
+                continue
+            pen = max((cos(emb[c], emb[s]) for s in chosen), default=0.0)
+            score = 0.7 * rel[c] - 0.3 * pen
+            if best is None or score > best[1]:
+                best = (c, score)
+        want.append((rank, best[0], rel[best[0]], best[1]))
+        chosen.append(best[0])
+
+    got = [tuple(r) for r in similarity_mmr_rerank(spark, sf_dir).collect()]
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+
+def test_fertility_matches_python_bpe_encode(spark, sf_dir):
+    """Fertility totals vs a sequential Python BPE: re-apply the
+    learned merge table greedily left-to-right per word (the Sennrich
+    reference semantics) and recount tokens per source."""
+    from rdbms_metadata_manager_spark.llm.bpe import (
+        bpe_train_merges,
+        tokenizer_fertility_report,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    merges = [
+        (r.sym_a, r.sym_b) for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+    want: dict[str, list[int]] = {}
+    tok_cache: dict[str, int] = {}
+    for r in docs:
+        for w in r.text.split(" "):
+            if not w:
+                continue
+            if w not in tok_cache:
+                tok_cache[w] = encode(w)
+            agg = want.setdefault(r.source, [0, 0, 0])  # words, chars, tokens
+            agg[0] += 1
+            agg[1] += len(w)
+            agg[2] += tok_cache[w]
+
+    got = {r.source: r for r in tokenizer_fertility_report(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for src, (nw, nc, nt) in want.items():
+        g = got[src]
+        assert (g.n_words, g.n_chars, g.n_tokens) == (nw, nc, nt)
+        assert g.tokens_per_word_micro == 1_000_000 * nt // nw
+        assert g.chars_per_token_micro == 1_000_000 * nc // nt
+
+
+def test_mmr_first_pick_is_pure_relevance(spark, sf_dir):
+    """Rank-1 must be the plain cosine argmax (empty-set penalty is
+    zero) with score exactly 0.7·rel; ranks contiguous, ids distinct.
+    (No upper bound on later scores: max-sim to the selected set can
+    be NEGATIVE on these near-orthogonal embeddings, which RAISES the
+    MMR score above 0.7·rel — correct per the formula.)"""
+    from rdbms_metadata_manager_spark.llm.similarity import (
+        similarity_mmr_rerank,
+        similarity_topk_bruteforce,
+    )
+
+    got = similarity_mmr_rerank(spark, sf_dir).collect()
+    top1 = similarity_topk_bruteforce(spark, sf_dir).collect()[0]
+    assert got[0].vec_id == top1.vec_id
+    assert got[0].mmr_score == 0.7 * got[0].relevance
+    assert [g.rank for g in got] == list(range(1, len(got) + 1))
+    assert len({g.vec_id for g in got}) == len(got)
