@@ -116,6 +116,7 @@ HEADLINE = [
     "similarity_mmr_rerank",
     "changepoint_daily_events",
     "tokenizer_fertility_report",
+    "similarity_filtered_topk",
 ]
 
 

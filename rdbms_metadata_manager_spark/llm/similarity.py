@@ -744,6 +744,52 @@ GROUP BY 1
 ORDER BY band
 """
 
+FILTER_LABEL = 3
+FILTERED_TOP_K = 8
+
+
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-PRE-filtered exact vector search: cosine top-K to the
+    query among vectors with ``label = FILTER_LABEL`` — the
+    tenant/ACL-filter pattern every production vector store must get
+    right. PRE-filtering (predicate applied before scoring) is the
+    load-bearing choice: post-filtering a plain top-K can return
+    fewer than K rows (or none) when the filter is selective, the
+    classic filtered-ANN recall bug.
+
+    Scale: the label predicate is a LITERAL, so it pushes into the
+    parquet scan (PushedFilters; with label-partitioned or z-ordered
+    storage the scan prunes whole files) — the distance fold runs
+    only on surviving rows. Query vector broadcasts; top-K compiles
+    to TakeOrderedAndProject. Plan-pinned in tests/test_plans.py."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        emb.filter((F.col("label") == FILTER_LABEL) & (F.col("vec_id") != 0))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            _cosine(F.col("v"), F.col("qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(FILTERED_TOP_K)
+    )
+
+
+_FILTERED_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, label::BIGINT AS label, {_cosine_sql("v", "qv")} AS cosine
+FROM e, q
+WHERE label = {FILTER_LABEL} AND vec_id != 0
+ORDER BY cosine DESC, vec_id
+LIMIT {FILTERED_TOP_K}
+"""
+
+
 MMR_LAMBDA = "0.7"  # literal text so both engines parse the same double
 MMR_CANDIDATES = 20
 MMR_SELECT = 5
@@ -878,6 +924,7 @@ QUERIES = {
     "label_centroid_separation": label_centroid_separation,
     "embedding_pair_cosine_profile": embedding_pair_cosine_profile,
     "similarity_mmr_rerank": similarity_mmr_rerank,
+    "similarity_filtered_topk": similarity_filtered_topk,
 }
 
 ORACLES = {
@@ -892,4 +939,5 @@ ORACLES = {
     "ann_recall_report": _RECALL_SQL,
     "label_centroid_separation": _CENTROID_SEP_SQL,
     "similarity_mmr_rerank": _mmr_oracle(),
+    "similarity_filtered_topk": _FILTERED_TOPK_SQL,
 }

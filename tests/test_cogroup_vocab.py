@@ -228,6 +228,7 @@ import pytest
         "similarity_mmr_rerank",
         "changepoint_daily_events",
         "tokenizer_fertility_report",
+        "similarity_filtered_topk",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

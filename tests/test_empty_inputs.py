@@ -126,6 +126,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.forecast", "changepoint_daily_events"),
         ("llm.similarity", "similarity_mmr_rerank"),
         ("llm.bpe", "tokenizer_fertility_report"),
+        ("llm.similarity", "similarity_filtered_topk"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

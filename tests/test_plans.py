@@ -814,3 +814,20 @@ def test_changepoint_is_one_rollup_single_lineage(spark, sf_dir):
     plan = physical_plan(changepoint_daily_events(spark, sf_dir))
     assert plan.count("FileScan parquet") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_filtered_topk_pushes_label_predicate_to_scan(spark, sf_dir):
+    """similarity_filtered_topk: the label filter must reach the
+    parquet reader as a pushed filter (pre-filtering — scoring never
+    sees non-matching rows) and the cut must be
+    TakeOrderedAndProject."""
+    from rdbms_metadata_manager_spark.llm.similarity import (
+        similarity_filtered_topk,
+    )
+
+    plan = physical_plan(similarity_filtered_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("label" in p.lower() and "EqualTo" in p for p in pushed), pushed

@@ -182,3 +182,39 @@ def test_mmr_first_pick_is_pure_relevance(spark, sf_dir):
     assert got[0].mmr_score == 0.7 * got[0].relevance
     assert [g.rank for g in got] == list(range(1, len(got) + 1))
     assert len({g.vec_id for g in got}) == len(got)
+
+
+def test_filtered_topk_matches_numpy_prefilter(spark, sf_dir):
+    """Filtered vector search vs a from-scratch numpy implementation:
+    PRE-filter to label==FILTER_LABEL (excluding the query row), then
+    exact cosine top-K with the same (cosine desc, vec_id) cut. Also
+    pins the pre-filter contract: every returned row carries the
+    filter label, and the result is exactly min(K, #matching) rows —
+    a post-filtered top-K would return fewer."""
+    import numpy as np
+
+    from rdbms_metadata_manager_spark.llm.similarity import (
+        FILTER_LABEL,
+        FILTERED_TOP_K,
+        similarity_filtered_topk,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    lab = {r.vec_id: r.label for r in rows}
+    qv = emb[0]
+
+    def cos(u, v):
+        return float(u @ v / (np.sqrt(u @ u) * np.sqrt(v @ v)))
+
+    pool = [i for i in emb if i != 0 and lab[i] == FILTER_LABEL]
+    want = sorted(((i, cos(emb[i], qv)) for i in pool), key=lambda t: (-t[1], t[0]))
+    want = want[:FILTERED_TOP_K]
+
+    got = [tuple(r) for r in similarity_filtered_topk(spark, sf_dir).collect()]
+    assert len(got) == min(FILTERED_TOP_K, len(pool))
+    assert all(g[1] == FILTER_LABEL for g in got)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[1], abs=1e-9)
