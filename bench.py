@@ -117,6 +117,9 @@ HEADLINE = [
     "changepoint_daily_events",
     "tokenizer_fertility_report",
     "similarity_filtered_topk",
+    "similarity_binary_rerank",
+    "l_diversity_audit",
+    "matryoshka_truncation_recall",
 ]
 
 

@@ -135,5 +135,76 @@ FROM classes
 """
 
 
-QUERIES = {"pii_redaction": pii_redaction, "k_anonymity_audit": k_anonymity_audit}
-ORACLES = {"pii_redaction": _PII_SQL, "k_anonymity_audit": _K_ANON_SQL}
+L_DIV = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure follow-up to
+    [[k_anonymity_audit]]: a class can be k-anonymous yet leak the
+    SENSITIVE attribute outright when every member shares one value
+    (homogeneity attack). Here the quasi-identifiers are
+    (c_nationkey, floor(c_acctbal/100)) and the sensitive attribute
+    is c_mktsegment; a class is exposed when it carries fewer than
+    L_DIV distinct segment values. Reports class counts, the corpus
+    minimum l, and the per-mille of records in exposed classes — the
+    release gate a privacy office actually signs off on. The band is
+    finer than [[k_anonymity_audit]]'s (/100 vs /1000): l-diversity
+    only discriminates where classes are small enough that segment
+    homogeneity can occur (with the coarse band every class carries
+    all 5 segments at every scale — a vacuous audit).
+
+    Plan: one groupBy over the QI tuple with a count-distinct on the
+    sensitive column (two-phase partial agg keyed (QI, segment), both
+    relations bounded by QI-space × |segments|, not rows), then a
+    single-row summary. At 100 TB: scan + two thin shuffles."""
+    customer = load_spread(spark, sf_dir, "customer", "c_custkey")
+    classes = customer.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 100).alias("balance_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_n"),
+        F.countDistinct("c_mktsegment").alias("l_val"),
+    )
+    exposed = F.col("l_val") < L_DIV
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(exposed.cast("long")).alias("n_exposed_classes"),
+        F.sum(F.when(exposed, F.col("class_n")).otherwise(F.lit(0))).alias(
+            "n_records_exposed"
+        ),
+        F.min("l_val").alias("min_l"),
+        F.expr(
+            f"(1000 * sum(CASE WHEN l_val < {L_DIV} THEN class_n ELSE 0 END))"
+            " div sum(class_n)"
+        ).alias("exposed_permille"),
+    )
+
+
+_L_DIV_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, floor(c_acctbal / 100) AS balance_band,
+         count(*) AS class_n,
+         count(DISTINCT c_mktsegment) AS l_val
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_classes,
+       sum(CASE WHEN l_val < {L_DIV} THEN 1 ELSE 0 END)::BIGINT AS n_exposed_classes,
+       sum(CASE WHEN l_val < {L_DIV} THEN class_n ELSE 0 END)::BIGINT AS n_records_exposed,
+       min(l_val)::BIGINT AS min_l,
+       ((1000 * sum(CASE WHEN l_val < {L_DIV} THEN class_n ELSE 0 END)) // sum(class_n))::BIGINT
+         AS exposed_permille
+FROM classes
+"""
+
+
+QUERIES = {
+    "pii_redaction": pii_redaction,
+    "k_anonymity_audit": k_anonymity_audit,
+    "l_diversity_audit": l_diversity_audit,
+}
+ORACLES = {
+    "pii_redaction": _PII_SQL,
+    "k_anonymity_audit": _K_ANON_SQL,
+    "l_diversity_audit": _L_DIV_SQL,
+}

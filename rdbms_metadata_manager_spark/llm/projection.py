@@ -249,13 +249,175 @@ ORDER BY mad_band
 """
 
 
+MAT_QUERIES = 8  # vec_id < MAT_QUERIES form the query batch
+MAT_K = 10
+MAT_DIMS = (8, 16, 32)  # audited truncation prefixes (full = PROJ_DIM)
+
+
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@K of PREFIX-dim cosine
+    top-K against full-dim top-K, per (query, prefix). The go/no-go
+    report before serving truncated embeddings (the MRL deployment
+    question: "can I keep 8 of 64 dims and still retrieve the same
+    neighbours?") — the retrieval-quality sibling of
+    [[embedding_quantization_error]]'s reconstruction view.
+
+    Exactness: elements are fixed-point ticks floor(x·1000) (int64,
+    the [[embedding_gram_matrix]] pattern), so every prefix dot and
+    norm is an EXACT integer sum — commutative, partition-order
+    immune — and the ranking cosine dot/√(vn·qn) is one IEEE double
+    expression over identical integers in both engines: the top-K
+    SETS are bit-deterministic, no float-accumulation rank hazard.
+
+    Plan: ONE posexplode of the corpus, broadcast-join the exploded
+    query batch on the dimension key, and a single partial-agged
+    groupBy (query, vec) computing all prefix dots/norms as
+    conditional sums in one pass (no per-prefix rescan); then a
+    (query, dim)-windowed top-K and one equi-join for the overlap.
+    At 100 TB the corpus side streams through codegen once; shuffle
+    volume is |queries|·|corpus| summary rows, not vectors."""
+    from pyspark.sql import Window
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    ticks = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "raw")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("raw").cast("double") * TICK).cast("long").alias("t"),
+    )
+    q = ticks.filter(F.col("vec_id") < MAT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("t").alias("qt")
+    )
+    pool = ticks.filter(F.col("vec_id") >= MAT_QUERIES)
+    all_dims = list(MAT_DIMS) + [PROJ_DIM]
+    aggs = []
+    for d in all_dims:
+        within = F.col("pos") <= d
+        aggs += [
+            F.sum(F.when(within, F.col("qt") * F.col("t")).otherwise(F.lit(0))).alias(f"dot{d}"),
+            F.sum(F.when(within, F.col("t") * F.col("t")).otherwise(F.lit(0))).alias(f"vn{d}"),
+            F.sum(F.when(within, F.col("qt") * F.col("qt")).otherwise(F.lit(0))).alias(f"qn{d}"),
+        ]
+    pair = pool.join(F.broadcast(q), "pos").groupBy("query_id", "vec_id").agg(*aggs)
+
+    def cos(d: int):
+        prod = (F.col(f"vn{d}") * F.col(f"qn{d}")).cast("double")
+        return F.when(prod == 0, F.lit(-2.0)).otherwise(
+            F.col(f"dot{d}").cast("double") / F.sqrt(prod)
+        )
+
+    stack_args = [F.lit(len(all_dims))]
+    for d in all_dims:
+        stack_args += [F.lit(d), cos(d)]
+    scored = pair.select(
+        "query_id", "vec_id", F.stack(*stack_args).alias("dim", "cos")
+    )
+    w = Window.partitionBy("query_id", "dim").orderBy(F.col("cos").desc(), "vec_id")
+    # materialize once: both sides of the overlap join read picks
+    # (|queries|·|dims|·K rows) — without this barrier the 12-sum
+    # aggregation subtree is planned twice.
+    picks = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MAT_K)
+        .select("query_id", "vec_id", "dim")
+        .localCheckpoint(eager=True)
+    )
+    full = picks.filter(F.col("dim") == PROJ_DIM).select("query_id", "vec_id")
+    hits = (
+        picks.filter(F.col("dim") != PROJ_DIM)
+        .join(full, ["query_id", "vec_id"])
+        .groupBy("query_id", "dim")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    spine = (
+        q.select("query_id")
+        .distinct()
+        .select(
+            "query_id",
+            F.explode(F.array([F.lit(d) for d in MAT_DIMS])).alias("dim"),
+        )
+    )
+    return (
+        spine.join(hits, ["query_id", "dim"], "left")
+        .withColumn("hits", F.coalesce(F.col("h"), F.lit(0)).cast("long"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("dim").cast("long").alias("dim"),
+            "hits",
+            F.expr(f"CAST((hits * 1000) DIV {MAT_K} AS BIGINT)").alias(
+                "recall_permille"
+            ),
+        )
+        .orderBy("query_id", "dim")
+    )
+
+
+def _mat_oracle() -> str:
+    all_dims = list(MAT_DIMS) + [PROJ_DIM]
+    pair_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN pos <= {d} THEN qt * t ELSE 0 END) AS BIGINT) AS dot{d},\n"
+        f"    CAST(sum(CASE WHEN pos <= {d} THEN t * t ELSE 0 END) AS BIGINT) AS vn{d},\n"
+        f"    CAST(sum(CASE WHEN pos <= {d} THEN qt * qt ELSE 0 END) AS BIGINT) AS qn{d}"
+        for d in all_dims
+    )
+    scored = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, vec_id, {d} AS dim,\n"
+        f"         CASE WHEN vn{d} * qn{d} = 0 THEN -2.0\n"
+        f"              ELSE CAST(dot{d} AS DOUBLE) / sqrt(CAST(vn{d} * qn{d} AS DOUBLE)) END AS cos\n"
+        f"  FROM pair"
+        for d in all_dims
+    )
+    dims_values = ", ".join(f"({d})" for d in MAT_DIMS)
+    return f"""
+WITH tk AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {TICK}) AS BIGINT) AS t
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, pos, t AS qt FROM tk WHERE vec_id < {MAT_QUERIES}),
+pool AS (SELECT vec_id, pos, t FROM tk WHERE vec_id >= {MAT_QUERIES}),
+pair AS (
+  SELECT query_id, vec_id,
+    {pair_cols}
+  FROM pool JOIN q USING (pos)
+  GROUP BY 1, 2
+),
+scored AS (
+{scored}
+),
+picks AS (
+  SELECT query_id, vec_id, dim,
+         row_number() OVER (PARTITION BY query_id, dim ORDER BY cos DESC, vec_id) AS rk
+  FROM scored QUALIFY rk <= {MAT_K}
+),
+fullk AS (SELECT query_id, vec_id FROM picks WHERE dim = {PROJ_DIM}),
+hits AS (
+  SELECT p.query_id, p.dim, count(*) AS h
+  FROM picks p JOIN fullk f USING (query_id, vec_id)
+  WHERE p.dim != {PROJ_DIM}
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT DISTINCT query_id, d.dim FROM q, (VALUES {dims_values}) AS d(dim)
+)
+SELECT query_id::BIGINT AS query_id, dim::BIGINT AS dim,
+       CAST(coalesce(h, 0) AS BIGINT) AS hits,
+       CAST((coalesce(h, 0) * 1000) // {MAT_K} AS BIGINT) AS recall_permille
+FROM spine LEFT JOIN hits USING (query_id, dim)
+ORDER BY query_id, dim
+"""
+
+
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "embedding_dim_robust_stats": embedding_dim_robust_stats,
     "embedding_norm_outlier_bands": embedding_norm_outlier_bands,
+    "matryoshka_truncation_recall": matryoshka_truncation_recall,
 }
 ORACLES = {
     "embedding_random_projection": _PROJ_SQL,
     "embedding_dim_robust_stats": _DIM_STATS_SQL,
     "embedding_norm_outlier_bands": _NORM_BANDS_SQL,
+    "matryoshka_truncation_recall": _mat_oracle(),
 }

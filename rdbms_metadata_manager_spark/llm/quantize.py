@@ -249,14 +249,118 @@ LIMIT {RERANK_K}
 """
 
 
+HALF = 32  # sign bits packed per int64 word (2 words for DIM=64)
+HAM_CANDIDATES = 40
+HAM_RERANK_K = 10
+
+
+def _sign_code(v, lo: int):
+    """Horner-fold the sign bits of dims [lo, lo+HALF) (1-based) into
+    one int64 word: acc = acc*2 + (x >= 0). Exact integers, and the
+    Horner form with init 0 equals DuckDB's ``list_reduce`` (which
+    seeds the fold with the FIRST element — 0*2+b1 == b1), so both
+    engines compute the identical word."""
+    bits = F.transform(
+        F.slice(v, lo, HALF),
+        lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+
+
+def similarity_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: 1 bit per dimension (the sign), so a
+    64-dim float32 vector compresses 32× to two int64 words; candidate
+    generation is Hamming distance = popcount(code XOR query_code),
+    then the short list is reranked by exact float cosine. This is
+    the third point on the repo's quantization curve — float
+    ([[similarity_topk_bruteforce]]) → int8 ADC
+    ([[similarity_quantized_rerank]]) → 1-bit — i.e. the binary
+    quantization mode production vector stores ship for cold tiers.
+
+    Scale: the Hamming pass reads 16 BYTES per vector (two words) and
+    is pure codegen'd integer ops (XOR + bit_count) — memory-bandwidth
+    bound, no floats touched; both cuts compile to
+    TakeOrderedAndProject (per-partition heaps, no global sort); the
+    rerank touches HAM_CANDIDATES float vectors, not the corpus. The
+    (hamming, vec_id) candidate order and the integer codes are exact
+    cross-engine, so the candidate SET is deterministic."""
+    from .similarity import _as_double, _cosine
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    coded = emb.select(
+        "vec_id",
+        "v",
+        _sign_code(F.col("v"), 1).alias("h1"),
+        _sign_code(F.col("v"), HALF + 1).alias("h2"),
+    )
+    q = coded.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("h1").alias("qh1"), F.col("h2").alias("qh2")
+    )
+    hamming = (
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("qh1")))
+        + F.bit_count(F.col("h2").bitwiseXOR(F.col("qh2")))
+    ).cast("long")
+    candidates = (
+        coded.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "v", "qv", hamming.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(HAM_CANDIDATES)
+    )
+    return (
+        candidates.select(
+            "vec_id", "hamming", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(HAM_RERANK_K)
+    )
+
+
+def _sign_code_sql(lo: int) -> str:
+    hi = lo + HALF - 1
+    return (
+        f"list_reduce(list_transform(v[{lo}:{hi}], "
+        "x -> CASE WHEN x >= 0 THEN 1::BIGINT ELSE 0::BIGINT END), "
+        "(acc, b) -> acc * 2 + b)"
+    )
+
+
+def _binary_rerank_sql() -> str:
+    from .similarity import _cosine_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+coded AS (
+  SELECT vec_id, v, {_sign_code_sql(1)} AS h1, {_sign_code_sql(HALF + 1)} AS h2 FROM e
+),
+q AS (SELECT v AS qv, h1 AS qh1, h2 AS qh2 FROM coded WHERE vec_id = 0),
+candidates AS (
+  SELECT vec_id, v, qv,
+         CAST(bit_count(xor(h1, qh1)) + bit_count(xor(h2, qh2)) AS BIGINT) AS hamming
+  FROM coded, q
+  WHERE vec_id != 0
+  ORDER BY hamming, vec_id
+  LIMIT {HAM_CANDIDATES}
+)
+SELECT vec_id, hamming, {_cosine_sql("v", "qv")} AS cosine
+FROM candidates
+ORDER BY cosine DESC, vec_id
+LIMIT {HAM_RERANK_K}
+"""
+
+
 QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_quantization_error": embedding_quantization_error,
     "similarity_quantized_rerank": similarity_quantized_rerank,
+    "similarity_binary_rerank": similarity_binary_rerank,
 }
 
 ORACLES = {
     "embedding_quantize_int8": _QUANT_SQL,
     "embedding_quantization_error": _QUANT_ERR_SQL,
     "similarity_quantized_rerank": _RERANK_SQL,
+    "similarity_binary_rerank": _binary_rerank_sql(),
 }

@@ -229,6 +229,9 @@ import pytest
         "changepoint_daily_events",
         "tokenizer_fertility_report",
         "similarity_filtered_topk",
+        "similarity_binary_rerank",
+        "l_diversity_audit",
+        "matryoshka_truncation_recall",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

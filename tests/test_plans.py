@@ -831,3 +831,31 @@ def test_filtered_topk_pushes_label_predicate_to_scan(spark, sf_dir):
 
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
     assert any("label" in p.lower() and "EqualTo" in p for p in pushed), pushed
+
+
+def test_binary_rerank_plan_is_two_heaps_over_one_broadcast(spark, sf_dir):
+    """similarity_binary_rerank: both cuts must be per-partition heaps
+    (TakeOrderedAndProject ×2 — Hamming candidates, cosine rerank),
+    the 1-row query side a broadcast, and the corpus-side vec_id
+    predicate pushed to the scan."""
+    from rdbms_metadata_manager_spark.llm.quantize import similarity_binary_rerank
+
+    plan = physical_plan(similarity_binary_rerank(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "Not(EqualTo(vec_id,0))" in plan, plan
+    assert "Sort " not in plan, plan  # no global sort anywhere
+
+
+def test_matryoshka_aggregates_once_behind_checkpoint(spark, sf_dir):
+    """matryoshka_truncation_recall: the 12-sum pair aggregation must
+    be planned ONCE — the picks relation is a checkpoint barrier, so
+    the final plan reads a scan (ExistingRDD/Scan) twice instead of
+    duplicating the heavy HashAggregate subtree."""
+    from rdbms_metadata_manager_spark.llm.projection import (
+        matryoshka_truncation_recall,
+    )
+
+    plan = physical_plan(matryoshka_truncation_recall(spark, sf_dir))
+    assert "sum(CASE WHEN" not in plan, plan  # heavy agg ran at build time
+    assert plan.count("FileScan parquet") == 1, plan  # only the spine rescans

@@ -218,3 +218,112 @@ def test_filtered_topk_matches_numpy_prefilter(spark, sf_dir):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert g[2] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_binary_rerank_matches_numpy_hamming_pipeline(spark, sf_dir):
+    """Binary-quantized search vs a from-scratch numpy pipeline:
+    sign-bit codes, Hamming candidate cut (hamming asc, vec_id), then
+    exact cosine rerank — both cuts replayed with the same tiebreaks.
+    Also pins the compression contract: every Hamming distance the
+    engine reports equals the number of sign-disagreeing dims."""
+    import numpy as np
+
+    from rdbms_metadata_manager_spark.llm.quantize import (
+        HAM_CANDIDATES,
+        HAM_RERANK_K,
+        similarity_binary_rerank,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    qsign = emb[0] >= 0
+
+    def ham(i):
+        return int(((emb[i] >= 0) != qsign).sum())
+
+    cand = sorted((i for i in emb if i != 0), key=lambda i: (ham(i), i))
+    cand = cand[:HAM_CANDIDATES]
+
+    def cos(i):
+        u, v = emb[i], emb[0]
+        return float(u @ v / (np.sqrt(u @ u) * np.sqrt(v @ v)))
+
+    want = sorted(cand, key=lambda i: (-cos(i), i))[:HAM_RERANK_K]
+    got = similarity_binary_rerank(spark, sf_dir).collect()
+    assert [g.vec_id for g in got] == want
+    for g in got:
+        assert g.hamming == ham(g.vec_id)
+        assert g.cosine == pytest.approx(cos(g.vec_id), abs=1e-9)
+
+
+def test_l_diversity_matches_python_recount(spark, sf_dir):
+    """l-diversity summary vs a plain-Python recount over collected
+    customers: same /100 band, distinct segments per (nation, band),
+    exposure below L_DIV."""
+    import math
+
+    from rdbms_metadata_manager_spark.llm.pii import L_DIV, l_diversity_audit
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "customer").collect()
+    classes: dict[tuple, list] = {}
+    for r in rows:
+        key = (r.c_nationkey, math.floor(r.c_acctbal / 100))
+        classes.setdefault(key, []).append(r.c_mktsegment)
+    n_exposed = sum(1 for v in classes.values() if len(set(v)) < L_DIV)
+    rec_exposed = sum(len(v) for v in classes.values() if len(set(v)) < L_DIV)
+    min_l = min(len(set(v)) for v in classes.values())
+    got = l_diversity_audit(spark, sf_dir).collect()[0]
+    assert got.n_classes == len(classes)
+    assert got.n_exposed_classes == n_exposed
+    assert got.n_records_exposed == rec_exposed
+    assert got.min_l == min_l
+    assert got.exposed_permille == 1000 * rec_exposed // len(rows)
+
+
+def test_matryoshka_recall_matches_numpy_prefix_topk(spark, sf_dir):
+    """Truncation-recall report vs a from-scratch numpy replay: tick
+    quantization, prefix-dot cosines, per-(query, dim) top-K with the
+    (cos desc, vec_id) tiebreak, overlap against the full-dim top-K.
+    Also pins monotone sanity: dim=64 would be perfect recall (the
+    engine reports prefixes only), and hits ∈ [0, K]."""
+    import numpy as np
+
+    from rdbms_metadata_manager_spark.llm.projection import (
+        MAT_DIMS,
+        MAT_K,
+        MAT_QUERIES,
+        matryoshka_truncation_recall,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    ticks = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        for r in rows
+    }
+    pool = sorted(i for i in ticks if i >= MAT_QUERIES)
+
+    def topk(qid, d):
+        qt = ticks[qid][:d]
+        scored = []
+        for i in pool:
+            t = ticks[i][:d]
+            vn, qn = int(t @ t), int(qt @ qt)
+            c = -2.0 if vn * qn == 0 else float(int(qt @ t)) / np.sqrt(float(vn * qn))
+            scored.append((i, c))
+        scored.sort(key=lambda s: (-s[1], s[0]))
+        return {i for i, _ in scored[:MAT_K]}
+
+    got = matryoshka_truncation_recall(spark, sf_dir).collect()
+    assert len(got) == MAT_QUERIES * len(MAT_DIMS)
+    for g in got:
+        want = len(topk(g.query_id, g.dim) & topk(g.query_id, 64))
+        assert (g.hits, g.recall_permille) == (want, 1000 * want // MAT_K), (
+            g.query_id,
+            g.dim,
+        )
+        assert 0 <= g.hits <= MAT_K
