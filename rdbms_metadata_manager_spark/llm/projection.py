@@ -264,59 +264,83 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: elements are fixed-point ticks floor(x·1000) (int64,
     the [[embedding_gram_matrix]] pattern), so every prefix dot and
-    norm is an EXACT integer sum — commutative, partition-order
-    immune — and the ranking cosine dot/√(vn·qn) is one IEEE double
-    expression over identical integers in both engines: the top-K
-    SETS are bit-deterministic, no float-accumulation rank hazard.
+    norm is an EXACT integer sum — commutative, batch-order immune —
+    and the ranking cosine dot/√(vn·qn) is one IEEE expression
+    (int64→double conversion exact below 2⁵³, sqrt and divide
+    correctly rounded) over identical integers in numpy and DuckDB:
+    the top-K SETS are bit-deterministic, no float-accumulation rank
+    hazard.
 
-    Plan: ONE posexplode of the corpus, broadcast-join the exploded
-    query batch on the dimension key, and a single partial-agged
-    groupBy (query, vec) computing all prefix dots/norms as
-    conditional sums in one pass (no per-prefix rescan); then a
-    (query, dim)-windowed top-K and one equi-join for the overlap.
-    At 100 TB the corpus side streams through codegen once; shuffle
-    volume is |queries|·|corpus| summary rows, not vectors."""
+    Plan: the query batch ticks are a driver-side constant (8×64
+    int64 — the collected-centroids pattern of [[kmeans_clusters]]),
+    and the corpus-side prefix dots/norms are ONE Arrow
+    ``mapInPandas`` pass doing four integer matmuls per batch — the
+    [[embedding_gram_matrix]] kernel shape. The relational
+    posexplode + broadcast-join + 12-conditional-sum alternative
+    measured 1.66 s vs 0.9 s for this form at sf0.1 (BENCH_NOTES):
+    per-row O(Q·D) arithmetic is exactly the heavy-kernel class the
+    repo routes to Arrow. Then a (query, dim)-windowed top-K and one
+    overlap join over the checkpointed K-row-per-(query,dim) picks.
+    At 100 TB the corpus streams through the kernel once; shuffle
+    volume is |queries|·|corpus|·|dims| scored rows, not vectors."""
+    import numpy as np
     from pyspark.sql import Window
 
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
-    ticks = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "raw")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.floor(F.col("raw").cast("double") * TICK).cast("long").alias("t"),
+    qrows = emb.filter(F.col("vec_id") < MAT_QUERIES).select(
+        "vec_id", "embedding"
+    ).collect()
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qt = (
+        np.floor(
+            np.array([list(r.embedding) for r in qrows], dtype=np.float64) * TICK
+        ).astype(np.int64)
+        if qrows
+        else np.zeros((0, PROJ_DIM), dtype=np.int64)
     )
-    q = ticks.filter(F.col("vec_id") < MAT_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "pos", F.col("t").alias("qt")
-    )
-    pool = ticks.filter(F.col("vec_id") >= MAT_QUERIES)
     all_dims = list(MAT_DIMS) + [PROJ_DIM]
-    aggs = []
-    for d in all_dims:
-        within = F.col("pos") <= d
-        aggs += [
-            F.sum(F.when(within, F.col("qt") * F.col("t")).otherwise(F.lit(0))).alias(f"dot{d}"),
-            F.sum(F.when(within, F.col("t") * F.col("t")).otherwise(F.lit(0))).alias(f"vn{d}"),
-            F.sum(F.when(within, F.col("qt") * F.col("qt")).otherwise(F.lit(0))).alias(f"qn{d}"),
-        ]
-    pair = pool.join(F.broadcast(q), "pos").groupBy("query_id", "vec_id").agg(*aggs)
+    qn = {d: (qt[:, :d] * qt[:, :d]).sum(axis=1) for d in all_dims}
 
-    def cos(d: int):
-        prod = (F.col(f"vn{d}") * F.col(f"qn{d}")).cast("double")
-        return F.when(prod == 0, F.lit(-2.0)).otherwise(
-            F.col(f"dot{d}").cast("double") / F.sqrt(prod)
-        )
+    def _score(batches):
+        import pandas as pd
 
-    stack_args = [F.lit(len(all_dims))]
-    for d in all_dims:
-        stack_args += [F.lit(d), cos(d)]
-    scored = pair.select(
-        "query_id", "vec_id", F.stack(*stack_args).alias("dim", "cos")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                * TICK
+            ).astype(np.int64)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = []
+            for d in all_dims:
+                xd = x[:, :d]
+                dot = xd @ qt[:, :d].T  # (n, Q) exact int64
+                vn = (xd * xd).sum(axis=1)  # (n,)
+                prod = vn[:, None] * qn[d][None, :]  # (n, Q) int64, < 2^53
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot.astype(np.float64) / np.sqrt(prod.astype(np.float64))
+                cos = np.where(prod == 0, -2.0, cos)
+                n, qn_count = cos.shape
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.tile(qids, n),
+                            "vec_id": np.repeat(vec_ids, qn_count),
+                            "dim": np.int64(d),
+                            "cos": cos.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = emb.filter(F.col("vec_id") >= MAT_QUERIES).mapInPandas(
+        _score, "query_id long, vec_id long, dim long, cos double"
     )
     w = Window.partitionBy("query_id", "dim").orderBy(F.col("cos").desc(), "vec_id")
     # materialize once: both sides of the overlap join read picks
-    # (|queries|·|dims|·K rows) — without this barrier the 12-sum
-    # aggregation subtree is planned twice.
+    # (|queries|·|dims|·K rows) — without this barrier the Arrow
+    # scoring pass is planned twice.
     picks = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= MAT_K)
@@ -331,15 +355,15 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("h"))
     )
     spine = (
-        q.select("query_id")
-        .distinct()
+        emb.filter(F.col("vec_id") < MAT_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
         .select(
             "query_id",
             F.explode(F.array([F.lit(d) for d in MAT_DIMS])).alias("dim"),
         )
     )
     return (
-        spine.join(hits, ["query_id", "dim"], "left")
+        spine.join(F.broadcast(hits), ["query_id", "dim"], "left")
         .withColumn("hits", F.coalesce(F.col("h"), F.lit(0)).cast("long"))
         .select(
             F.col("query_id").cast("long").alias("query_id"),
