@@ -120,6 +120,7 @@ HEADLINE = [
     "similarity_binary_rerank",
     "l_diversity_audit",
     "matryoshka_truncation_recall",
+    "retrieval_eval_metrics",
 ]
 
 

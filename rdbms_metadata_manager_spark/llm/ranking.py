@@ -120,12 +120,129 @@ ORDER BY label
 """
 
 
+N_EVAL_QUERIES = 16
+EVAL_K = 10
+
+
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metrics evaluation of a retrieval system against labelled
+    ground truth: for each query vector, exact-cosine top-K over the
+    corpus, relevance = label equality, reporting hits@K,
+    precision@K, recall@K, and MRR — the per-query scorecard every
+    retrieval/RAG deployment tracks (the labelled-ground-truth
+    complement of [[ann_recall_report]], which only measures an index
+    against brute force). All metrics are integer per-mille (MRR =
+    1000 div first-relevant-rank — a rational, no float accumulation),
+    and the ranking cosine is the ordered fold shared with
+    [[similarity_topk_bruteforce]] → bit-identical rank cuts.
+
+    Plan: ONE broadcast of the query batch scores the corpus once
+    (relevance is a projected predicate, not a join); a K-row window
+    cut (WindowGroupLimit pushes the top-K into partials), one
+    label-count broadcast for the recall denominator. Corpus side
+    stays partition-parallel; only ranked candidates shuffle. At
+    100 TB this is the standard sampled-eval job: |queries| bounded,
+    corpus streamed."""
+    from .similarity import _as_double, _cosine
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_EVAL_QUERIES)
+    label_totals = corpus.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (F.col("label") == F.col("qlabel")).cast("long").alias("relevant"),
+        _cosine(F.col("v"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    per_q = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= EVAL_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum("relevant").alias("hits"),
+            F.min(F.when(F.col("relevant") == 1, F.col("rk"))).alias("first_rank"),
+        )
+    )
+    return (
+        q.select("query_id", "qlabel")
+        .join(F.broadcast(label_totals), q["qlabel"] == label_totals["label"], "left")
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_relevant"), F.lit(0)).cast("long").alias("n_relevant"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"CAST(coalesce(hits, 0) * 1000 DIV {EVAL_K} AS BIGINT)").alias(
+                "precision_permille"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(n_relevant, 0) = 0 THEN 0 "
+                "ELSE coalesce(hits, 0) * 1000 DIV n_relevant END"
+            ).cast("long").alias("recall_permille"),
+            F.coalesce(F.expr("1000 DIV first_rank"), F.lit(0))
+            .cast("long")
+            .alias("mrr_permille"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    from .similarity import _cosine_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+      WHERE vec_id < {N_EVAL_QUERIES}),
+corpus AS (SELECT * FROM e WHERE vec_id >= {N_EVAL_QUERIES}),
+label_totals AS (SELECT label, count(*) AS n_relevant FROM corpus GROUP BY label),
+scored AS (
+  SELECT query_id, c.vec_id,
+         CASE WHEN c.label = qlabel THEN 1 ELSE 0 END AS relevant,
+         {_cosine_sql("c.v", "qv")} AS cosine
+  FROM corpus c, q
+),
+ranked AS (
+  SELECT query_id, relevant,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored QUALIFY rk <= {EVAL_K}
+),
+per_q AS (
+  SELECT query_id, sum(relevant) AS hits,
+         min(CASE WHEN relevant = 1 THEN rk END) AS first_rank
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id,
+       CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+       CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(hits, 0) * 1000 // {EVAL_K} AS BIGINT) AS precision_permille,
+       CAST(CASE WHEN coalesce(n_relevant, 0) = 0 THEN 0
+                 ELSE coalesce(hits, 0) * 1000 // n_relevant END AS BIGINT)
+         AS recall_permille,
+       CAST(coalesce(1000 // first_rank, 0) AS BIGINT) AS mrr_permille
+FROM q LEFT JOIN label_totals ON qlabel = label
+       LEFT JOIN per_q USING (query_id)
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "embedding_centroids": embedding_centroids,
+    "retrieval_eval_metrics": retrieval_eval_metrics,
 }
 
 ORACLES = {
     "tfidf_top_terms": _TFIDF_SQL,
     "embedding_centroids": _CENTROIDS_SQL,
+    "retrieval_eval_metrics": _retrieval_eval_oracle(),
 }

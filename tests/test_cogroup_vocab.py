@@ -232,6 +232,7 @@ import pytest
         "similarity_binary_rerank",
         "l_diversity_audit",
         "matryoshka_truncation_recall",
+        "retrieval_eval_metrics",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

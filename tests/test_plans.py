@@ -859,3 +859,16 @@ def test_matryoshka_aggregates_once_behind_checkpoint(spark, sf_dir):
     plan = physical_plan(matryoshka_truncation_recall(spark, sf_dir))
     assert "sum(CASE WHEN" not in plan, plan  # heavy agg ran at build time
     assert plan.count("FileScan parquet") == 1, plan  # only the spine rescans
+
+
+def test_retrieval_eval_pushes_topk_into_window_partials(spark, sf_dir):
+    """retrieval_eval_metrics: the K-row cut must plan as
+    WindowGroupLimit (per-partition top-K before the shuffle), the
+    query batch and label totals as broadcasts, and the corpus-side
+    vec_id range predicate pushed to the scan."""
+    from rdbms_metadata_manager_spark.llm.ranking import retrieval_eval_metrics
+
+    plan = physical_plan(retrieval_eval_metrics(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "GreaterThanOrEqual(vec_id,16)" in plan, plan

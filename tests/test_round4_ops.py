@@ -327,3 +327,41 @@ def test_matryoshka_recall_matches_numpy_prefix_topk(spark, sf_dir):
             g.dim,
         )
         assert 0 <= g.hits <= MAT_K
+
+
+def test_retrieval_eval_matches_numpy_ir_metrics(spark, sf_dir):
+    """IR metrics vs a from-scratch numpy replay: exact-cosine top-K
+    per query with the (cos desc, vec_id) tiebreak, relevance = label
+    equality, integer per-mille precision/recall and MRR = 1000 //
+    first-relevant-rank."""
+    import numpy as np
+
+    from rdbms_metadata_manager_spark.llm.ranking import (
+        EVAL_K,
+        N_EVAL_QUERIES,
+        retrieval_eval_metrics,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    lab = {r.vec_id: r.label for r in rows}
+    pool = sorted(i for i in emb if i >= N_EVAL_QUERIES)
+
+    def cos(u, v):
+        return float(u @ v / (np.sqrt(u @ u) * np.sqrt(v @ v)))
+
+    got = retrieval_eval_metrics(spark, sf_dir).collect()
+    assert len(got) == min(N_EVAL_QUERIES, len(emb))
+    for g in got:
+        qv, ql = emb[g.query_id], lab[g.query_id]
+        ranked = sorted(pool, key=lambda i: (-cos(emb[i], qv), i))[:EVAL_K]
+        rel = [i for i in ranked if lab[i] == ql]
+        n_relevant = sum(1 for i in pool if lab[i] == ql)
+        hits = len(rel)
+        first = ranked.index(rel[0]) + 1 if rel else None
+        assert g.n_relevant == n_relevant
+        assert g.hits == hits
+        assert g.precision_permille == hits * 1000 // EVAL_K
+        assert g.recall_permille == (hits * 1000 // n_relevant if n_relevant else 0)
+        assert g.mrr_permille == (1000 // first if first else 0)
