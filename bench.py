@@ -121,6 +121,7 @@ HEADLINE = [
     "l_diversity_audit",
     "matryoshka_truncation_recall",
     "retrieval_eval_metrics",
+    "label_noise_knn_audit",
 ]
 
 

@@ -790,6 +790,147 @@ LIMIT {FILTERED_TOP_K}
 """
 
 
+NN_K = 5  # neighbours consulted per vector in the label-noise audit
+TICK = 1000  # fixed-point scale shared with projection.py / gram.py
+
+
+def _bucket_label_kernel(table):
+    """Whole-bucket Arrow kernel: one int64 matmul gives every
+    within-bucket pairwise dot; per row, the top-NN_K neighbours by
+    (cosine desc, vec_id) vote on the label. Cosines are
+    dot/√(vn·vm) over EXACT integer ticks (int64 matmul, products
+    < 2⁵³) — bit-identical to the oracle's expression, so the
+    neighbour SETS match."""
+    import numpy as np
+    import pyarrow as pa
+
+    vid = np.array(table.column("vec_id").to_pylist(), dtype=np.int64)
+    lab = np.array(table.column("label").to_pylist(), dtype=np.int64)
+    tk = np.array(table.column("tk").to_pylist(), dtype=np.int64)
+    bucket = int(table.column("bucket")[0].as_py())
+    order = np.argsort(vid)
+    vid, lab, tk = vid[order], lab[order], tk[order]
+    n = len(vid)
+    dot = tk @ tk.T
+    norms = np.diag(dot).copy()
+    prod = norms[:, None] * norms[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot.astype(np.float64) / np.sqrt(prod.astype(np.float64))
+    cos = np.where(prod == 0, -2.0, cos)
+    np.fill_diagonal(cos, -np.inf)
+    k = min(NN_K, n - 1)
+    n_same = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if k > 0:
+            nbrs = np.lexsort((vid, -cos[i]))[:k]
+            n_same[i] = int((lab[nbrs] == lab[i]).sum())
+    return pa.table(
+        {
+            "vec_id": pa.array(vid, pa.int64()),
+            "label": pa.array(lab, pa.int64()),
+            "bucket": pa.array(np.full(n, bucket, dtype=np.int64), pa.int64()),
+            "n_neighbors": pa.array(np.full(n, k, dtype=np.int64), pa.int64()),
+            "n_same": pa.array(n_same, pa.int64()),
+            "flagged": pa.array((k > 0) & (2 * n_same < k)),
+        }
+    )
+
+
+def label_noise_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by neighbour vote (the confident-learning
+    pre-pass every labelled-training-set pipeline runs): a vector
+    whose LSH-bucket top-NN_K neighbours mostly carry a DIFFERENT
+    label is a suspected mislabel. Candidates are within-bucket only
+    — the same blocking that keeps [[dedup_embedding_cosine]] off the
+    cross join — and the per-bucket all-pairs work is ONE grouped
+    ``applyInArrow`` int64 matmul (the [[embedding_gram_matrix]]
+    kernel shape; ticks make every dot exact, see
+    [[matryoshka_truncation_recall]] for the rank-determinism
+    argument).
+
+    Scale: one shuffle on the bucket key; Σ n_b² is bounded by the
+    LSH granularity (more planes ⇒ smaller buckets as the corpus
+    grows — the same dial the dedup family documents). Per-group
+    memory is the n_b×n_b cosine block; for mega-buckets switch the
+    kernel to row-chunked matmuls, the shuffle shape is unchanged.
+
+    On the synthetic testdata the labels are only weakly geometric
+    (near-random embeddings, ~10 labels → neighbour agreement base
+    rate ~0.1), so the majority flag fires on ~99% of vectors — the
+    flag-RATE is the finding there (labels don't cluster), and the
+    n_same column carries the graded signal. On a real corpus with
+    geometric labels the flag isolates the mislabeled tail."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    coded = emb.withColumn("bucket", lsh_bucket()).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.transform(
+            "v", lambda x: F.floor(x * F.lit(float(TICK))).cast("long")
+        ).alias("tk"),
+    )
+    return (
+        coded.groupBy("bucket")
+        .applyInArrow(
+            _bucket_label_kernel,
+            "vec_id long, label long, bucket long, n_neighbors long, "
+            "n_same long, flagged boolean",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _label_noise_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, label::BIGINT AS label, v,
+         list_sum(list_transform(range(0, {N_PLANES}),
+           p -> CASE WHEN list_sum(list_transform(range(0, {DIM}),
+                        d -> v[d + 1] * {_PLANE_COMP_SQL})) > 0
+                     THEN (1 << p) ELSE 0 END))::BIGINT AS bucket
+  FROM e
+),
+tks AS (
+  SELECT vec_id, label, bucket,
+         list_transform(v, x -> CAST(floor(x * {TICK}) AS BIGINT)) AS tk
+  FROM bucketed
+),
+withnorm AS (
+  SELECT *, CAST(list_sum(list_transform(range(1, {DIM} + 1), d -> tk[d] * tk[d])) AS BIGINT) AS vn
+  FROM tks
+),
+pairs AS (
+  SELECT a.vec_id AS i, a.label AS li, b.vec_id AS j, b.label AS lj,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1), d -> a.tk[d] * b.tk[d])) AS BIGINT) AS dot,
+         a.vn AS vni, b.vn AS vnj
+  FROM withnorm a JOIN withnorm b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT i, li, lj,
+         row_number() OVER (PARTITION BY i ORDER BY
+           CASE WHEN vni * vnj = 0 THEN -2.0
+                ELSE CAST(dot AS DOUBLE) / sqrt(CAST(vni * vnj AS DOUBLE)) END DESC,
+           j) AS rk
+  FROM pairs QUALIFY rk <= {NN_K}
+),
+votes AS (
+  SELECT i, count(*) AS n_neighbors,
+         sum(CASE WHEN li = lj THEN 1 ELSE 0 END) AS n_same
+  FROM ranked GROUP BY i
+)
+SELECT t.vec_id, t.label, t.bucket,
+       CAST(coalesce(n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       CAST(coalesce(n_same, 0) AS BIGINT) AS n_same,
+       coalesce(n_neighbors, 0) > 0 AND 2 * coalesce(n_same, 0) < coalesce(n_neighbors, 0)
+         AS flagged
+FROM tks t LEFT JOIN votes ON t.vec_id = votes.i
+ORDER BY t.vec_id
+"""
+
+
 MMR_LAMBDA = "0.7"  # literal text so both engines parse the same double
 MMR_CANDIDATES = 20
 MMR_SELECT = 5
@@ -925,6 +1066,7 @@ QUERIES = {
     "embedding_pair_cosine_profile": embedding_pair_cosine_profile,
     "similarity_mmr_rerank": similarity_mmr_rerank,
     "similarity_filtered_topk": similarity_filtered_topk,
+    "label_noise_knn_audit": label_noise_knn_audit,
 }
 
 ORACLES = {
@@ -940,4 +1082,5 @@ ORACLES = {
     "label_centroid_separation": _CENTROID_SEP_SQL,
     "similarity_mmr_rerank": _mmr_oracle(),
     "similarity_filtered_topk": _FILTERED_TOPK_SQL,
+    "label_noise_knn_audit": _label_noise_oracle(),
 }

@@ -233,6 +233,7 @@ import pytest
         "l_diversity_audit",
         "matryoshka_truncation_recall",
         "retrieval_eval_metrics",
+        "label_noise_knn_audit",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

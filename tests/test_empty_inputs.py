@@ -130,6 +130,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.quantize", "similarity_binary_rerank"),
         ("llm.projection", "matryoshka_truncation_recall"),
         ("llm.ranking", "retrieval_eval_metrics"),
+        ("llm.similarity", "label_noise_knn_audit"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

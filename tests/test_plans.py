@@ -872,3 +872,16 @@ def test_retrieval_eval_pushes_topk_into_window_partials(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "GreaterThanOrEqual(vec_id,16)" in plan, plan
+
+
+def test_label_noise_audit_is_joinless_single_scan(spark, sf_dir):
+    """label_noise_knn_audit: the within-bucket all-pairs work lives
+    entirely inside the grouped Arrow kernel — the plan must have ONE
+    parquet scan, one bucket-key exchange feeding the kernel, and NO
+    join operator of any kind."""
+    from rdbms_metadata_manager_spark.llm.similarity import label_noise_knn_audit
+
+    plan = physical_plan(label_noise_knn_audit(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

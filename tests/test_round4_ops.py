@@ -365,3 +365,65 @@ def test_retrieval_eval_matches_numpy_ir_metrics(spark, sf_dir):
         assert g.precision_permille == hits * 1000 // EVAL_K
         assert g.recall_permille == (hits * 1000 // n_relevant if n_relevant else 0)
         assert g.mrr_permille == (1000 // first if first else 0)
+
+
+def test_label_noise_audit_matches_python_knn_vote(spark, sf_dir):
+    """Label-noise audit vs a from-scratch pure-Python replay,
+    including the LSH bucket construction (md5 plane components, the
+    same ascending-d left fold), tick dots, (cos desc, vec_id)
+    neighbour cut, and the majority flag."""
+    import hashlib
+    import math
+
+    from rdbms_metadata_manager_spark.llm.similarity import (
+        DIM,
+        N_PLANES,
+        NN_K,
+        label_noise_knn_audit,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+
+    def comp(p, d):
+        h = hashlib.md5(f"{p},{d}".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0 - 0.5
+
+    comps = [[comp(p, d) for d in range(DIM)] for p in range(N_PLANES)]
+
+    def bucket(v):
+        out = 0
+        for p in range(N_PLANES):
+            acc = 0.0
+            for d in range(DIM):
+                acc = acc + float(v[d]) * comps[p][d]
+            if acc > 0:
+                out += 1 << p
+        return out
+
+    by_bucket: dict[int, list] = {}
+    info = {}
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        b = bucket(v)
+        tk = [math.floor(x * 1000) for x in v]
+        info[r.vec_id] = (r.label, b, tk)
+        by_bucket.setdefault(b, []).append(r.vec_id)
+
+    def cos(ti, tj):
+        dot = sum(a * b for a, b in zip(ti, tj))
+        vn = sum(a * a for a in ti)
+        wn = sum(a * a for a in tj)
+        return -2.0 if vn * wn == 0 else dot / math.sqrt(vn * wn)
+
+    got = label_noise_knn_audit(spark, sf_dir).collect()
+    assert len(got) == len(rows)
+    for g in got:
+        lab, b, tk = info[g.vec_id]
+        assert (g.label, g.bucket) == (lab, b)
+        others = [j for j in by_bucket[b] if j != g.vec_id]
+        k = min(NN_K, len(others))
+        nbrs = sorted(others, key=lambda j: (-cos(tk, info[j][2]), j))[:k]
+        n_same = sum(1 for j in nbrs if info[j][0] == lab)
+        assert (g.n_neighbors, g.n_same) == (k, n_same), (g.vec_id, nbrs)
+        assert g.flagged == (k > 0 and 2 * n_same < k)
