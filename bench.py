@@ -122,6 +122,7 @@ HEADLINE = [
     "matryoshka_truncation_recall",
     "retrieval_eval_metrics",
     "label_noise_knn_audit",
+    "coreset_kcenter_sample",
 ]
 
 

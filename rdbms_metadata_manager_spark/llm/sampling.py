@@ -527,7 +527,131 @@ ORDER BY doc_id
 """
 
 
+CORESET_K = 8
+CORESET_TICK = 1000
+
+
+def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset (farthest-point sampling) over the
+    embedding corpus: seed at vec_id 0, then K−1 times pick the
+    vector FARTHEST (max over corpus of min distance to the chosen
+    set) — the classic 2-approximation of the k-center cover, and the
+    diversity-subset selection a curation pipeline runs to pick
+    maximally-spread exemplars (complementary to
+    [[similarity_mmr_rerank]], which diversifies a per-query result
+    list, and to [[kmeans_clusters]], which optimizes means not
+    cover). Reports each pick with its selection-time distance² —
+    rank r's dist2 IS the covering radius² of the first r−1 centers.
+
+    Exactness: distances are SQUARED EUCLIDEAN over fixed-point int64
+    ticks — pure integer arithmetic end-to-end, so the argmax and the
+    tie-break (dist2 desc, vec_id) are exact in both engines; no
+    float enters until nothing (there are no floats at all).
+
+    Scale: the textbook distributed k-center loop — K bounded rounds,
+    each ONE scan scoring min-dist² against the ≤K broadcast centers
+    (an Arrow kernel: |x|²+|c|²−2x·c int64 matmul) folded into a
+    1-row TakeOrdered; driver state is the K×D center ticks, the
+    sanctioned decision class of [[kmeans_clusters]]. At 100 TB:
+    K passes over the corpus, no shuffle beyond the 1-row argmax
+    merge (or switch to the k-center++ oversampling variant for
+    fewer passes — same per-round plan)."""
+    import numpy as np
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(CORESET_TICK))).cast(
+                "long"
+            ),
+        ).alias("tk"),
+    )
+    seed = emb.filter(F.col("vec_id") == 0).collect()
+    picked: list[tuple[int, int, int]] = []  # (rank, vec_id, dist2)
+    centers: list[list[int]] = []
+    if seed:
+        picked.append((1, 0, 0))
+        centers.append([int(t) for t in seed[0].tk])
+        for rank in range(2, CORESET_K + 1):
+            C = np.array(centers, dtype=np.int64)
+            cn = (C * C).sum(axis=1)
+            chosen = [p[1] for p in picked]
+
+            def _mind(batches, C=C, cn=cn):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.array(
+                        [np.asarray(t, dtype=np.int64) for t in pdf["tk"]],
+                        dtype=np.int64,
+                    )
+                    xn = (X * X).sum(axis=1)
+                    d2 = xn[:, None] + cn[None, :] - 2 * (X @ C.T)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "mind": d2.min(axis=1),
+                            "tk": pdf["tk"],
+                        }
+                    )
+
+            far = (
+                emb.filter(~F.col("vec_id").isin(chosen))
+                .mapInPandas(_mind, "vec_id long, mind long, tk array<long>")
+                .orderBy(F.col("mind").desc(), "vec_id")
+                .limit(1)
+                .collect()
+            )
+            if not far:
+                break
+            picked.append((rank, int(far[0].vec_id), int(far[0].mind)))
+            centers.append([int(t) for t in far[0].tk])
+    pdf = pd.DataFrame(
+        {
+            "rank": pd.Series([p[0] for p in picked], dtype=object),
+            "vec_id": pd.Series([p[1] for p in picked], dtype=object),
+            "dist2": pd.Series([p[2] for p in picked], dtype=object),
+        }
+    )
+    return spark.createDataFrame(pdf, "rank bigint, vec_id bigint, dist2 bigint")
+
+
+def _coreset_oracle() -> str:
+    def dist_to(s: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(1, 65), "
+            f"i -> (t.tk[i] - {s}.tk[i]) * (t.tk[i] - {s}.tk[i]))) AS BIGINT)"
+        )
+
+    ctes = [
+        "t AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> CAST(floor(x * {CORESET_TICK}) AS BIGINT)) AS tk FROM embeddings)",
+        "sel1 AS MATERIALIZED (SELECT 1::BIGINT AS rank, vec_id, "
+        "0::BIGINT AS dist2, tk FROM t WHERE vec_id = 0)",
+    ]
+    for k in range(2, CORESET_K + 1):
+        prev = ", ".join(f"(SELECT vec_id FROM sel{j})" for j in range(1, k))
+        # centers are 1-row CTEs — cross-join them into scope (DuckDB
+        # lambdas can't capture a correlated subquery's columns).
+        froms = ", ".join([f"sel{j} s{j}" for j in range(1, k)])
+        legs = ", ".join(dist_to(f"s{j}") for j in range(1, k))
+        mind = legs if k == 2 else f"least({legs})"
+        ctes.append(
+            f"""sel{k} AS MATERIALIZED (
+  SELECT {k}::BIGINT AS rank, t.vec_id, {mind} AS dist2, t.tk
+  FROM t, {froms} WHERE t.vec_id NOT IN ({prev})
+  ORDER BY dist2 DESC, t.vec_id LIMIT 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, vec_id, dist2 FROM sel{k}" for k in range(1, CORESET_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{union}\n) ORDER BY rank"
+
+
 QUERIES = {
+    "coreset_kcenter_sample": coreset_kcenter_sample,
     "split_train_val_test": split_train_val_test,
     "leakage_safe_split": leakage_safe_split,
     "sample_stratified_lang": sample_stratified_lang,
@@ -540,6 +664,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "coreset_kcenter_sample": _coreset_oracle(),
     "split_train_val_test": _SPLIT_SQL,
     "leakage_safe_split": _LEAK_SPLIT_SQL,
     "sample_stratified_lang": _STRAT_SQL,

@@ -234,6 +234,7 @@ import pytest
         "matryoshka_truncation_recall",
         "retrieval_eval_metrics",
         "label_noise_knn_audit",
+        "coreset_kcenter_sample",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

@@ -427,3 +427,43 @@ def test_label_noise_audit_matches_python_knn_vote(spark, sf_dir):
         n_same = sum(1 for j in nbrs if info[j][0] == lab)
         assert (g.n_neighbors, g.n_same) == (k, n_same), (g.vec_id, nbrs)
         assert g.flagged == (k > 0 and 2 * n_same < k)
+
+
+def test_coreset_kcenter_matches_python_greedy(spark, sf_dir):
+    """k-center greedy vs a from-scratch integer replay: seed vec 0,
+    then argmax of min squared tick distance with the (dist2 desc,
+    vec_id) tie-break. Also pins the greedy invariant: dist2 (the
+    covering radius² at selection time) is non-increasing in rank."""
+    import math
+
+    from rdbms_metadata_manager_spark.llm.sampling import (
+        CORESET_K,
+        coreset_kcenter_sample,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    tk = {
+        r.vec_id: [math.floor(float(x) * 1000) for x in r.embedding] for r in rows
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(tk[a], tk[b]))
+
+    want = [(1, 0, 0)]
+    chosen = [0]
+    for rank in range(2, min(CORESET_K, len(tk)) + 1):
+        best = None
+        for v in sorted(tk):
+            if v in chosen:
+                continue
+            mind = min(d2(v, c) for c in chosen)
+            if best is None or mind > best[1]:
+                best = (v, mind)
+        want.append((rank, best[0], best[1]))
+        chosen.append(best[0])
+
+    got = [(r.rank, r.vec_id, r.dist2) for r in coreset_kcenter_sample(spark, sf_dir).collect()]
+    assert got == want
+    radii = [g[2] for g in got[1:]]
+    assert radii == sorted(radii, reverse=True)
