@@ -67,6 +67,9 @@ EMB_KERNELS = [
     "dedup_embedding_cosine",
     "semdedup_embedding_clusters",
     "d4_prototype_prune",
+    # round-4: within-bucket all-pairs label vote — quadratic per
+    # bucket at fixed N_PLANES, same parameter-scaling story.
+    "label_noise_knn_audit",
 ]
 EMB_MAX_K = 3
 # Graph kernel over lineitem: replicas offset BOTH l_orderkey and
@@ -98,6 +101,13 @@ FIXED_OUTPUT_KERNELS = [
     "bpe_train_merges",
     "source_signature_chisq",
     "language_id_confusion",
+    # round-4 fixed-output additions: the query batches are the
+    # original (un-offset) vec_ids, so only the corpus side grows —
+    # 24 / 10 / 16 / 8 rows regardless of K.
+    "matryoshka_truncation_recall",
+    "similarity_binary_rerank",
+    "retrieval_eval_metrics",
+    "coreset_kcenter_sample",
 ]
 
 # versioned: v2 replicas additionally carry lineitem.parquet; a v1 _done
