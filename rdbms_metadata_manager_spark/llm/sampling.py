@@ -529,6 +529,7 @@ ORDER BY doc_id
 
 CORESET_K = 8
 CORESET_TICK = 1000
+CORESET_POOL = 256  # certified candidate pool size (driver ~130 KB)
 
 
 def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,17 +546,25 @@ def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: distances are SQUARED EUCLIDEAN over fixed-point int64
     ticks — pure integer arithmetic end-to-end, so the argmax and the
-    tie-break (dist2 desc, vec_id) are exact in both engines; no
-    float enters until nothing (there are no floats at all).
+    tie-break (dist2 desc, vec_id) are exact in both engines.
 
-    Scale: the textbook distributed k-center loop — K bounded rounds,
-    each ONE scan scoring min-dist² against the ≤K broadcast centers
-    (an Arrow kernel: |x|²+|c|²−2x·c int64 matmul) folded into a
-    1-row TakeOrdered; driver state is the K×D center ticks, the
-    sanctioned decision class of [[kmeans_clusters]]. At 100 TB:
-    K passes over the corpus, no shuffle beyond the 1-row argmax
-    merge (or switch to the k-center++ oversampling variant for
-    fewer passes — same per-round plan)."""
+    Scale/plan: ONE distributed pass (an Arrow kernel:
+    |x|²+|c|²−2x·c int64 matmul vs the seed) collects the top
+    CORESET_POOL+1 candidates WITH a correctness certificate, then
+    the greedy picks run on the driver over that bounded pool.
+    The certificate: updated min-dists only DECREASE, so every
+    non-collected vector's future min-dist ≤ the pool cutoff (the
+    (POOL+1)-th min-dist at collection time); while each driver
+    pick's updated min-dist is STRICTLY above the cutoff, the pick
+    provably equals the exact global greedy. When the certificate
+    fails (near-equidistant geometry — this corpus), the pool is
+    REFRESHED with one full scan against all current centers, whose
+    top-1 is the exact argmax unconditionally — so exactness never
+    depends on the geometry, only the pass count does. The naive
+    one-scan-per-pick loop measured 3.5 s at sf0.1; pool refreshes
+    cut it to ~3 passes. At 100 TB: a handful of passes over the
+    corpus, driver state is POOL×D ticks (≈130 KB), the
+    kmeans-centroid decision class."""
     import numpy as np
 
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
@@ -570,43 +579,99 @@ def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = emb.filter(F.col("vec_id") == 0).collect()
     picked: list[tuple[int, int, int]] = []  # (rank, vec_id, dist2)
     centers: list[list[int]] = []
+
+    def mind_kernel(centers_now):
+        C = np.array(centers_now, dtype=np.int64)
+        cn = (C * C).sum(axis=1)
+
+        def _mind(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(
+                    [np.asarray(t, dtype=np.int64) for t in pdf["tk"]],
+                    dtype=np.int64,
+                )
+                xn = (X * X).sum(axis=1)
+                d2 = xn[:, None] + cn[None, :] - 2 * (X @ C.T)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "mind": d2.min(axis=1),
+                        "tk": pdf["tk"],
+                    }
+                )
+
+        return _mind
+
     if seed:
         picked.append((1, 0, 0))
         centers.append([int(t) for t in seed[0].tk])
-        for rank in range(2, CORESET_K + 1):
-            C = np.array(centers, dtype=np.int64)
-            cn = (C * C).sum(axis=1)
+        cand_ids: list[int] = []
+        cand_tk = np.zeros((0, 1), dtype=np.int64)
+        cand_mind = np.zeros(0, dtype=np.int64)
+        in_pool = np.zeros(0, dtype=bool)
+        cutoff = -1
+
+        def refresh_pool():
+            """One distributed pass: top-(POOL+1) by CURRENT min-dist
+            (excluding chosen). Returns False when the corpus is
+            exhausted. The fresh top-1 is the exact global argmax."""
+            nonlocal cand_ids, cand_tk, cand_mind, in_pool, cutoff
             chosen = [p[1] for p in picked]
-
-            def _mind(batches, C=C, cn=cn):
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    X = np.array(
-                        [np.asarray(t, dtype=np.int64) for t in pdf["tk"]],
-                        dtype=np.int64,
-                    )
-                    xn = (X * X).sum(axis=1)
-                    d2 = xn[:, None] + cn[None, :] - 2 * (X @ C.T)
-                    yield pd.DataFrame(
-                        {
-                            "vec_id": pdf["vec_id"].to_numpy(),
-                            "mind": d2.min(axis=1),
-                            "tk": pdf["tk"],
-                        }
-                    )
-
-            far = (
+            rows = (
                 emb.filter(~F.col("vec_id").isin(chosen))
-                .mapInPandas(_mind, "vec_id long, mind long, tk array<long>")
+                .mapInPandas(
+                    mind_kernel(centers), "vec_id long, mind long, tk array<long>"
+                )
                 .orderBy(F.col("mind").desc(), "vec_id")
-                .limit(1)
+                .limit(CORESET_POOL + 1)
                 .collect()
             )
-            if not far:
-                break
-            picked.append((rank, int(far[0].vec_id), int(far[0].mind)))
-            centers.append([int(t) for t in far[0].tk])
+            if not rows:
+                return False
+            cutoff = int(rows[CORESET_POOL].mind) if len(rows) > CORESET_POOL else -1
+            head = rows[:CORESET_POOL]
+            cand_ids = [int(r.vec_id) for r in head]
+            cand_tk = np.array(
+                [np.asarray(r.tk, dtype=np.int64) for r in head], dtype=np.int64
+            ).reshape(len(head), -1)
+            cand_mind = np.array([int(r.mind) for r in head], dtype=np.int64)
+            in_pool = np.ones(len(head), dtype=bool)
+            return True
+
+        fresh = refresh_pool()
+        rank = 2
+        while rank <= CORESET_K and len(picked) < CORESET_K:
+            best_i = None
+            for i in np.flatnonzero(in_pool):
+                if best_i is None or (cand_mind[i], -cand_ids[i]) > (
+                    cand_mind[best_i],
+                    -cand_ids[best_i],
+                ):
+                    best_i = int(i)
+            # certificate: non-collected vectors' future min-dists only
+            # DECREASE, so they are ≤ cutoff; a pool pick STRICTLY above
+            # the cutoff provably equals the exact global greedy (on
+            # equality an outside vector could win the vec_id
+            # tie-break). A just-refreshed pool's top-1 is the argmax
+            # of a full scan — exact unconditionally.
+            certified = best_i is not None and (
+                fresh or int(cand_mind[best_i]) > cutoff
+            )
+            if not certified:
+                if not refresh_pool():
+                    break
+                fresh = True
+                continue
+            picked.append((rank, cand_ids[best_i], int(cand_mind[best_i])))
+            centers.append([int(t) for t in cand_tk[best_i]])
+            in_pool[best_i] = False
+            c = cand_tk[best_i]
+            d2 = ((cand_tk - c[None, :]) ** 2).sum(axis=1)
+            cand_mind = np.minimum(cand_mind, d2)
+            fresh = False
+            rank += 1
     pdf = pd.DataFrame(
         {
             "rank": pd.Series([p[0] for p in picked], dtype=object),
