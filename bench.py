@@ -123,6 +123,7 @@ HEADLINE = [
     "retrieval_eval_metrics",
     "label_noise_knn_audit",
     "coreset_kcenter_sample",
+    "partition_layout_advisor",
 ]
 
 

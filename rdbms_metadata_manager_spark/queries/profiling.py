@@ -549,7 +549,93 @@ ORDER BY l_returnflag
 """
 
 
+# Candidate partition keys audited by the layout advisor, as
+# (name, Spark column factory, DuckDB expression) triples.
+_PART_CANDIDATES = (
+    ("order_month", lambda: F.date_format("o_orderdate", "yyyy-MM"), "strftime(o_orderdate, '%Y-%m')"),
+    ("order_year", lambda: F.year("o_orderdate").cast("long"), "year(o_orderdate)"),
+    ("order_priority", lambda: F.col("o_orderpriority"), "o_orderpriority"),
+    ("order_status", lambda: F.col("o_orderstatus"), "o_orderstatus"),
+    ("cust_bucket_1k", lambda: F.pmod(F.col("o_custkey"), F.lit(1024)), "((o_custkey % 1024) + 1024) % 1024"),
+)
+PART_MIN_PARTS = 8
+PART_MAX_PARTS = 10000
+PART_MAX_SKEW_PERMILLE = 3000  # max partition ≤ 3× the average
+
+
+def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout advisor for the ``orders`` fact: for each
+    candidate partition key, measure what `partitionBy(key)` would
+    produce — partition count, min/avg/max rows, and integer
+    per-mille skew — and recommend keys that land in the healthy
+    band (enough partitions to prune, few enough to avoid the
+    small-files explosion, max ≤ 3× average so no straggler task).
+    This extends the reference's advisor DNA (index rules over
+    catalog metadata, app.py:25-107) to the DATA plane: the same
+    diagnose-and-recommend shape, computed from the table itself.
+
+    Scale: one groupBy per candidate, each bounded by the candidate's
+    key cardinality (the advisor's own health criterion caps it);
+    candidates run as independent one-shuffle aggregates unioned at
+    summary size. At 100 TB this is the audit you run BEFORE a
+    repartition+write, on a sample or the full table — same plan."""
+    orders = load(spark, sf_dir, "orders")
+    reports = []
+    for name, col, _ in _PART_CANDIDATES:
+        classes = orders.groupBy(col().alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        reports.append(
+            classes.agg(
+                F.lit(name).alias("candidate"),
+                F.count(F.lit(1)).alias("n_partitions"),
+                F.sum("n").alias("total_rows"),
+                F.min("n").alias("min_rows"),
+                F.max("n").alias("max_rows"),
+                F.expr("sum(n) div count(1)").alias("avg_rows"),
+                F.expr("(max(n) * 1000) div (sum(n) div count(1))").alias(
+                    "skew_permille"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    healthy = (
+        (F.col("n_partitions") >= PART_MIN_PARTS)
+        & (F.col("n_partitions") <= PART_MAX_PARTS)
+        & (F.col("skew_permille") <= PART_MAX_SKEW_PERMILLE)
+    )
+    return out.withColumn("recommended", healthy).orderBy("candidate")
+
+
+def _part_advisor_oracle() -> str:
+    legs = []
+    for name, _, sql in _PART_CANDIDATES:
+        legs.append(
+            f"""SELECT '{name}' AS candidate,
+       count(*)::BIGINT AS n_partitions,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       CAST(min(n) AS BIGINT) AS min_rows,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       CAST(sum(n) // count(*) AS BIGINT) AS avg_rows,
+       CAST((max(n) * 1000) // (sum(n) // count(*)) AS BIGINT) AS skew_permille
+FROM (SELECT {sql} AS k, count(*) AS n FROM orders GROUP BY 1)"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+SELECT *,
+       n_partitions >= {PART_MIN_PARTS} AND n_partitions <= {PART_MAX_PARTS}
+       AND skew_permille <= {PART_MAX_SKEW_PERMILLE} AS recommended
+FROM (
+{union}
+)
+ORDER BY candidate
+"""
+
+
 QUERIES = {
+    "partition_layout_advisor": partition_layout_advisor,
     "profile_orders_columns": profile_orders_columns,
     "crosstab_returnflag_linestatus": crosstab_returnflag_linestatus,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -563,6 +649,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "partition_layout_advisor": _part_advisor_oracle(),
     "profile_orders_columns": _PROFILE_SQL,
     "crosstab_returnflag_linestatus": _CROSSTAB_SQL,
     "unpivot_lineitem_measures": _UNPIVOT_SQL,

@@ -235,6 +235,7 @@ import pytest
         "retrieval_eval_metrics",
         "label_noise_knn_audit",
         "coreset_kcenter_sample",
+        "partition_layout_advisor",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

@@ -467,3 +467,43 @@ def test_coreset_kcenter_matches_python_greedy(spark, sf_dir):
     assert got == want
     radii = [g[2] for g in got[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_partition_advisor_matches_python_recount(spark, sf_dir):
+    """Layout advisor vs a plain-Python recount: per candidate key,
+    partition count, row stats, integer skew, and the health band."""
+    from collections import Counter
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.profiling import (
+        PART_MAX_PARTS,
+        PART_MAX_SKEW_PERMILLE,
+        PART_MIN_PARTS,
+        partition_layout_advisor,
+    )
+
+    rows = load(spark, sf_dir, "orders").collect()
+    keys = {
+        "order_month": lambda r: r.o_orderdate.strftime("%Y-%m"),
+        "order_year": lambda r: r.o_orderdate.year,
+        "order_priority": lambda r: r.o_orderpriority,
+        "order_status": lambda r: r.o_orderstatus,
+        "cust_bucket_1k": lambda r: r.o_custkey % 1024,
+    }
+    got = {r.candidate: r for r in partition_layout_advisor(spark, sf_dir).collect()}
+    assert set(got) == set(keys)
+    for name, keyfn in keys.items():
+        counts = Counter(keyfn(r) for r in rows)
+        n_parts, total = len(counts), sum(counts.values())
+        mn, mx = min(counts.values()), max(counts.values())
+        avg = total // n_parts
+        skew = mx * 1000 // avg
+        g = got[name]
+        assert (g.n_partitions, g.total_rows, g.min_rows, g.max_rows) == (
+            n_parts, total, mn, mx,
+        ), name
+        assert (g.avg_rows, g.skew_permille) == (avg, skew), name
+        assert g.recommended == (
+            PART_MIN_PARTS <= n_parts <= PART_MAX_PARTS
+            and skew <= PART_MAX_SKEW_PERMILLE
+        ), name
