@@ -136,24 +136,29 @@ PRIORITY: tuple[str, ...] = (
     "session_pattern_abandonment",
     "session_bounce_stats",
     "streaming_state_rollup",
-    # green once (first checked r3) — stay for the second green
+    # green once (first checked r3) — representative second
+    # confirmations: the two r2-ADVICE fixes, the PyDS source face,
+    # the asof/PIT join, and the Arrow-partial-agg kernel
     "rolling_7d_active_users",
     "dq_referential_integrity",
-    "copurchase_part_pairs",
-    "copurchase_triangles",
     "pyds_catalog_columns",
-    "hybrid_search_rrf",
-    "knn_join_bruteforce",
     "pit_state_at_purchase",
-    "dedup_chunk_ratio",
-    "quality_filter_gate",
-    "bm25_keyword_search",
-    "skyline_customers",
-    "spatial_neighbor_stats",
     "embedding_gram_matrix",
-    "bpe_pair_merge_counts",
-    "hard_negative_mining",
-    "arrow_doc_byte_stats",
+    # round-4 NEW operators — never driver-checked, freshest code
+    # (three-scale oracle parity + driver-posture replay all green;
+    # the 12 green-once rows they displace keep their r3 evidence)
+    "scan_structural_similarity",
+    "similarity_mmr_rerank",
+    "changepoint_daily_events",
+    "tokenizer_fertility_report",
+    "similarity_filtered_topk",
+    "similarity_binary_rerank",
+    "l_diversity_audit",
+    "matryoshka_truncation_recall",
+    "retrieval_eval_metrics",
+    "label_noise_knn_audit",
+    "coreset_kcenter_sample",
+    "partition_layout_advisor",
 )
 
 
