@@ -124,6 +124,7 @@ HEADLINE = [
     "label_noise_knn_audit",
     "coreset_kcenter_sample",
     "partition_layout_advisor",
+    "join_strategy_advisor",
 ]
 
 

@@ -634,8 +634,106 @@ ORDER BY candidate
 """
 
 
+# Join edges audited by the strategy advisor:
+# (edge label, build table, probe table, probe-side key column)
+_JOIN_EDGES = (
+    ("customer_nation", "nation", "customer", "c_nationkey"),
+    ("supplier_nation", "nation", "supplier", "s_nationkey"),
+    ("orders_customer", "customer", "orders", "o_custkey"),
+    ("lineitem_orders", "orders", "lineitem", "l_orderkey"),
+    ("lineitem_part", "part", "lineitem", "l_partkey"),
+)
+BROADCAST_MAX_ROWS = 20000
+SALT_SKEW_PERMILLE = 10000  # max per-key ≥ 10× the average → salt
+
+
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor over the schema's join edges — the third
+    advisor face after the reference's index rules and
+    [[partition_layout_advisor]]: for each edge, measure what the
+    optimizer needs (build-side rows; probe-side key count, max and
+    average rows per key, integer per-mille skew) and recommend
+    broadcast (small build side), salted shuffle (skewed probe key),
+    or plain shuffle. This is the statistics collection a CBO's
+    ANALYZE performs, exposed as a first-class report — and the
+    pre-flight check [[salted_join_revenue]]'s salting dial reads.
+
+    Scale: per edge one count on the build side and one key-grouped
+    aggregate on the probe side (map-side partial; the key-stats
+    relation is bounded by key cardinality); edges union at summary
+    size. At 100 TB this IS the ANALYZE job — run per edge,
+    incrementally, or on samples; same plan."""
+    legs = []
+    for edge, build_t, probe_t, key in _JOIN_EDGES:
+        build_n = load(spark, sf_dir, build_t).agg(
+            F.count(F.lit(1)).alias("build_rows")
+        )
+        probe = (
+            load(spark, sf_dir, probe_t)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.lit(edge).alias("edge"),
+                F.count(F.lit(1)).alias("probe_keys"),
+                F.sum("n").alias("probe_rows"),
+                F.max("n").alias("max_per_key"),
+                F.expr("sum(n) div count(1)").alias("avg_per_key"),
+                F.expr("(max(n) * 1000) div (sum(n) div count(1))").alias(
+                    "skew_permille"
+                ),
+            )
+        )
+        legs.append(probe.join(F.broadcast(build_n)))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    strategy = (
+        F.when(F.col("build_rows") <= BROADCAST_MAX_ROWS, F.lit("broadcast"))
+        .when(F.col("skew_permille") >= SALT_SKEW_PERMILLE, F.lit("salted_shuffle"))
+        .otherwise(F.lit("shuffle"))
+    )
+    return out.select(
+        "edge",
+        "build_rows",
+        "probe_keys",
+        "probe_rows",
+        "max_per_key",
+        "avg_per_key",
+        "skew_permille",
+        strategy.alias("strategy"),
+    ).orderBy("edge")
+
+
+def _join_advisor_oracle() -> str:
+    legs = []
+    for edge, build_t, probe_t, key in _JOIN_EDGES:
+        legs.append(
+            f"""SELECT '{edge}' AS edge,
+       (SELECT count(*) FROM {build_t})::BIGINT AS build_rows,
+       count(*)::BIGINT AS probe_keys,
+       CAST(sum(n) AS BIGINT) AS probe_rows,
+       CAST(max(n) AS BIGINT) AS max_per_key,
+       CAST(sum(n) // count(*) AS BIGINT) AS avg_per_key,
+       CAST((max(n) * 1000) // (sum(n) // count(*)) AS BIGINT) AS skew_permille
+FROM (SELECT {key} AS k, count(*) AS n FROM {probe_t} GROUP BY 1)"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+SELECT edge, build_rows, probe_keys, probe_rows, max_per_key, avg_per_key,
+       skew_permille,
+       CASE WHEN build_rows <= {BROADCAST_MAX_ROWS} THEN 'broadcast'
+            WHEN skew_permille >= {SALT_SKEW_PERMILLE} THEN 'salted_shuffle'
+            ELSE 'shuffle' END AS strategy
+FROM (
+{union}
+)
+ORDER BY edge
+"""
+
+
 QUERIES = {
     "partition_layout_advisor": partition_layout_advisor,
+    "join_strategy_advisor": join_strategy_advisor,
     "profile_orders_columns": profile_orders_columns,
     "crosstab_returnflag_linestatus": crosstab_returnflag_linestatus,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -650,6 +748,7 @@ QUERIES = {
 
 ORACLES = {
     "partition_layout_advisor": _part_advisor_oracle(),
+    "join_strategy_advisor": _join_advisor_oracle(),
     "profile_orders_columns": _PROFILE_SQL,
     "crosstab_returnflag_linestatus": _CROSSTAB_SQL,
     "unpivot_lineitem_measures": _UNPIVOT_SQL,

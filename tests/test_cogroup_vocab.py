@@ -236,6 +236,7 @@ import pytest
         "label_noise_knn_audit",
         "coreset_kcenter_sample",
         "partition_layout_advisor",
+        "join_strategy_advisor",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

@@ -507,3 +507,37 @@ def test_partition_advisor_matches_python_recount(spark, sf_dir):
             PART_MIN_PARTS <= n_parts <= PART_MAX_PARTS
             and skew <= PART_MAX_SKEW_PERMILLE
         ), name
+
+
+def test_join_advisor_matches_python_recount(spark, sf_dir):
+    """Join-strategy advisor vs a plain-Python recount over the five
+    edges: build rows, probe key stats, integer skew, and the
+    broadcast/salt/shuffle decision rule."""
+    from collections import Counter
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.profiling import (
+        _JOIN_EDGES,
+        BROADCAST_MAX_ROWS,
+        SALT_SKEW_PERMILLE,
+        join_strategy_advisor,
+    )
+
+    got = {r.edge: r for r in join_strategy_advisor(spark, sf_dir).collect()}
+    assert set(got) == {e[0] for e in _JOIN_EDGES}
+    for edge, build_t, probe_t, key in _JOIN_EDGES:
+        build_rows = len(load(spark, sf_dir, build_t).collect())
+        counts = Counter(r[key] for r in load(spark, sf_dir, probe_t).collect())
+        keys, total = len(counts), sum(counts.values())
+        mx = max(counts.values())
+        avg = total // keys
+        skew = mx * 1000 // avg
+        g = got[edge]
+        assert (g.build_rows, g.probe_keys, g.probe_rows) == (build_rows, keys, total)
+        assert (g.max_per_key, g.avg_per_key, g.skew_permille) == (mx, avg, skew)
+        want = (
+            "broadcast"
+            if build_rows <= BROADCAST_MAX_ROWS
+            else ("salted_shuffle" if skew >= SALT_SKEW_PERMILLE else "shuffle")
+        )
+        assert g.strategy == want, edge
