@@ -541,3 +541,85 @@ def test_join_advisor_matches_python_recount(spark, sf_dir):
             else ("salted_shuffle" if skew >= SALT_SKEW_PERMILLE else "shuffle")
         )
         assert g.strategy == want, edge
+
+
+def _write_embeddings_dir(tmp_path, vecs, labels=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array(labels or [0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_coreset_certificate_survives_all_ties_geometry(spark, tmp_path):
+    """Adversarial geometry for the certified-pool greedy: 300
+    near-one-hot vectors where EVERY pairwise distance ties, so the
+    pool cutoff equals every candidate's min-dist, the strict-
+    inequality certificate fails on every pick, and the refresh path
+    must carry all K−1 rounds — and still reproduce the brute-force
+    greedy (which degenerates to the vec_id tie-break)."""
+    import math
+
+    from rdbms_metadata_manager_spark.llm.sampling import (
+        CORESET_K,
+        coreset_kcenter_sample,
+    )
+
+    n, dim = 300, 64
+    vecs = [[1.0 if d == i % dim else 0.0 for d in range(dim)] for i in range(n)]
+    d = _write_embeddings_dir(tmp_path, vecs)
+
+    tk = {i: [math.floor(x * 1000) for x in vecs[i]] for i in range(n)}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(tk[a], tk[b]))
+
+    want = [(1, 0, 0)]
+    chosen = [0]
+    for rank in range(2, CORESET_K + 1):
+        best = None
+        for v in range(n):
+            if v in chosen:
+                continue
+            mind = min(d2(v, c) for c in chosen)
+            if best is None or mind > best[1]:
+                best = (v, mind)
+        want.append((rank, best[0], best[1]))
+        chosen.append(best[0])
+
+    got = [(r.rank, r.vec_id, r.dist2) for r in coreset_kcenter_sample(spark, d).collect()]
+    assert got == want
+    # the tie geometry really is total: every pick after the seed has
+    # the identical distance and the ids are consecutive
+    assert [g[1] for g in got] == list(range(CORESET_K))
+    assert len({g[2] for g in got[1:]}) == 1
+
+
+def test_label_noise_ties_break_by_vec_id(spark, tmp_path):
+    """Duplicate vectors share one LSH bucket and tie at cosine 1.0 —
+    the neighbour cut must break ties by ascending vec_id in both the
+    kernel (lexsort) and the oracle (ORDER BY ..., j)."""
+    from rdbms_metadata_manager_spark.llm.similarity import (
+        NN_K,
+        label_noise_knn_audit,
+    )
+
+    n, dim = 10, 64
+    vecs = [[0.25] * dim for _ in range(n)]  # all identical → one bucket
+    labels = [0, 0, 0, 1, 1, 1, 1, 1, 1, 1]
+    d = _write_embeddings_dir(tmp_path, vecs, labels)
+    got = {r.vec_id: r for r in label_noise_knn_audit(spark, d).collect()}
+    assert len(got) == n
+    for i in range(n):
+        nbrs = [j for j in range(n) if j != i][:NN_K]  # vec_id-ascending
+        n_same = sum(1 for j in nbrs if labels[j] == labels[i])
+        g = got[i]
+        assert (g.n_neighbors, g.n_same) == (NN_K, n_same), i
+        assert g.flagged == (2 * n_same < NN_K), i
