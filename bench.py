@@ -125,6 +125,7 @@ HEADLINE = [
     "coreset_kcenter_sample",
     "partition_layout_advisor",
     "join_strategy_advisor",
+    "gdpr_erasure_audit",
 ]
 
 

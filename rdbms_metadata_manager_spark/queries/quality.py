@@ -281,13 +281,104 @@ ORDER BY measure, digit
 """
 
 
+ERASURE_MOD = 1000
+ERASURE_RESIDUE = 7  # deterministic subject cohort: c_custkey % 1000 == 7
+
+
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: for a subject cohort (here the
+    deterministic c_custkey % 1000 == 7 stand-in for a deletion
+    request list), count the rows each table would lose — customer
+    rows directly, orders via the customer FK, lineitems via the
+    order FK — plus each table's integer per-mille share. The
+    pre-flight every GDPR/CCPA deletion pipeline runs before issuing
+    the cascade, and the data-plane mirror of the reference's FK
+    awareness (its Rule-2 id-column heuristic, app.py:52-66): the
+    cascade path IS the FK graph.
+
+    Scale: the subject keys broadcast into a LEFT SEMI join per fact
+    table (no fact-side shuffle at all — plan-pinned); the affected
+    order keys are themselves a semi-join result reused for the
+    lineitem leg. Totals are map-side counts. At 100 TB this is
+    three scans, zero shuffles of table data."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    subjects = customer.filter(
+        F.pmod(F.col("c_custkey"), F.lit(ERASURE_MOD)) == ERASURE_RESIDUE
+    ).select("c_custkey")
+    hit_orders = orders.join(
+        F.broadcast(subjects),
+        orders["o_custkey"] == subjects["c_custkey"],
+        "left_semi",
+    )
+    hit_lineitem = lineitem.join(
+        F.broadcast(hit_orders.select("o_orderkey")),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    legs = []
+    for name, hit_df, all_df in (
+        ("customer", subjects, customer),
+        ("orders", hit_orders, orders),
+        ("lineitem", hit_lineitem, lineitem),
+    ):
+        legs.append(
+            hit_df.agg(F.count(F.lit(1)).alias("rows_to_erase")).join(
+                all_df.agg(F.count(F.lit(1)).alias("table_rows"))
+            ).select(
+                F.lit(name).alias("table_name"),
+                "rows_to_erase",
+                "table_rows",
+                F.expr("(rows_to_erase * 1000) div table_rows").alias(
+                    "share_permille"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("table_name")
+
+
+_ERASURE_SQL = f"""
+WITH subjects AS (
+  SELECT c_custkey FROM customer
+  WHERE ((c_custkey % {ERASURE_MOD}) + {ERASURE_MOD}) % {ERASURE_MOD} = {ERASURE_RESIDUE}
+),
+hit_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM subjects)
+),
+legs AS (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM subjects)::BIGINT AS rows_to_erase,
+         (SELECT count(*) FROM customer)::BIGINT AS table_rows
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM hit_orders)::BIGINT,
+         (SELECT count(*) FROM orders)::BIGINT
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM hit_orders))::BIGINT,
+         (SELECT count(*) FROM lineitem)::BIGINT
+)
+SELECT table_name, rows_to_erase, table_rows,
+       CAST((rows_to_erase * 1000) // table_rows AS BIGINT) AS share_permille
+FROM legs
+ORDER BY table_name
+"""
+
+
 QUERIES = {
     "dq_expectations_orders": dq_expectations_orders,
     "dq_referential_integrity": dq_referential_integrity,
     "benford_digit_audit": benford_digit_audit,
+    "gdpr_erasure_audit": gdpr_erasure_audit,
 }
 ORACLES = {
     "dq_expectations_orders": _DQ_EXPECT_SQL,
     "dq_referential_integrity": _DQ_FK_SQL,
     "benford_digit_audit": _BENFORD_SQL,
+    "gdpr_erasure_audit": _ERASURE_SQL,
 }

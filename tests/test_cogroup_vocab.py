@@ -237,6 +237,7 @@ import pytest
         "coreset_kcenter_sample",
         "partition_layout_advisor",
         "join_strategy_advisor",
+        "gdpr_erasure_audit",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

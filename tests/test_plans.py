@@ -885,3 +885,15 @@ def test_label_noise_audit_is_joinless_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_gdpr_erasure_uses_broadcast_semi_joins(spark, sf_dir):
+    """gdpr_erasure_audit: both cascade hops must plan as LEFT SEMI
+    joins with broadcast subject/order keys — the fact tables never
+    shuffle."""
+    from rdbms_metadata_manager_spark.queries.quality import gdpr_erasure_audit
+
+    plan = physical_plan(gdpr_erasure_audit(spark, sf_dir))
+    assert "LeftSemi, BuildRight" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -623,3 +623,29 @@ def test_label_noise_ties_break_by_vec_id(spark, tmp_path):
         g = got[i]
         assert (g.n_neighbors, g.n_same) == (NN_K, n_same), i
         assert g.flagged == (2 * n_same < NN_K), i
+
+
+def test_gdpr_erasure_cascade_matches_python_recount(spark, sf_dir):
+    """Erasure audit vs a plain-Python FK-cascade recount."""
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.quality import (
+        ERASURE_MOD,
+        ERASURE_RESIDUE,
+        gdpr_erasure_audit,
+    )
+
+    cust = load(spark, sf_dir, "customer").collect()
+    orders = load(spark, sf_dir, "orders").collect()
+    li = load(spark, sf_dir, "lineitem").collect()
+    subj = {r.c_custkey for r in cust if r.c_custkey % ERASURE_MOD == ERASURE_RESIDUE}
+    hit_o = {r.o_orderkey for r in orders if r.o_custkey in subj}
+    hit_l = sum(1 for r in li if r.l_orderkey in hit_o)
+    got = {r.table_name: r for r in gdpr_erasure_audit(spark, sf_dir).collect()}
+    want = {
+        "customer": (len(subj), len(cust)),
+        "orders": (len(hit_o), len(orders)),
+        "lineitem": (hit_l, len(li)),
+    }
+    for t, (n, total) in want.items():
+        assert (got[t].rows_to_erase, got[t].table_rows) == (n, total), t
+        assert got[t].share_permille == n * 1000 // total, t
