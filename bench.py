@@ -126,6 +126,7 @@ HEADLINE = [
     "partition_layout_advisor",
     "join_strategy_advisor",
     "gdpr_erasure_audit",
+    "cluster_safe_split",
 ]
 
 

@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..queries.base import load
 from .dedup import _JACCARD_SQL, dedup_ngram_jaccard
+from .sampling import _split_bucket
+from .hashing import h32_sql
 
 MAX_ITERATIONS = 20
 
@@ -272,13 +275,68 @@ ORDER BY family_size
 """
 
 
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on the NEAR-DUP CLUSTER representative —
+    the strongest rung of the leakage ladder: [[split_train_val_test]]
+    keys on doc_id (verbatim copies can straddle splits),
+    [[leakage_safe_split]] keys on content (near-dups with edits can
+    still straddle), this keys on the [[dedup_clusters]] component
+    label, so an entire near-duplicate FAMILY lands in one split and
+    a lightly-edited copy of a training document can never sit in
+    test. Documents outside any near-dup pair are their own
+    singleton family (rep = own doc_id).
+
+    Scale: rides the memoized near-dup pair list and its
+    connected-components labels (cluster relation ≪ corpus); one
+    broadcast-ready left join attaches the rep, then the split is the
+    same hash projection as the other two splitters — no extra
+    shuffle of document text."""
+    docs = load(spark, sf_dir, "documents")
+    cc = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("cc_label")
+    )
+    rep = F.coalesce(F.col("cc_label"), F.col("doc_id"))
+    bucket = _split_bucket(rep)
+    return (
+        docs.join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("cluster_rep"),
+            bucket.alias("bucket"),
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cluster_split_oracle() -> str:
+    rep_key = "'split:' || coalesce(cc.cluster_id, d.doc_id)::VARCHAR"
+    bucket = f"{h32_sql(rep_key)} % 100"
+    return f"""
+WITH cc AS ({_CLUSTERS_SQL})
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_rep,
+       {bucket} AS bucket,
+       CASE WHEN {bucket} < 80 THEN 'train'
+            WHEN {bucket} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "cluster_safe_split": cluster_safe_split,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
 }
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
+    "cluster_safe_split": _cluster_split_oracle(),
     "dedup_clusters_star": _CLUSTERS_SQL,
     "dedup_cluster_size_histogram": _CLUSTER_SIZES_SQL,
 }

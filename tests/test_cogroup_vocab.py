@@ -238,6 +238,7 @@ import pytest
         "partition_layout_advisor",
         "join_strategy_advisor",
         "gdpr_erasure_audit",
+        "cluster_safe_split",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

@@ -132,6 +132,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.ranking", "retrieval_eval_metrics"),
         ("llm.similarity", "label_noise_knn_audit"),
         ("llm.sampling", "coreset_kcenter_sample"),
+        ("llm.clustering", "cluster_safe_split"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

@@ -649,3 +649,33 @@ def test_gdpr_erasure_cascade_matches_python_recount(spark, sf_dir):
     for t, (n, total) in want.items():
         assert (got[t].rows_to_erase, got[t].table_rows) == (n, total), t
         assert got[t].share_permille == n * 1000 // total, t
+
+
+def test_cluster_safe_split_keeps_families_together(spark, sf_dir):
+    """The near-dup-cluster-keyed split: every member of a connected
+    component must land in the same split, the rep must equal the
+    component's min doc_id (singletons: their own id), and the
+    bucket must equal the doc_id-keyed splitter's bucket FOR THE REP
+    (same hash machinery, coarser key)."""
+    from pyspark.sql import functions as F
+
+    from rdbms_metadata_manager_spark.llm.clustering import (
+        cluster_safe_split,
+        dedup_clusters,
+    )
+
+    split = cluster_safe_split(spark, sf_dir)
+    fam = split.groupBy("cluster_rep").agg(
+        F.countDistinct("split").alias("n_splits"), F.count("*").alias("n")
+    )
+    assert fam.filter(F.col("n_splits") > 1).count() == 0
+    labels = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, sf_dir).collect()}
+    rows = split.collect()
+    assert len(rows) > 0
+    multi = 0
+    for r in rows:
+        assert r.cluster_rep == labels.get(r.doc_id, r.doc_id)
+        assert (r.split == "train") == (r.bucket < 80)
+        if r.doc_id in labels and labels[r.doc_id] != r.doc_id:
+            multi += 1
+    assert multi > 0  # the planted near-dup families actually exercise it
