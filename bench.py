@@ -127,6 +127,7 @@ HEADLINE = [
     "join_strategy_advisor",
     "gdpr_erasure_audit",
     "cluster_safe_split",
+    "user_activity_streaks",
 ]
 
 

@@ -550,7 +550,68 @@ FROM lat
 """
 
 
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    active days and how many separate runs (islands) the activity
+    breaks into — the canonical streak analysis engagement teams run
+    (and the textbook `day − row_number()` island-key construction:
+    consecutive days share a constant difference, any gap starts a
+    new key). Complements [[rolling_7d_active_users]] (corpus-level
+    rolling count) and [[user_event_gap_histogram]] (gap sizes) with
+    the per-user run-length view.
+
+    Plan: distinct (user, day) projection → one user-partitioned
+    window for row_number → two bounded groupBys (islands, then
+    users). All shuffles key on user_id — at 100 TB one exchange
+    feeds all three steps (Catalyst reuses the partitioning), and
+    island/user relations are ≪ event count."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .select("user_id", F.expr("date_sub(day, rn)").alias("island"), "day")
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("streak_len").alias("max_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAKS_SQL = """
+WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+numbered AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM days
+),
+islands AS (
+  SELECT user_id, day - rn::INTEGER AS island, count(*) AS streak_len
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       count(*)::BIGINT AS n_streaks,
+       CAST(max(streak_len) AS BIGINT) AS max_streak
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "user_activity_streaks": user_activity_streaks,
     "cohort_retention": cohort_retention,
     "event_markov_transitions": event_markov_transitions,
     "user_event_gap_histogram": user_event_gap_histogram,
@@ -561,6 +622,7 @@ QUERIES = {
     "dau_mau_stickiness": dau_mau_stickiness,
 }
 ORACLES = {
+    "user_activity_streaks": _STREAKS_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_markov_transitions": _MARKOV_SQL,
     "user_event_gap_histogram": _GAP_HIST_SQL,

@@ -239,6 +239,7 @@ import pytest
         "join_strategy_advisor",
         "gdpr_erasure_audit",
         "cluster_safe_split",
+        "user_activity_streaks",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

@@ -133,6 +133,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.similarity", "label_noise_knn_audit"),
         ("llm.sampling", "coreset_kcenter_sample"),
         ("llm.clustering", "cluster_safe_split"),
+        ("queries.cohort", "user_activity_streaks"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

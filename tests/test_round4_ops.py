@@ -679,3 +679,32 @@ def test_cluster_safe_split_keeps_families_together(spark, sf_dir):
         if r.doc_id in labels and labels[r.doc_id] != r.doc_id:
             multi += 1
     assert multi > 0  # the planted near-dup families actually exercise it
+
+
+def test_activity_streaks_matches_python_islands(spark, sf_dir):
+    """Gaps-and-islands streaks vs a plain-Python recount of
+    consecutive-day runs per user."""
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.cohort import user_activity_streaks
+
+    rows = load(spark, sf_dir, "events").collect()
+    days: dict[int, set] = {}
+    for r in rows:
+        days.setdefault(r.user_id, set()).add(r.ts.date())
+    got = {r.user_id: r for r in user_activity_streaks(spark, sf_dir).collect()}
+    assert set(got) == set(days)
+    for uid, ds in days.items():
+        sd = sorted(ds)
+        streaks = []
+        run = 1
+        for a, b in zip(sd, sd[1:]):
+            if (b - a).days == 1:
+                run += 1
+            else:
+                streaks.append(run)
+                run = 1
+        streaks.append(run)
+        g = got[uid]
+        assert (g.n_active_days, g.n_streaks, g.max_streak) == (
+            len(ds), len(streaks), max(streaks),
+        ), uid
