@@ -57,6 +57,10 @@ TEXT_KERNELS = [
     # words); edit-distance verify rides the Kx-grown pair list.
     "dedup_tf_cosine",
     "dedup_edit_distance_verify",
+    # round-4: the cluster-keyed split rides the pair-list/CC memos;
+    # token renaming preserves each replica's families exactly, so
+    # output rows grow exactly Kx.
+    "cluster_safe_split",
 ]
 # Embedding kernels block with FIXED parameters (K=8 clusters,
 # 2^6 LSH buckets) pinned by their oracles; at fixed parameters the
