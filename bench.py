@@ -128,6 +128,7 @@ HEADLINE = [
     "gdpr_erasure_audit",
     "cluster_safe_split",
     "user_activity_streaks",
+    "dp_sensitivity_audit",
 ]
 
 

@@ -198,13 +198,110 @@ FROM classes
 """
 
 
+DP_CLIP_Q = "0.99"  # clipping quantile (literal text, same in both engines)
+
+
+def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy sensitivity audit — the pre-noise step of
+    any DP release/training pipeline (DP-SGD, private analytics): a
+    user's maximum possible contribution to each aggregate determines
+    the noise scale, so before choosing epsilon you measure the
+    contribution distribution and the utility cost of clipping it.
+    For each metric (per-user event count; per-user value-cents sum),
+    reports max / median / p99 contribution and the integer per-mille
+    of total mass a p99 clip would discard — the clip-vs-noise
+    trade-off number the privacy review actually reads. Completes the
+    privacy family: [[pii_redaction]] scrubs direct identifiers,
+    [[k_anonymity_audit]]/[[l_diversity_audit]] gate re-identification,
+    this calibrates the DP release.
+
+    Exactness: contributions are integers (counts; floor-cent value
+    ticks), quantiles are ``percentile_disc`` (actual data values, no
+    interpolation), the loss share is integer per-mille — every cell
+    bit-identical cross-engine.
+
+    Scale: ONE groupBy(user) feeds both metrics; the stats are
+    two tiny order-statistics aggregates over the per-user relation
+    (≪ events) and the loss pass re-reads it with a 1-row broadcast
+    clip. At 100 TB: the user rollup is the only event-sized shuffle."""
+    events = load_spread(spark, sf_dir, "events", "event_id")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    legs = []
+    for metric, col in (("event_count", "n_events"), ("value_cents_sum", "value_cents")):
+        stats = per_user.agg(
+            F.lit(metric).alias("metric"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.max(col).cast("long").alias("max_contribution"),
+            F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {col})")
+            .cast("long")
+            .alias("p50"),
+            F.expr(f"percentile_disc({DP_CLIP_Q}) WITHIN GROUP (ORDER BY {col})")
+            .cast("long")
+            .alias("p99"),
+        )
+        loss = per_user.join(F.broadcast(stats.select(F.col("p99").alias("clip")))).agg(
+            F.expr(
+                f"CAST((1000 * sum(greatest({col} - clip, 0))) DIV sum({col}) AS BIGINT)"
+            ).alias("clipped_loss_permille")
+        )
+        legs.append(stats.join(loss))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("metric")
+
+
+_DP_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY user_id
+),
+s1 AS (
+  SELECT 'event_count' AS metric, count(*)::BIGINT AS n_users,
+         CAST(max(n_events) AS BIGINT) AS max_contribution,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events) AS BIGINT) AS p50,
+         CAST(percentile_disc({DP_CLIP_Q}) WITHIN GROUP (ORDER BY n_events) AS BIGINT) AS p99
+  FROM per_user
+),
+l1 AS (
+  SELECT CAST((1000 * sum(greatest(n_events - p99, 0))) // sum(n_events) AS BIGINT)
+           AS clipped_loss_permille
+  FROM per_user, s1
+),
+s2 AS (
+  SELECT 'value_cents_sum' AS metric, count(*)::BIGINT AS n_users,
+         CAST(max(value_cents) AS BIGINT) AS max_contribution,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY value_cents) AS BIGINT) AS p50,
+         CAST(percentile_disc({DP_CLIP_Q}) WITHIN GROUP (ORDER BY value_cents) AS BIGINT) AS p99
+  FROM per_user
+),
+l2 AS (
+  SELECT CAST((1000 * sum(greatest(value_cents - p99, 0))) // sum(value_cents) AS BIGINT)
+           AS clipped_loss_permille
+  FROM per_user, s2
+)
+SELECT * FROM (
+  SELECT s1.*, l1.clipped_loss_permille FROM s1, l1
+  UNION ALL
+  SELECT s2.*, l2.clipped_loss_permille FROM s2, l2
+)
+ORDER BY metric
+"""
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
+    "dp_sensitivity_audit": dp_sensitivity_audit,
 }
 ORACLES = {
     "pii_redaction": _PII_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
     "l_diversity_audit": _L_DIV_SQL,
+    "dp_sensitivity_audit": _DP_SQL,
 }

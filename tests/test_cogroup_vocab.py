@@ -240,6 +240,7 @@ import pytest
         "gdpr_erasure_audit",
         "cluster_safe_split",
         "user_activity_streaks",
+        "dp_sensitivity_audit",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

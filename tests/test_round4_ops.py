@@ -708,3 +708,35 @@ def test_activity_streaks_matches_python_islands(spark, sf_dir):
         assert (g.n_active_days, g.n_streaks, g.max_streak) == (
             len(ds), len(streaks), max(streaks),
         ), uid
+
+
+def test_dp_sensitivity_matches_python_recount(spark, sf_dir):
+    """DP sensitivity audit vs a plain-Python recount: per-user
+    integer contributions, percentile_disc = sorted[ceil(q*n)-1],
+    and the p99-clip mass loss in integer per-mille."""
+    import math
+
+    from rdbms_metadata_manager_spark.llm.pii import dp_sensitivity_audit
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "events").collect()
+    per_user: dict[int, list[int]] = {}
+    for r in rows:
+        c = per_user.setdefault(r.user_id, [0, 0])
+        c[0] += 1
+        c[1] += math.floor(r.value * 100)
+
+    def pdisc(vals, q):
+        s = sorted(vals)
+        return s[math.ceil(q * len(s)) - 1]
+
+    got = {r.metric: r for r in dp_sensitivity_audit(spark, sf_dir).collect()}
+    for metric, idx in (("event_count", 0), ("value_cents_sum", 1)):
+        vals = [c[idx] for c in per_user.values()]
+        g = got[metric]
+        assert g.n_users == len(vals)
+        assert g.max_contribution == max(vals)
+        assert (g.p50, g.p99) == (pdisc(vals, 0.5), pdisc(vals, 0.99))
+        clip = g.p99
+        loss = 1000 * sum(max(v - clip, 0) for v in vals) // sum(vals)
+        assert g.clipped_loss_permille == loss, metric
