@@ -129,6 +129,7 @@ HEADLINE = [
     "cluster_safe_split",
     "user_activity_streaks",
     "dp_sensitivity_audit",
+    "constraint_mining",
 ]
 
 

@@ -370,15 +370,140 @@ ORDER BY table_name
 """
 
 
+# Candidate constraints mined from the data:
+_UNIQ_CANDIDATES = (
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey"),
+)
+_FK_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+FK_HOLD_PERMILLE = 1000  # containment threshold for "holds"
+
+
+def constraint_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint DISCOVERY from the data — the inverse of the
+    reference's whole premise: app.py:25-107 lints constraints the
+    catalog DECLARES; this mines the constraints the data actually
+    SATISFIES (candidate primary keys via uniqueness, NOT NULL via
+    null counts, candidate foreign keys via value containment), the
+    profiling step that feeds a schema advisor when the catalog is
+    bare — exactly the situation its Rule-2 id-heuristic guesses at.
+    One row per candidate with integer per-mille support and a holds
+    flag.
+
+    Scale: uniqueness = one map-side-combined distinct-count per
+    column; containment = a distinct-project of the child key LEFT
+    SEMI the parent key (parent side broadcast-able for dims) — per
+    candidate one thin shuffle bounded by key cardinality, unioned
+    at summary size. At 100 TB this is the ANALYZE-style pass run
+    per column family, or on samples with the same plan."""
+    legs = []
+    for table, col in _UNIQ_CANDIDATES:
+        t = load(spark, sf_dir, table)
+        legs.append(
+            t.agg(
+                F.lit("unique").alias("kind"),
+                F.lit(f"{table}.{col}").alias("subject"),
+                F.lit("").alias("target"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr(
+                    f"CAST((1000 * count(DISTINCT {col})) DIV count(1) AS BIGINT)"
+                ).alias("support_permille"),
+                (F.countDistinct(col) == F.count(F.lit(1))).alias("holds"),
+            )
+        )
+        legs.append(
+            t.agg(
+                F.lit("not_null").alias("kind"),
+                F.lit(f"{table}.{col}").alias("subject"),
+                F.lit("").alias("target"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr(
+                    f"CAST((1000 * count({col})) DIV count(1) AS BIGINT)"
+                ).alias("support_permille"),
+                (F.count(col) == F.count(F.lit(1))).alias("holds"),
+            )
+        )
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        child = load(spark, sf_dir, child_t).select(F.col(child_c).alias("k")).distinct()
+        parent = load(spark, sf_dir, parent_t).select(F.col(parent_c).alias("k")).distinct()
+        contained = child.join(F.broadcast(parent), "k", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_in")
+        )
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        legs.append(
+            contained.join(total).select(
+                F.lit("foreign_key").alias("kind"),
+                F.lit(f"{child_t}.{child_c}").alias("subject"),
+                F.lit(f"{parent_t}.{parent_c}").alias("target"),
+                F.col("n_child").alias("n_rows"),
+                F.expr("CAST((1000 * n_in) DIV n_child AS BIGINT)").alias(
+                    "support_permille"
+                ),
+                (F.expr(f"(1000 * n_in) DIV n_child") >= FK_HOLD_PERMILLE).alias(
+                    "holds"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("kind", "subject", "target")
+
+
+def _constraint_oracle() -> str:
+    legs = []
+    for table, col in _UNIQ_CANDIDATES:
+        legs.append(
+            f"""SELECT 'unique' AS kind, '{table}.{col}' AS subject, '' AS target,
+       count(*)::BIGINT AS n_rows,
+       CAST((1000 * count(DISTINCT {col})) // count(*) AS BIGINT) AS support_permille,
+       count(DISTINCT {col}) = count(*) AS holds
+FROM {table}"""
+        )
+        legs.append(
+            f"""SELECT 'not_null', '{table}.{col}', '', count(*)::BIGINT,
+       CAST((1000 * count({col})) // count(*) AS BIGINT),
+       count({col}) = count(*)
+FROM {table}"""
+        )
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        legs.append(
+            f"""SELECT 'foreign_key', '{child_t}.{child_c}', '{parent_t}.{parent_c}',
+       (SELECT count(DISTINCT {child_c}) FROM {child_t})::BIGINT,
+       CAST((1000 * (SELECT count(*) FROM (SELECT DISTINCT {child_c} FROM {child_t}) c
+                     WHERE c.{child_c} IN (SELECT {parent_c} FROM {parent_t})))
+            // (SELECT count(DISTINCT {child_c}) FROM {child_t}) AS BIGINT),
+       (1000 * (SELECT count(*) FROM (SELECT DISTINCT {child_c} FROM {child_t}) c
+                WHERE c.{child_c} IN (SELECT {parent_c} FROM {parent_t})))
+         // (SELECT count(DISTINCT {child_c}) FROM {child_t}) >= {FK_HOLD_PERMILLE}
+FROM (SELECT 1)"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+SELECT * FROM (
+{union}
+)
+ORDER BY kind, subject, target
+"""
+
+
 QUERIES = {
     "dq_expectations_orders": dq_expectations_orders,
     "dq_referential_integrity": dq_referential_integrity,
     "benford_digit_audit": benford_digit_audit,
     "gdpr_erasure_audit": gdpr_erasure_audit,
+    "constraint_mining": constraint_mining,
 }
 ORACLES = {
     "dq_expectations_orders": _DQ_EXPECT_SQL,
     "dq_referential_integrity": _DQ_FK_SQL,
     "benford_digit_audit": _BENFORD_SQL,
     "gdpr_erasure_audit": _ERASURE_SQL,
+    "constraint_mining": _constraint_oracle(),
 }

@@ -241,6 +241,7 @@ import pytest
         "cluster_safe_split",
         "user_activity_streaks",
         "dp_sensitivity_audit",
+        "constraint_mining",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

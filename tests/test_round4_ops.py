@@ -740,3 +740,50 @@ def test_dp_sensitivity_matches_python_recount(spark, sf_dir):
         clip = g.p99
         loss = 1000 * sum(max(v - clip, 0) for v in vals) // sum(vals)
         assert g.clipped_loss_permille == loss, metric
+
+
+def test_constraint_mining_matches_python_recount(spark, sf_dir):
+    """Constraint discovery vs a plain-Python recount: uniqueness,
+    null completeness, and FK value containment with the same
+    integer per-mille support."""
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.quality import (
+        _FK_CANDIDATES,
+        _UNIQ_CANDIDATES,
+        constraint_mining,
+    )
+
+    cache = {}
+
+    def vals(table, col):
+        if table not in cache:
+            cache[table] = load(spark, sf_dir, table).collect()
+        return [getattr(r, col) for r in cache[table]]
+
+    got = {(r.kind, r.subject, r.target): r for r in constraint_mining(spark, sf_dir).collect()}
+    for table, col in _UNIQ_CANDIDATES:
+        v = vals(table, col)
+        g = got[("unique", f"{table}.{col}", "")]
+        nd = len(set(v))
+        assert (g.n_rows, g.support_permille, g.holds) == (
+            len(v), 1000 * nd // len(v), nd == len(v),
+        )
+        g = got[("not_null", f"{table}.{col}", "")]
+        nn = sum(1 for x in v if x is not None)
+        assert (g.n_rows, g.support_permille, g.holds) == (
+            len(v), 1000 * nn // len(v), nn == len(v),
+        )
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = set(vals(ct, cc))
+        parent = set(vals(pt, pc))
+        g = got[("foreign_key", f"{ct}.{cc}", f"{pt}.{pc}")]
+        n_in = len(child & parent)
+        assert (g.n_rows, g.support_permille) == (len(child), 1000 * n_in // len(child))
+        assert g.holds == (1000 * n_in // len(child) >= 1000)
+    # the miner actually discriminates on this schema
+    assert got[("unique", "orders.o_orderkey", "")].holds
+    assert not got[("unique", "orders.o_custkey", "")].holds
+    assert all(
+        got[("foreign_key", f"{ct}.{cc}", f"{pt}.{pc}")].holds
+        for ct, cc, pt, pc in _FK_CANDIDATES
+    )
