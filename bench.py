@@ -130,6 +130,7 @@ HEADLINE = [
     "user_activity_streaks",
     "dp_sensitivity_audit",
     "constraint_mining",
+    "zorder_locality_report",
 ]
 
 

@@ -731,9 +731,104 @@ ORDER BY edge
 """
 
 
+ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit Morton code, 256 buckets
+
+
+def _morton_sql(a: str, b: str) -> str:
+    """16-bit Morton interleave of two 8-bit ints — identical integer
+    expression in Spark SQL and DuckDB (shifts, AND, OR)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER locality audit over orders(custkey, orderdate) — the
+    quantified answer to "should this table be z-ordered or sorted on
+    one key?" that [[partition_layout_advisor]] can't give for
+    MULTI-column access patterns: bucket the table three ways (by the
+    custkey byte, by the date byte, by the top byte of their 16-bit
+    Morton interleave) and report, per layout, the average number of
+    distinct custkey values and distinct days a bucket touches. A
+    single-key sort gives perfect locality on its own key and none on
+    the other; the z-order buckets bound BOTH — the file-skipping
+    property Delta/Iceberg OPTIMIZE ZORDER buys, measured directly.
+
+    Exactness: the Morton code is pure integer bit arithmetic,
+    bit-identical cross-engine; the report is integer milli-averages.
+
+    Scale: three bounded groupBys over (bucket, dim) projections of
+    one scan — at 100 TB this is the sampling audit you run before
+    rewriting a table's layout, same plan."""
+    orders = load(spark, sf_dir, "orders")
+    a = "CAST(o_custkey % 256 AS INT)"
+    b = "CAST(datediff(o_orderdate, DATE '1992-01-01') % 256 AS INT)"
+    base = orders.select(
+        F.expr(a).alias("ka"),
+        F.expr(b).alias("kb"),
+    ).withColumn("z", F.expr(_morton_sql("ka", "kb") + f" >> {ZORDER_BITS}"))
+    legs = []
+    for layout, bucket in (("custkey_sort", "ka"), ("date_sort", "kb"), ("zorder", "z")):
+        per_bucket = base.groupBy(F.col(bucket).alias("bkt")).agg(
+            F.countDistinct("ka").alias("n_cust"),
+            F.countDistinct("kb").alias("n_days"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        legs.append(
+            per_bucket.agg(
+                F.lit(layout).alias("layout"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.expr("CAST((1000 * sum(n_cust)) DIV count(1) AS BIGINT)").alias(
+                    "avg_custkeys_milli"
+                ),
+                F.expr("CAST((1000 * sum(n_days)) DIV count(1) AS BIGINT)").alias(
+                    "avg_days_milli"
+                ),
+                F.sum("n_rows").alias("total_rows"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("layout")
+
+
+def _zorder_oracle() -> str:
+    a = "CAST(o_custkey % 256 AS INT)"
+    b = "CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS INT)"
+    legs = []
+    for layout, bucket in (("custkey_sort", "ka"), ("date_sort", "kb"), ("zorder", "z")):
+        legs.append(
+            f"""SELECT '{layout}' AS layout,
+       count(*)::BIGINT AS n_buckets,
+       CAST((1000 * sum(n_cust)) // count(*) AS BIGINT) AS avg_custkeys_milli,
+       CAST((1000 * sum(n_days)) // count(*) AS BIGINT) AS avg_days_milli,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows
+FROM (
+  SELECT {bucket} AS bkt, count(DISTINCT ka) AS n_cust,
+         count(DISTINCT kb) AS n_days, count(*) AS n_rows
+  FROM base GROUP BY 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH base AS (
+  SELECT ka, kb, ({_morton_sql("ka", "kb")} >> {ZORDER_BITS}) AS z
+  FROM (SELECT {a} AS ka, {b} AS kb FROM orders)
+)
+SELECT * FROM (
+{union}
+)
+ORDER BY layout
+"""
+
+
 QUERIES = {
     "partition_layout_advisor": partition_layout_advisor,
     "join_strategy_advisor": join_strategy_advisor,
+    "zorder_locality_report": zorder_locality_report,
     "profile_orders_columns": profile_orders_columns,
     "crosstab_returnflag_linestatus": crosstab_returnflag_linestatus,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -749,6 +844,7 @@ QUERIES = {
 ORACLES = {
     "partition_layout_advisor": _part_advisor_oracle(),
     "join_strategy_advisor": _join_advisor_oracle(),
+    "zorder_locality_report": _zorder_oracle(),
     "profile_orders_columns": _PROFILE_SQL,
     "crosstab_returnflag_linestatus": _CROSSTAB_SQL,
     "unpivot_lineitem_measures": _UNPIVOT_SQL,

@@ -242,6 +242,7 @@ import pytest
         "user_activity_streaks",
         "dp_sensitivity_audit",
         "constraint_mining",
+        "zorder_locality_report",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

@@ -787,3 +787,55 @@ def test_constraint_mining_matches_python_recount(spark, sf_dir):
         got[("foreign_key", f"{ct}.{cc}", f"{pt}.{pc}")].holds
         for ct, cc, pt, pc in _FK_CANDIDATES
     )
+
+
+def test_zorder_report_matches_python_morton(spark, sf_dir):
+    """Z-order locality report vs a plain-Python Morton recount, and
+    the locality property itself: each single-key layout is perfect
+    on its own key (avg 1.000) while z-order bounds BOTH dimensions
+    strictly better than the off-dimension of either sort."""
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.profiling import (
+        ZORDER_BITS,
+        zorder_locality_report,
+    )
+
+    rows = load(spark, sf_dir, "orders").collect()
+    import datetime as dt
+
+    d0 = dt.date(1992, 1, 1)
+    pts = [
+        (r.o_custkey % 256, (r.o_orderdate.date() - d0).days % 256) for r in rows
+    ]
+
+    def morton(a, b):
+        m = 0
+        for i in range(ZORDER_BITS):
+            m |= ((a >> i) & 1) << (2 * i + 1)
+            m |= ((b >> i) & 1) << (2 * i)
+        return m
+
+    got = {r.layout: r for r in zorder_locality_report(spark, sf_dir).collect()}
+    for layout, key in (
+        ("custkey_sort", lambda p: p[0]),
+        ("date_sort", lambda p: p[1]),
+        ("zorder", lambda p: morton(p[0], p[1]) >> ZORDER_BITS),
+    ):
+        buckets: dict[int, list] = {}
+        for p in pts:
+            buckets.setdefault(key(p), []).append(p)
+        n_cust = sum(len({p[0] for p in v}) for v in buckets.values())
+        n_days = sum(len({p[1] for p in v}) for v in buckets.values())
+        g = got[layout]
+        assert g.n_buckets == len(buckets)
+        assert g.avg_custkeys_milli == 1000 * n_cust // len(buckets)
+        assert g.avg_days_milli == 1000 * n_days // len(buckets)
+        assert g.total_rows == len(pts)
+    assert got["custkey_sort"].avg_custkeys_milli == 1000
+    assert got["date_sort"].avg_days_milli == 1000
+    # the balanced-locality property needs dense buckets — at sf0.001
+    # every bucketing is near-singleton and all layouts look alike
+    z = got["zorder"]
+    if z.total_rows // z.n_buckets >= 32:
+        assert z.avg_custkeys_milli < got["date_sort"].avg_custkeys_milli
+        assert z.avg_days_milli < got["custkey_sort"].avg_days_milli
