@@ -131,6 +131,7 @@ HEADLINE = [
     "dp_sensitivity_audit",
     "constraint_mining",
     "zorder_locality_report",
+    "catalog_pii_risk_scan",
 ]
 
 

@@ -13,6 +13,7 @@ The oracle needs no testdata views: it is fully self-contained SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import fixtures
 from ..rules import detect_schema_flaws
@@ -222,11 +223,78 @@ ORDER BY table_name, ordinal
 """
 
 
+PII_DIRECT_RX = "(email|username|first_name|last_name|full_name|phone|ssn|address)"
+PII_QUASI_RX = "(user_id|birth|dob|zip|postal|gender|age)"
+
+
+def catalog_pii_risk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-risk classification of the CATALOG's column names — the
+    metadata-plane twin of [[pii_redaction]] and the sixth rule the
+    reference's linter (app.py:41-105) is begging for: before any
+    table is replicated into a training corpus, the schema itself is
+    triaged (direct identifiers → redact/hash at ingest; linkage
+    quasi-identifiers → generalize; the rest pass). Name-pattern
+    triage is exactly how production scanners (e.g. DLP column
+    classifiers) do the first pass. sf_dir unused: metadata fixture
+    input, like [[schema_issues]].
+
+    Cross-engine regex: lowercase alternations of literal words —
+    identical semantics in Java regex and RE2. Scale: a pure
+    projection over the catalog relation (thousands of rows even at
+    100 TB of data — metadata is small)."""
+    cols = fixtures.columns_meta(spark)
+    lname = F.lower(F.col("column_name"))
+    risk = (
+        F.when(lname.rlike(PII_DIRECT_RX), F.lit("direct"))
+        .when(lname.rlike(PII_QUASI_RX), F.lit("quasi"))
+        .otherwise(F.lit("none"))
+    )
+    action = (
+        F.when(lname.rlike(PII_DIRECT_RX), F.lit("redact_or_hash_at_ingest"))
+        .when(lname.rlike(PII_QUASI_RX), F.lit("generalize_or_band"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        cols.select(
+            "table_name",
+            "column_name",
+            "data_type",
+            risk.alias("pii_risk"),
+            action.alias("recommended_action"),
+        )
+        .orderBy("table_name", "column_name")
+    )
+
+
+def _pii_scan_oracle() -> str:
+    from ..catalog.fixtures import ECOMMERCE_COLUMNS
+
+    direct = f"regexp_matches(lower(column_name), '{PII_DIRECT_RX}')"
+    quasi = f"regexp_matches(lower(column_name), '{PII_QUASI_RX}')"
+    return f"""
+WITH columns_meta(database, table_name, column_name, ordinal, data_type,
+                  char_max_length, is_nullable, is_unique, is_primary_key) AS (
+  VALUES
+    {_values(ECOMMERCE_COLUMNS)}
+)
+SELECT table_name, column_name, data_type,
+       CASE WHEN {direct} THEN 'direct'
+            WHEN {quasi} THEN 'quasi'
+            ELSE 'none' END AS pii_risk,
+       CASE WHEN {direct} THEN 'redact_or_hash_at_ingest'
+            WHEN {quasi} THEN 'generalize_or_band'
+            ELSE 'pass' END AS recommended_action
+FROM columns_meta
+ORDER BY table_name, column_name
+"""
+
+
 QUERIES = {
     "schema_issues": schema_issues,
     "schema_issues_quirks": schema_issues_quirks,
     "schema_issue_summary": schema_issue_summary,
     "pyds_catalog_columns": pyds_catalog_columns,
+    "catalog_pii_risk_scan": catalog_pii_risk_scan,
 }
 
 ORACLES = {
@@ -234,4 +302,5 @@ ORACLES = {
     "schema_issues_quirks": SCHEMA_ISSUES_QUIRKS_ORACLE,
     "schema_issue_summary": _SUMMARY_ORACLE,
     "pyds_catalog_columns": _pyds_columns_oracle(),
+    "catalog_pii_risk_scan": _pii_scan_oracle(),
 }

@@ -243,6 +243,7 @@ import pytest
         "dp_sensitivity_audit",
         "constraint_mining",
         "zorder_locality_report",
+        "catalog_pii_risk_scan",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

@@ -839,3 +839,36 @@ def test_zorder_report_matches_python_morton(spark, sf_dir):
     if z.total_rows // z.n_buckets >= 32:
         assert z.avg_custkeys_milli < got["date_sort"].avg_custkeys_milli
         assert z.avg_days_milli < got["custkey_sort"].avg_days_milli
+
+
+def test_catalog_pii_scan_classifies_fixture_columns(spark, sf_dir):
+    """PII-risk triage vs a plain-Python regex recount over the
+    catalog fixture, plus the concrete classifications that matter:
+    email/username are direct, user_id is a quasi-identifier, and
+    product_name must NOT be swept up by the name patterns."""
+    import re
+
+    from rdbms_metadata_manager_spark.catalog.fixtures import ECOMMERCE_COLUMNS
+    from rdbms_metadata_manager_spark.queries.metadata import (
+        PII_DIRECT_RX,
+        PII_QUASI_RX,
+        catalog_pii_risk_scan,
+    )
+
+    got = {(r.table_name, r.column_name): r for r in catalog_pii_risk_scan(spark, sf_dir).collect()}
+    assert len(got) == len(ECOMMERCE_COLUMNS)
+    for row in ECOMMERCE_COLUMNS:
+        table, col, dtype = row[1], row[2], row[4]
+        g = got[(table, col)]
+        if re.search(PII_DIRECT_RX, col.lower()):
+            want = ("direct", "redact_or_hash_at_ingest")
+        elif re.search(PII_QUASI_RX, col.lower()):
+            want = ("quasi", "generalize_or_band")
+        else:
+            want = ("none", "pass")
+        assert (g.pii_risk, g.recommended_action) == want, (table, col)
+        assert g.data_type == dtype
+    assert got[("Users", "email")].pii_risk == "direct"
+    assert got[("Users", "username")].pii_risk == "direct"
+    assert got[("Orders", "user_id")].pii_risk == "quasi"
+    assert got[("Products", "product_name")].pii_risk == "none"
