@@ -132,6 +132,8 @@ HEADLINE = [
     "constraint_mining",
     "zorder_locality_report",
     "catalog_pii_risk_scan",
+    "ab_test_aa_calibration",
+    "weekly_revenue_wow",
 ]
 
 

@@ -610,8 +610,186 @@ ORDER BY user_id
 """
 
 
+AA_FIRST_K = 3  # conversion = a purchase among the user's first K events
+
+
+def _z_guarded() -> str:
+    """Two-proportion z in one shared SQL text: identical doubles from
+    identical integers in both engines; degenerate cases (an empty
+    arm, pooled rate 0 or 1 — zero variance) report z = 0 instead of
+    dividing by zero."""
+    pooled = "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+    return (
+        f"CASE WHEN n_a = 0 OR n_b = 0 OR (conv_a + conv_b) = 0 "
+        f"OR (conv_a + conv_b) = (n_a + n_b) THEN 0.0 "
+        f"ELSE ((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b)) / "
+        f"sqrt({pooled} * (1.0 - {pooled}) "
+        f"* (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) END"
+    )
+
+
+def ab_test_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A experiment calibration — the pipeline validation every
+    experimentation platform runs BEFORE trusting its A/B readouts:
+    assign users to two arms by a deterministic hash (no real
+    treatment exists, so any detected "lift" is pipeline bias),
+    measure conversion (a purchase event) per arm, and report the
+    two-proportion z statistic. A healthy A/A shows |z| small; a
+    skewed hash, a joiner bug, or exposure dilution shows up here
+    before it poisons a real experiment.
+
+    Exactness: assignment is the md5-derived hash (same split
+    machinery as [[split_train_val_test]]), all counts integer, and
+    the z statistic is ONE double expression over identical integers
+    in both engines (int→double exact below 2⁵³, sqrt/divide IEEE) —
+    reported in exact integer micros via floor.
+
+    Scale: one groupBy(user) for exposure+conversion, one 2-group
+    rollup, a 1-row report. The event-sized shuffle is the user
+    rollup every engagement metric shares."""
+    from pyspark.sql import Window
+
+    from ..llm.hashing import h32
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= AA_FIRST_K)
+        .groupBy("user_id")
+        .agg(F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"))
+    )
+    arm = (h32(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2).alias(
+        "arm"
+    )
+    arms = (
+        per_user.select(arm, "converted")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("conv"),
+        )
+    )
+    wide = (
+        arms.agg(
+            F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+        )
+    )
+    z = _z_guarded()
+    return wide.select(
+        "n_a",
+        "conv_a",
+        F.expr("CAST((1000 * conv_a) DIV n_a AS BIGINT)").alias("conv_a_permille"),
+        "n_b",
+        "conv_b",
+        F.expr("CAST((1000 * conv_b) DIV n_b AS BIGINT)").alias("conv_b_permille"),
+        F.expr(f"CAST(floor(({z}) * 1000000) AS BIGINT)").alias("z_micro"),
+    )
+
+
+def _aa_oracle() -> str:
+    from ..llm.hashing import h32_sql
+
+    arm_hash = h32_sql("'ab:' || user_id::VARCHAR")
+    arm = f"{arm_hash} % 2"
+    z = _z_guarded()
+    return f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+),
+per_user AS (
+  SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM ranked WHERE rk <= {AA_FIRST_K} GROUP BY user_id
+),
+arms AS (
+  SELECT {arm} AS arm, count(*) AS n, sum(converted) AS conv
+  FROM per_user GROUP BY 1
+),
+wide AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN conv END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS conv_b
+  FROM arms
+)
+SELECT n_a, conv_a, CAST((1000 * conv_a) // n_a AS BIGINT) AS conv_a_permille,
+       n_b, conv_b, CAST((1000 * conv_b) // n_b AS BIGINT) AS conv_b_permille,
+       CAST(floor(({z}) * 1000000) AS BIGINT) AS z_micro
+FROM wide
+"""
+
+
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas — the period-over-period BI
+    report every revenue dashboard leads with: weekly order revenue
+    in exact cents, the previous week's value (lag), and the WoW
+    delta in integer per-mille. Weeks are integer epoch-day
+    buckets (day_idx DIV 7), immune to locale week-start rules.
+
+    Scale: one map-side-combined weekly rollup (weeks ≪ rows), then
+    a single-partition lag window over the weekly relation — tiny by
+    construction, the shuffle is the rollup's."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.expr(f"CAST(datediff(o_orderdate, DATE '1992-01-01') DIV 7 AS BIGINT)").alias(
+            "week_idx"
+        )
+    ).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+            "revenue_cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("week_idx")
+    return (
+        weekly.withColumn("prev_cents", F.lag("revenue_cents").over(w))
+        .select(
+            "week_idx",
+            "revenue_cents",
+            "n_orders",
+            F.coalesce("prev_cents", F.lit(0)).alias("prev_cents"),
+            F.expr(
+                "CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN 0 "
+                "ELSE CAST((1000 * (revenue_cents - prev_cents)) DIV prev_cents AS BIGINT) END"
+            ).alias("wow_delta_permille"),
+        )
+        .orderBy("week_idx")
+    )
+
+
+_WOW_SQL = """
+WITH weekly AS (
+  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) // 7 AS BIGINT) AS week_idx,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT week_idx, revenue_cents, n_orders,
+         lag(revenue_cents) OVER (ORDER BY week_idx) AS prev
+  FROM weekly
+)
+SELECT week_idx, revenue_cents, n_orders,
+       CAST(coalesce(prev, 0) AS BIGINT) AS prev_cents,
+       CAST(CASE WHEN prev IS NULL OR prev = 0 THEN 0
+                 ELSE (1000 * (revenue_cents - prev)) // prev END AS BIGINT)
+         AS wow_delta_permille
+FROM lagged
+ORDER BY week_idx
+"""
+
+
 QUERIES = {
     "user_activity_streaks": user_activity_streaks,
+    "ab_test_aa_calibration": ab_test_aa_calibration,
+    "weekly_revenue_wow": weekly_revenue_wow,
     "cohort_retention": cohort_retention,
     "event_markov_transitions": event_markov_transitions,
     "user_event_gap_histogram": user_event_gap_histogram,
@@ -623,6 +801,8 @@ QUERIES = {
 }
 ORACLES = {
     "user_activity_streaks": _STREAKS_SQL,
+    "ab_test_aa_calibration": _aa_oracle(),
+    "weekly_revenue_wow": _WOW_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_markov_transitions": _MARKOV_SQL,
     "user_event_gap_histogram": _GAP_HIST_SQL,

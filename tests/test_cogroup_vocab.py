@@ -244,6 +244,8 @@ import pytest
         "constraint_mining",
         "zorder_locality_report",
         "catalog_pii_risk_scan",
+        "ab_test_aa_calibration",
+        "weekly_revenue_wow",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):

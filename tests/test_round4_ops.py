@@ -872,3 +872,78 @@ def test_catalog_pii_scan_classifies_fixture_columns(spark, sf_dir):
     assert got[("Users", "username")].pii_risk == "direct"
     assert got[("Orders", "user_id")].pii_risk == "quasi"
     assert got[("Products", "product_name")].pii_risk == "none"
+
+
+def test_aa_calibration_matches_python_recount(spark, sf_dir):
+    """A/A calibration vs a plain-Python replay: md5 arm assignment,
+    purchase-within-first-3-events conversion, exact counts, and the
+    guarded two-proportion z in integer micros."""
+    import hashlib
+    import math
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.cohort import (
+        AA_FIRST_K,
+        ab_test_aa_calibration,
+    )
+
+    rows = load(spark, sf_dir, "events").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    stats = {0: [0, 0], 1: [0, 0]}  # arm -> [n, conv]
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        conv = int(any(r.event_type == "purchase" for r in evs[:AA_FIRST_K]))
+        arm = int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+        stats[arm][0] += 1
+        stats[arm][1] += conv
+    (n_a, conv_a), (n_b, conv_b) = stats[0], stats[1]
+    g = ab_test_aa_calibration(spark, sf_dir).collect()[0]
+    assert (g.n_a, g.conv_a, g.n_b, g.conv_b) == (n_a, conv_a, n_b, conv_b)
+    assert g.conv_a_permille == 1000 * conv_a // n_a
+    assert g.conv_b_permille == 1000 * conv_b // n_b
+    tot, n = conv_a + conv_b, n_a + n_b
+    if n_a == 0 or n_b == 0 or tot == 0 or tot == n:
+        want_z = 0.0
+    else:
+        pp = tot / n
+        want_z = (conv_a / n_a - conv_b / n_b) / math.sqrt(
+            pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)
+        )
+    assert g.z_micro == math.floor(want_z * 1_000_000)
+
+
+def test_weekly_wow_matches_python_recount(spark, sf_dir):
+    """Week-over-week revenue vs a plain-Python recount: epoch-day
+    DIV 7 weeks, exact cents, lag deltas in integer per-mille."""
+    import datetime as dt
+    import math
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.cohort import weekly_revenue_wow
+
+    rows = load(spark, sf_dir, "orders").collect()
+    d0 = dt.date(1992, 1, 1)
+    weekly: dict[int, list[int]] = {}
+    for r in rows:
+        wk = (r.o_orderdate.date() - d0).days // 7
+        agg = weekly.setdefault(wk, [0, 0])
+        agg[0] += math.floor(r.o_totalprice * 100)
+        agg[1] += 1
+    got = weekly_revenue_wow(spark, sf_dir).collect()
+    assert [g.week_idx for g in got] == sorted(weekly)
+    prev = None
+    for g in got:
+        cents, n = weekly[g.week_idx]
+        assert (g.revenue_cents, g.n_orders) == (cents, n)
+        assert g.prev_cents == (prev if prev is not None else 0)
+        if prev:
+            num = 1000 * (cents - prev)
+            # Spark DIV and DuckDB // both TRUNCATE toward zero on
+            # negative deltas (Python // floors)
+            trunc = abs(num) // prev * (1 if num >= 0 else -1)
+            assert g.wow_delta_permille == trunc
+        else:
+            assert g.wow_delta_permille == 0
+        prev = cents
