@@ -451,10 +451,12 @@ def dedup_negative_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits what the sketch MISSED, not what the metric would
     over-claim).
 
-    Scale: the control pairing is one md5-rank window (a shuffle of
-    (doc_id, hash) pairs only) + a self-join on adjacent rank —
-    O(corpus) with 16-byte rows, never quadratic; the verify is one
-    array intersect per control pair (exactly |docs|/2 pairs)."""
+    Scale: the control pairing is one md5-salt-BUCKETED rank window
+    (partitioned by ``pmod(h32(id), B)`` — no executor holds more
+    than ~corpus/B rows) + a self-join on (bucket, adjacent rank) —
+    O(corpus), never quadratic; the verify is one array intersect per
+    control pair (~|docs|/2 pairs, ≤B odd-bucket tails dropped
+    identically on both engines)."""
     from .hashing import md5_control_pairs
 
     sh = _shingled(spark, sf_dir)

@@ -53,47 +53,79 @@ def word_shingles_sql(words_expr: str, n: int = 3, distinct: bool = True) -> str
     return f"list_distinct({inner})" if distinct else inner
 
 
+# Salt-bucket count for control pairing. Constant by design: the
+# pairing must be bit-reproducible across engines and cluster sizes,
+# so the bucket key is a pure function of the row id, never of the
+# physical partitioning. 32 buckets bounds the per-bucket rank window
+# at corpus/32 rows — at 100 TB raise B (one constant) so each bucket
+# fits an executor; the oracle formula scales with it automatically.
+CONTROL_PAIR_BUCKETS = 32
+
+
 def md5_control_pairs(df, id_col: str):
-    """Deterministic |rows|/2 control pairing: md5-rank shuffle over
-    ``id_col`` (salt ``ctl:``) → adjacent ranks joined — no row pairs
-    with itself, every row appears in ≤1 pair. ONE definition shared
-    by ``dedup.dedup_negative_control`` (text) and
+    """Deterministic ~|rows|/2 control pairing: md5-salted BUCKETED
+    rank over ``id_col`` → adjacent ranks joined within each bucket —
+    no row pairs with itself, every row appears in ≤1 pair. ONE
+    definition shared by ``dedup.dedup_negative_control`` (text) and
     ``similarity.embedding_pair_cosine_profile`` (vectors), so the
-    salt / tie-break / odd-even join can never drift between the two
-    background-baseline faces. Returns every input column prefixed
-    ``a_``/``b_``. Scale: one rank window over (id, payload) rows +
-    one adjacent-rank join — O(corpus), never quadratic."""
+    salt / bucket / tie-break / odd-even join can never drift between
+    the two background-baseline faces. Returns every input column
+    prefixed ``a_``/``b_``.
+
+    Scale: the rank window is PARTITIONED BY the md5-derived bucket
+    (``pmod(h32('ctl:'||id), B)``), so no executor ever sees more than
+    ~corpus/B rows — the earlier unpartitioned ``Window.orderBy`` form
+    moved the whole corpus to one partition (the "No Partition Defined
+    for Window" warning flagged in VERDICT r4 #1). An odd-sized bucket
+    drops its single tail row (≤B rows total, documented loss; the
+    oracle mirrors the identical bucketed rank so both engines drop
+    the same rows)."""
     from pyspark.sql import Window
 
     ranked = df.withColumn(
+        "_h", F.md5(F.concat(F.lit("ctl:"), F.col(id_col)))
+    ).withColumn(
+        "_bkt",
+        F.pmod(
+            F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(CONTROL_PAIR_BUCKETS),
+        ),
+    ).withColumn(
         "_rk",
         F.row_number().over(
-            Window.orderBy(
-                F.md5(F.concat(F.lit("ctl:"), F.col(id_col))), F.col(id_col)
-            )
+            Window.partitionBy("_bkt").orderBy(F.col("_h"), F.col(id_col))
         ),
     )
     a = ranked.filter(F.col("_rk") % 2 == 1).select(
+        F.col("_bkt").alias("_bkt2"),
         (F.col("_rk") + 1).alias("_rk2"),
         *[F.col(c).alias(f"a_{c}") for c in df.columns],
     )
     b = ranked.filter(F.col("_rk") % 2 == 0).select(
+        F.col("_bkt").alias("_bkt2"),
         F.col("_rk").alias("_rk2"),
         *[F.col(c).alias(f"b_{c}") for c in df.columns],
     )
-    return a.join(b, "_rk2").drop("_rk2")
+    return a.join(b, ["_bkt2", "_rk2"]).drop("_bkt2", "_rk2")
 
 
 def md5_control_pairs_ctes(source_sql: str, id_col: str) -> str:
-    """DuckDB rendering of the same pairing: a ``ranked`` CTE body to
-    splice, consumed with ``CONTROL_PAIR_JOIN``."""
+    """DuckDB rendering of the same bucketed pairing: a ``ranked`` CTE
+    body to splice, consumed with ``CONTROL_PAIR_JOIN``."""
     return (
         "ranked AS (\n"
-        f"  SELECT *, row_number() OVER (ORDER BY md5('ctl:' || {id_col}),"
-        f" {id_col}) AS _rk\n"
+        f"  SELECT *, md5('ctl:' || {id_col}) AS _h,\n"
+        f"         ('0x' || substr(md5('ctl:' || {id_col}), 1, 8))::BIGINT"
+        f" % {CONTROL_PAIR_BUCKETS} AS _bkt,\n"
+        f"         row_number() OVER (PARTITION BY ('0x' || substr(md5('ctl:' ||"
+        f" {id_col}), 1, 8))::BIGINT % {CONTROL_PAIR_BUCKETS}"
+        f" ORDER BY md5('ctl:' || {id_col}), {id_col}) AS _rk\n"
         f"  FROM ({source_sql})\n"
         ")"
     )
 
 
-CONTROL_PAIR_JOIN = "ranked a JOIN ranked b ON b._rk = a._rk + 1 AND a._rk % 2 = 1"
+CONTROL_PAIR_JOIN = (
+    "ranked a JOIN ranked b ON b._bkt = a._bkt AND b._rk = a._rk + 1"
+    " AND a._rk % 2 = 1"
+)

@@ -701,9 +701,10 @@ def embedding_pair_cosine_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     pair count and the exact min/max cosine (the ordered-fold cosine
     is bit-identical cross-engine, so floor-bucketing on it is too).
 
-    Scale: one md5-rank window over (vec_id, vector) rows + one
-    adjacent-rank join — O(corpus) with |docs|/2 cosine folds, never
-    the all-pairs distribution it approximates."""
+    Scale: one md5-salt-BUCKETED rank window over (vec_id, vector)
+    rows (partitioned by ``pmod(h32(id), B)``, never a global sort) +
+    one (bucket, adjacent-rank) join — O(corpus) with ~|vecs|/2
+    cosine folds, never the all-pairs distribution it approximates."""
     from .hashing import md5_control_pairs
 
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(

@@ -446,11 +446,39 @@ def test_wau_is_single_distinct_pipeline_no_join_per_day(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Each BroadcastExchange's subtree from a plan-tree toString
+    (child lines are the following lines whose node-name starts
+    strictly deeper in the gutter)."""
+    import re
+
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        m = re.search(r"BroadcastExchange", ln)
+        if not m:
+            continue
+        depth = m.start()
+        sub = []
+        for nxt in lines[i + 1 :]:
+            body = re.sub(r"^[:+\- ]*", "", nxt)
+            ind = len(nxt) - len(body)
+            if body and ind <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def test_semdedup_pair_stage_is_codegen_no_cartesian(spark, sf_dir):
     """The within-cluster pair stage must be the RELATIONAL dot
-    product (posexplode + equi-join on (cluster, pos) + partial-agg),
-    never a cartesian/nested-loop pair join carrying full vectors;
-    norm and verify joins broadcast the thin sides."""
+    product (posexplode + equi-join on (cluster, pos) + partial-agg,
+    norms folded into the SAME partial-agg), never a cartesian/
+    nested-loop pair join carrying full vectors. Verify joins
+    broadcast the CANDIDATE side only: no corpus-sized relation may
+    sit on a build side (VERDICT r4 #2) — every BroadcastExchange
+    subtree must contain the candidate aggregate, never a bare
+    embeddings scan."""
     from rdbms_metadata_manager_spark.llm.semdedup import semdedup_embedding_clusters
 
     plan = physical_plan(semdedup_embedding_clusters(spark, sf_dir))
@@ -458,6 +486,13 @@ def test_semdedup_pair_stage_is_codegen_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_sum" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+    subs = _broadcast_subtrees(plan)
+    assert subs, plan
+    for sub in subs:
+        # build side is cand (HashAggregate of the pair join) or
+        # cand_a (a join above that aggregate) — a subtree that is
+        # only Project/Filter/Scan over embeddings is the corpus
+        assert "HashAggregate" in sub or "Join" in sub, plan
 
 
 def test_dsir_is_two_token_keyed_shuffles_with_partial_aggs(spark, sf_dir):
