@@ -27,6 +27,8 @@ catalog rows the JDBC partitioned read is the cluster path.
 
 from __future__ import annotations
 
+import os
+import re
 import shutil
 import subprocess
 import xml.etree.ElementTree as ET
@@ -80,26 +82,51 @@ def parse_xml(xml_text: str) -> list[list[str | None]]:
     return rows
 
 
+_DB_IDENT_RX = re.compile(r"^[A-Za-z0-9_$]+$")
+
+
+def validate_database_ident(database: str) -> str:
+    """The database name is interpolated into both the catalog SQL
+    (``.format(db=...)`` string literals) and the ``-D`` flag, so it
+    must be a plain unquoted MySQL identifier — anything else
+    (quotes, whitespace, semicolons) is rejected here rather than
+    reaching the SQL text (ADVICE r4 #3)."""
+    if not _DB_IDENT_RX.match(database):
+        raise ValueError(
+            f"invalid MySQL database identifier {database!r}: only"
+            " [A-Za-z0-9_$] names are accepted on the CLI transport"
+        )
+    return database
+
+
 def run_sql(
     sql: str,
     database: str,
     socket: str | None = None,
     host: str | None = None,
     user: str = "root",
+    password: str | None = None,
 ) -> list[list[str | None]]:
     """Run ``sql`` and return rows as lists of strings (None for SQL
     NULL). Connects over a unix socket (``socket``) or TCP (``host``).
-    """
+    The password travels via the ``MYSQL_PWD`` environment variable,
+    never argv (argv is world-readable in /proc)."""
     client = client_binary()
     if client is None:
         raise RuntimeError("no mysql/mariadb client binary on PATH")
+    validate_database_ident(database)
     cmd = [client, "--no-defaults", "-u", user, "--batch", "--xml"]
     if socket:
         cmd += ["-S", socket]
     elif host:
         cmd += ["-h", host]
     cmd += ["-D", database, "-e", sql]
-    out = subprocess.run(cmd, check=True, capture_output=True, text=True).stdout
+    env = None
+    if password is not None:
+        env = dict(os.environ, MYSQL_PWD=password)
+    out = subprocess.run(
+        cmd, check=True, capture_output=True, text=True, env=env
+    ).stdout
     return parse_xml(out)
 
 
@@ -120,37 +147,43 @@ def _coerce(rows: list[list[str | None]], schema: T.StructType) -> list[tuple]:
 
 
 def read_columns_meta_live(
-    spark: SparkSession, database: str, socket: str | None = None, host: str | None = None
+    spark: SparkSession, database: str, socket: str | None = None, host: str | None = None,
+    user: str = "root", password: str | None = None,
 ) -> DataFrame:
-    sql = jdbc_source._MYSQL_COLUMNS_QUERY.format(db=database)
-    rows = _coerce(run_sql(sql, database, socket, host), COLUMNS_META_SCHEMA)
+    sql = jdbc_source._MYSQL_COLUMNS_QUERY.format(db=validate_database_ident(database))
+    rows = _coerce(run_sql(sql, database, socket, host, user, password), COLUMNS_META_SCHEMA)
     df = _local_df(spark, rows, COLUMNS_META_SCHEMA)
     return df.withColumn("data_type", jdbc_source._normalize_type(F.col("data_type")))
 
 
 def read_indexes_meta_live(
-    spark: SparkSession, database: str, socket: str | None = None, host: str | None = None
+    spark: SparkSession, database: str, socket: str | None = None, host: str | None = None,
+    user: str = "root", password: str | None = None,
 ) -> DataFrame:
-    sql = jdbc_source._MYSQL_INDEXES_QUERY.format(db=database)
-    rows = _coerce(run_sql(sql, database, socket, host), INDEXES_META_SCHEMA)
+    sql = jdbc_source._MYSQL_INDEXES_QUERY.format(db=validate_database_ident(database))
+    rows = _coerce(run_sql(sql, database, socket, host, user, password), INDEXES_META_SCHEMA)
     return _local_df(spark, rows, INDEXES_META_SCHEMA)
 
 
 def read_foreign_keys_meta_live(
-    spark: SparkSession, database: str, socket: str | None = None, host: str | None = None
+    spark: SparkSession, database: str, socket: str | None = None, host: str | None = None,
+    user: str = "root", password: str | None = None,
 ) -> DataFrame:
-    sql = jdbc_source._MYSQL_FK_QUERY.format(db=database)
-    rows = _coerce(run_sql(sql, database, socket, host), _FK_FLAT_SCHEMA)
+    sql = jdbc_source._MYSQL_FK_QUERY.format(db=validate_database_ident(database))
+    rows = _coerce(run_sql(sql, database, socket, host, user, password), _FK_FLAT_SCHEMA)
     return jdbc_source.group_foreign_keys(_local_df(spark, rows, _FK_FLAT_SCHEMA))
 
 
 def read_catalog_live(
-    spark: SparkSession, database: str, socket: str | None = None, host: str | None = None
+    spark: SparkSession, database: str, socket: str | None = None, host: str | None = None,
+    user: str = "root", password: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three catalog contracts from a live MySQL — the drop-in
-    input for ``rules.detect_schema_flaws``."""
+    input for ``rules.detect_schema_flaws``. Credentials come from the
+    caller (the CLI parses them out of the DB_URL); the database name
+    is identifier-validated before any SQL interpolation."""
     return (
-        read_columns_meta_live(spark, database, socket, host),
-        read_indexes_meta_live(spark, database, socket, host),
-        read_foreign_keys_meta_live(spark, database, socket, host),
+        read_columns_meta_live(spark, database, socket, host, user, password),
+        read_indexes_meta_live(spark, database, socket, host, user, password),
+        read_foreign_keys_meta_live(spark, database, socket, host, user, password),
     )

@@ -486,10 +486,18 @@ def _cusum_report(series: DataFrame) -> DataFrame:
             "day_idx",
             F.col("n_left").cast("bigint").alias("n_left"),
             (F.col("n_total") - F.col("n_left")).cast("bigint").alias("n_right"),
+            # The factors are widened to DECIMAL(38,0) BEFORE the
+            # products: the DuckDB oracle's window sums are
+            # HUGEINT-native, so its n·S products are exact, while an
+            # int64 product here wraps around ~9.2e18 (≈2.5e16 events
+            # over a year) — ADVICE r4 #4. With the pre-cast both
+            # engines carry the whole numerator in wide integers.
             F.expr(
-                "CAST((CAST(n_total * s_left - n_left * s_total AS DECIMAL(38,0))"
-                "      * CAST(n_total * s_left - n_left * s_total AS DECIMAL(38,0)))"
-                "     div CAST(n_total * n_left * (n_total - n_left) AS DECIMAL(38,0))"
+                "CAST(((CAST(n_total AS DECIMAL(38,0)) * s_left"
+                "        - CAST(n_left AS DECIMAL(38,0)) * s_total)"
+                "      * (CAST(n_total AS DECIMAL(38,0)) * s_left"
+                "        - CAST(n_left AS DECIMAL(38,0)) * s_total))"
+                "     div (CAST(n_total AS DECIMAL(38,0)) * n_left * (n_total - n_left))"
                 "     AS BIGINT)"
             ).alias("cusum_score"),
         )

@@ -224,7 +224,14 @@ ORDER BY table_name, ordinal
 
 
 PII_DIRECT_RX = "(email|username|first_name|last_name|full_name|phone|ssn|address)"
-PII_QUASI_RX = "(user_id|birth|dob|zip|postal|gender|age)"
+# Short risky tokens are underscore/boundary-anchored (ADVICE r4 #2):
+# bare substrings 'age'/'dob'/'zip' would flag message, image_url,
+# page_views, storage_tier, adobe_id, zipper_sku as quasi-PII on real
+# catalogs. '(^|_)tok($|_)' matches the token only as a full
+# underscore-delimited word — identical semantics in Java regex and
+# RE2 (both rlike/regexp_matches are unanchored searches, so the
+# explicit anchors are load-bearing).
+PII_QUASI_RX = "(user_id|birth|(^|_)dob($|_)|(^|_)zip($|_)|postal|gender|(^|_)age($|_))"
 
 
 def catalog_pii_risk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -430,7 +430,18 @@ def constraint_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
-        child = load(spark, sf_dir, child_t).select(F.col(child_c).alias("k")).distinct()
+        # NULL child keys are excluded BEFORE the distinct: SQL FK
+        # semantics never constrain NULLs, and the oracle's
+        # count(DISTINCT child_c) denominator already excludes them —
+        # without this filter Spark's .distinct() keeps one NULL row
+        # and the support denominators diverge on real nullable FKs
+        # (ADVICE r4 #1; null-bearing regression in test_round5_ops).
+        child = (
+            load(spark, sf_dir, child_t)
+            .select(F.col(child_c).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
         parent = load(spark, sf_dir, parent_t).select(F.col(parent_c).alias("k")).distinct()
         contained = child.join(F.broadcast(parent), "k", "left_semi").agg(
             F.count(F.lit(1)).alias("n_in")
