@@ -124,11 +124,17 @@ def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source token mass — the "no single domain dominates the mix" cap
     every corpus assembly applies before training.
 
-    Scale: one shuffle on source for the running-sum window (state =
-    one cumsum per source); the budget is a 1-row broadcast from a
-    two-level aggregate. Admission by cumulative tokens (not doc
-    count) is deterministic given the doc_id order."""
-    from pyspark.sql import Window
+    Scale: the per-source running sum rides the two-pass range kernel
+    (``queries.prefix.ranged_prefix`` over the (source, doc_id) total
+    order) — the earlier ``partitionBy(source)`` window put an entire
+    source on one executor, which is exactly the mega-domain this
+    operator exists to cap. The within-source cumsum is the kernel's
+    global cumsum minus the source's exclusive start offset
+    (min(global − own) per source: one more source-keyed shuffle, the
+    same key the totals already pay). The budget is a 1-row broadcast
+    from a two-level aggregate. Admission by cumulative tokens (not
+    doc count) is deterministic given the doc_id order."""
+    from ..queries.prefix import ranged_prefix
 
     d = load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
@@ -139,13 +145,15 @@ def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.avg("t") * BUDGET_FRACTION).alias("budget"))
     )
     totals = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    g = ranged_prefix(
+        d, [F.col("source"), F.col("doc_id")], sum_cols=["n_tokens"]
+    )
+    starts = g.groupBy("source").agg(
+        F.min(F.col("cum_n_tokens") - F.col("n_tokens")).alias("_start")
     )
     kept = (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        g.join(starts, "source")
+        .withColumn("cum_tokens", F.col("cum_n_tokens") - F.col("_start"))
         .crossJoin(F.broadcast(budget))
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .groupBy("source")

@@ -400,7 +400,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "doc_id")
         .limit(HYBRID_LEG_DEPTH)
     )
-    w_vec = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    from ..queries.prefix import one_group
+
+    # leg is LIMIT-bounded (<= HYBRID_LEG_DEPTH rows): one_group keeps
+    # the single-group rank warning-free without changing semantics
+    w_vec = Window.partitionBy(one_group(F.col("doc_id"))).orderBy(
+        F.col("cosine").desc(), "doc_id"
+    )
     vec_ranked = vec_leg.select(
         "doc_id", F.row_number().over(w_vec).cast("long").alias("rank_vec")
     )
@@ -419,7 +425,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "doc_id")
         .limit(HYBRID_LEG_DEPTH)
     )
-    w_kw = Window.orderBy(F.col("tf").desc(), "doc_id")
+    w_kw = Window.partitionBy(one_group(F.col("doc_id"))).orderBy(
+        F.col("tf").desc(), "doc_id"
+    )
     kw_ranked = kw_leg.select(
         "doc_id", F.row_number().over(w_kw).cast("long").alias("rank_kw")
     )

@@ -740,12 +740,13 @@ def zipf_rank_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token, its frequency, and rank·freq — all integers, with the
     (freq DESC, token ASC) total order making ranks deterministic.
 
-    Scale: one token-count shuffle (map-side combined), then a global
-    rank over the vocabulary-sized table and a 14-row filter. At
-    100 TB the vocabulary table is millions of rows — still one
-    executor's worth after the count; the probe-rank filter pushes
-    into the window's single pass."""
-    from pyspark.sql import Window
+    Scale: one token-count shuffle (map-side combined); the global
+    rank over the vocabulary-sized table then runs on the two-pass
+    range kernel (``queries.prefix.ranged_prefix`` — B ranges, local
+    row_numbers, B-row broadcast rank offsets), so a 100 TB
+    vocabulary of millions of rows never lands on one executor; the
+    14-row probe filter applies to the composed exact rank."""
+    from ..queries.prefix import ranged_prefix
 
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
     vocab = (
@@ -753,10 +754,9 @@ def zipf_rank_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
     probes = [2**k for k in range(ZIPF_MAX_RANK_LOG2 + 1)]
     return (
-        vocab.withColumn("rank", F.row_number().over(w))
+        ranged_prefix(vocab, [F.desc("freq"), F.col("token")], rank_col="rank")
         .filter(F.col("rank").isin(probes))
         .select(
             F.col("rank").cast("bigint").alias("rank"),

@@ -747,7 +747,9 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy("week_idx")
+    from .prefix import one_group
+
+    w = Window.partitionBy(one_group(F.col("week_idx"))).orderBy("week_idx")
     return (
         weekly.withColumn("prev_cents", F.lag("revenue_cents").over(w))
         .select(

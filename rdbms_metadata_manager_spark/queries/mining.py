@@ -506,8 +506,13 @@ def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(cents).alias("best_order_cents"),
     )
     gmax = per.groupBy("n_orders").agg(F.max("best_order_cents").alias("gmax"))
-    wg = Window.orderBy(F.desc("n_orders")).rowsBetween(
-        Window.unboundedPreceding, -1
+    from .prefix import one_group
+
+    # distinct n_orders values only — bounded cardinality per docstring
+    wg = (
+        Window.partitionBy(one_group(F.col("n_orders")))
+        .orderBy(F.desc("n_orders"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     frontier = gmax.withColumn("maxt_gt", F.max("gmax").over(wg))
     return (
@@ -549,23 +554,26 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical — a double cumsum would drift between engines
     under reordering.
 
-    Scale: ONE per-customer rollup (map-side combined) and one
-    global-ordered window over the ROLLED-UP relation (customers,
-    not orders). The single-partition window over per-entity totals
-    is the honest cost of an exact global cumulative share; at 100 TB
-    with a billion customers you'd range-partition the sort and
-    two-pass the prefix sums (compute per-range totals, broadcast
-    range offsets) — the output contract stays identical. Output is
+    Scale: ONE per-customer rollup (map-side combined); the exact
+    cumulative share then runs on the two-pass range kernel
+    (``prefix.ranged_prefix``: B contiguous ranges, per-range local
+    sums, B-row broadcast offsets) — with a billion customers no
+    executor holds more than ~1/B of the rolled-up relation, and the
+    output is bit-identical to the oracle's global window. Output is
     the per-band rollup: band, customers, revenue share."""
+    from .prefix import ranged_prefix
+
     orders = load(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
     per = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
-    w = Window.orderBy(F.desc("rev_cents"), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     total = per.agg(F.sum("rev_cents").alias("total_cents"))
     banded = (
-        per.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        ranged_prefix(
+            per,
+            [F.desc("rev_cents"), F.col("o_custkey")],
+            sum_cols=["rev_cents"],
+        )
+        .withColumnRenamed("cum_rev_cents", "cum_cents")
         .join(F.broadcast(total))
         .withColumn("cum_pm", F.expr("cum_cents * 1000 div total_cents"))
         .withColumn(

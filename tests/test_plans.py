@@ -755,16 +755,29 @@ def test_markov_row_totals_reuse_cell_aggregate(spark, sf_dir):
     assert "partial_count" in plan, plan  # map-side combine on the cells
 
 
-def test_zipf_probe_filter_runs_before_rank_projection(spark, sf_dir):
-    """zipf_rank_frequency_audit: the vocabulary count must be
-    map-side combined (partial_count before the exchange), and the
-    14-probe filter must run inside the window stage (no second
-    shuffle after the rank)."""
+def test_zipf_rank_rides_partitioned_range_kernel(spark, sf_dir):
+    """zipf_rank_frequency_audit on the two-pass range kernel: the
+    bulk rank window must be PARTITIONED by the range id (never the
+    unpartitioned global sort the kernel replaced), the B-row offsets
+    must broadcast, and the 14-probe INSET filter must push into the
+    offset join (before any post-rank shuffle). The vocabulary rollup
+    lives inside the kernel's frozen-pid checkpoint, so the plan
+    starts from an ExistingRDD scan rather than the parquet scan."""
     from rdbms_metadata_manager_spark.llm.text import zipf_rank_frequency_audit
 
     plan = physical_plan(zipf_rank_frequency_audit(spark, sf_dir))
-    assert "partial_count" in plan, plan
-    assert plan.count("documents.parquet") == 1, plan
+    assert "windowspecdefinition(_pid" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "INSET" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    # no unpartitioned window anywhere in this plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = m.group(1).split(",")[0]
+        assert ("ASC" not in head) and ("DESC" not in head), (
+            "unpartitioned window: " + m.group(0)
+        )
 
 
 def test_edit_distance_verify_reads_pair_memo_not_shingles(spark, sf_dir):
@@ -932,3 +945,29 @@ def test_gdpr_erasure_uses_broadcast_semi_joins(spark, sf_dir):
     assert "LeftSemi, BuildRight" in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pareto_and_budget_ride_partitioned_range_kernel(spark, sf_dir):
+    """pareto_revenue_concentration and source_token_budget_cap both
+    moved their global cumsum onto prefix.ranged_prefix: every window
+    in their plans must carry a partition key (the range _pid or the
+    kernel's non-foldable constant group) — the unpartitioned
+    single-executor window is what the kernel exists to remove."""
+    import re
+
+    from rdbms_metadata_manager_spark.llm.pipeline import source_token_budget_cap
+    from rdbms_metadata_manager_spark.queries.mining import (
+        pareto_revenue_concentration,
+    )
+
+    for df in (
+        pareto_revenue_concentration(spark, sf_dir),
+        source_token_budget_cap(spark, sf_dir),
+    ):
+        plan = physical_plan(df)
+        assert "windowspecdefinition(_pid" in plan, plan
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = m.group(1).split(",")[0]
+            assert ("ASC" not in head) and ("DESC" not in head), (
+                "unpartitioned window: " + m.group(0)
+            )

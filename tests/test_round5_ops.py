@@ -132,3 +132,36 @@ def test_cusum_is_exact_at_int64_overflow_magnitudes(spark):
     want = sorted(rows, key=lambda r: (-r[3], r[0]))[:CHANGEPOINT_TOP]
     assert got == want
     assert got[0][0] == 19  # argmax at the planted step boundary
+
+
+def test_ranged_prefix_matches_global_window(spark):
+    """The two-pass range kernel must reproduce the single-partition
+    global window EXACTLY — rank and running sums — on a value-heavy
+    distribution with ties (the order is made total by the id
+    tiebreak), across bucket counts including more buckets than
+    rows."""
+    from pyspark.sql import Window
+
+    from rdbms_metadata_manager_spark.queries.prefix import ranged_prefix
+
+    rows = [(i, (i * 7919) % 13, (i * 104729) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    order = [F.desc("v"), F.col("id")]
+    wref = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: (r.rank, r.cum_v, r.cum_w)
+        for r in df.select(
+            "id",
+            F.row_number().over(wref).alias("rank"),
+            F.sum("v").over(wref).alias("cum_v"),
+            F.sum("w").over(wref).alias("cum_w"),
+        ).collect()
+    }
+    for buckets in (1, 4, 32, 1000):
+        got = {
+            r.id: (r.rank, r.cum_v, r.cum_w)
+            for r in ranged_prefix(
+                df, order, sum_cols=["v", "w"], rank_col="rank", buckets=buckets
+            ).collect()
+        }
+        assert got == want, f"buckets={buckets}"
