@@ -321,14 +321,24 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = dot.astype(np.float64) / np.sqrt(prod.astype(np.float64))
                 cos = np.where(prod == 0, -2.0, cos)
+                # PARTIAL top-K inside the batch: the global top-K per
+                # (query, dim) is the top-K of the union of per-batch
+                # top-Ks (same (cos desc, vec_id asc) order), so only
+                # K·Q rows per dim leave each Arrow batch instead of
+                # n·Q — at 10⁹ corpus rows this is the difference
+                # between shuffling 5·Q·10⁹ scored rows and K·Q·#batches.
                 n, qn_count = cos.shape
+                k = min(MAT_K, n)
+                # lexsort: primary cos desc, secondary vec_id asc
+                order = np.lexsort((vec_ids[:, None].repeat(qn_count, 1).T, -cos.T))
+                sel = order[:, :k]  # (Q, k) row indices per query
                 out.append(
                     pd.DataFrame(
                         {
-                            "query_id": np.tile(qids, n),
-                            "vec_id": np.repeat(vec_ids, qn_count),
+                            "query_id": np.repeat(qids, k),
+                            "vec_id": vec_ids[sel].ravel(),
                             "dim": np.int64(d),
-                            "cos": cos.ravel(),
+                            "cos": np.take_along_axis(cos.T, sel, axis=1).ravel(),
                         }
                     )
                 )
