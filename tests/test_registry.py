@@ -33,15 +33,19 @@ def test_window_covers_reference_parity_and_llm_families():
         "schema_issues",
         "schema_issues_quirks",
         "schema_issue_summary",
-        # r3 hash-fails retyped this round — need fresh driver greens
-        "stream_dedup_exact_replay",
-        "pyds_sink_roundtrip",
-        "transpose_region_revenue",
-        # one exemplar per rotated-in family
-        "ktruss_copurchase_edges",
-        "dedup_tf_cosine",
-        "bpe_train_merges",
-        "streaming_state_rollup",
+        # r5: code changed this round — fresh driver greens required
+        # (VERDICT r4 items 2/3/5 name these directly)
+        "dedup_negative_control",
+        "zipf_rank_frequency_audit",
+        "semdedup_embedding_clusters",
+        "pareto_revenue_concentration",
+        # r5: late-r4 ops + retyped latents the VERDICT listed first
+        "join_strategy_advisor",
+        "gdpr_erasure_audit",
+        "constraint_mining",
+        "catalog_pii_risk_scan",
+        "identifier_param_table_profile",
+        "observed_scan_metrics",
     }
     assert must_have <= window
 
