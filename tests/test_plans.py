@@ -481,7 +481,16 @@ def test_semdedup_pair_stage_is_codegen_no_cartesian(spark, sf_dir):
     embeddings scan."""
     from rdbms_metadata_manager_spark.llm.semdedup import semdedup_embedding_clusters
 
-    plan = physical_plan(semdedup_embedding_clusters(spark, sf_dir))
+    # Pin auto-broadcast OFF so the plan shows only the EXPLICIT
+    # broadcast hints — at sf0.001 Catalyst's stats otherwise also
+    # auto-broadcast the tiny dims side (fine at test scale, never
+    # chosen at 100 TB), which is not what this test is about.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(semdedup_embedding_clusters(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_sum" in plan, plan
@@ -489,8 +498,8 @@ def test_semdedup_pair_stage_is_codegen_no_cartesian(spark, sf_dir):
     subs = _broadcast_subtrees(plan)
     assert subs, plan
     for sub in subs:
-        # build side is cand (HashAggregate of the pair join) or
-        # cand_a (a join above that aggregate) — a subtree that is
+        # hinted build side is cand (HashAggregate of the pair join)
+        # or cand_a (a join above that aggregate) — a subtree that is
         # only Project/Filter/Scan over embeddings is the corpus
         assert "HashAggregate" in sub or "Join" in sub, plan
 
