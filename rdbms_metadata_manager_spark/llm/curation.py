@@ -813,6 +813,136 @@ ORDER BY source
 """
 
 
+
+RAG_CHUNK_WORDS = 32   # window W
+RAG_CHUNK_STRIDE = 24  # stride S (overlap = W - S = 8 words)
+
+
+def rag_chunk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking audit: cut every document into
+    W-word windows advanced by stride S (overlap W−S — the standard
+    retrieval-prep so no answer span straddles a hard boundary) and
+    report, per source: docs, chunks, total chunk-words, the overlap
+    tax in per-mille (how much index volume the overlap costs), and
+    DISTINCT chunk fingerprints — duplicated chunks across docs are
+    boilerplate the retriever will surface verbatim, the first thing
+    a RAG index QA looks at.
+
+    Chunk math: n_chunks = 1 + ⌈max(0, n_words − W)/S⌉ (every word
+    covered, last window may be short); chunk i covers words
+    [1+iS, 1+iS+W). All counts integer-exact; the fingerprint is the
+    shared md5-h32 (chunks shuffle as 8-byte hashes, never text).
+
+    Scale: one corpus scan; the chunk relation is explode-generated
+    JVM-side (sequence → transform → slice, all codegen) and the
+    per-source rollup shuffles (source, hash) pairs only. At 100 TB
+    this is the chunker run before embedding — the plan IS the
+    production chunking job with embeddings stubbed out."""
+    from .hashing import h32
+
+    W, S = RAG_CHUNK_WORDS, RAG_CHUNK_STRIDE
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", F.split("text", " ").alias("words")
+    )
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest(0, size(words) - {W}) + {S} - 1) div {S}"
+    )
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.size("words").alias("n_words"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice("words", i * S + 1, W)),
+            )
+        ).alias("chunk"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.size(F.split("chunk", " ")).alias("chunk_words"),
+        h32(F.col("chunk")).alias("chunk_h"),
+    )
+    per_doc = chunks.groupBy("doc_id", "source").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_words").alias("chunk_words"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("chunk_words").alias("n_chunk_words"),
+        )
+        .join(
+            chunks.groupBy("source").agg(
+                F.countDistinct("chunk_h").alias("n_distinct_chunks")
+            ),
+            "source",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            "n_chunk_words",
+            F.expr(
+                "CAST(1000 * (n_chunk_words - n_words) div n_chunk_words AS BIGINT)"
+            ).alias("overlap_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+def _rag_chunk_sql() -> str:
+    from .hashing import h32_sql
+
+    W, S = RAG_CHUNK_WORDS, RAG_CHUNK_STRIDE
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+),
+chunks AS (
+  SELECT doc_id, source, len(words) AS n_words,
+         unnest(list_transform(
+           range(0, 1 + (greatest(0, len(words) - {W}) + {S} - 1) // {S}),
+           i -> array_to_string(words[i * {S} + 1 : i * {S} + {W}], ' ')
+         )) AS chunk
+  FROM d
+),
+scored AS (
+  SELECT doc_id, source, n_words,
+         len(string_split(chunk, ' ')) AS chunk_words,
+         {h32_sql("chunk")} AS chunk_h
+  FROM chunks
+),
+per_doc AS (
+  SELECT doc_id, source, max(n_words) AS n_words,
+         count(*) AS n_chunks, sum(chunk_words) AS chunk_words
+  FROM scored GROUP BY doc_id, source
+),
+per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_chunks)::BIGINT AS n_chunks,
+         sum(n_words)::BIGINT AS n_words,
+         sum(chunk_words)::BIGINT AS n_chunk_words
+  FROM per_doc GROUP BY source
+),
+dchunks AS (
+  SELECT source, count(DISTINCT chunk_h)::BIGINT AS n_distinct_chunks
+  FROM scored GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_chunks, d.n_distinct_chunks, p.n_chunk_words,
+       CAST(1000 * (p.n_chunk_words - p.n_words) // p.n_chunk_words AS BIGINT)
+         AS overlap_permille
+FROM per_source p JOIN dchunks d ON p.source = d.source
+ORDER BY p.source
+"""
+
+
 QUERIES = {
     "dedup_chunk_ratio": dedup_chunk_ratio,
     "chunk_dedup_rewrite": chunk_dedup_rewrite,
@@ -824,6 +954,7 @@ QUERIES = {
     "score_calibration_bins": score_calibration_bins,
     "boilerplate_ngram_report": boilerplate_ngram_report,
     "source_quality_gate": source_quality_gate,
+    "rag_chunk_overlap_stats": rag_chunk_overlap_stats,
 }
 ORACLES = {
     "dedup_chunk_ratio": _CHUNK_SQL,
@@ -836,4 +967,5 @@ ORACLES = {
     "score_calibration_bins": _CALIBRATION_SQL,
     "boilerplate_ngram_report": _boilerplate_sql(),
     "source_quality_gate": _SOURCE_GATE_SQL,
+    "rag_chunk_overlap_stats": _rag_chunk_sql(),
 }

@@ -715,6 +715,97 @@ def _coreset_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{union}\n) ORDER BY rank"
 
 
+
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle-shard assignment — the data-
+    loader contract for multi-epoch training: every (epoch, doc) maps
+    to a shard via ``pmod(h32('ep<e>:' || doc_id), NSHARDS)``, so the
+    assignment is (a) reproducible from the id alone (restartable
+    training, no stored permutation), (b) INDEPENDENT across epochs
+    (a different salt per epoch reshuffles the corpus), and (c)
+    balanced in expectation. Reported per (epoch, shard): docs, token
+    mass, deviation from the epoch's ideal shard mass in per-mille,
+    and how many docs moved relative to their epoch-0 shard — the
+    reshuffle-actually-reshuffles audit (epoch 0's moved count is 0
+    by construction).
+
+    Scale: a pure projection (no window, no join) — epochs explode
+    ×E, then ONE (epoch, shard) rollup plus a per-epoch total join of
+    E rows, broadcast. This is exactly the assignment a 100 TB
+    dataloader computes on the fly per worker."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    shard_at = lambda e: F.pmod(
+        h32(F.concat(F.lit(f"ep{e}:"), F.col("doc_id").cast("string"))),
+        F.lit(SHUFFLE_SHARDS),
+    )
+    exploded = d.select(
+        "doc_id",
+        "n_tokens",
+        shard_at(0).alias("shard0"),
+        F.explode(F.array(*[F.lit(e) for e in range(SHUFFLE_EPOCHS)])).alias("epoch"),
+    ).withColumn(
+        "shard",
+        F.pmod(
+            h32(F.concat(F.lit("ep"), F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))),
+            F.lit(SHUFFLE_SHARDS),
+        ),
+    )
+    per = exploded.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum((F.col("shard") != F.col("shard0")).cast("bigint")).alias("n_moved"),
+    )
+    totals = per.groupBy("epoch").agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.join(F.broadcast(totals), "epoch")
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "n_moved",
+            F.expr(
+                f"CAST((1000 * n_tokens * {SHUFFLE_SHARDS}) div total_tokens"
+                " - 1000 AS BIGINT)"
+            ).alias("dev_permille"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    h = lambda e_expr: h32_sql(f"'ep' || {e_expr} || ':' || doc_id::VARCHAR")
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+exploded AS (
+  SELECT doc_id, n_tokens, epoch,
+         {h("epoch::VARCHAR")} % {SHUFFLE_SHARDS} AS shard,
+         {h("'0'")} % {SHUFFLE_SHARDS} AS shard0
+  FROM d, (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch)
+),
+per AS (
+  SELECT epoch, shard, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS n_tokens,
+         sum(CASE WHEN shard != shard0 THEN 1 ELSE 0 END)::BIGINT AS n_moved
+  FROM exploded GROUP BY epoch, shard
+),
+totals AS (SELECT epoch, sum(n_tokens) AS total_tokens FROM per GROUP BY epoch)
+SELECT p.epoch::BIGINT AS epoch, p.shard, p.n_docs, p.n_tokens, p.n_moved,
+       CAST((1000 * p.n_tokens * {SHUFFLE_SHARDS}) // t.total_tokens - 1000 AS BIGINT)
+         AS dev_permille
+FROM per p JOIN totals t ON p.epoch = t.epoch
+ORDER BY p.epoch, p.shard
+"""
+
+
 QUERIES = {
     "coreset_kcenter_sample": coreset_kcenter_sample,
     "split_train_val_test": split_train_val_test,
@@ -726,6 +817,7 @@ QUERIES = {
     "shard_packing_nextfit": shard_packing_nextfit,
     "sequence_length_histogram": sequence_length_histogram,
     "span_corruption_pairs": span_corruption_pairs,
+    "epoch_shuffle_shards": epoch_shuffle_shards,
 }
 
 ORACLES = {
@@ -738,5 +830,5 @@ ORACLES = {
     "sample_weighted_topk": _WEIGHTED_SQL,
     "shard_packing_nextfit": _SHARD_SQL,
     "sequence_length_histogram": _LEN_HIST_SQL,
-    "span_corruption_pairs": _SPAN_SQL,
+    "span_corruption_pairs": _SPAN_SQL,    "epoch_shuffle_shards": _epoch_shuffle_sql(),
 }

@@ -865,6 +865,89 @@ LIMIT {TOP_SIGNATURE_CELLS}
 """
 
 
+
+# Code-detector heuristics. The char classes are spelled identically
+# for Java regex (Spark) and RE2 (DuckDB): only literal characters
+# inside the class, ']' escaped, '-' placed last so neither engine
+# reads a range.
+CODE_SYMBOL_CLASS = r"[{}()\[\];=<>#_|&*+-]"
+CODE_SYM_PERMILLE = 60   # >=6.0% symbol chars
+CODE_DIGIT_PERMILLE = 150  # or >=15% digit chars
+
+
+def code_prose_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose triage of the corpus — the router every mixed
+    web-scrape pipeline needs before language-specific filtering
+    (prose goes through stopword/LM gates that would shred source
+    code; code goes to a lexer-based path). Heuristics: per-mille of
+    code-symbol characters ({}()[];=<>#_|&*+-) and of digits, both
+    integer-exact; verdict 'code' when either crosses its threshold.
+    Reported per (source, verdict): docs, mean symbol/digit per-mille
+    (integer div) — the audit a curator reads to spot a source whose
+    "prose" is actually config dumps.
+
+    Cross-engine: symbol counting is length(text) −
+    length(regexp_replace(text, class, '')) — pure counting, no
+    capture semantics to diverge; the class contains only literal
+    chars valid in both Java regex and RE2. Scale: one projection +
+    one (source, verdict) rollup, no joins, no windows."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(F.regexp_replace("text", CODE_SYMBOL_CLASS, ""))
+    n_digit = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    scored = docs.select(
+        "source",
+        (F.lit(1000) * n_sym).cast("bigint").alias("_sym_k"),
+        (F.lit(1000) * n_digit).cast("bigint").alias("_dig_k"),
+        n_chars.cast("bigint").alias("_n"),
+    ).select(
+        "source",
+        F.expr("_sym_k div greatest(_n, 1)").alias("sym_permille"),
+        F.expr("_dig_k div greatest(_n, 1)").alias("digit_permille"),
+    )
+    verdict = (
+        F.when(
+            (F.col("sym_permille") >= CODE_SYM_PERMILLE)
+            | (F.col("digit_permille") >= CODE_DIGIT_PERMILLE),
+            F.lit("code"),
+        ).otherwise(F.lit("prose"))
+    )
+    return (
+        scored.withColumn("verdict", verdict)
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(sym_permille) div count(1)").alias("mean_sym_permille"),
+            F.expr("sum(digit_permille) div count(1)").alias("mean_digit_permille"),
+        )
+        .orderBy("source", "verdict")
+    )
+
+
+_CODE_PROSE_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         (1000 * (length(text) - length(regexp_replace(text, '{CODE_SYMBOL_CLASS}', '', 'g'))))
+           // greatest(length(text), 1) AS sym_permille,
+         (1000 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))))
+           // greatest(length(text), 1) AS digit_permille
+  FROM documents
+),
+v AS (
+  SELECT source, sym_permille, digit_permille,
+         CASE WHEN sym_permille >= {CODE_SYM_PERMILLE}
+                OR digit_permille >= {CODE_DIGIT_PERMILLE}
+              THEN 'code' ELSE 'prose' END AS verdict
+  FROM scored
+)
+SELECT source, verdict, count(*)::BIGINT AS n_docs,
+       (sum(sym_permille) // count(*))::BIGINT AS mean_sym_permille,
+       (sum(digit_permille) // count(*))::BIGINT AS mean_digit_permille
+FROM v GROUP BY source, verdict
+ORDER BY source, verdict
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
@@ -880,6 +963,7 @@ QUERIES = {
     "language_id_confusion": language_id_confusion,
     "zipf_rank_frequency_audit": zipf_rank_frequency_audit,
     "source_signature_chisq": source_signature_chisq,
+    "code_prose_detector": code_prose_detector,
 }
 
 ORACLES = {
@@ -897,4 +981,5 @@ ORACLES = {
     "language_id_confusion": _LANG_CONFUSION_SQL,
     "zipf_rank_frequency_audit": _ZIPF_SQL,
     "source_signature_chisq": _SIGNATURE_SQL,
+    "code_prose_detector": _CODE_PROSE_SQL,
 }

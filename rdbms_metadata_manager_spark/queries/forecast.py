@@ -539,6 +539,97 @@ LIMIT {CHANGEPOINT_TOP}
 """
 
 
+
+def holt_trend_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α = β = ½)
+    of the daily event rate per type — the capacity-planning upgrade
+    of [[ewma_daily_events]] that also carries a TREND state, so the
+    one-step-ahead forecast extrapolates growth instead of lagging
+    it. Like the EWMA, this is a genuinely SEQUENTIAL fold (each
+    state depends non-linearly on the previous one) that no window
+    frame expresses.
+
+    Exactness: α = β = ½ keeps every update a dyadic halving —
+    level′ = (x + level + trend)/2, trend′ = (trend + (level′ −
+    level))/2 — and both engines fold the identical IEEE op sequence
+    left-to-right (Spark ``aggregate`` with a 2-element array state;
+    DuckDB ``list_reduce`` over [x, 0] pairs whose first element
+    seeds [level₀, trend₀] = [x₁, 0]), so the doubles hash-match
+    bit-for-bit: no libm, no aggregation-order hazard.
+
+    Scale: identical shape to the EWMA — the sequential part runs on
+    the days-long per-type series AFTER the map-side-combined daily
+    rollup; collect_list costs what the rollup shuffle already paid;
+    the fold is one in-row expression."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / DAY_SECONDS).alias("day_idx"),
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day_idx", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("xs"),
+        F.count("*").alias("n_days"),
+    )
+    state = F.aggregate(
+        F.expr("slice(xs, 2, size(xs))"),
+        F.array(F.element_at("xs", 1), F.lit(0.0)),
+        lambda acc, x: F.array(
+            (x + F.element_at(acc, 1) + F.element_at(acc, 2)) / F.lit(2.0),
+            (
+                F.element_at(acc, 2)
+                + (
+                    (x + F.element_at(acc, 1) + F.element_at(acc, 2)) / F.lit(2.0)
+                    - F.element_at(acc, 1)
+                )
+            )
+            / F.lit(2.0),
+        ),
+    )
+    return (
+        series.select("event_type", "n_days", state.alias("st"))
+        .select(
+            "event_type",
+            "n_days",
+            F.element_at("st", 1).alias("level"),
+            F.element_at("st", 2).alias("trend"),
+            (F.element_at("st", 1) + F.element_at("st", 2)).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HOLT_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000 // {DAY_SECONDS} AS day_idx,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list(n::DOUBLE ORDER BY day_idx) AS xs,
+         count(*)::BIGINT AS n_days
+  FROM daily GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, n_days,
+         list_reduce(
+           list_transform(xs, x -> [x, 0.0::DOUBLE]),
+           (acc, x) -> [ (x[1] + acc[1] + acc[2]) / 2,
+                         (acc[2] + ((x[1] + acc[1] + acc[2]) / 2 - acc[1])) / 2 ]
+         ) AS st
+  FROM series
+)
+SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+       (st[1] + st[2]) AS forecast_next
+FROM folded
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
     "ewma_daily_events": ewma_daily_events,
@@ -546,6 +637,7 @@ QUERIES = {
     "autocorr_daily_events": autocorr_daily_events,
     "seasonal_decompose_daily": seasonal_decompose_daily,
     "changepoint_daily_events": changepoint_daily_events,
+    "holt_trend_daily_events": holt_trend_daily_events,
 }
 ORACLES = {
     "forecast_seasonal_naive_backtest": _FORECAST_SQL,
@@ -554,4 +646,5 @@ ORACLES = {
     "autocorr_daily_events": _ACF_SQL,
     "seasonal_decompose_daily": _SEASONAL_SQL,
     "changepoint_daily_events": _CHANGEPOINT_SQL,
+    "holt_trend_daily_events": _HOLT_SQL,
 }

@@ -264,13 +264,85 @@ ORDER BY n_events DESC, user_id
 """
 
 
+
+def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-equijoin output-size estimation from the CMS grid — the
+    AMS second-moment (F₂) trick a planner uses to predict a join's
+    blow-up WITHOUT running it: the exact size of events ⋈ events on
+    user_id is F₂ = Σ_u cnt(u)², and each CMS row's Σ_bucket cell² is
+    an upper-bound estimate of it (collisions only inflate — same
+    guarantee direction as the point estimate). Reported per sketch
+    row: the row's estimate, the exact F₂, and the inflation in
+    per-mille; min-over-rows is the planner's number. Skew is WHY a
+    planner wants this number (a hot user inflates F₂ quadratically —
+    the same pathology salted_join_revenue handles downstream).
+
+    Cross-engine exactness: all-integer (counts, squares, sums; the
+    DuckDB side casts its HUGEINT sums back to BIGINT). Scale: the
+    same ONE map-side-combined per-user rollup the CMS face pays, a
+    CMS_ROWS-explode of that rollup, and two tiny aggregates — the
+    corpus is never self-joined; that is the point."""
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    keyed = counts.select(
+        "n_events", F.explode(F.array(*cms_bucket_structs())).alias("rb")
+    ).select("n_events", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    cells = keyed.groupBy("r", "bucket").agg(F.sum("n_events").alias("cell"))
+    per_row = cells.groupBy("r").agg(
+        F.sum(F.col("cell") * F.col("cell")).alias("f2_estimate")
+    )
+    exact = counts.agg(
+        F.sum(F.col("n_events") * F.col("n_events")).alias("exact_f2")
+    )
+    return (
+        per_row.join(F.broadcast(exact))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            "f2_estimate",
+            "exact_f2",
+            F.expr("CAST(1000 * (f2_estimate - exact_f2) div exact_f2 AS BIGINT)").alias(
+                "inflation_permille"
+            ),
+        )
+        .orderBy("r")
+    )
+
+
+_F2_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id
+),
+keyed AS (
+  SELECT n_events, t.r,
+         CASE t.r {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r)}" for r in range(CMS_ROWS))} END AS bucket
+  FROM counts, UNNEST(range(0, {CMS_ROWS})) AS t(r)
+),
+cells AS (
+  SELECT r, bucket, sum(n_events)::BIGINT AS cell FROM keyed GROUP BY 1, 2
+),
+per_row AS (
+  SELECT r, CAST(sum(cell * cell) AS BIGINT) AS f2_estimate FROM cells GROUP BY r
+),
+exact AS (
+  SELECT CAST(sum(n_events * n_events) AS BIGINT) AS exact_f2 FROM counts
+)
+SELECT p.r::BIGINT AS r, p.f2_estimate, e.exact_f2,
+       CAST(1000 * (p.f2_estimate - e.exact_f2) // e.exact_f2 AS BIGINT)
+         AS inflation_permille
+FROM per_row p, exact e
+ORDER BY p.r
+"""
+
+
 QUERIES = {
     "salted_join_revenue": salted_join_revenue,
     "heavy_hitter_users": heavy_hitter_users,
     "countmin_heavy_hitters": countmin_heavy_hitters,
+    "selfjoin_size_estimate": selfjoin_size_estimate,
 }
 ORACLES = {
     "salted_join_revenue": _SALTED_SQL,
     "heavy_hitter_users": _HEAVY_SQL,
     "countmin_heavy_hitters": _CMS_SQL,
+    "selfjoin_size_estimate": _F2_SQL,
 }

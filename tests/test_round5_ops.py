@@ -165,3 +165,182 @@ def test_ranged_prefix_matches_global_window(spark):
             ).collect()
         }
         assert got == want, f"buckets={buckets}"
+
+
+def test_code_prose_detector_discriminates_on_crafted_corpus(spark, tmp_path):
+    """The shipped synthetic documents contain no symbols or digits
+    (every row classifies 'prose' with 0 per-mille), so the
+    discriminative path needs a crafted corpus: real code-looking
+    docs must classify 'code', prose stays 'prose', and the Spark
+    result must hash-match the DuckDB oracle on the same fixture."""
+    import duckdb
+
+    from rdbms_metadata_manager_spark.llm.text import (
+        _CODE_PROSE_SQL,
+        code_prose_detector,
+    )
+
+    docs = [
+        (0, "def f(x): return [y * 2 for y in range(x)] # doubled", "en", "repoA"),
+        (1, "if (a == b) { count += 1; } else { count -= offset; }", "en", "repoA"),
+        (2, "SELECT col1, col2 FROM t WHERE id >= 100 AND flag = 1;", "en", "repoA"),
+        (3, "the quiet afternoon passed slowly over the old harbor town", "en", "blogB"),
+        (4, "she walked along the shore and watched the gulls wheel above", "en", "blogB"),
+        (5, "order totals for 2024 were 1023 4456 8891 2234 9902 1755 3344", "en", "blogB"),
+    ]
+    d = tmp_path / "codecorpus"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?)", docs)
+    con.execute(
+        f"""COPY (SELECT doc_id, text, lang, source, length(text) AS n_chars
+                  FROM docs) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    got = {
+        (r.source, r.verdict): r.n_docs
+        for r in code_prose_detector(spark, str(d)).collect()
+    }
+    # repoA: all three symbol-heavy docs -> code; blogB: two prose +
+    # the digit-heavy totals row -> code by the digit gate
+    assert got == {
+        ("repoA", "code"): 3,
+        ("blogB", "prose"): 2,
+        ("blogB", "code"): 1,
+    }, got
+    assert_matches_oracle(code_prose_detector(spark, str(d)), _CODE_PROSE_SQL, str(d))
+
+
+def _h32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_holt_matches_python_fold(spark, sf_dir):
+    """Holt level/trend vs a from-scratch Python fold over the same
+    per-type daily counts — exact float equality (both sides execute
+    the identical IEEE halving sequence)."""
+    import math
+    from collections import defaultdict
+
+    from rdbms_metadata_manager_spark.queries.base import DAY_SECONDS, load
+    from rdbms_metadata_manager_spark.queries.forecast import holt_trend_daily_events
+
+    rows = load(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        day = math.floor(r.ts.timestamp() / DAY_SECONDS)
+        daily[r.event_type][day] += 1
+    want = {}
+    for et, days in daily.items():
+        xs = [float(n) for _, n in sorted(days.items())]
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            new_level = (x + level + trend) / 2
+            trend = (trend + (new_level - level)) / 2
+            level = new_level
+        want[et] = (len(xs), level, trend, level + trend)
+    got = {
+        r.event_type: (r.n_days, r.level, r.trend, r.forecast_next)
+        for r in holt_trend_daily_events(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_rag_chunks_match_python_chunker(spark, sf_dir):
+    """Per-source chunk counts / word mass / distinct fingerprints vs
+    a plain Python sliding-window chunker."""
+    from collections import defaultdict
+
+    from rdbms_metadata_manager_spark.llm.curation import (
+        RAG_CHUNK_STRIDE as S,
+        RAG_CHUNK_WORDS as W,
+        rag_chunk_overlap_stats,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0, set()])  # docs, chunks, words, cwords, fps
+    for r in docs:
+        words = r.text.split(" ")
+        n = len(words)
+        n_chunks = 1 + (max(0, n - W) + S - 1) // S
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += n_chunks
+        a[2] += n
+        for i in range(n_chunks):
+            chunk = " ".join(words[i * S : i * S + W])
+            a[3] += len(chunk.split(" "))
+            a[4].add(_h32_py(chunk))
+    want = {
+        src: (a[0], a[1], len(a[4]), a[3], 1000 * (a[3] - a[2]) // a[3])
+        for src, a in agg.items()
+    }
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_chunks,
+            r.n_distinct_chunks,
+            r.n_chunk_words,
+            r.overlap_permille,
+        )
+        for r in rag_chunk_overlap_stats(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_epoch_shuffle_matches_python_hashing(spark, sf_dir):
+    """Shard assignment and moved counts vs direct md5 arithmetic;
+    epoch 0 must report zero moved docs, later epochs must actually
+    reshuffle (some moved docs)."""
+    from collections import defaultdict
+
+    from rdbms_metadata_manager_spark.llm.sampling import (
+        SHUFFLE_EPOCHS,
+        SHUFFLE_SHARDS,
+        epoch_shuffle_shards,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    per = defaultdict(lambda: [0, 0, 0])  # docs, tokens, moved
+    for r in docs:
+        toks = len(r.text.split(" "))
+        s0 = _h32_py(f"ep0:{r.doc_id}") % SHUFFLE_SHARDS
+        for e in range(SHUFFLE_EPOCHS):
+            sh = _h32_py(f"ep{e}:{r.doc_id}") % SHUFFLE_SHARDS
+            a = per[(e, sh)]
+            a[0] += 1
+            a[1] += toks
+            a[2] += int(sh != s0)
+    got = {
+        (r.epoch, r.shard): (r.n_docs, r.n_tokens, r.n_moved)
+        for r in epoch_shuffle_shards(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in per.items()}
+    assert sum(v[2] for k, v in per.items() if k[0] == 0) == 0
+    assert sum(v[2] for k, v in per.items() if k[0] == 1) > 0
+
+
+def test_f2_estimate_upper_bounds_exact(spark, sf_dir):
+    """Every CMS row's F2 estimate must be >= the exact self-join
+    size (collisions only inflate), and the exact value must equal
+    the Python sum of squared per-user counts."""
+    from collections import Counter
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.skew import selfjoin_size_estimate
+
+    users = [r.user_id for r in load(spark, sf_dir, "events").select("user_id").collect()]
+    exact = sum(c * c for c in Counter(users).values())
+    rows = selfjoin_size_estimate(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.exact_f2 == exact
+        assert r.f2_estimate >= exact
+        assert r.inflation_permille >= 0
