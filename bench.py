@@ -134,6 +134,13 @@ HEADLINE = [
     "catalog_pii_risk_scan",
     "ab_test_aa_calibration",
     "weekly_revenue_wow",
+    "holt_trend_daily_events",
+    "rag_chunk_overlap_stats",
+    "code_prose_detector",
+    "epoch_shuffle_shards",
+    "selfjoin_size_estimate",
+    "pareto_revenue_concentration",
+    "source_token_budget_cap",
 ]
 
 

@@ -293,15 +293,112 @@ ORDER BY metric
 """
 
 
+
+T_CLOSE_PERMILLE = 500  # TVD threshold: class "far" when > 0.5
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the distribution-skew follow-up that
+    completes the [[k_anonymity_audit]] → [[l_diversity_audit]]
+    ladder: a class can be k-anonymous AND l-diverse yet still leak
+    (an attacker learns the sensitive attribute's SKEW — "this class
+    is 90% BUILDING" — even when every value appears once). For the
+    categorical sensitive attribute the distance is total variation:
+    TVD(class) = ½ Σ_s |p_class(s) − p_global(s)|, carried as the
+    exact integer per-mille ⌊1000·Σ|cnt_c(s)·N − cnt_g(s)·n_c| /
+    (2·n_c·N)⌋ — no float distributions to drift cross-engine.
+    Same QI banding as the l-diversity face (/100; the /1000 band is
+    vacuous — every class matches the global mix). Reports class
+    counts, worst TVD, and the per-mille of records in far classes.
+
+    Plan: one (QI, segment) rollup, one ≤|segments|-row global rollup
+    broadcast and CROSSED against the class relation (absent segments
+    must still contribute |0 − p_g| — a plain join would silently
+    drop them), then the class-level fold. Every relation after the
+    first rollup is bounded by QI-space × |segments|, never rows."""
+    customer = load_spread(spark, sf_dir, "customer", "c_custkey")
+    cells = customer.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 100).alias("balance_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    classes = cells.groupBy("c_nationkey", "balance_band").agg(
+        F.sum("cnt").alias("class_n")
+    )
+    glob = cells.groupBy("c_mktsegment").agg(F.sum("cnt").alias("gcnt"))
+    total = glob.agg(F.sum("gcnt").alias("n_total"))
+    spine = classes.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(total))
+    scored = (
+        spine.join(cells, ["c_nationkey", "balance_band", "c_mktsegment"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .groupBy("c_nationkey", "balance_band", "class_n", "n_total")
+        .agg(
+            F.sum(
+                F.abs(F.col("cnt") * F.col("n_total") - F.col("gcnt") * F.col("class_n"))
+            ).alias("l1")
+        )
+        .select(
+            "class_n",
+            F.expr("CAST((1000 * l1) div (2 * class_n * n_total) AS BIGINT)").alias(
+                "tvd_permille"
+            ),
+        )
+    )
+    far = F.col("tvd_permille") > T_CLOSE_PERMILLE
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(far.cast("long")).alias("n_far_classes"),
+        F.max("tvd_permille").alias("max_tvd_permille"),
+        F.expr(
+            f"(1000 * sum(CASE WHEN tvd_permille > {T_CLOSE_PERMILLE} THEN class_n ELSE 0 END))"
+            " div sum(class_n)"
+        ).alias("far_records_permille"),
+    )
+
+
+_T_CLOSE_SQL = f"""
+WITH cells AS (
+  SELECT c_nationkey, floor(c_acctbal / 100) AS balance_band, c_mktsegment,
+         count(*)::BIGINT AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, balance_band, sum(cnt)::BIGINT AS class_n
+  FROM cells GROUP BY 1, 2
+),
+gdist AS (SELECT c_mktsegment, sum(cnt)::BIGINT AS gcnt FROM cells GROUP BY 1),
+total AS (SELECT sum(gcnt)::BIGINT AS n_total FROM gdist),
+scored AS (
+  SELECT cl.class_n,
+         CAST((1000 * sum(abs(coalesce(ce.cnt, 0) * t.n_total - g.gcnt * cl.class_n)))
+              // (2 * cl.class_n * t.n_total) AS BIGINT) AS tvd_permille
+  FROM classes cl CROSS JOIN gdist g CROSS JOIN total t
+  LEFT JOIN cells ce
+    ON ce.c_nationkey = cl.c_nationkey AND ce.balance_band = cl.balance_band
+   AND ce.c_mktsegment = g.c_mktsegment
+  GROUP BY cl.c_nationkey, cl.balance_band, cl.class_n, t.n_total
+)
+SELECT count(*)::BIGINT AS n_classes,
+       sum(CASE WHEN tvd_permille > {T_CLOSE_PERMILLE} THEN 1 ELSE 0 END)::BIGINT
+         AS n_far_classes,
+       max(tvd_permille)::BIGINT AS max_tvd_permille,
+       CAST((1000 * sum(CASE WHEN tvd_permille > {T_CLOSE_PERMILLE} THEN class_n ELSE 0 END))
+            // sum(class_n) AS BIGINT) AS far_records_permille
+FROM scored
+"""
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
     "dp_sensitivity_audit": dp_sensitivity_audit,
+    "t_closeness_audit": t_closeness_audit,
 }
 ORACLES = {
     "pii_redaction": _PII_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
     "l_diversity_audit": _L_DIV_SQL,
     "dp_sensitivity_audit": _DP_SQL,
+    "t_closeness_audit": _T_CLOSE_SQL,
 }

@@ -344,3 +344,50 @@ def test_f2_estimate_upper_bounds_exact(spark, sf_dir):
         assert r.exact_f2 == exact
         assert r.f2_estimate >= exact
         assert r.inflation_permille >= 0
+
+
+def test_t_closeness_matches_python_tvd(spark, sf_dir):
+    """t-closeness summary vs plain Python total-variation distances
+    over the same (nation, balance-band) classes."""
+    from collections import Counter, defaultdict
+
+    from rdbms_metadata_manager_spark.llm.pii import (
+        T_CLOSE_PERMILLE,
+        t_closeness_audit,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    import math
+
+    cells = defaultdict(Counter)
+    glob = Counter()
+    for r in rows:
+        cls = (r.c_nationkey, math.floor(r.c_acctbal / 100))
+        cells[cls][r.c_mktsegment] += 1
+        glob[r.c_mktsegment] += 1
+    n_total = sum(glob.values())
+    tvds = {}
+    for cls, seg_counts in cells.items():
+        n_c = sum(seg_counts.values())
+        l1 = sum(
+            abs(seg_counts.get(s, 0) * n_total - g * n_c) for s, g in glob.items()
+        )
+        tvds[cls] = (1000 * l1) // (2 * n_c * n_total), n_c
+    far = [(t, n) for t, n in tvds.values() if t > T_CLOSE_PERMILLE]
+    want = (
+        len(tvds),
+        len(far),
+        max(t for t, _ in tvds.values()),
+        1000 * sum(n for _, n in far) // n_total,
+    )
+    (r,) = t_closeness_audit(spark, sf_dir).collect()
+    assert (
+        r.n_classes,
+        r.n_far_classes,
+        r.max_tvd_permille,
+        r.far_records_permille,
+    ) == want
+    assert r.n_far_classes > 0, "audit must not be vacuous at test scale"
