@@ -944,6 +944,28 @@ LIMIT {TOP_RULES}
 BFS_ROUNDS = 3
 
 
+def _bfs_visited(both, src, rounds: int):
+    """Pregel-frontier BFS from the 1-row ``src`` relation over the
+    bidirectional edge list ``both``: returns (node, dist) for every
+    node within ``rounds`` hops. The per-round frontier/visited
+    localCheckpoints keep the lineage flat — shared by
+    [[bfs_levels_from_hub]] and [[diameter_double_sweep]]."""
+    visited = src.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for r in range(1, rounds + 1):
+        frontier = (
+            both.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(
+            frontier.select("node", F.lit(r).alias("dist"))
+        ).localCheckpoint(eager=True)
+    return visited
+
+
 def bfs_levels_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breadth-first traversal levels from a fixed hub of the
     co-purchase graph — the frontier-expansion member of the
@@ -969,19 +991,7 @@ def bfs_levels_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     src = e.agg(F.min("a").alias("node"))
-    visited = src.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
-    frontier = visited.select("node")
-    for r in range(1, BFS_ROUNDS + 1):
-        frontier = (
-            both.join(frontier.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        visited = visited.unionAll(
-            frontier.select("node", F.lit(r).alias("dist"))
-        ).localCheckpoint(eager=True)
+    visited = _bfs_visited(both, src, BFS_ROUNDS)
     reached = visited.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
     n_total = both.select("src").distinct().agg(F.count(F.lit(1)).alias("t"))
     unreached = (
@@ -1041,6 +1051,116 @@ ORDER BY dist
 
 TOP_PREDICTIONS = 20
 AA_SCALE = 1_000_000
+
+
+DIAMETER_ROUNDS = 4
+
+
+def diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-diameter lower bound by the classic double sweep: BFS
+    from the hub, restart a second BFS from the farthest node found
+    (ties → smallest id), report both eccentricities — the second is
+    the standard cheap diameter bound (exact on trees, near-exact on
+    most real graphs), the number a graph-pipeline reads to size
+    iteration counts for label propagation / components before paying
+    for them. Horizon = DIAMETER_ROUNDS hops; eccentricities are
+    lower bounds when the horizon clips (reported via n_reached).
+
+    Scale: two Pregel frontier expansions over the memoized edge
+    list — each round O(E_frontier) with flat checkpointed lineage,
+    identical shape to [[bfs_levels_from_hub]]; no all-pairs
+    distances anywhere (APSP at 100 TB is the trap this op exists to
+    avoid)."""
+    e = _copurchase_edges(spark, sf_dir)
+    both = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    hub = e.agg(F.min("a").alias("node"))
+    v1 = _bfs_visited(both, hub, DIAMETER_ROUNDS)
+    far = (
+        v1.orderBy(F.desc("dist"), "node").limit(1).select("node")
+        .localCheckpoint(eager=True)
+    )
+    v2 = _bfs_visited(both, far, DIAMETER_ROUNDS)
+    ecc1 = v1.agg(F.max("dist").alias("hub_ecc"))
+    ecc2 = v2.agg(
+        F.max("dist").alias("diameter_lower_bound"),
+        F.count(F.lit(1)).alias("n_reached_sweep2"),
+    )
+    return (
+        hub.select(F.col("node").alias("hub_node"))
+        .crossJoin(F.broadcast(ecc1))
+        .crossJoin(F.broadcast(far.select(F.col("node").alias("far_node"))))
+        .crossJoin(F.broadcast(ecc2))
+        .select(
+            "hub_node",
+            F.col("hub_ecc").cast("bigint").alias("hub_ecc"),
+            "far_node",
+            F.col("diameter_lower_bound").cast("bigint").alias("diameter_lower_bound"),
+            "n_reached_sweep2",
+        )
+    )
+
+
+def _bfs_chain_ctes(suffix: str, src_sql: str, rounds: int) -> list[str]:
+    """Unrolled BFS CTE chain (f/v per round) from ``src_sql`` (a
+    1-row (node) relation) over the ``bo`` bidirectional edges —
+    shared by the BFS-levels and double-sweep oracles."""
+    ctes = [
+        f"v0{suffix} AS MATERIALIZED (SELECT node, 0 AS dist FROM ({src_sql}))",
+        f"f0{suffix} AS MATERIALIZED (SELECT node FROM v0{suffix})",
+    ]
+    for r in range(1, rounds + 1):
+        p_ = r - 1
+        ctes.append(
+            f"""f{r}{suffix} AS MATERIALIZED (
+  SELECT DISTINCT b.dst AS node
+  FROM bo b JOIN f{p_}{suffix} f ON b.src = f.node
+  WHERE b.dst NOT IN (SELECT node FROM v{p_}{suffix})
+)"""
+        )
+        ctes.append(
+            f"v{r}{suffix} AS MATERIALIZED "
+            f"(SELECT * FROM v{p_}{suffix} UNION ALL SELECT node, {r} FROM f{r}{suffix})"
+        )
+    return ctes
+
+
+def _diameter_oracle() -> str:
+    ctes = [
+        f"""bk AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+)""",
+        f"e0 AS MATERIALIZED ({_KCORE_EDGES_SQL})",
+        """bo AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+)""",
+    ]
+    ctes += _bfs_chain_ctes("a", "SELECT min(a) AS node FROM e0", DIAMETER_ROUNDS)
+    last_a = f"v{DIAMETER_ROUNDS}a"
+    ctes.append(
+        f"farn AS MATERIALIZED (SELECT node FROM {last_a} ORDER BY dist DESC, node LIMIT 1)"
+    )
+    ctes += _bfs_chain_ctes("b", "SELECT node FROM farn", DIAMETER_ROUNDS)
+    last_b = f"v{DIAMETER_ROUNDS}b"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT min(a) FROM e0) AS hub_node,
+       (SELECT max(dist) FROM {last_a})::BIGINT AS hub_ecc,
+       (SELECT node FROM farn) AS far_node,
+       (SELECT max(dist) FROM {last_b})::BIGINT AS diameter_lower_bound,
+       (SELECT count(*) FROM {last_b})::BIGINT AS n_reached_sweep2
+"""
+    )
 
 
 def link_prediction_hub_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,6 +1510,7 @@ QUERIES = {
     "label_propagation_communities": label_propagation_communities,
     "association_rules_lift": association_rules_lift,
     "bfs_levels_from_hub": bfs_levels_from_hub,
+    "diameter_double_sweep": diameter_double_sweep,
     "link_prediction_hub_cn": link_prediction_hub_cn,
     "local_clustering_coefficients": local_clustering_coefficients,
     "copurchase_degree_histogram": copurchase_degree_histogram,
@@ -1406,6 +1527,7 @@ ORACLES = {
     "label_propagation_communities": _lpa_oracle(),
     "association_rules_lift": _RULES_SQL,
     "bfs_levels_from_hub": _bfs_oracle(),
+    "diameter_double_sweep": _diameter_oracle(),
     "link_prediction_hub_cn": _LINKPRED_SQL,
     "local_clustering_coefficients": _LCC_SQL,
     "copurchase_degree_histogram": _DEG_HIST_SQL,

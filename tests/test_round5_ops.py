@@ -391,3 +391,49 @@ def test_t_closeness_matches_python_tvd(spark, sf_dir):
         r.far_records_permille,
     ) == want
     assert r.n_far_classes > 0, "audit must not be vacuous at test scale"
+
+
+def test_diameter_double_sweep_matches_python_bfs(spark, sf_dir):
+    """Both sweeps vs a plain Python BFS over the collected edge
+    list — hub choice, farthest-node tiebreak, eccentricities, and
+    reach count."""
+    from collections import deque
+
+    from rdbms_metadata_manager_spark.queries.mining import (
+        DIAMETER_ROUNDS,
+        _copurchase_edges,
+        diameter_double_sweep,
+    )
+
+    edges = [(r.a, r.b) for r in _copurchase_edges(spark, sf_dir).collect()]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def bfs(src):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] == DIAMETER_ROUNDS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    hub = min(a for a, _ in edges)
+    d1 = bfs(hub)
+    ecc1 = max(d1.values())
+    far = min(n for n, d in d1.items() if d == ecc1)
+    d2 = bfs(far)
+    (r,) = diameter_double_sweep(spark, sf_dir).collect()
+    assert (r.hub_node, r.hub_ecc, r.far_node, r.diameter_lower_bound, r.n_reached_sweep2) == (
+        hub,
+        ecc1,
+        far,
+        max(d2.values()),
+        len(d2),
+    )
