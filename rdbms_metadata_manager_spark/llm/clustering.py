@@ -328,15 +328,85 @@ ORDER BY d.doc_id
 """
 
 
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection — the curation decision that
+    composes two pipelines this repo already ships: near-dup families
+    ([[dedup_clusters]], connected components over the exact-Jaccard
+    pair list) × the frozen linear quality scorer
+    ([[quality_classifier_scores]]). Instead of keep-lowest-id, every
+    family keeps its HIGHEST-scoring member (ties → lowest doc_id) —
+    what production dedup actually does, since the verbatim copies of
+    a page differ in boilerplate/truncation and the keeper choice
+    decides what the model trains on. Output: one row per DROPPED
+    doc with its family, its score, and the keeper it lost to.
+
+    Scale: rides the memoized pair list and CC labels (family
+    relation ≪ corpus); scores join family members on doc_id (one
+    hash join), the per-family rank window is bounded by family size,
+    and the keeper join broadcasts the ≤|families|-row keep list."""
+    from pyspark.sql import Window
+
+    from .curation import quality_classifier_scores
+
+    cc = dedup_clusters(spark, sf_dir)
+    scores = quality_classifier_scores(spark, sf_dir).select("doc_id", "score")
+    fam = cc.join(scores, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), "doc_id")
+    ranked = fam.withColumn("rk", F.row_number().over(w))
+    keep = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc"),
+        F.col("score").alias("keep_score"),
+    )
+    return (
+        ranked.filter(F.col("rk") > 1)
+        .join(F.broadcast(keep), "cluster_id")
+        .select(
+            F.col("doc_id").alias("drop_doc"),
+            "cluster_id",
+            F.col("score").alias("drop_score"),
+            "keep_doc",
+            "keep_score",
+        )
+        .orderBy("drop_doc")
+    )
+
+
+def _keep_best_oracle() -> str:
+    from .curation import _QC_SQL
+
+    return f"""
+WITH cc AS ({_CLUSTERS_SQL}),
+qc AS ({_QC_SQL}),
+fam AS (
+  SELECT cc.doc_id, cc.cluster_id, qc.score
+  FROM cc JOIN qc ON qc.doc_id = cc.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY score DESC, doc_id) AS rk
+  FROM fam
+)
+SELECT d.doc_id AS drop_doc, d.cluster_id, d.score AS drop_score,
+       k.doc_id AS keep_doc, k.score AS keep_score
+FROM ranked d JOIN ranked k ON k.cluster_id = d.cluster_id AND k.rk = 1
+WHERE d.rk > 1
+ORDER BY drop_doc
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "cluster_safe_split": cluster_safe_split,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
+    "dedup_keep_best": dedup_keep_best,
 }
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
     "cluster_safe_split": _cluster_split_oracle(),
     "dedup_clusters_star": _CLUSTERS_SQL,
     "dedup_cluster_size_histogram": _CLUSTER_SIZES_SQL,
+    "dedup_keep_best": _keep_best_oracle(),
 }

@@ -825,7 +825,72 @@ ORDER BY layout
 """
 
 
+
+MEDIAN_BUCKET_W = 100_000  # $1,000 bands over price cents
+
+
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (lower median = percentile_disc(0.5))
+    of lineitem extended price — computed the way a 100 TB engine
+    must: never a global sort. Pass 1 is one map-side-combined
+    histogram over fixed $1,000 value bands (bounded by the VALUE
+    RANGE, not the row count — the collected histogram is ~100 rows
+    at any scale); the driver walks the cumulative counts to find the
+    band holding the k-th element (k = ⌈N/2⌉) — the same bounded
+    driver-decision pattern as the k-means/BPE trainers. Pass 2 scans
+    only that band (filter pushes to the parquet scan) and takes its
+    (k − preceding)-th smallest tick via TakeOrdered. Everything is
+    integer cents, so both passes and the oracle's percentile_disc
+    agree bit-for-bit.
+
+    Contrast faces: percentile_disc in [[dp_sensitivity_audit]] is
+    the single-node sort-based form (fine on rolled-up relations);
+    approx_percentile trades exactness for one pass. This is the
+    exact-and-distributed corner of that triangle."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("tick")
+    )
+    hist = (
+        li.groupBy(F.expr(f"tick div {MEDIAN_BUCKET_W}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("b")
+        .collect()
+    )
+    n_rows = sum(r.n for r in hist)
+    k = (n_rows + 1) // 2
+    cum = 0
+    target_b, offset = None, None
+    for r in hist:
+        if cum + r.n >= k:
+            target_b, offset = r.b, k - cum
+            break
+        cum += r.n
+    kth = (
+        li.filter(F.expr(f"tick div {MEDIAN_BUCKET_W}") == target_b)
+        .orderBy("tick")
+        .limit(int(offset))
+        .agg(F.max("tick").alias("median_cents"))
+    )
+    return kth.select(
+        F.lit(n_rows).cast("bigint").alias("n_rows"),
+        F.lit(k).cast("bigint").alias("k"),
+        "median_cents",
+    )
+
+
+_MEDIAN_SQL = """
+WITH t AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS tick FROM lineitem
+)
+SELECT count(*)::BIGINT AS n_rows,
+       ((count(*) + 1) // 2)::BIGINT AS k,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY tick)::BIGINT AS median_cents
+FROM t
+"""
+
+
 QUERIES = {
+    "exact_median_two_pass": exact_median_two_pass,
     "partition_layout_advisor": partition_layout_advisor,
     "join_strategy_advisor": join_strategy_advisor,
     "zorder_locality_report": zorder_locality_report,
@@ -842,6 +907,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "exact_median_two_pass": _MEDIAN_SQL,
     "partition_layout_advisor": _part_advisor_oracle(),
     "join_strategy_advisor": _join_advisor_oracle(),
     "zorder_locality_report": _zorder_oracle(),

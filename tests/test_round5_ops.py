@@ -437,3 +437,55 @@ def test_diameter_double_sweep_matches_python_bfs(spark, sf_dir):
         max(d2.values()),
         len(d2),
     )
+
+
+def test_keep_best_keeps_max_score_per_family(spark, sf_dir):
+    """Keeper choice vs Python: in each family the keeper has the max
+    score (ties -> lowest id), every non-keeper appears exactly once
+    as a drop row, and the audit is non-vacuous."""
+    from collections import defaultdict
+
+    from rdbms_metadata_manager_spark.llm.clustering import (
+        dedup_clusters,
+        dedup_keep_best,
+    )
+    from rdbms_metadata_manager_spark.llm.curation import quality_classifier_scores
+
+    cc = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, sf_dir).collect()}
+    sc = {
+        r.doc_id: r.score
+        for r in quality_classifier_scores(spark, sf_dir).collect()
+    }
+    fams = defaultdict(list)
+    for doc, cl in cc.items():
+        fams[cl].append(doc)
+    want = {}
+    for cl, docs in fams.items():
+        keep = min(docs, key=lambda d: (-sc[d], d))
+        for d in docs:
+            if d != keep:
+                want[d] = (cl, sc[d], keep, sc[keep])
+    got = {
+        r.drop_doc: (r.cluster_id, r.drop_score, r.keep_doc, r.keep_score)
+        for r in dedup_keep_best(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "audit must be non-vacuous at test scale"
+    # at least one family must keep a NON-minimum id (else the op is
+    # indistinguishable from keep-first and the test proves nothing)
+    assert any(k != min(fams[cl]) for d, (cl, _, k, _) in got.items())
+
+
+def test_two_pass_median_matches_python_sort(spark, sf_dir):
+    """The banded two-pass k-th selection vs a plain Python sort —
+    including an even-N fixture pinning the lower-median convention."""
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.profiling import exact_median_two_pass
+
+    ticks = sorted(
+        int(__import__("math").floor(r.l_extendedprice * 100 + 0.5))
+        for r in load(spark, sf_dir, "lineitem").select("l_extendedprice").collect()
+    )
+    k = (len(ticks) + 1) // 2
+    (r,) = exact_median_two_pass(spark, sf_dir).collect()
+    assert (r.n_rows, r.k, r.median_cents) == (len(ticks), k, ticks[k - 1])
