@@ -296,12 +296,180 @@ ORDER BY table_name, column_name
 """
 
 
+
+# Naming-convention lint. Tokens valid in both Java regex and RE2.
+SNAKE_RX = "^[a-z][a-z0-9_]*$"
+RESERVED_WORDS = ["order", "user", "group", "key", "index", "table", "select", "date", "desc"]
+NAME_MAX_LEN = 30
+
+
+def naming_convention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naming-convention lint over the catalog — the style rule the
+    reference's five semantic rules stop short of: mixed-case
+    identifiers force quoting and break on case-sensitive filesystems
+    (MySQL's lower_case_table_names trap), reserved words force
+    quoting everywhere, and over-long names truncate on some engines.
+    One row per column with the three flags and a verdict; the
+    ecommerce fixture is non-vacuous (every PascalCase table fails
+    the snake check). sf_dir unused: metadata-plane, like
+    [[schema_issues]]. Scale: pure projection over the catalog
+    relation — metadata is small at any corpus size."""
+    return _naming_audit(fixtures.columns_meta(spark))
+
+
+def _naming_audit(cols: DataFrame) -> DataFrame:
+    reserved = F.array(*[F.lit(w) for w in RESERVED_WORDS])
+    tbl_ok = F.col("table_name").rlike(SNAKE_RX)
+    col_ok = F.col("column_name").rlike(SNAKE_RX)
+    res = F.array_contains(reserved, F.lower(F.col("column_name")))
+    too_long = F.length("column_name") > NAME_MAX_LEN
+    return (
+        cols.select(
+            "table_name",
+            "column_name",
+            tbl_ok.alias("table_snake_ok"),
+            col_ok.alias("column_snake_ok"),
+            res.alias("reserved_word"),
+            too_long.alias("too_long"),
+            F.when(~tbl_ok | ~col_ok | res | too_long, "rename_recommended")
+            .otherwise("ok")
+            .alias("verdict"),
+        )
+        .orderBy("table_name", "column_name")
+    )
+
+
+def _naming_oracle() -> str:
+    from ..catalog.fixtures import ECOMMERCE_COLUMNS
+
+    words = ", ".join(f"'{w}'" for w in RESERVED_WORDS)
+    return f"""
+WITH columns_meta(database, table_name, column_name, ordinal, data_type,
+                  char_max_length, is_nullable, is_unique, is_primary_key) AS (
+  VALUES
+    {_values(ECOMMERCE_COLUMNS)}
+)
+SELECT table_name, column_name,
+       regexp_matches(table_name, '{SNAKE_RX}') AS table_snake_ok,
+       regexp_matches(column_name, '{SNAKE_RX}') AS column_snake_ok,
+       list_contains([{words}], lower(column_name)) AS reserved_word,
+       length(column_name) > {NAME_MAX_LEN} AS too_long,
+       CASE WHEN NOT regexp_matches(table_name, '{SNAKE_RX}')
+              OR NOT regexp_matches(column_name, '{SNAKE_RX}')
+              OR list_contains([{words}], lower(column_name))
+              OR length(column_name) > {NAME_MAX_LEN}
+            THEN 'rename_recommended' ELSE 'ok' END AS verdict
+FROM columns_meta
+ORDER BY table_name, column_name
+"""
+
+
+def index_redundancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-redundancy lint — the write-amplification counterpart of
+    the reference's missing-index rules (app.py:41-63 flag ABSENT
+    indexes; this flags SUPERFLUOUS ones): per table, the index
+    count, how many index-name PAIRS cover the identical column set
+    (duplicate indexes — pure write cost), and how many non-unique
+    indexes are shadowed by another index on the same columns plus
+    uniqueness. The shipped fixtures are deliberately clean (0s), so
+    the detection path is exercised by a crafted catalog in
+    tests/test_round5_ops.py; the per-table summary rows keep the
+    registered face non-vacuous. Scale: catalog-sized self-join,
+    grouped on (table, column set) — metadata-plane."""
+    return _index_redundancy(fixtures.indexes_meta(spark))
+
+
+def _index_redundancy(idx: DataFrame) -> DataFrame:
+    per_index = idx.groupBy("table_name", "index_name").agg(
+        F.sort_array(F.collect_list("column_name")).alias("cols"),
+        F.max(F.col("is_unique").cast("int")).alias("uniq"),
+    )
+    a = per_index.select(
+        "table_name",
+        F.col("index_name").alias("ix_a"),
+        F.col("cols").alias("cols_a"),
+        F.col("uniq").alias("uniq_a"),
+    )
+    b = per_index.select(
+        "table_name",
+        F.col("index_name").alias("ix_b"),
+        F.col("cols").alias("cols_b"),
+        F.col("uniq").alias("uniq_b"),
+    )
+    pairs = a.join(b, "table_name").filter(F.col("ix_a") < F.col("ix_b"))
+    dup = (F.col("cols_a") == F.col("cols_b")).cast("long")
+    # shadowed: same column set, one unique one not — the non-unique
+    # index adds nothing the unique one doesn't already provide
+    shadowed = (
+        (F.col("cols_a") == F.col("cols_b")) & (F.col("uniq_a") != F.col("uniq_b"))
+    ).cast("long")
+    pair_stats = pairs.groupBy("table_name").agg(
+        F.sum(dup).alias("n_duplicate_pairs"),
+        F.sum(shadowed).alias("n_shadowed_pairs"),
+    )
+    base = per_index.groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("n_indexes"),
+        F.sum("uniq").alias("n_unique_indexes"),
+    )
+    return (
+        base.join(pair_stats, "table_name", "left")
+        .select(
+            "table_name",
+            "n_indexes",
+            F.col("n_unique_indexes").cast("bigint").alias("n_unique_indexes"),
+            F.coalesce("n_duplicate_pairs", F.lit(0)).alias("n_duplicate_pairs"),
+            F.coalesce("n_shadowed_pairs", F.lit(0)).alias("n_shadowed_pairs"),
+        )
+        .orderBy("table_name")
+    )
+
+
+def _index_redundancy_oracle() -> str:
+    from ..catalog.fixtures import ECOMMERCE_INDEXES
+
+    return f"""
+WITH indexes_meta(database, table_name, index_name, column_name, is_unique) AS (
+  VALUES
+    {_values(ECOMMERCE_INDEXES)}
+),
+per_index AS (
+  SELECT table_name, index_name,
+         list_sort(list(column_name)) AS cols,
+         max(CASE WHEN is_unique THEN 1 ELSE 0 END) AS uniq
+  FROM indexes_meta GROUP BY table_name, index_name
+),
+pairs AS (
+  SELECT a.table_name,
+         CASE WHEN a.cols = b.cols THEN 1 ELSE 0 END AS dup,
+         CASE WHEN a.cols = b.cols AND a.uniq != b.uniq THEN 1 ELSE 0 END AS sh
+  FROM per_index a JOIN per_index b
+    ON a.table_name = b.table_name AND a.index_name < b.index_name
+),
+pair_stats AS (
+  SELECT table_name, sum(dup) AS n_duplicate_pairs, sum(sh) AS n_shadowed_pairs
+  FROM pairs GROUP BY table_name
+),
+base AS (
+  SELECT table_name, count(*)::BIGINT AS n_indexes,
+         sum(uniq)::BIGINT AS n_unique_indexes
+  FROM per_index GROUP BY table_name
+)
+SELECT b.table_name, b.n_indexes, b.n_unique_indexes,
+       coalesce(p.n_duplicate_pairs, 0)::BIGINT AS n_duplicate_pairs,
+       coalesce(p.n_shadowed_pairs, 0)::BIGINT AS n_shadowed_pairs
+FROM base b LEFT JOIN pair_stats p ON b.table_name = p.table_name
+ORDER BY b.table_name
+"""
+
+
 QUERIES = {
     "schema_issues": schema_issues,
     "schema_issues_quirks": schema_issues_quirks,
     "schema_issue_summary": schema_issue_summary,
     "pyds_catalog_columns": pyds_catalog_columns,
     "catalog_pii_risk_scan": catalog_pii_risk_scan,
+    "naming_convention_audit": naming_convention_audit,
+    "index_redundancy_audit": index_redundancy_audit,
 }
 
 ORACLES = {
@@ -309,5 +477,6 @@ ORACLES = {
     "schema_issues_quirks": SCHEMA_ISSUES_QUIRKS_ORACLE,
     "schema_issue_summary": _SUMMARY_ORACLE,
     "pyds_catalog_columns": _pyds_columns_oracle(),
-    "catalog_pii_risk_scan": _pii_scan_oracle(),
+    "catalog_pii_risk_scan": _pii_scan_oracle(),    "naming_convention_audit": _naming_oracle(),
+    "index_redundancy_audit": _index_redundancy_oracle(),
 }

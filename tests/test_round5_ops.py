@@ -489,3 +489,52 @@ def test_two_pass_median_matches_python_sort(spark, sf_dir):
     k = (len(ticks) + 1) // 2
     (r,) = exact_median_two_pass(spark, sf_dir).collect()
     assert (r.n_rows, r.k, r.median_cents) == (len(ticks), k, ticks[k - 1])
+
+
+def test_index_redundancy_detects_duplicates_and_shadows(spark):
+    """The shipped fixtures are deliberately clean, so the detection
+    path runs on a crafted catalog: an exact-duplicate pair, a
+    unique-vs-non-unique shadow pair (counted in both), and a clean
+    composite index that must NOT be flagged against its single-column
+    sibling (different column sets)."""
+    from rdbms_metadata_manager_spark.catalog.fixtures import _local_df
+    from rdbms_metadata_manager_spark.catalog.schemas import INDEXES_META_SCHEMA
+    from rdbms_metadata_manager_spark.queries.metadata import _index_redundancy
+
+    rows = [
+        ("db", "t1", "PRIMARY", "id", True),
+        ("db", "t1", "ix_a", "email", False),
+        ("db", "t1", "ix_b", "email", False),       # duplicate of ix_a
+        ("db", "t1", "uq_email", "email", True),     # shadows ix_a and ix_b
+        ("db", "t2", "ix_comp", "a", False),         # composite (a, b)
+        ("db", "t2", "ix_comp", "b", False),
+        ("db", "t2", "ix_a_only", "a", False),       # NOT the same set
+    ]
+    got = {
+        r.table_name: (
+            r.n_indexes,
+            r.n_unique_indexes,
+            r.n_duplicate_pairs,
+            r.n_shadowed_pairs,
+        )
+        for r in _index_redundancy(_local_df(spark, rows, INDEXES_META_SCHEMA)).collect()
+    }
+    # t1 pairs on {email}: (ix_a,ix_b) dup, (ix_a,uq) dup+shadow,
+    # (ix_b,uq) dup+shadow -> 3 duplicate pairs, 2 shadowed
+    assert got == {"t1": (4, 2, 3, 2), "t2": (2, 0, 0, 0)}, got
+
+
+def test_naming_audit_flags_fixture_pascal_case(spark, sf_dir):
+    """The ecommerce fixture's PascalCase tables must all be flagged;
+    snake_case tables pass; no reserved/too-long in the fixture."""
+    from rdbms_metadata_manager_spark.queries.metadata import naming_convention_audit
+
+    rows = naming_convention_audit(spark, sf_dir).collect()
+    by_tbl = {}
+    for r in rows:
+        by_tbl.setdefault(r.table_name, set()).add(
+            (r.table_snake_ok, r.verdict)
+        )
+    assert by_tbl["Users"] == {(False, "rename_recommended")}
+    assert by_tbl["orders_teste"] == {(True, "ok")}
+    assert not any(r.reserved_word or r.too_long for r in rows)
