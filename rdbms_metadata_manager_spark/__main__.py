@@ -58,6 +58,10 @@ def load_dotenv(path: str = ".env") -> None:
         key, val = key.strip(), val.strip()
         if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
             val = val[1:-1]
+        elif " #" in val:
+            # python-dotenv strips inline comments from UNQUOTED
+            # values; quoted values keep their '#' (handled above)
+            val = val.split(" #", 1)[0].rstrip()
         if key and key not in os.environ:
             os.environ[key] = val
 
@@ -81,7 +85,7 @@ def main() -> int:
         # client in this environment): mysql://[host]/<db>[?socket=<path>]
         # — also accepts the reference's own mysql+pymysql:// URL shape
         # (reference README.md:20).
-        from urllib.parse import parse_qs, urlparse
+        from urllib.parse import parse_qs, unquote, urlparse
 
         from .catalog import mysql_live
 
@@ -96,8 +100,11 @@ def main() -> int:
             database_name,
             socket=sock,
             host=u.hostname,
-            user=u.username or "root",
-            password=u.password,
+            # urlparse leaves userinfo percent-encoded; a password
+            # with '@'/':' MUST be written encoded in the URL, so
+            # decode before handing it to the client
+            user=unquote(u.username) if u.username else "root",
+            password=unquote(u.password) if u.password is not None else None,
         )
     elif db_url.startswith("psql://"):
         # live PostgreSQL over the psql transport (no JDBC jar in

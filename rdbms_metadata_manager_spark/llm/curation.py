@@ -833,8 +833,9 @@ def rag_chunk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     [1+iS, 1+iS+W). All counts integer-exact; the fingerprint is the
     shared md5-h32 (chunks shuffle as 8-byte hashes, never text).
 
-    Scale: one corpus scan; the chunk relation is explode-generated
-    JVM-side (sequence → transform → slice, all codegen) and the
+    Scale: per-doc chunk counts and word mass are CLOSED FORMS (no
+    explode); one generator pass produces the chunk fingerprints
+    (sequence → transform → slice → h32, all codegen) and the
     per-source rollup shuffles (source, hash) pairs only. At 100 TB
     this is the chunker run before embedding — the plan IS the
     production chunking job with embeddings stubbed out."""
@@ -847,27 +848,30 @@ def rag_chunk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = F.lit(1) + F.expr(
         f"(greatest(0, size(words) - {W}) + {S} - 1) div {S}"
     )
-    chunks = docs.select(
-        "doc_id",
+    # Per-doc chunk stats need NO explode: every chunk except the
+    # last is exactly W words (for i ≤ nc−2, i·S + W < n by the nc
+    # definition), so chunk_words = (nc−1)·W + (n − (nc−1)·S) in
+    # closed form. The explode below exists ONLY for the distinct
+    # fingerprints — one generator pass over the corpus, not two
+    # (review r5 finding; the oracle keeps its explicit explode as
+    # the independent witness of the closed form).
+    per_doc = docs.select(
         "source",
         F.size("words").alias("n_words"),
+        n_chunks.alias("n_chunks"),
+    ).withColumn(
+        "chunk_words",
+        (F.col("n_chunks") - 1) * W
+        + F.least(F.lit(W), F.col("n_words") - (F.col("n_chunks") - 1) * S),
+    )
+    chunk_hashes = docs.select(
+        "source",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.concat_ws(" ", F.slice("words", i * S + 1, W)),
+                lambda i: h32(F.concat_ws(" ", F.slice("words", i * S + 1, W))),
             )
-        ).alias("chunk"),
-    ).select(
-        "doc_id",
-        "source",
-        "n_words",
-        F.size(F.split("chunk", " ")).alias("chunk_words"),
-        h32(F.col("chunk")).alias("chunk_h"),
-    )
-    per_doc = chunks.groupBy("doc_id", "source").agg(
-        F.max("n_words").alias("n_words"),
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("chunk_words").alias("chunk_words"),
+        ).alias("chunk_h"),
     )
     return (
         per_doc.groupBy("source")
@@ -878,7 +882,7 @@ def rag_chunk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_words").alias("n_chunk_words"),
         )
         .join(
-            chunks.groupBy("source").agg(
+            chunk_hashes.groupBy("source").agg(
                 F.countDistinct("chunk_h").alias("n_distinct_chunks")
             ),
             "source",

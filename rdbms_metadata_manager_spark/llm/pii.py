@@ -311,17 +311,26 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuous — every class matches the global mix). Reports class
     counts, worst TVD, and the per-mille of records in far classes.
 
-    Plan: one (QI, segment) rollup, one ≤|segments|-row global rollup
+    Plan: ONE (QI, segment) rollup (checkpointed — four consumers),
+    one ≤|segments|-row global rollup
     broadcast and CROSSED against the class relation (absent segments
     must still contribute |0 − p_g| — a plain join would silently
     drop them), then the class-level fold. Every relation after the
     first rollup is bounded by QI-space × |segments|, never rows."""
     customer = load_spread(spark, sf_dir, "customer", "c_custkey")
-    cells = customer.groupBy(
-        "c_nationkey",
-        F.floor(F.col("c_acctbal") / 100).alias("balance_band"),
-        "c_mktsegment",
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # four consumers (classes, global mix, total, probe join) derive
+    # from this rollup: localCheckpoint so the corpus is scanned ONCE
+    # and the QI-bounded cells relation feeds all of them (review r5
+    # finding — without it Catalyst plans four independent scans)
+    cells = (
+        customer.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 100).alias("balance_band"),
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     classes = cells.groupBy("c_nationkey", "balance_band").agg(
         F.sum("cnt").alias("class_n")
     )

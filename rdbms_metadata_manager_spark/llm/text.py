@@ -803,26 +803,31 @@ def source_signature_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens would scale the 10⁶ down or bucket the marginals).
 
     Scale: ONE (source, word) aggregate over the corpus (map-side
-    combined); the row/column marginals are windows over that
-    contingency relation — same lineage, no second scan. Top-K plans
-    as TakeOrdered. Ties break (word, source) so the cut is
-    deterministic."""
-    from pyspark.sql import Window
-
+    combined), CHECKPOINTED — the contingency relation then feeds the
+    three marginal aggregates without re-scanning the corpus. The
+    marginals attach as joins (per-source totals broadcast, per-word
+    totals word-keyed, grand total a 1-row broadcast) — the earlier
+    window form computed the grand total with an UNPARTITIONED window
+    over the vocabulary×sources relation (the last single-partition
+    window the round-5 warning hunt found; at 100 TB that relation is
+    billions of cells on one executor). Top-K plans as TakeOrdered.
+    Ties break (word, source) so the cut is deterministic."""
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
     cells = (
         docs.select("source", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
     )
-    marg = cells.select(
-        "source",
-        "word",
-        "o",
-        F.sum("o").over(Window.partitionBy("source")).alias("r"),
-        F.sum("o").over(Window.partitionBy("word")).alias("c"),
-        F.sum("o").over(Window.partitionBy()).alias("n"),
+    rows_m = cells.groupBy("source").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("word").agg(F.sum("o").alias("c"))
+    n_m = rows_m.agg(F.sum("r").alias("n"))
+    marg = (
+        cells.join(F.broadcast(rows_m), "source")
+        .join(cols_m, "word")
+        .crossJoin(F.broadcast(n_m))
+        .select("source", "word", "o", "r", "c", "n")
     )
     chi = marg.select(
         "source",
@@ -895,10 +900,13 @@ def code_prose_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     n_sym = n_chars - F.length(F.regexp_replace("text", CODE_SYMBOL_CLASS, ""))
     n_digit = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    # widen to bigint BEFORE the ×1000: length() is int32 and the
+    # product wraps on multi-MB documents (review r5 finding — DuckDB
+    # length() is BIGINT-native and would diverge exactly there)
     scored = docs.select(
         "source",
-        (F.lit(1000) * n_sym).cast("bigint").alias("_sym_k"),
-        (F.lit(1000) * n_digit).cast("bigint").alias("_dig_k"),
+        (F.lit(1000) * n_sym.cast("bigint")).alias("_sym_k"),
+        (F.lit(1000) * n_digit.cast("bigint")).alias("_dig_k"),
         n_chars.cast("bigint").alias("_n"),
     ).select(
         "source",

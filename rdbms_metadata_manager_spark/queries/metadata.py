@@ -321,7 +321,11 @@ def _naming_audit(cols: DataFrame) -> DataFrame:
     reserved = F.array(*[F.lit(w) for w in RESERVED_WORDS])
     tbl_ok = F.col("table_name").rlike(SNAKE_RX)
     col_ok = F.col("column_name").rlike(SNAKE_RX)
-    res = F.array_contains(reserved, F.lower(F.col("column_name")))
+    # reserved words force quoting EVERYWHERE — a table named 'order'
+    # is the canonical case, so both identifiers are checked
+    res = F.array_contains(reserved, F.lower(F.col("column_name"))) | F.array_contains(
+        reserved, F.lower(F.col("table_name"))
+    )
     too_long = F.length("column_name") > NAME_MAX_LEN
     return (
         cols.select(
@@ -352,11 +356,13 @@ WITH columns_meta(database, table_name, column_name, ordinal, data_type,
 SELECT table_name, column_name,
        regexp_matches(table_name, '{SNAKE_RX}') AS table_snake_ok,
        regexp_matches(column_name, '{SNAKE_RX}') AS column_snake_ok,
-       list_contains([{words}], lower(column_name)) AS reserved_word,
+       (list_contains([{words}], lower(column_name))
+         OR list_contains([{words}], lower(table_name))) AS reserved_word,
        length(column_name) > {NAME_MAX_LEN} AS too_long,
        CASE WHEN NOT regexp_matches(table_name, '{SNAKE_RX}')
               OR NOT regexp_matches(column_name, '{SNAKE_RX}')
               OR list_contains([{words}], lower(column_name))
+              OR list_contains([{words}], lower(table_name))
               OR length(column_name) > {NAME_MAX_LEN}
             THEN 'rename_recommended' ELSE 'ok' END AS verdict
 FROM columns_meta

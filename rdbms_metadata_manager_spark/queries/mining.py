@@ -1016,21 +1016,8 @@ def _bfs_oracle() -> str:
         """bo AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
 )""",
-        "v0 AS MATERIALIZED (SELECT min(a) AS node, 0 AS dist FROM e0)",
-        "f0 AS MATERIALIZED (SELECT node FROM v0)",
     ]
-    for r in range(1, BFS_ROUNDS + 1):
-        p_ = r - 1
-        ctes.append(
-            f"""f{r} AS MATERIALIZED (
-  SELECT DISTINCT b.dst AS node
-  FROM bo b JOIN f{p_} f ON b.src = f.node
-  WHERE b.dst NOT IN (SELECT node FROM v{p_})
-)"""
-        )
-        ctes.append(
-            f"v{r} AS MATERIALIZED (SELECT * FROM v{p_} UNION ALL SELECT node, {r} FROM f{r})"
-        )
+    ctes += _bfs_chain_ctes("", "SELECT min(a) AS node FROM e0", BFS_ROUNDS)
     last = f"v{BFS_ROUNDS}"
     return (
         "WITH "

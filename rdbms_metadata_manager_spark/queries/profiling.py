@@ -857,6 +857,12 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n_rows = sum(r.n for r in hist)
+    if n_rows == 0:
+        # degenerate-input contract: empty relation -> one sane row
+        # (n=0, k=0, NULL median), never a driver-side TypeError
+        return spark.createDataFrame(
+            [(0, 0, None)], "n_rows bigint, k bigint, median_cents bigint"
+        )
     k = (n_rows + 1) // 2
     cum = 0
     target_b, offset = None, None

@@ -108,6 +108,8 @@ def test_dotenv_parser_env_var_wins_and_quotes_strip(tmp_path, monkeypatch):
         "ALREADY=file\n"
         "# C=commented\n"
         "NOEQ\n"
+        "D=value # inline comment\n"
+        'E="kept # hash"\n'
     )
     monkeypatch.delenv("A", raising=False)
     monkeypatch.delenv("B", raising=False)
@@ -118,3 +120,8 @@ def test_dotenv_parser_env_var_wins_and_quotes_strip(tmp_path, monkeypatch):
     assert os.environ["B"] == "bare"
     assert os.environ["ALREADY"] == "process"  # override=False semantics
     assert "C" not in os.environ
+    monkeypatch.delenv("D", raising=False)
+    monkeypatch.delenv("E", raising=False)
+    load_dotenv(str(p))
+    assert os.environ["D"] == "value"      # unquoted: inline comment stripped
+    assert os.environ["E"] == "kept # hash"  # quoted: hash preserved

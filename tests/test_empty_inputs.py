@@ -236,3 +236,41 @@ def test_time_to_convert_on_empty_corpus_is_one_zero_row(spark, empty_dir):
     r = rows[0]
     assert r.n_converted == 0
     assert r.min_s is None and r.p50_s is None and r.max_s is None
+
+
+@pytest.mark.parametrize(
+    "mod_name, query",
+    [
+        # round-5 additions (0-row-output class)
+        ("queries.forecast", "holt_trend_daily_events"),
+        ("llm.curation", "rag_chunk_overlap_stats"),
+        ("llm.text", "code_prose_detector"),
+        ("llm.sampling", "epoch_shuffle_shards"),
+        ("queries.skew", "selfjoin_size_estimate"),
+        ("llm.clustering", "dedup_keep_best"),
+    ],
+)
+def test_round5_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
+    import importlib
+
+    mod = importlib.import_module(f"rdbms_metadata_manager_spark.{mod_name}")
+    df = mod.QUERIES[query](spark, empty_dir)
+    assert df.count() == 0
+    assert len(df.columns) > 0
+
+
+def test_round5_summary_ops_survive_empty_corpus(spark, empty_dir):
+    """Single-row-summary round-5 ops must return a sane row (or no
+    row), never throw, on zero-row inputs."""
+    from rdbms_metadata_manager_spark.llm.pii import t_closeness_audit
+    from rdbms_metadata_manager_spark.queries.mining import diameter_double_sweep
+    from rdbms_metadata_manager_spark.queries.profiling import exact_median_two_pass
+
+    (m,) = exact_median_two_pass(spark, empty_dir).collect()
+    assert (m.n_rows, m.k, m.median_cents) == (0, 0, None)
+
+    (t,) = t_closeness_audit(spark, empty_dir).collect()
+    assert t.n_classes == 0
+
+    rows = diameter_double_sweep(spark, empty_dir).collect()
+    assert len(rows) <= 1  # empty graph: at most a NULL-hub row
