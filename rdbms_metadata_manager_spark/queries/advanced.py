@@ -519,7 +519,125 @@ ORDER BY d.label
 """
 
 
+
+ATTRIB_WINDOW_DAYS = 7
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch revenue attribution — the marketing-
+    analytics workhorse next to [[asof_join_last_click]]'s last-touch
+    face: every purchase's value splits EQUALLY across the same
+    user's non-purchase touchpoints in the preceding 7 days, and the
+    report rolls attributed revenue up per touch channel
+    (event_type). Purchases with no preceding touch report under
+    '(none)'. Exact integer split: each touch gets value_cents div n,
+    the LATEST touch (ts, event_id tiebreak) absorbs the remainder —
+    total attributed cents equals total purchase cents by
+    construction, the invariant the test pins.
+
+    Scale: one user-keyed equi-join with a time-range predicate
+    (fanout bounded by a user's 7-day activity, never cross-user),
+    one per-conversion rank window (group size = that fanout), one
+    channel rollup. All integer cents; the 7-day bound is what keeps
+    state linear at 100 TB."""
+    e = load_spread(spark, sf_dir, "events", "user_id")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("conv_us"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("value_cents"),
+    )
+    touch = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("touch_us"),
+    )
+    win_us = ATTRIB_WINDOW_DAYS * 86400 * 1_000_000
+    pairs = conv.join(
+        touch,
+        (conv["user_id"] == touch["user_id"])
+        & (touch["touch_us"] < conv["conv_us"])
+        & (touch["touch_us"] >= conv["conv_us"] - F.lit(win_us)),
+    ).select("conv_id", "value_cents", "channel", "touch_us", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.desc("touch_us"), F.desc("touch_id")
+    )
+    attributed = (
+        pairs.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "channel",
+            (
+                F.expr("value_cents div n")
+                + F.when(
+                    F.col("rk") == 1, F.expr("value_cents - n * (value_cents div n)")
+                ).otherwise(F.lit(0))
+            ).alias("cents"),
+        )
+    )
+    untouched = (
+        conv.join(
+            pairs.select("conv_id").distinct(),
+            "conv_id",
+            "left_anti",
+        )
+        .select(F.lit("(none)").alias("channel"), F.col("value_cents").alias("cents"))
+    )
+    return (
+        attributed.unionAll(untouched)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touchpoints"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTRIB_SQL = f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS touch_id, event_type AS channel,
+         epoch_us(ts) AS touch_us
+  FROM events WHERE event_type != 'purchase'
+),
+pairs AS (
+  SELECT c.conv_id, c.value_cents, t.channel, t.touch_us, t.touch_id
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.touch_us < c.conv_us
+   AND t.touch_us >= c.conv_us - {ATTRIB_WINDOW_DAYS}::BIGINT * 86400 * 1000000
+),
+attributed AS (
+  SELECT channel,
+         value_cents // n
+           + CASE WHEN rk = 1 THEN value_cents - n * (value_cents // n)
+                  ELSE 0 END AS cents
+  FROM (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_us DESC, touch_id DESC) AS rk
+        FROM pairs)
+),
+untouched AS (
+  SELECT '(none)' AS channel, value_cents AS cents
+  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM pairs)
+)
+SELECT channel, count(*)::BIGINT AS n_touchpoints,
+       sum(cents)::BIGINT AS attributed_cents
+FROM (SELECT * FROM attributed UNION ALL SELECT * FROM untouched)
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 QUERIES = {
+    "multi_touch_attribution": multi_touch_attribution,
     "listagg_nations_per_region": listagg_nations_per_region,
     "asof_join_last_click": asof_join_last_click,
     "map_functions_events": map_functions_events,
@@ -539,6 +657,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multi_touch_attribution": _ATTRIB_SQL,
     "listagg_nations_per_region": _LISTAGG_SQL,
     "asof_join_last_click": _ASOF_SQL,
     "map_functions_events": _MAP_SQL,

@@ -538,3 +538,56 @@ def test_naming_audit_flags_fixture_pascal_case(spark, sf_dir):
     assert by_tbl["Users"] == {(False, "rename_recommended")}
     assert by_tbl["orders_teste"] == {(True, "ok")}
     assert not any(r.reserved_word or r.too_long for r in rows)
+
+
+def test_attribution_conserves_revenue_and_matches_python(spark, sf_dir):
+    """Total attributed cents (including '(none)') must equal total
+    purchase cents exactly, and the per-channel rollup must match a
+    plain Python attribution over collected events."""
+    import math
+    from collections import defaultdict
+
+    from rdbms_metadata_manager_spark.queries.advanced import (
+        ATTRIB_WINDOW_DAYS,
+        multi_touch_attribution,
+    )
+    from rdbms_metadata_manager_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "events").collect()
+    win = ATTRIB_WINDOW_DAYS * 86400 * 1_000_000
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    agg = defaultdict(lambda: [0, 0])
+    total_purchase = 0
+    for evs in by_user.values():
+        purchases = [r for r in evs if r.event_type == "purchase"]
+        touches = [r for r in evs if r.event_type != "purchase"]
+        for p in purchases:
+            cents = math.floor(p.value * 100 + 0.5)
+            total_purchase += cents
+            pus = int(p.ts.timestamp() * 1_000_000)
+            cand = [
+                t for t in touches
+                if pus - win <= int(t.ts.timestamp() * 1_000_000) < pus
+            ]
+            if not cand:
+                agg["(none)"][0] += 1
+                agg["(none)"][1] += cents
+                continue
+            n = len(cand)
+            latest = max(
+                cand, key=lambda t: (int(t.ts.timestamp() * 1_000_000), t.event_id)
+            )
+            for t in cand:
+                share = cents // n
+                if t is latest:
+                    share += cents - n * (cents // n)
+                agg[t.event_type][0] += 1
+                agg[t.event_type][1] += share
+    got = {
+        r.channel: (r.n_touchpoints, r.attributed_cents)
+        for r in multi_touch_attribution(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert sum(v[1] for v in agg.values()) == total_purchase
