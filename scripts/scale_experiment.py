@@ -61,6 +61,9 @@ TEXT_KERNELS = [
     # token renaming preserves each replica's families exactly, so
     # output rows grow exactly Kx.
     "cluster_safe_split",
+    # round-5: keeper selection rides the same families × the scorer
+    # (renaming preserves scores per replica) — drop rows grow Kx.
+    "dedup_keep_best",
 ]
 # Embedding kernels block with FIXED parameters (K=8 clusters,
 # 2^6 LSH buckets) pinned by their oracles; at fixed parameters the
@@ -112,11 +115,24 @@ FIXED_OUTPUT_KERNELS = [
     "similarity_binary_rerank",
     "retrieval_eval_metrics",
     "coreset_kcenter_sample",
+    # round-5 fixed-output additions: per-source / per-type / 1-row
+    # reports — corpus work grows Kx, rows stay flat (replicas keep
+    # the original source/event_type values; events replicate with
+    # offset user/event ids so per-user fanout stays bounded).
+    "rag_chunk_overlap_stats",
+    "code_prose_detector",
+    "epoch_shuffle_shards",
+    "exact_median_two_pass",
+    "holt_trend_daily_events",
+    "selfjoin_size_estimate",
+    "multi_touch_attribution",
+    "diameter_double_sweep",
 ]
 
-# versioned: v2 replicas additionally carry lineitem.parquet; a v1 _done
-# marker must not serve a dir that lacks it
-_DONE = "_done_v2"
+# versioned: v2 replicas added lineitem.parquet, v3 adds
+# events.parquet; an old _done marker must not serve a dir that
+# lacks the newer tables
+_DONE = "_done_v3"
 
 DOC_OFFSET = 10_000_000
 VEC_OFFSET = 10_000_000
@@ -177,6 +193,22 @@ def build_replica_dir(spark, k: int) -> str:
     for p in li_parts[1:]:
         l = l.unionByName(p)
     l.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    ev = load(spark, BASE, "events")
+    ev_parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(r * DOC_OFFSET)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(r * DOC_OFFSET)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for r in range(k)
+    ]
+    v = ev_parts[0]
+    for p in ev_parts[1:]:
+        v = v.unionByName(p)
+    v.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
     open(f"{out}/{_DONE}", "w").close()
     return out
 
