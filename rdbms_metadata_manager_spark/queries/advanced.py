@@ -523,6 +523,46 @@ ORDER BY d.label
 ATTRIB_WINDOW_DAYS = 7
 
 
+def bitwise_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family over event ids — the last scalar
+    family the function faces didn't cover (strings/dates/math/
+    arrays/maps each have one): AND/OR/XOR, shifts, bit_count, NOT,
+    plus the flag-extraction idiom ((id >> k) & 1) every bitmap/
+    permission column decodes with. All int64, bit-identical across
+    engines by definition. Scale: pure projection."""
+    e = load_spread(spark, sf_dir, "events", "user_id").filter(
+        F.col("event_id") < 50
+    )
+    return e.select(
+        "event_id",
+        F.expr("event_id & 2863311530").alias("band"),
+        F.expr("event_id | 5").alias("bor"),
+        F.expr("event_id ^ user_id").alias("bxor"),
+        F.expr("shiftleft(event_id, 3)").alias("shl"),
+        F.expr("shiftright(event_id, 1)").alias("shr"),
+        F.expr("bit_count(event_id)").cast("bigint").alias("nbits"),
+        F.expr("~event_id").alias("bnot"),
+        F.expr("(event_id >> 2) & 1").cast("bigint").alias("flag2"),
+    ).orderBy("event_id")
+
+
+_BITWISE_SQL = """
+SELECT event_id,
+       event_id & 2863311530 AS band,
+       event_id | 5 AS bor,
+       xor(event_id, user_id) AS bxor,
+       event_id << 3 AS shl,
+       event_id >> 1 AS shr,
+       bit_count(event_id)::BIGINT AS nbits,
+       ~event_id AS bnot,
+       ((event_id >> 2) & 1)::BIGINT AS flag2
+FROM events
+WHERE event_id < 50
+ORDER BY event_id
+"""
+
+
+
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch revenue attribution — the marketing-
     analytics workhorse next to [[asof_join_last_click]]'s last-touch
@@ -637,6 +677,7 @@ ORDER BY channel
 
 
 QUERIES = {
+    "bitwise_functions_events": bitwise_functions_events,
     "multi_touch_attribution": multi_touch_attribution,
     "listagg_nations_per_region": listagg_nations_per_region,
     "asof_join_last_click": asof_join_last_click,
@@ -657,6 +698,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bitwise_functions_events": _BITWISE_SQL,
     "multi_touch_attribution": _ATTRIB_SQL,
     "listagg_nations_per_region": _LISTAGG_SQL,
     "asof_join_last_click": _ASOF_SQL,
