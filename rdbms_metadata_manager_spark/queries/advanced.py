@@ -587,8 +587,12 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("conv_us"),
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("value_cents"),
     )
+    # distinct column name on the touch side: both sides share the
+    # events lineage, and a same-name dataframe-qualified equality
+    # triggers Spark's ambiguous-self-join heuristics (resolution via
+    # plan ids is correct, but the explicit rename is unambiguous)
     touch = e.filter(F.col("event_type") != "purchase").select(
-        "user_id",
+        F.col("user_id").alias("t_user"),
         F.col("event_id").alias("touch_id"),
         F.col("event_type").alias("channel"),
         F.unix_micros("ts").alias("touch_us"),
@@ -596,9 +600,9 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_us = ATTRIB_WINDOW_DAYS * 86400 * 1_000_000
     pairs = conv.join(
         touch,
-        (conv["user_id"] == touch["user_id"])
-        & (touch["touch_us"] < conv["conv_us"])
-        & (touch["touch_us"] >= conv["conv_us"] - F.lit(win_us)),
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - F.lit(win_us)),
     ).select("conv_id", "value_cents", "channel", "touch_us", "touch_id")
     wn = Window.partitionBy("conv_id")
     wr = Window.partitionBy("conv_id").orderBy(
