@@ -43,50 +43,53 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, assigned = trained_assignments(emb, cache_key=sf_dir)
 
-    # Within-cluster pairwise cosine, two-stage for whole-stage
-    # codegen: a zip_with/aggregate cosine straight on the pair join
-    # runs the lambda INTERPRETED per pair (~16 s for 250 k pairs ×
-    # 64 dims at sf0.1; ROADMAP HOF-vs-Arrow note), so stage 1
-    # computes dot products RELATIONALLY — posexplode each member
-    # once, join the dims on (cluster, pos), partial-agg the products
-    # — all codegen. The (cluster, pos) equi-join sees EVERY dim of
-    # both members, so the same partial-agg also yields both squared
-    # norms (sum(ax²), sum(bx²)) for free — no norms relation, no
-    # norm joins at all (VERDICT r4 "what's wrong" #2 flagged the
-    # earlier form for broadcasting corpus-sized norm/vector
-    # relations). The groupBy sums are aggregation-order-
-    # nondeterministic, so stage 1 only PREFILTERS with an ε margin;
-    # stage 2 re-checks survivors (a few hundred) with the ordered-
-    # fold cosine, keeping the ≥ τ cut bit-identical to the SQL
-    # oracle. At 100 TB the (cluster, pos) join is the bounded step:
+    # Within-cluster pairwise cosine, two-stage: stage 1 PREFILTERS
+    # with an ε margin, stage 2 re-checks survivors (a few hundred)
+    # with the ordered-fold cosine, keeping the ≥ τ cut bit-identical
+    # to the SQL oracle. The prefilter is a per-cluster Arrow matmul
+    # (``applyInPandas``: one n_c×64 block → X·Xᵀ → emit only the
+    # above-margin (aid, bid) pairs) — the gram.py heavy-kernel
+    # route: a zip_with/aggregate cosine on a pair join runs the
+    # lambda INTERPRETED (~16 s at sf0.1; ROADMAP HOF-vs-Arrow note),
+    # and the earlier relational posexplode/(cluster,pos)-join form,
+    # while codegen, shuffled Σ n_c² product rows (measured 3.5 s vs
+    # ~1.5 s for this kernel). Only the ε-margin CANDIDATES leave the
+    # kernel, so stage 1's float-sum nondeterminism never reaches the
+    # output. At 100 TB the per-cluster block is the bounded unit:
     # pair volume is Σ n_c², controlled by the cluster count / a cap
-    # on cluster size, and shuffles carry only (id, id, products).
-    dims = assigned.select("vec_id", "cluster", F.posexplode("v").alias("pos", "x"))
-    a = dims.select(F.col("vec_id").alias("aid"), "cluster", "pos", F.col("x").alias("ax"))
-    b = dims.select(
-        F.col("vec_id").alias("bid"),
-        F.col("cluster").alias("bcl"),
-        F.col("pos").alias("bpos"),
-        F.col("x").alias("bx"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("cluster") == F.col("bcl"))
-            & (F.col("pos") == F.col("bpos"))
-            & (F.col("aid") < F.col("bid")),
+    # on cluster size; one shuffle on cluster id, blocks never
+    # cross-join.
+    import pandas as pd
+
+    margin = SEMDEDUP_COSINE - 1e-6
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"aid": [], "bid": [], "cluster": []}).astype(
+                {"aid": "int64", "bid": "int64", "cluster": "int64"}
+            )
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        x = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+        norms = np.sqrt((x * x).sum(axis=1))
+        norms[norms == 0.0] = np.inf  # zero vectors can never pass the margin
+        cos = (x @ x.T) / norms[:, None] / norms[None, :]
+        ia, ib = np.where(cos >= margin)
+        keep = ids[ia] < ids[ib]
+        lo = np.minimum(ids[ia][keep], ids[ib][keep])
+        hi = np.maximum(ids[ia][keep], ids[ib][keep])
+        return pd.DataFrame(
+            {
+                "aid": lo,
+                "bid": hi,
+                "cluster": np.full(len(lo), pdf["cluster"].iat[0], dtype="int64"),
+            }
         )
-        .groupBy("aid", "bid", "cluster")
-        .agg(
-            F.sum(F.col("ax") * F.col("bx")).alias("dot"),
-            F.sum(F.col("ax") * F.col("ax")).alias("na2"),
-            F.sum(F.col("bx") * F.col("bx")).alias("nb2"),
-        )
-        .filter(
-            F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))
-            >= SEMDEDUP_COSINE - 1e-6
-        )
-        .select("aid", "bid", "cluster")
+
+    cand = assigned.groupBy("cluster").applyInPandas(
+        _block_pairs, "aid long, bid long, cluster long"
     )
     # Verify joins: the corpus-sized vector relation is the PROBE
     # side; the candidate set (ε-prefilter survivors, a few hundred

@@ -493,15 +493,16 @@ def test_semdedup_pair_stage_is_codegen_no_cartesian(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "partial_sum" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan  # per-cluster Arrow pair kernel
     assert "BroadcastHashJoin" in plan, plan
     subs = _broadcast_subtrees(plan)
     assert subs, plan
     for sub in subs:
-        # hinted build side is cand (HashAggregate of the pair join)
-        # or cand_a (a join above that aggregate) — a subtree that is
-        # only Project/Filter/Scan over embeddings is the corpus
-        assert "HashAggregate" in sub or "Join" in sub, plan
+        # hinted build side is cand (the per-cluster Arrow pair
+        # kernel) or cand_a (a join above it) — never a bare corpus
+        # relation (no parquet scan may sit directly under a
+        # broadcast without the candidate kernel/join above it)
+        assert "FlatMapGroupsInPandas" in sub or "Join" in sub, plan
 
 
 def test_dsir_is_two_token_keyed_shuffles_with_partial_aggs(spark, sf_dir):
