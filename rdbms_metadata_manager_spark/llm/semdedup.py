@@ -66,25 +66,28 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"aid": [], "bid": [], "cluster": []}).astype(
-                {"aid": "int64", "bid": "int64", "cluster": "int64"}
-            )
+        empty = pd.DataFrame({"aid": [], "bid": [], "cluster": []}).astype(
+            {"aid": "int64", "bid": "int64", "cluster": "int64"}
+        )
+        # NULL/ragged vectors can never pair (the oracle's indexed
+        # cosine goes NULL and drops them); filter BEFORE np.stack,
+        # which would otherwise raise on them and crash the query
+        ok = pdf["v"].map(lambda v: v is not None and len(v) == DIM)
+        pdf = pdf[ok]
+        if len(pdf) < 2:
+            return empty
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         x = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"]])
         norms = np.sqrt((x * x).sum(axis=1))
         norms[norms == 0.0] = np.inf  # zero vectors can never pass the margin
         cos = (x @ x.T) / norms[:, None] / norms[None, :]
         ia, ib = np.where(cos >= margin)
-        keep = ids[ia] < ids[ib]
-        lo = np.minimum(ids[ia][keep], ids[ib][keep])
-        hi = np.maximum(ids[ia][keep], ids[ib][keep])
+        keep = ids[ia] < ids[ib]  # also drops the diagonal and dedups (i,j)/(j,i)
         return pd.DataFrame(
             {
-                "aid": lo,
-                "bid": hi,
-                "cluster": np.full(len(lo), pdf["cluster"].iat[0], dtype="int64"),
+                "aid": ids[ia][keep],
+                "bid": ids[ib][keep],
+                "cluster": np.full(int(keep.sum()), pdf["cluster"].iat[0], dtype="int64"),
             }
         )
 

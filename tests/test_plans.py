@@ -471,14 +471,15 @@ def _broadcast_subtrees(plan: str) -> list[str]:
 
 
 def test_semdedup_pair_stage_is_codegen_no_cartesian(spark, sf_dir):
-    """The within-cluster pair stage must be the RELATIONAL dot
-    product (posexplode + equi-join on (cluster, pos) + partial-agg,
-    norms folded into the SAME partial-agg), never a cartesian/
-    nested-loop pair join carrying full vectors. Verify joins
-    broadcast the CANDIDATE side only: no corpus-sized relation may
-    sit on a build side (VERDICT r4 #2) — every BroadcastExchange
-    subtree must contain the candidate aggregate, never a bare
-    embeddings scan."""
+    """The within-cluster pair stage must be the per-cluster ARROW
+    matmul kernel (one grouped FlatMapGroupsInPandas — the measured
+    winner over both the interpreted HOF cosine and the relational
+    posexplode join), never a cartesian/nested-loop pair join
+    carrying full vectors. Verify joins broadcast the CANDIDATE side
+    only: no corpus-sized relation may sit on a build side (VERDICT
+    r4 #2) — every BroadcastExchange subtree must contain the
+    candidate kernel or a join above it, never a bare embeddings
+    scan."""
     from rdbms_metadata_manager_spark.llm.semdedup import semdedup_embedding_clusters
 
     # Pin auto-broadcast OFF so the plan shows only the EXPLICIT

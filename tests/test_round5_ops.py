@@ -579,10 +579,13 @@ def test_attribution_conserves_revenue_and_matches_python(spark, sf_dir):
             latest = max(
                 cand, key=lambda t: (int(t.ts.timestamp() * 1_000_000), t.event_id)
             )
+            # TRUNCATING division, matching Spark div / DuckDB //
+            # (Python // floors — diverges on negative refund values)
+            q = abs(cents) // n if cents >= 0 else -(abs(cents) // n)
             for t in cand:
-                share = cents // n
+                share = q
                 if t is latest:
-                    share += cents - n * (cents // n)
+                    share += cents - n * q
                 agg[t.event_type][0] += 1
                 agg[t.event_type][1] += share
     got = {
@@ -591,3 +594,39 @@ def test_attribution_conserves_revenue_and_matches_python(spark, sf_dir):
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
     assert sum(v[1] for v in agg.values()) == total_purchase
+
+
+def test_semdedup_block_kernel_tolerates_null_and_ragged_vectors(spark, sf_dir):
+    """The Arrow prefilter must DROP null/short embedding vectors
+    (the oracle's indexed cosine goes NULL for them) rather than
+    crash in np.stack — the degenerate input the relational form it
+    replaced tolerated silently."""
+    import duckdb
+
+    from rdbms_metadata_manager_spark.llm import semdedup as sd
+
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE e(vec_id BIGINT, embedding FLOAT[], label INTEGER)
+        """
+    )
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)], i % 3))
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    # one NULL vector and one ragged (8-dim) vector
+    con.execute("INSERT INTO e VALUES (100, NULL, 0)")
+    con.execute("INSERT INTO e VALUES (101, [0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5], 1)")
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    con.execute(f"COPY e TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    # must not raise; the two degenerate vectors must never appear
+    out = sd.semdedup_embedding_clusters(spark, tmp).collect()
+    ids = {r.drop_vec for r in out} | {r.keep_vec for r in out}
+    assert 100 not in ids and 101 not in ids
