@@ -396,37 +396,46 @@ def constraint_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row per candidate with integer per-mille support and a holds
     flag.
 
-    Scale: uniqueness = one map-side-combined distinct-count per
-    column; containment = a distinct-project of the child key LEFT
-    SEMI the parent key (parent side broadcast-able for dims) — per
-    candidate one thin shuffle bounded by key cardinality, unioned
-    at summary size. At 100 TB this is the ANALYZE-style pass run
-    per column family, or on samples with the same plan."""
-    legs = []
+    Scale: uniqueness/NOT-NULL legs FUSE into one aggregate per
+    TABLE (count(1) + count/countDistinct per candidate column in a
+    single Expand pass, then stack() fans the 1-row result into leg
+    rows) — one corpus scan per table instead of two scans per
+    candidate column; containment = a distinct-project of the child
+    key LEFT SEMI the parent key (parent side broadcast-able for
+    dims) — per candidate one thin shuffle bounded by key
+    cardinality, unioned at summary size. At 100 TB this is the
+    ANALYZE-style pass run per column family, or on samples with the
+    same plan."""
+    by_table: dict[str, list[str]] = {}
     for table, col in _UNIQ_CANDIDATES:
+        by_table.setdefault(table, []).append(col)
+    legs = []
+    for table, cols in by_table.items():
         t = load(spark, sf_dir, table)
-        legs.append(
-            t.agg(
-                F.lit("unique").alias("kind"),
-                F.lit(f"{table}.{col}").alias("subject"),
-                F.lit("").alias("target"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.expr(
-                    f"CAST((1000 * count(DISTINCT {col})) DIV count(1) AS BIGINT)"
-                ).alias("support_permille"),
-                (F.countDistinct(col) == F.count(F.lit(1))).alias("holds"),
+        aggs = [F.count(F.lit(1)).alias("n_all")]
+        for c in cols:
+            aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+            aggs.append(F.count(c).alias(f"nn_{c}"))
+        one = t.agg(*aggs)
+        # fan the single aggregated row into the per-(kind, column)
+        # leg rows with stack() — projections of one row, no rescan
+        tuples = []
+        for c in cols:
+            tuples.append(
+                f"'unique', '{table}.{c}', '', n_all,"
+                f" CAST((1000 * nd_{c}) DIV n_all AS BIGINT), nd_{c} = n_all"
             )
-        )
+            tuples.append(
+                f"'not_null', '{table}.{c}', '', n_all,"
+                f" CAST((1000 * nn_{c}) DIV n_all AS BIGINT), nn_{c} = n_all"
+            )
         legs.append(
-            t.agg(
-                F.lit("not_null").alias("kind"),
-                F.lit(f"{table}.{col}").alias("subject"),
-                F.lit("").alias("target"),
-                F.count(F.lit(1)).alias("n_rows"),
+            one.select(
                 F.expr(
-                    f"CAST((1000 * count({col})) DIV count(1) AS BIGINT)"
-                ).alias("support_permille"),
-                (F.count(col) == F.count(F.lit(1))).alias("holds"),
+                    f"stack({len(tuples)}, "
+                    + ", ".join(tuples)
+                    + ") AS (kind, subject, target, n_rows, support_permille, holds)"
+                )
             )
         )
     for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
