@@ -671,3 +671,81 @@ def test_bpe_faces_match_oracle_when_merges_exhaust_early(spark, tmp_path):
     assert [(r.symbol, r.sym_len, r.occurrences) for r in vocab] == [("ab", 2, 3)]
     assert_matches_oracle(bpe_train_merges(spark, d), _BPE_TRAIN_SQL, d)
     assert_matches_oracle(bpe_vocab_after_merges(spark, d), _bpe_vocab_sql(), d)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # heavy value ties
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.sampled_from([1, 2, 7, 64]),
+)
+def test_ranged_prefix_property_matches_global_window(spark, rows, buckets):
+    """ranged_prefix == single-partition global window on arbitrary
+    integer data with heavy ties (order totalized by the unique id),
+    for any bucket count — including empty input and buckets > rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rdbms_metadata_manager_spark.queries.prefix import ranged_prefix
+
+    data = [(i, v, w) for i, (v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long, w long") if data else (
+        spark.createDataFrame([], "id long, v long, w long")
+    )
+    order = [F.desc("v"), F.col("id")]
+    wref = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: (r.rank, r.cum_w)
+        for r in df.select(
+            "id",
+            F.row_number().over(wref).alias("rank"),
+            F.sum("w").over(wref).alias("cum_w"),
+        ).collect()
+    }
+    got = {
+        r.id: (r.rank, r.cum_w)
+        for r in ranged_prefix(
+            df, order, sum_cols=["w"], rank_col="rank", buckets=buckets
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=80, unique=True))
+def test_control_pairing_invariants(spark, ids):
+    """Bucketed md5 control pairing: no row pairs with itself, every
+    row appears in AT MOST one pair, pairs never cross salt buckets,
+    and the pair count is Σ_buckets ⌊bucket_size/2⌋."""
+    import hashlib
+    from collections import Counter
+
+    from rdbms_metadata_manager_spark.llm.hashing import (
+        CONTROL_PAIR_BUCKETS,
+        md5_control_pairs,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long") if ids else (
+        spark.createDataFrame([], "doc_id long")
+    )
+    pairs = [
+        (r.a_doc_id, r.b_doc_id)
+        for r in md5_control_pairs(df, "doc_id").collect()
+    ]
+
+    def bkt(i):
+        return int(hashlib.md5(f"ctl:{i}".encode()).hexdigest()[:8], 16) % CONTROL_PAIR_BUCKETS
+
+    seen = [x for p in pairs for x in p]
+    assert len(seen) == len(set(seen))  # each row in <=1 pair
+    for a, b in pairs:
+        assert a != b
+        assert bkt(a) == bkt(b)  # never cross-bucket
+    sizes = Counter(bkt(i) for i in ids)
+    assert len(pairs) == sum(n // 2 for n in sizes.values())
