@@ -246,6 +246,21 @@ import pytest
         "catalog_pii_risk_scan",
         "ab_test_aa_calibration",
         "weekly_revenue_wow",
+        # round-5 additions — the range kernel (sampled boundaries),
+        # the Arrow matmul prefilter (batch-split sensitivity), the
+        # grouped BFS checkpoints, and the hash-salted shard faces
+        "pareto_revenue_concentration",
+        "zipf_rank_frequency_audit",
+        "source_token_budget_cap",
+        "semdedup_embedding_clusters",
+        "dedup_negative_control",
+        "epoch_shuffle_shards",
+        "dedup_keep_best",
+        "exact_median_two_pass",
+        "diameter_double_sweep",
+        "multi_touch_attribution",
+        "rag_chunk_overlap_stats",
+        "holt_trend_daily_events",
     ],
 )
 def test_session_g_ops_are_run_to_run_deterministic(name, spark, sf_dir):
