@@ -895,7 +895,120 @@ FROM t
 """
 
 
+
+TRIM_LO_PCT = 5
+TRIM_HI_PCT = 95
+
+
+def grouped_trimmed_mean_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group TRIMMED mean (mean of values between the exact
+    5th and 95th percentile_disc cut points) of order value cents per
+    order priority — the robust-stats face computed the way a 100 TB
+    engine must: Spark's exact ``percentile`` aggregate BUFFERS each
+    group's values in executor memory (fine for rolled-up relations,
+    fatal for per-row groups); here the cut points come from the same
+    banded two-pass selection as [[exact_median_two_pass]], grouped:
+    one (group, $1,000-band) histogram (bounded by groups × value
+    range, not rows), a driver walk locating each group's rank-⌈qn⌉
+    band, one single-band rank pass for the ≤2 target bands per
+    group, then one final filtered aggregate against the broadcast
+    cut points. Mean is sum div count — exact integers end to end.
+
+    percentile_disc convention: value at rank ⌈q·n⌉ (both cut points
+    INCLUSIVE in the trimmed window), mirrored exactly by the oracle."""
+    li = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("tick"),
+    )
+    band = F.expr(f"tick div {MEDIAN_BUCKET_W}")
+    hist = (
+        li.groupBy("grp", band.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("grp", "b")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_grp = defaultdict(list)
+    for r in hist:
+        per_grp[r.grp].append((r.b, r.n))
+    # driver walk: for each group and each target rank, the band
+    # holding it and the offset within the band
+    targets = []  # (grp, which, band, offset)
+    for grp, bands in per_grp.items():
+        n = sum(c for _, c in bands)
+        for which, pct in (("lo", TRIM_LO_PCT), ("hi", TRIM_HI_PCT)):
+            k = -(-pct * n // 100)  # ceil(q*n) in integer arithmetic
+            cum = 0
+            for b, c in bands:
+                if cum + c >= k:
+                    targets.append((grp, which, b, k - cum))
+                    break
+                cum += c
+    if not targets:
+        return spark.createDataFrame(
+            [], "grp string, n_rows bigint, lo_cents bigint, hi_cents bigint,"
+            " n_kept bigint, trimmed_mean_cents bigint"
+        )
+    tdf = spark.createDataFrame(targets, "grp string, which string, b long, off long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp", "which").orderBy("tick")
+    cuts = (
+        li.withColumn("b", band)
+        .join(F.broadcast(tdf), ["grp", "b"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == F.col("off"))
+        .groupBy("grp")
+        .pivot("which", ["lo", "hi"])
+        .agg(F.first("tick"))
+        .select("grp", F.col("lo").alias("lo_cents"), F.col("hi").alias("hi_cents"))
+    )
+    return (
+        li.join(F.broadcast(cuts), "grp")
+        .groupBy("grp", "lo_cents", "hi_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                ((F.col("tick") >= F.col("lo_cents")) & (F.col("tick") <= F.col("hi_cents"))).cast("bigint")
+            ).alias("n_kept"),
+            F.expr(
+                "sum(CASE WHEN tick >= lo_cents AND tick <= hi_cents THEN tick ELSE 0 END)"
+                " div sum(CASE WHEN tick >= lo_cents AND tick <= hi_cents THEN 1 ELSE 0 END)"
+            ).alias("trimmed_mean_cents"),
+        )
+        .select("grp", "n_rows", "lo_cents", "hi_cents", "n_kept", "trimmed_mean_cents")
+        .orderBy("grp")
+    )
+
+
+_TRIMMED_SQL = f"""
+WITH t AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tick
+  FROM orders
+),
+cuts AS (
+  SELECT grp,
+         percentile_disc({TRIM_LO_PCT / 100}) WITHIN GROUP (ORDER BY tick) AS lo_cents,
+         percentile_disc({TRIM_HI_PCT / 100}) WITHIN GROUP (ORDER BY tick) AS hi_cents,
+         count(*)::BIGINT AS n_rows
+  FROM t GROUP BY grp
+)
+SELECT t.grp, c.n_rows, c.lo_cents, c.hi_cents,
+       CAST(sum(CASE WHEN t.tick >= c.lo_cents AND t.tick <= c.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN t.tick >= c.lo_cents AND t.tick <= c.hi_cents THEN t.tick ELSE 0 END)
+            // sum(CASE WHEN t.tick >= c.lo_cents AND t.tick <= c.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS trimmed_mean_cents
+FROM t JOIN cuts c ON c.grp = t.grp
+GROUP BY t.grp, c.n_rows, c.lo_cents, c.hi_cents
+ORDER BY t.grp
+"""
+
+
 QUERIES = {
+    "grouped_trimmed_mean_two_pass": grouped_trimmed_mean_two_pass,
     "exact_median_two_pass": exact_median_two_pass,
     "partition_layout_advisor": partition_layout_advisor,
     "join_strategy_advisor": join_strategy_advisor,
@@ -913,6 +1026,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "grouped_trimmed_mean_two_pass": _TRIMMED_SQL,
     "exact_median_two_pass": _MEDIAN_SQL,
     "partition_layout_advisor": _part_advisor_oracle(),
     "join_strategy_advisor": _join_advisor_oracle(),

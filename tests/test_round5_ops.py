@@ -630,3 +630,38 @@ def test_semdedup_block_kernel_tolerates_null_and_ragged_vectors(spark, sf_dir):
     out = sd.semdedup_embedding_clusters(spark, tmp).collect()
     ids = {r.drop_vec for r in out} | {r.keep_vec for r in out}
     assert 100 not in ids and 101 not in ids
+
+
+def test_grouped_trimmed_mean_matches_python_sort(spark, sf_dir):
+    """Banded two-pass grouped trimmed mean vs a plain Python sort:
+    cut points at ceil(q*n) (percentile_disc), inclusive window,
+    truncating integer mean."""
+    import math
+    from collections import defaultdict
+
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.profiling import (
+        TRIM_HI_PCT,
+        TRIM_LO_PCT,
+        grouped_trimmed_mean_two_pass,
+    )
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    grps = defaultdict(list)
+    for r in rows:
+        grps[r.o_orderpriority].append(math.floor(r.o_totalprice * 100 + 0.5))
+    want = {}
+    for g, ticks in grps.items():
+        ticks.sort()
+        n = len(ticks)
+        lo = ticks[-(-TRIM_LO_PCT * n // 100) - 1]
+        hi = ticks[-(-TRIM_HI_PCT * n // 100) - 1]
+        kept = [t for t in ticks if lo <= t <= hi]
+        want[g] = (n, lo, hi, len(kept), sum(kept) // len(kept))
+    got = {
+        r.grp: (r.n_rows, r.lo_cents, r.hi_cents, r.n_kept, r.trimmed_mean_cents)
+        for r in grouped_trimmed_mean_two_pass(spark, sf_dir).collect()
+    }
+    assert got == want
