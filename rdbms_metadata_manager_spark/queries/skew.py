@@ -334,15 +334,136 @@ ORDER BY p.r
 """
 
 
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 3
+BLOOM_PROBE_OFFSET = 1_000_000_000  # probe ids guaranteed non-members
+
+
+def bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter audit — the sketch behind the runtime
+    bloom join (plan-pinned elsewhere) as a first-class, measurable
+    operator: build an m-bit, k-hash filter over the customer keys
+    (bit positions are md5-derived, so the oracle reproduces the
+    filter bit for bit), probe it with ids OFFSET past the key space
+    (guaranteed non-members), and report the measured false-positive
+    rate against the occupancy-based expectation (bits_set/m)^k —
+    the calibration a planner needs before trusting a bloom
+    pre-filter's selectivity. The expectation is carried as the exact
+    integer ⌊1000·s^k/m^k⌋ (DECIMAL/HUGEINT cross-multiplication, no
+    float pow).
+
+    Scale: the filter is a ≤m-row distinct-position relation built
+    with one key scan (mergeable by union — the per-partition build a
+    cluster uses); probes join it on position and a probe is a false
+    positive iff all k of its positions hit — a count equality, no
+    bitmap type needed."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("key")
+    )
+    def positions(df, idcol):
+        parts = [
+            (h32(F.concat(F.lit(f"bl{i}:"), F.col(idcol))) % BLOOM_BITS).alias(f"p{i}")
+            for i in range(BLOOM_HASHES)
+        ]
+        wide = df.select(idcol, *parts)
+        out = None
+        for i in range(BLOOM_HASHES):
+            leg = wide.select(F.col(idcol).alias("id"), F.col(f"p{i}").alias("pos"))
+            out = leg if out is None else out.unionAll(leg)
+        return out
+
+    bloom = positions(cust, "key").select("pos").distinct()
+    n_keys = cust.agg(F.count(F.lit(1)).alias("n_keys"))
+    bits = bloom.agg(F.count(F.lit(1)).alias("bits_set"))
+    probes = cust.select((F.col("key") + BLOOM_PROBE_OFFSET).alias("probe"))
+    hits = (
+        positions(probes, "probe")
+        .join(bloom, "pos", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .agg(
+            F.sum((F.col("k_hits") == BLOOM_HASHES).cast("bigint")).alias("n_fp")
+        )
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            F.lit(BLOOM_BITS).cast("bigint").alias("m_bits"),
+            F.lit(BLOOM_HASHES).cast("bigint").alias("k_hashes"),
+            "n_keys",
+            "bits_set",
+            F.col("n_keys").alias("n_probes"),
+            F.coalesce("n_fp", F.lit(0)).alias("n_false_positives"),
+            F.expr("CAST(1000 * coalesce(n_fp, 0) div n_keys AS BIGINT)").alias(
+                "fp_permille"
+            ),
+            F.expr(
+                f"CAST((1000 * CAST(bits_set AS DECIMAL(38,0)) * bits_set * bits_set)"
+                f" div (CAST({BLOOM_BITS} AS DECIMAL(38,0)) * {BLOOM_BITS} * {BLOOM_BITS})"
+                " AS BIGINT)"
+            ).alias("expected_fp_permille"),
+        )
+    )
+
+
+def _bloom_positions_sql(idexpr: str) -> str:
+    legs = []
+    for i in range(BLOOM_HASHES):
+        h = h32_sql("'bl" + str(i) + ":' || " + idexpr)
+        legs.append(
+            "SELECT " + idexpr + " AS id, " + h + " % "
+            + str(BLOOM_BITS) + " AS pos FROM base"
+        )
+    return " UNION ALL ".join(legs)
+
+
+_BLOOM_SQL = f"""
+WITH base AS (SELECT c_custkey::BIGINT AS key FROM customer),
+bloom AS (
+  SELECT DISTINCT pos FROM ({_bloom_positions_sql("key")})
+),
+probe_pos AS (
+  SELECT id, pos FROM (
+    {_bloom_positions_sql(f"(key + {BLOOM_PROBE_OFFSET})")}
+  )
+),
+fp AS (
+  SELECT count(*)::BIGINT AS n_fp FROM (
+    SELECT p.id
+    FROM probe_pos p JOIN bloom b ON b.pos = p.pos
+    GROUP BY p.id
+    HAVING count(*) = {BLOOM_HASHES}
+  )
+),
+stats AS (
+  SELECT (SELECT count(*) FROM base)::BIGINT AS n_keys,
+         (SELECT count(*) FROM bloom)::BIGINT AS bits_set,
+         (SELECT n_fp FROM fp) AS n_fp
+)
+SELECT {BLOOM_BITS}::BIGINT AS m_bits, {BLOOM_HASHES}::BIGINT AS k_hashes,
+       n_keys, bits_set, n_keys AS n_probes,
+       coalesce(n_fp, 0)::BIGINT AS n_false_positives,
+       CAST(1000 * coalesce(n_fp, 0) // n_keys AS BIGINT) AS fp_permille,
+       CAST((1000 * CAST(bits_set AS HUGEINT) * bits_set * bits_set)
+            // (CAST({BLOOM_BITS} AS HUGEINT) * {BLOOM_BITS} * {BLOOM_BITS}) AS BIGINT)
+         AS expected_fp_permille
+FROM stats
+"""
+
+
 QUERIES = {
     "salted_join_revenue": salted_join_revenue,
     "heavy_hitter_users": heavy_hitter_users,
     "countmin_heavy_hitters": countmin_heavy_hitters,
     "selfjoin_size_estimate": selfjoin_size_estimate,
+    "bloom_filter_fpr_audit": bloom_filter_fpr_audit,
 }
 ORACLES = {
     "salted_join_revenue": _SALTED_SQL,
     "heavy_hitter_users": _HEAVY_SQL,
     "countmin_heavy_hitters": _CMS_SQL,
     "selfjoin_size_estimate": _F2_SQL,
+    "bloom_filter_fpr_audit": _BLOOM_SQL,
 }

@@ -665,3 +665,37 @@ def test_grouped_trimmed_mean_matches_python_sort(spark, sf_dir):
         for r in grouped_trimmed_mean_two_pass(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bloom_fpr_matches_python_filter(spark, sf_dir):
+    """Bloom build/probe vs direct md5 arithmetic in Python, and the
+    occupancy expectation formula; the audit must be non-vacuous
+    (some false positives at this m/k/n)."""
+    from rdbms_metadata_manager_spark.queries.base import load
+    from rdbms_metadata_manager_spark.queries.skew import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        BLOOM_PROBE_OFFSET,
+        bloom_filter_fpr_audit,
+    )
+
+    keys = [r.c_custkey for r in load(spark, sf_dir, "customer").select("c_custkey").collect()]
+    bloom = {
+        _h32_py(f"bl{i}:{k}") % BLOOM_BITS for k in keys for i in range(BLOOM_HASHES)
+    }
+    n_fp = sum(
+        all(
+            _h32_py(f"bl{i}:{k + BLOOM_PROBE_OFFSET}") % BLOOM_BITS in bloom
+            for i in range(BLOOM_HASHES)
+        )
+        for k in keys
+    )
+    (r,) = bloom_filter_fpr_audit(spark, sf_dir).collect()
+    assert (r.n_keys, r.bits_set, r.n_false_positives) == (len(keys), len(bloom), n_fp)
+    assert r.fp_permille == 1000 * n_fp // len(keys)
+    assert r.expected_fp_permille == 1000 * len(bloom) ** 3 // BLOOM_BITS ** 3
+    if len(keys) >= 1000:
+        # occupancy-gated: at sf0.001 (150 keys, ~5% bits set) the
+        # expected FPR is ~1e-4 and zero hits is the CORRECT outcome;
+        # from sf0.01 up the filter saturates enough to measure
+        assert r.n_false_positives > 0, "audit must be non-vacuous at this scale"
