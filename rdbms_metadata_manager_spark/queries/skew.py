@@ -396,9 +396,10 @@ def bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_set",
             F.col("n_keys").alias("n_probes"),
             F.coalesce("n_fp", F.lit(0)).alias("n_false_positives"),
-            F.expr("CAST(1000 * coalesce(n_fp, 0) div n_keys AS BIGINT)").alias(
-                "fp_permille"
-            ),
+            F.expr(
+                "CAST(coalesce(1000 * coalesce(n_fp, 0) div nullif(n_keys, 0), 0)"
+                " AS BIGINT)"
+            ).alias("fp_permille"),
             F.expr(
                 f"CAST((1000 * CAST(bits_set AS DECIMAL(38,0)) * bits_set * bits_set)"
                 f" div (CAST({BLOOM_BITS} AS DECIMAL(38,0)) * {BLOOM_BITS} * {BLOOM_BITS})"
@@ -445,7 +446,7 @@ stats AS (
 SELECT {BLOOM_BITS}::BIGINT AS m_bits, {BLOOM_HASHES}::BIGINT AS k_hashes,
        n_keys, bits_set, n_keys AS n_probes,
        coalesce(n_fp, 0)::BIGINT AS n_false_positives,
-       CAST(1000 * coalesce(n_fp, 0) // n_keys AS BIGINT) AS fp_permille,
+       CAST(coalesce(1000 * coalesce(n_fp, 0) // nullif(n_keys, 0), 0) AS BIGINT) AS fp_permille,
        CAST((1000 * CAST(bits_set AS HUGEINT) * bits_set * bits_set)
             // (CAST({BLOOM_BITS} AS HUGEINT) * {BLOOM_BITS} * {BLOOM_BITS}) AS BIGINT)
          AS expected_fp_permille

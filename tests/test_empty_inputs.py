@@ -248,6 +248,9 @@ def test_time_to_convert_on_empty_corpus_is_one_zero_row(spark, empty_dir):
         ("llm.sampling", "epoch_shuffle_shards"),
         ("queries.skew", "selfjoin_size_estimate"),
         ("llm.clustering", "dedup_keep_best"),
+        ("queries.profiling", "grouped_trimmed_mean_two_pass"),
+        ("queries.advanced", "multi_touch_attribution"),
+        ("queries.advanced", "bitwise_functions_events"),
     ],
 )
 def test_round5_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
@@ -274,3 +277,8 @@ def test_round5_summary_ops_survive_empty_corpus(spark, empty_dir):
 
     rows = diameter_double_sweep(spark, empty_dir).collect()
     assert len(rows) <= 1  # empty graph: at most a NULL-hub row
+
+    from rdbms_metadata_manager_spark.queries.skew import bloom_filter_fpr_audit
+
+    (b,) = bloom_filter_fpr_audit(spark, empty_dir).collect()
+    assert (b.n_keys, b.bits_set, b.n_false_positives, b.fp_permille) == (0, 0, 0, 0)
