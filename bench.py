@@ -141,6 +141,13 @@ HEADLINE = [
     "selfjoin_size_estimate",
     "pareto_revenue_concentration",
     "source_token_budget_cap",
+    "t_closeness_audit",
+    "dedup_keep_best",
+    "exact_median_two_pass",
+    "diameter_double_sweep",
+    "multi_touch_attribution",
+    "grouped_trimmed_mean_two_pass",
+    "bloom_filter_fpr_audit",
 ]
 
 
