@@ -956,6 +956,63 @@ ORDER BY source, verdict
 """
 
 
+
+def hof_functions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated higher-order-function face: transform / filter /
+    exists / forall / aggregate / zip_with over the word arrays —
+    the lambda surface every shingle/cosine kernel in this repo
+    composes, exercised once explicitly with a DuckDB list_* oracle
+    (list_transform/list_filter/list_bool_or/list_bool_and/
+    list_reduce/element-paired transform). All-integer outputs.
+    NOTE the repo-wide HOF rule (ROADMAP): single-layer lambdas like
+    these run fine; HEAVY per-row kernels go to Arrow instead —
+    this face is the light end of that spectrum, deliberately.
+
+    Scale: pure projection — per-row lambda evaluation at scan
+    speed, no shuffle except the display sort."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    words = F.split(F.col("text"), " ")
+    lens = F.transform(words, lambda w: F.length(w))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x).alias("sum_word_len"),
+        F.size(F.filter(words, lambda w: F.length(w) >= 6)).alias("n_long_words"),
+        F.exists(words, lambda w: F.length(w) >= 10).alias("has_very_long"),
+        F.forall(words, lambda w: F.length(w) > 0).alias("all_nonempty"),
+        F.aggregate(
+            F.zip_with(lens, F.slice(lens, 2, F.size(lens) - 1), lambda a, b: F.abs(a - b)),
+            F.lit(0),
+            lambda acc, d: acc + F.coalesce(d, F.lit(0)),
+        ).alias("len_variation"),
+    ).orderBy("doc_id")
+
+
+_HOF_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+l AS (
+  SELECT doc_id, words, list_transform(words, x -> length(x)) AS lens
+  FROM w
+)
+SELECT doc_id,
+       len(words) AS n_words,
+       list_reduce(list_prepend(0, lens), (a, x) -> a + x) AS sum_word_len,
+       len(list_filter(words, x -> length(x) >= 6)) AS n_long_words,
+       coalesce(list_bool_or(list_transform(words, x -> length(x) >= 10)), FALSE)
+         AS has_very_long,
+       coalesce(list_bool_and(list_transform(words, x -> length(x) > 0)), TRUE)
+         AS all_nonempty,
+       list_reduce(
+         list_prepend(0, [abs(lens[i] - lens[i + 1]) FOR i IN range(1, len(lens))]),
+         (a, x) -> a + x
+       ) AS len_variation
+FROM l
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
@@ -972,6 +1029,7 @@ QUERIES = {
     "zipf_rank_frequency_audit": zipf_rank_frequency_audit,
     "source_signature_chisq": source_signature_chisq,
     "code_prose_detector": code_prose_detector,
+    "hof_functions_documents": hof_functions_documents,
 }
 
 ORACLES = {
@@ -990,4 +1048,5 @@ ORACLES = {
     "zipf_rank_frequency_audit": _ZIPF_SQL,
     "source_signature_chisq": _SIGNATURE_SQL,
     "code_prose_detector": _CODE_PROSE_SQL,
+    "hof_functions_documents": _HOF_SQL,
 }
