@@ -970,7 +970,13 @@ def hof_functions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure projection — per-row lambda evaluation at scan
     speed, no shuffle except the display sort."""
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    # NULL text filtered on BOTH sides: Spark's exists/forall/aggregate
+    # propagate NULL over a null array while the oracle's coalesced
+    # list_* forms don't — excluding the row keeps the engines
+    # identical on any corpus (review r5 pass 3)
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").filter(
+        F.col("text").isNotNull()
+    )
     words = F.split(F.col("text"), " ")
     lens = F.transform(words, lambda w: F.length(w))
     return docs.select(
@@ -991,6 +997,7 @@ def hof_functions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOF_SQL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE text IS NOT NULL
 ),
 l AS (
   SELECT doc_id, words, list_transform(words, x -> length(x)) AS lens

@@ -826,7 +826,23 @@ ORDER BY layout
 
 
 
-MEDIAN_BUCKET_W = 100_000  # $1,000 bands over price cents
+MEDIAN_BUCKET_W = 100_000
+
+def _locate_rank(bands: list[tuple[int, int]], k: int) -> tuple[int, int]:
+    """Driver-side walk of a (band, count) histogram (ascending band
+    order): the band holding global rank ``k`` and the offset within
+    it — the shared convention of [[exact_median_two_pass]] and
+    [[grouped_trimmed_mean_two_pass]] (k = ceil(q·n) per
+    percentile_disc). One definition so the two banded-selection
+    faces can never drift."""
+    cum = 0
+    for b, c in bands:
+        if cum + c >= k:
+            return b, k - cum
+        cum += c
+    raise ValueError(f"rank {k} beyond histogram mass {cum}")
+
+  # $1,000 bands over price cents
 
 
 def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,13 +880,7 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(0, 0, None)], "n_rows bigint, k bigint, median_cents bigint"
         )
     k = (n_rows + 1) // 2
-    cum = 0
-    target_b, offset = None, None
-    for r in hist:
-        if cum + r.n >= k:
-            target_b, offset = r.b, k - cum
-            break
-        cum += r.n
+    target_b, offset = _locate_rank([(r.b, r.n) for r in hist], k)
     kth = (
         li.filter(F.expr(f"tick div {MEDIAN_BUCKET_W}") == target_b)
         .orderBy("tick")
@@ -939,12 +949,8 @@ def grouped_trimmed_mean_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame
         n = sum(c for _, c in bands)
         for which, pct in (("lo", TRIM_LO_PCT), ("hi", TRIM_HI_PCT)):
             k = -(-pct * n // 100)  # ceil(q*n) in integer arithmetic
-            cum = 0
-            for b, c in bands:
-                if cum + c >= k:
-                    targets.append((grp, which, b, k - cum))
-                    break
-                cum += c
+            b, off = _locate_rank(bands, k)
+            targets.append((grp, which, b, off))
     if not targets:
         return spark.createDataFrame(
             [], "grp string, n_rows bigint, lo_cents bigint, hi_cents bigint,"

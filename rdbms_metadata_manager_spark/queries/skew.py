@@ -361,17 +361,25 @@ def bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("bigint").alias("key")
     )
+    # the probe-ids-are-non-members invariant is only real if the key
+    # space stays below the offset — fail loudly the day it doesn't
+    cust = cust.withColumn(
+        "key",
+        F.when(
+            F.col("key") >= BLOOM_PROBE_OFFSET,
+            F.raise_error(F.lit("bloom probe offset overlaps the key space")),
+        ).otherwise(F.col("key")),
+    )
     def positions(df, idcol):
+        # ONE scan: explode the k positions from a single projection
+        # (a per-hash unionAll re-scanned the input k times)
         parts = [
-            (h32(F.concat(F.lit(f"bl{i}:"), F.col(idcol))) % BLOOM_BITS).alias(f"p{i}")
+            h32(F.concat(F.lit(f"bl{i}:"), F.col(idcol))) % BLOOM_BITS
             for i in range(BLOOM_HASHES)
         ]
-        wide = df.select(idcol, *parts)
-        out = None
-        for i in range(BLOOM_HASHES):
-            leg = wide.select(F.col(idcol).alias("id"), F.col(f"p{i}").alias("pos"))
-            out = leg if out is None else out.unionAll(leg)
-        return out
+        return df.select(
+            F.col(idcol).alias("id"), F.explode(F.array(*parts)).alias("pos")
+        )
 
     bloom = positions(cust, "key").select("pos").distinct()
     n_keys = cust.agg(F.count(F.lit(1)).alias("n_keys"))
@@ -401,9 +409,11 @@ def bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("fp_permille"),
             F.expr(
-                f"CAST((1000 * CAST(bits_set AS DECIMAL(38,0)) * bits_set * bits_set)"
-                f" div (CAST({BLOOM_BITS} AS DECIMAL(38,0)) * {BLOOM_BITS} * {BLOOM_BITS})"
-                " AS BIGINT)"
+                "CAST((1000 * CAST(bits_set AS DECIMAL(38,0))"
+                + " * bits_set" * (BLOOM_HASHES - 1)
+                + f") div (CAST({BLOOM_BITS} AS DECIMAL(38,0))"
+                + f" * {BLOOM_BITS}" * (BLOOM_HASHES - 1)
+                + ") AS BIGINT)"
             ).alias("expected_fp_permille"),
         )
     )
@@ -419,6 +429,10 @@ def _bloom_positions_sql(idexpr: str) -> str:
         )
     return " UNION ALL ".join(legs)
 
+
+# exponent k derived from BLOOM_HASHES once, used by BOTH engines
+_BLOOM_EXP_NUM = " * bits_set" * (BLOOM_HASHES - 1)
+_BLOOM_EXP_DEN = (" * " + str(BLOOM_BITS)) * (BLOOM_HASHES - 1) + ")"
 
 _BLOOM_SQL = f"""
 WITH base AS (SELECT c_custkey::BIGINT AS key FROM customer),
@@ -447,8 +461,8 @@ SELECT {BLOOM_BITS}::BIGINT AS m_bits, {BLOOM_HASHES}::BIGINT AS k_hashes,
        n_keys, bits_set, n_keys AS n_probes,
        coalesce(n_fp, 0)::BIGINT AS n_false_positives,
        CAST(coalesce(1000 * coalesce(n_fp, 0) // nullif(n_keys, 0), 0) AS BIGINT) AS fp_permille,
-       CAST((1000 * CAST(bits_set AS HUGEINT) * bits_set * bits_set)
-            // (CAST({BLOOM_BITS} AS HUGEINT) * {BLOOM_BITS} * {BLOOM_BITS}) AS BIGINT)
+       CAST((1000 * CAST(bits_set AS HUGEINT){_BLOOM_EXP_NUM})
+            // (CAST({BLOOM_BITS} AS HUGEINT){_BLOOM_EXP_DEN} AS BIGINT)
          AS expected_fp_permille
 FROM stats
 """
