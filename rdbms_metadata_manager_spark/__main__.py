@@ -56,11 +56,14 @@ def load_dotenv(path: str = ".env") -> None:
             line = line[len("export ") :].lstrip()
         key, _, val = line.partition("=")
         key, val = key.strip(), val.strip()
-        if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
-            val = val[1:-1]
+        if len(val) >= 2 and val[0] in "\"'" and val.find(val[0], 1) != -1:
+            # quoted value: everything inside the closing quote is the
+            # value (its '#' are literal); anything AFTER the closing
+            # quote — e.g. an inline comment — is dropped, matching
+            # python-dotenv (ADVICE r5 #3: KEY="x y" # note)
+            val = val[1 : val.index(val[0], 1)]
         elif " #" in val:
-            # python-dotenv strips inline comments from UNQUOTED
-            # values; quoted values keep their '#' (handled above)
+            # python-dotenv strips inline comments from UNQUOTED values
             val = val.split(" #", 1)[0].rstrip()
         if key and key not in os.environ:
             os.environ[key] = val

@@ -337,20 +337,28 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = cells.groupBy("c_mktsegment").agg(F.sum("cnt").alias("gcnt"))
     total = glob.agg(F.sum("gcnt").alias("n_total"))
     spine = classes.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(total))
+    # cnt·N and gcnt·n_c are count×count products: at 100 TB they wrap
+    # int64 silently while the DuckDB oracle carries them in HUGEINT —
+    # widen one factor to DECIMAL(38,0) BEFORE the product (the
+    # _cusum_report pattern) so both engines stay exact (ADVICE r5 #1)
     scored = (
         spine.join(cells, ["c_nationkey", "balance_band", "c_mktsegment"], "left")
         .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
         .groupBy("c_nationkey", "balance_band", "class_n", "n_total")
         .agg(
             F.sum(
-                F.abs(F.col("cnt") * F.col("n_total") - F.col("gcnt") * F.col("class_n"))
+                F.abs(
+                    F.col("cnt").cast("decimal(38,0)") * F.col("n_total")
+                    - F.col("gcnt").cast("decimal(38,0)") * F.col("class_n")
+                )
             ).alias("l1")
         )
         .select(
             "class_n",
-            F.expr("CAST((1000 * l1) div (2 * class_n * n_total) AS BIGINT)").alias(
-                "tvd_permille"
-            ),
+            F.expr(
+                "CAST((1000 * l1)"
+                " div (2 * CAST(class_n AS DECIMAL(38,0)) * n_total) AS BIGINT)"
+            ).alias("tvd_permille"),
         )
     )
     far = F.col("tvd_permille") > T_CLOSE_PERMILLE
@@ -359,8 +367,9 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(far.cast("long")).alias("n_far_classes"),
         F.max("tvd_permille").alias("max_tvd_permille"),
         F.expr(
-            f"(1000 * sum(CASE WHEN tvd_permille > {T_CLOSE_PERMILLE} THEN class_n ELSE 0 END))"
-            " div sum(class_n)"
+            "CAST((1000 * sum(CASE WHEN tvd_permille >"
+            f" {T_CLOSE_PERMILLE} THEN CAST(class_n AS DECIMAL(38,0)) ELSE 0 END))"
+            " div sum(class_n) AS BIGINT)"
         ).alias("far_records_permille"),
     )
 
@@ -379,8 +388,9 @@ gdist AS (SELECT c_mktsegment, sum(cnt)::BIGINT AS gcnt FROM cells GROUP BY 1),
 total AS (SELECT sum(gcnt)::BIGINT AS n_total FROM gdist),
 scored AS (
   SELECT cl.class_n,
-         CAST((1000 * sum(abs(coalesce(ce.cnt, 0) * t.n_total - g.gcnt * cl.class_n)))
-              // (2 * cl.class_n * t.n_total) AS BIGINT) AS tvd_permille
+         CAST((1000 * sum(abs(coalesce(ce.cnt, 0)::HUGEINT * t.n_total
+                              - g.gcnt::HUGEINT * cl.class_n)))
+              // (2 * cl.class_n::HUGEINT * t.n_total) AS BIGINT) AS tvd_permille
   FROM classes cl CROSS JOIN gdist g CROSS JOIN total t
   LEFT JOIN cells ce
     ON ce.c_nationkey = cl.c_nationkey AND ce.balance_band = cl.balance_band

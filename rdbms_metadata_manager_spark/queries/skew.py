@@ -288,11 +288,19 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events", F.explode(F.array(*cms_bucket_structs())).alias("rb")
     ).select("n_events", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
     cells = keyed.groupBy("r", "bucket").agg(F.sum("n_events").alias("cell"))
+    # cell² on a hot bucket wraps int64 silently while the oracle's
+    # BIGINT square ERRORS — widen one factor to DECIMAL(38,0) before
+    # the square on both engines, then cast the (BIGINT-bounded by
+    # contract) sums back (ADVICE r5 #2)
     per_row = cells.groupBy("r").agg(
-        F.sum(F.col("cell") * F.col("cell")).alias("f2_estimate")
+        F.sum(F.col("cell").cast("decimal(38,0)") * F.col("cell"))
+        .cast("bigint")
+        .alias("f2_estimate")
     )
     exact = counts.agg(
-        F.sum(F.col("n_events") * F.col("n_events")).alias("exact_f2")
+        F.sum(F.col("n_events").cast("decimal(38,0)") * F.col("n_events"))
+        .cast("bigint")
+        .alias("exact_f2")
     )
     return (
         per_row.join(F.broadcast(exact))
@@ -321,10 +329,11 @@ cells AS (
   SELECT r, bucket, sum(n_events)::BIGINT AS cell FROM keyed GROUP BY 1, 2
 ),
 per_row AS (
-  SELECT r, CAST(sum(cell * cell) AS BIGINT) AS f2_estimate FROM cells GROUP BY r
+  SELECT r, CAST(sum(cell::HUGEINT * cell) AS BIGINT) AS f2_estimate
+  FROM cells GROUP BY r
 ),
 exact AS (
-  SELECT CAST(sum(n_events * n_events) AS BIGINT) AS exact_f2 FROM counts
+  SELECT CAST(sum(n_events::HUGEINT * n_events) AS BIGINT) AS exact_f2 FROM counts
 )
 SELECT p.r::BIGINT AS r, p.f2_estimate, e.exact_f2,
        CAST(1000 * (p.f2_estimate - e.exact_f2) // e.exact_f2 AS BIGINT)

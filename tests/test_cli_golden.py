@@ -110,6 +110,8 @@ def test_dotenv_parser_env_var_wins_and_quotes_strip(tmp_path, monkeypatch):
         "NOEQ\n"
         "D=value # inline comment\n"
         'E="kept # hash"\n'
+        'G="x y" # note\n'
+        "H='sq # in' # trail\n"
     )
     monkeypatch.delenv("A", raising=False)
     monkeypatch.delenv("B", raising=False)
@@ -122,6 +124,12 @@ def test_dotenv_parser_env_var_wins_and_quotes_strip(tmp_path, monkeypatch):
     assert "C" not in os.environ
     monkeypatch.delenv("D", raising=False)
     monkeypatch.delenv("E", raising=False)
+    monkeypatch.delenv("G", raising=False)
+    monkeypatch.delenv("H", raising=False)
     load_dotenv(str(p))
     assert os.environ["D"] == "value"      # unquoted: inline comment stripped
     assert os.environ["E"] == "kept # hash"  # quoted: hash preserved
+    # ADVICE r5 #3: quoted value FOLLOWED BY an inline comment — quotes
+    # stripped, comment dropped (python-dotenv semantics)
+    assert os.environ["G"] == "x y"
+    assert os.environ["H"] == "sq # in"
