@@ -188,14 +188,26 @@ def main() -> None:
         # spikes (sustained 5-14 observed) can poison 3-4 consecutive
         # runs, and two spike-inflated samples agreeing is not
         # convergence — the extra looks buy a quiet-window minimum.
-        for _ in range(6):
+        for _ in range(8):
             start = time.perf_counter()
             materialize(fn(spark, sf_dir))
             samples.append(time.perf_counter() - start)
-            converged = len(samples) >= 2 and samples[-1] <= min(samples[:-1]) * 1.10
+            # Converged = the newest sample is CLOSE TO but not still
+            # MATERIALLY BELOW the running min: a monotonically
+            # improving kernel (JIT still warming) keeps sampling.
+            # The r5 bench stopped at 2-3 samples mid-warmup and
+            # recorded 1.2-1.5x inflated "minimums" for 14 queries —
+            # a 10-sample quiet-window probe recovered every one of
+            # them to within 1.15x of r4 (BENCH_NOTES r6).
+            prev_min = min(samples[:-1]) if len(samples) >= 2 else None
+            converged = (
+                prev_min is not None
+                and samples[-1] <= prev_min * 1.10
+                and samples[-1] >= prev_min * 0.95
+            )
             if converged and (min(samples) <= 2.0 or len(samples) >= 3):
                 break
-            if min(samples) <= 2.0 and len(samples) >= 4:
+            if min(samples) <= 2.0 and len(samples) >= 5:
                 break
         timings[name] = round(min(samples), 3)
 
