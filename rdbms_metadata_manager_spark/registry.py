@@ -94,76 +94,72 @@ PRIORITY: tuple[str, ...] = (
     "schema_issues",
     "schema_issues_quirks",
     "schema_issue_summary",
-    # round-5 rotation (VERDICT r4 item 1): every r4-green row whose
-    # code did NOT change this round leaves the window; slots go to
-    # (a) the 10 late-r4 operators registered after the r4 rotation,
-    # (b) the 4 retyped-latent oracles never windowed,
-    # (c) the 12 queries whose CODE changed this round (the VERDICT
-    #     r4 scale fixes + ADVICE fixes + the prefix-sum kernel) —
-    #     green history doesn't transfer across a rewrite,
-    # (d) backfill: the oldest never-driver-checked registrations.
-    # (a) late-r4 operators — never driver-checked
-    "join_strategy_advisor",
-    "gdpr_erasure_audit",
-    "cluster_safe_split",
-    "user_activity_streaks",
-    "dp_sensitivity_audit",
-    "constraint_mining",        # also changed: NULL-FK denominator fix
-    "zorder_locality_report",
-    "catalog_pii_risk_scan",    # also changed: anchored quasi-PII regex
-    "ab_test_aa_calibration",
-    "weekly_revenue_wow",       # also changed: one_group week window
-    # (b) retyped-latent oracles — never windowed
-    "identifier_param_table_profile",
-    "group_by_all_order_stats",
-    "sql_udf_price_bands",
-    "observed_scan_metrics",
-    # (c) code changed this round — fresh hard proof. Slots are the
-    # scarce resource (cumulative-distinct target ≥190 needs 45 new
-    # rows), so only TWO previously-green rows re-enter: the
-    # VERDICT-mandated control-pair proof (dedup_negative_control
-    # covers md5_control_pairs for both consumers) and one prefix-sum
-    # kernel face (zipf = the rank face; pareto/semdedup/hybrid/
-    # skyline below are never-checked AND changed, so they prove the
-    # other new code paths for free). The remaining changed rows
-    # (embedding_pair_cosine_profile, source_token_budget_cap,
-    # changepoint, autocorr, seasonal, matryoshka) are certified by
-    # the full-registry pristine replay + three-scale parity instead.
-    "dedup_negative_control",          # bucketed control pairing
-    "zipf_rank_frequency_audit",       # prefix-sum kernel, rank face
-    "semdedup_embedding_clusters",     # broadcast sides flipped (never checked)
-    "pareto_revenue_concentration",    # prefix-sum kernel (never checked)
-    # (d) oldest never-driver-checked backfill (registration order):
-    # the remaining TPC-H shapes and the early modern-SQL faces
-    "listagg_nations_per_region",
-    "null_safe_band_join",
-    "try_arithmetic_audit",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_part_value_concentration",
-    "q12_shipping_delay_buckets",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q20_heavy_red_suppliers",
-    "q22_dormant_customers",
-    "heavy_hitter_users",
-    "parameterized_top_purchasers",
-    "sql_scripting_threshold_report",
-    "collation_ci_event_rollup",
-    "approx_topk_event_types",
-    "sql_tvf_top_customers_per_nation",
-    "lateral_alias_packing_plan",
-    "hll_sketch_partition_union",
-    "profile_orders_columns",
-    "crosstab_returnflag_linestatus",
-    "resample_events_hourly",
-    "resample_events_hourly_locf",
-    "resample_events_hourly_interp",
-    "histogram_order_values",
-    "anomaly_event_hours",
-    "pagerank_trade_graph",
-    "cohort_retention",
+    # round-6 rotation (VERDICT r5 item 1): every r5-green row leaves
+    # the window; 47 of the 47 open slots go to never-driver-checked
+    # names (102 remained after r5), ordered:
+    # (a) the builder's post-r5-freeze re-proof list — queries whose
+    #     CODE changed after the freeze (green history doesn't
+    #     transfer across a rewrite); source_signature_chisq is the
+    #     one previously-green re-entry,
+    # (b) queries whose code changed THIS round (ADVICE r5 overflow
+    #     widenings; the adjacency-BFS rewrite),
+    # (c) the remaining never-checked r5 operators,
+    # (d) streaming canaries (VERDICT r5 item 6) — the four
+    #     never-checked streaming faces double as the rotation's
+    #     environment-sensitivity probes,
+    # (e) oldest-first never-checked backfill (registration order).
+    # (a) post-r5-freeze re-proofs
+    "source_signature_chisq",
+    "code_prose_detector",
+    "rag_chunk_overlap_stats",
+    "naming_convention_audit",
+    "exact_median_two_pass",
+    # (b) changed this round
+    "t_closeness_audit",         # DECIMAL(38,0) widening (ADVICE r6 #1)
+    "selfjoin_size_estimate",    # DECIMAL(38,0) F2 squares (ADVICE r6 #2)
+    "bfs_levels_from_hub",       # adjacency-BFS rewrite
+    "diameter_double_sweep",     # adjacency-BFS rewrite (VERDICT r5 item 2)
+    # (c) never-checked r5 operators
+    "multi_touch_attribution",
+    "bitwise_functions_events",
+    "hof_functions_documents",
+    "grouped_trimmed_mean_two_pass",
+    "bloom_filter_fpr_audit",
+    "index_redundancy_audit",
+    "dedup_keep_best",
+    # (d) streaming canaries — never driver-checked
+    "events_sliding_10min",
+    "streaming_hll_distinct",
+    "streaming_cms_heavy_hitters",
+    "pyds_stream_sink_roundtrip",
+    # (e) oldest never-driver-checked backfill (registration order)
+    "user_event_gap_histogram",
+    "funnel_time_to_convert",
+    "event_path_trigrams",
+    "rfm_customer_segments",
+    "dau_mau_stickiness",
+    "scd2_user_state_intervals",
+    "scd2_state_snapshots",
+    "snapshot_diff_orders",
+    "feature_scale_orders",
+    "feature_quantile_buckets",
+    "forecast_seasonal_naive_backtest",
+    "ewma_daily_events",
+    "ols_trend_per_segment",
+    "holt_trend_daily_events",
+    "formats_xml_roundtrip",
+    "dq_expectations_orders",
+    "benford_digit_audit",
+    "drift_event_type_shares",
+    "kcore_copurchase_parts",
+    "label_propagation_communities",
+    "association_rules_lift",
+    "link_prediction_hub_cn",
+    "local_clustering_coefficients",
+    "copurchase_degree_histogram",
+    "cogroup_balance_ks",
+    "dedup_containment",
+    "dedup_sketch_recall_report",
 )
 
 
