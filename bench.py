@@ -148,6 +148,10 @@ HEADLINE = [
     "multi_touch_attribution",
     "grouped_trimmed_mean_two_pass",
     "bloom_filter_fpr_audit",
+    "max_concurrent_sessions",
+    "mann_whitney_u_test",
+    "degree_assortativity",
+    "grouped_mad_two_pass",
 ]
 
 

@@ -788,9 +788,109 @@ ORDER BY week_idx
 """
 
 
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) over the hash-assigned A/A
+    arms — the NONPARAMETRIC twin of [[ab_test_aa_calibration]]: the
+    z test there compares conversion PROPORTIONS; this compares the
+    full per-user engagement-value DISTRIBUTIONS without any
+    normality assumption (the test every experimentation platform
+    reaches for when the metric is heavy-tailed revenue). Statistic
+    carried exactly: ranks are midranks over the per-metric-value
+    rollup, doubled so ties stay integral (avgrank×2 =
+    2·cum_before + n_t + 1), U×2 = ΣnA(t)·avgrank×2(t) − nA(nA+1),
+    and the common-language effect size P(A>B)+½P(A=B) in integer
+    per-mille. On a healthy A/A the effect sits near 500‰.
+
+    Scale: one user rollup (the shuffle every engagement metric
+    pays), one per-VALUE rollup, and the global midrank prefix rides
+    the range-partitioned two-pass kernel (``ranged_prefix``) — the
+    distinct-value relation is unbounded, so no single-partition
+    window. Products widen to DECIMAL(38,0) (rank sums reach n² —
+    int64 wraps at ~4e9 users while the oracle's HUGEINT does not)."""
+    from ..llm.hashing import h32
+    from .prefix import ranged_prefix
+
+    events = load(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")), F.lit(0)
+        ).alias("metric")
+    )
+    arm = (h32(F.concat(F.lit("mw:"), F.col("user_id").cast("string"))) % 2).alias(
+        "arm"
+    )
+    ticks = (
+        per_user.select("metric", arm)
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_t"),
+            F.sum((F.col("arm") == 0).cast("bigint")).alias("na_t"),
+        )
+    )
+    cum = ranged_prefix(ticks, [F.col("metric")], sum_cols=["n_t"])
+    tot = cum.agg(
+        F.sum("na_t").alias("n_a"),
+        F.sum(F.col("n_t") - F.col("na_t")).alias("n_b"),
+        F.sum(
+            F.col("na_t").cast("decimal(38,0)")
+            * (2 * (F.col("cum_n_t") - F.col("n_t")) + F.col("n_t") + 1)
+        ).alias("r_a_x2"),
+    )
+    return tot.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(r_a_x2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)").alias(
+            "u_a_x2"
+        ),
+        F.expr(
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE"
+            " CAST((1000 * (r_a_x2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)))"
+            " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END"
+        ).alias("cle_permille"),
+    )
+
+
+def _mw_oracle() -> str:
+    from ..llm.hashing import h32_sql
+
+    salted = "'mw:' || user_id::VARCHAR"
+    arm = f"{h32_sql(salted)} % 2"
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0) AS metric
+  FROM events GROUP BY user_id
+),
+ticks AS (
+  SELECT metric, count(*)::BIGINT AS n_t,
+         sum(CASE WHEN {arm} = 0 THEN 1 ELSE 0 END)::BIGINT AS na_t
+  FROM per_user GROUP BY metric
+),
+cum AS (
+  SELECT n_t, na_t,
+         CAST(sum(n_t) OVER (ORDER BY metric ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_n_t
+  FROM ticks
+),
+tot AS (
+  SELECT CAST(sum(na_t) AS BIGINT) AS n_a,
+         CAST(sum(n_t - na_t) AS BIGINT) AS n_b,
+         sum(na_t::HUGEINT * (2 * (cum_n_t - n_t) + n_t + 1)) AS r_a_x2
+  FROM cum
+)
+SELECT n_a, n_b,
+       CAST(r_a_x2 - n_a::HUGEINT * (n_a + 1) AS BIGINT) AS u_a_x2,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+         CAST((1000 * (r_a_x2 - n_a::HUGEINT * (n_a + 1)))
+              // (2 * n_a::HUGEINT * n_b) AS BIGINT) END AS cle_permille
+FROM tot
+"""
+
+
 QUERIES = {
     "user_activity_streaks": user_activity_streaks,
     "ab_test_aa_calibration": ab_test_aa_calibration,
+    "mann_whitney_u_test": mann_whitney_u_test,
     "weekly_revenue_wow": weekly_revenue_wow,
     "cohort_retention": cohort_retention,
     "event_markov_transitions": event_markov_transitions,
@@ -804,6 +904,7 @@ QUERIES = {
 ORACLES = {
     "user_activity_streaks": _STREAKS_SQL,
     "ab_test_aa_calibration": _aa_oracle(),
+    "mann_whitney_u_test": _mw_oracle(),
     "weekly_revenue_wow": _WOW_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_markov_transitions": _MARKOV_SQL,

@@ -1573,9 +1573,96 @@ LIMIT {SCAN_TOP_EDGES}
 """
 
 
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Newman
+    mixing coefficient: the Pearson correlation between the degrees
+    at the two ends of every edge. Positive = hubs link to hubs
+    (social-network shape), negative = hubs link to leaves
+    (hub-and-spoke catalogs) — the ONE summary number that tells a
+    graph pipeline which skew strategy its joins need before it runs
+    them ([[copurchase_degree_histogram]] gives the marginal degree
+    law; this gives the JOINT structure).
+
+    Exactness: over the symmetric pair multiset (each edge counted
+    in both directions, M = 2|E|) the x and y marginals coincide, so
+    r = (M·Σxy − Sx²) / (M·Σx² − Sx²) — a pure integer ratio, NO
+    square root — reported in truncated per-mille (both engines
+    truncate toward zero). Every product widens to DECIMAL(38,0)/
+    HUGEINT: Sx² reaches (E·d̄)² and wraps int64 long before 100 TB.
+
+    Scale: degrees are one count over the memoized edge list; the
+    pair stats are ONE aggregate over edges joined twice against the
+    ~|V|-row degree relation (broadcast at this SF, key-shuffle at
+    cluster scale) — no wedge or pair materialization anywhere."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    paired = e.join(
+        F.broadcast(deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))), "a"
+    ).join(
+        F.broadcast(deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))), "b"
+    )
+    stats = paired.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("da").cast("decimal(38,0)") + F.col("db")).alias("sx"),
+        F.sum(
+            F.col("da").cast("decimal(38,0)") * F.col("da")
+            + F.col("db").cast("decimal(38,0)") * F.col("db")
+        ).alias("sxx"),
+        F.sum(2 * F.col("da").cast("decimal(38,0)") * F.col("db")).alias("sxy"),
+    )
+    return stats.select(
+        "n_edges",
+        F.expr(
+            "CASE WHEN 2 * n_edges * sxx - sx * sx = 0 THEN NULL ELSE"
+            " CAST((1000 * (2 * n_edges * sxy - sx * sx))"
+            " div (2 * n_edges * sxx - sx * sx) AS BIGINT) END"
+        ).alias("assortativity_permille"),
+    )
+
+
+def _assortativity_oracle() -> str:
+    return f"""
+WITH bk AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+),
+e0 AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+deg AS (
+  SELECT n, count(*)::BIGINT AS deg FROM (
+    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY n
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_edges,
+         sum(x.deg::HUGEINT + y.deg) AS sx,
+         sum(x.deg::HUGEINT * x.deg + y.deg::HUGEINT * y.deg) AS sxx,
+         sum(2 * x.deg::HUGEINT * y.deg) AS sxy
+  FROM e0
+  JOIN deg x ON x.n = e0.a
+  JOIN deg y ON y.n = e0.b
+)
+SELECT n_edges,
+       CASE WHEN 2 * n_edges::HUGEINT * sxx - sx * sx = 0 THEN NULL ELSE
+         CAST((1000 * (2 * n_edges::HUGEINT * sxy - sx * sx))
+              // (2 * n_edges::HUGEINT * sxx - sx * sx) AS BIGINT) END
+         AS assortativity_permille
+FROM stats
+"""
+
+
 QUERIES = {
     "skyline_customers": skyline_customers,
     "pareto_revenue_concentration": pareto_revenue_concentration,
+    "degree_assortativity": degree_assortativity,
     "copurchase_part_pairs": copurchase_part_pairs,
     "copurchase_triangles": copurchase_triangles,
     "drift_event_type_shares": drift_event_type_shares,
@@ -1593,6 +1680,7 @@ QUERIES = {
 ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
     "pareto_revenue_concentration": _PARETO_SQL,
+    "degree_assortativity": _assortativity_oracle(),
     "copurchase_part_pairs": _PAIRS_SQL,
     "copurchase_triangles": _TRI_SQL,
     "drift_event_type_shares": _DRIFT_SQL,

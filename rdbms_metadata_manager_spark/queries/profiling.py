@@ -1013,9 +1013,100 @@ ORDER BY t.grp
 """
 
 
+def grouped_mad_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median absolute deviation (MAD = lower median
+    of |x − median_g|) of order value cents per order priority — the
+    outlier-threshold statistic robust pipelines use where IQR fences
+    ([[outlier_customers_iqr]]) are too coarse, computed without EVER
+    buffering a group: two rounds of the banded selection kernel
+    shared with [[exact_median_two_pass]] /
+    [[grouped_trimmed_mean_two_pass]]. Round A: (group, $1,000-band)
+    histogram → driver walk to each group's rank-⌈n/2⌉ band → one
+    single-band rank pass → per-group medians (a ≤|groups|-row
+    relation, broadcast). Round B: the same machinery over the
+    DEVIATION ticks |x − med_g| (their value range is bounded by the
+    price range, so the histogram stays ~100 bands per group at any
+    row count). Integer cents end to end; the oracle is the plain
+    nested percentile_disc."""
+    li = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("tick"),
+    )
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+
+    def _grouped_lower_median(df, col):
+        """(grp, median) for the lower median of ``col`` per group via
+        the banded histogram + driver walk + single-band rank pass."""
+        band = F.expr(f"{col} div {MEDIAN_BUCKET_W}")
+        hist = (
+            df.groupBy("grp", band.alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("grp", "b")
+            .collect()
+        )
+        per_grp = defaultdict(list)
+        for r in hist:
+            per_grp[r.grp].append((r.b, r.n))
+        targets = []
+        for grp, bands in per_grp.items():
+            n = sum(c for _, c in bands)
+            k = (n + 1) // 2
+            b, off = _locate_rank(bands, k)
+            targets.append((grp, b, off, n))
+        tdf = spark.createDataFrame(targets, "grp string, b long, off long, n long")
+        w = Window.partitionBy("grp").orderBy(col)
+        return (
+            df.withColumn("b", band)
+            .join(F.broadcast(tdf), ["grp", "b"])
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == F.col("off"))
+            .select("grp", F.col(col).alias("med"), F.col("n").alias("n_rows"))
+        )
+
+    meds = _grouped_lower_median(li, "tick").localCheckpoint(eager=False)
+    dev = li.join(
+        F.broadcast(meds.select("grp", F.col("med").alias("median_cents"))), "grp"
+    ).select(
+        "grp", F.abs(F.col("tick") - F.col("median_cents")).alias("dtick")
+    )
+    mads = _grouped_lower_median(dev, "dtick").select(
+        "grp", F.col("med").alias("mad_cents")
+    )
+    return (
+        meds.select("grp", "n_rows", F.col("med").alias("median_cents"))
+        .join(mads, "grp")
+        .select("grp", "n_rows", "median_cents", "mad_cents")
+        .orderBy("grp")
+    )
+
+
+_MAD_SQL = """
+WITH t AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tick
+  FROM orders
+),
+med AS (
+  SELECT grp,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY tick) AS median_cents,
+         count(*)::BIGINT AS n_rows
+  FROM t GROUP BY grp
+)
+SELECT m.grp, m.n_rows, m.median_cents::BIGINT AS median_cents,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(t.tick - m.median_cents))::BIGINT
+         AS mad_cents
+FROM t JOIN med m ON m.grp = t.grp
+GROUP BY m.grp, m.n_rows, m.median_cents
+ORDER BY m.grp
+"""
+
+
 QUERIES = {
     "grouped_trimmed_mean_two_pass": grouped_trimmed_mean_two_pass,
     "exact_median_two_pass": exact_median_two_pass,
+    "grouped_mad_two_pass": grouped_mad_two_pass,
     "partition_layout_advisor": partition_layout_advisor,
     "join_strategy_advisor": join_strategy_advisor,
     "zorder_locality_report": zorder_locality_report,
@@ -1034,6 +1125,7 @@ QUERIES = {
 ORACLES = {
     "grouped_trimmed_mean_two_pass": _TRIMMED_SQL,
     "exact_median_two_pass": _MEDIAN_SQL,
+    "grouped_mad_two_pass": _MAD_SQL,
     "partition_layout_advisor": _part_advisor_oracle(),
     "join_strategy_advisor": _join_advisor_oracle(),
     "zorder_locality_report": _zorder_oracle(),

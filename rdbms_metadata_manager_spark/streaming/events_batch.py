@@ -304,12 +304,106 @@ ORDER BY entry_type
 """
 
 
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency by sweep-line — the capacity-planning
+    number ("how many users were active AT ONCE at the worst moment")
+    that naive per-bucket rollups understate whenever a session spans
+    a bucket boundary. Classic interval algorithm: every session
+    (15-min-gap ``session_window``, the module convention) emits a
+    +1 at its start and a −1 at its end (end EXCLUSIVE: at equal
+    timestamps the −1 sorts first, so back-to-back sessions never
+    double-count), and the peak is the max of the running sum over
+    the (t, d, user_id) total order. Reports the session count, the
+    peak, and the first instant it is reached.
+
+    Scale: the delta relation is 2×|sessions| rows — unbounded — so
+    the running sum rides the range-partitioned two-pass prefix
+    kernel (``ranged_prefix``), never a single-partition window; the
+    peak/argmin reductions are plain aggregates. All integers (epoch
+    micros, ±1 counts) — zero cross-engine drift surface."""
+    from ..queries.prefix import ranged_prefix
+
+    e = load(spark, sf_dir, "events")
+    sess = (
+        e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("s_us"),
+            F.unix_micros("w.end").alias("e_us"),
+        )
+    )
+    deltas = sess.select(
+        F.col("s_us").alias("t"), F.lit(1).cast("bigint").alias("d"), "user_id"
+    ).unionAll(
+        sess.select(
+            F.col("e_us").alias("t"), F.lit(-1).cast("bigint").alias("d"), "user_id"
+        )
+    )
+    cum = ranged_prefix(
+        deltas, [F.col("t"), F.col("d"), F.col("user_id")], sum_cols=["d"]
+    )
+    peak = cum.agg(F.max("cum_d").alias("peak_concurrent"))
+    peak_at = (
+        cum.crossJoin(F.broadcast(peak))
+        .filter(F.col("cum_d") == F.col("peak_concurrent"))
+        .agg(F.min("t").alias("t_us"))
+        .select(F.timestamp_micros("t_us").alias("peak_at"))
+    )
+    n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        n_sessions.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(peak_at))
+        .select("n_sessions", "peak_concurrent", "peak_at")
+    )
+
+
+_CONCURRENCY_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+iv AS (
+  SELECT user_id,
+         epoch_us(min(ts)) AS s_us,
+         epoch_us(max(ts) + INTERVAL 15 MINUTE) AS e_us
+  FROM sessions GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT s_us AS t, 1 AS d, user_id FROM iv
+  UNION ALL
+  SELECT e_us, -1, user_id FROM iv
+),
+cum AS (
+  SELECT t,
+         CAST(sum(d) OVER (ORDER BY t, d, user_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM deltas
+)
+SELECT (SELECT count(*) FROM iv)::BIGINT AS n_sessions,
+       (SELECT max(c) FROM cum)::BIGINT AS peak_concurrent,
+       make_timestamp((SELECT min(t) FROM cum
+                       WHERE c = (SELECT max(c) FROM cum))) AS peak_at
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "session_pattern_abandonment": session_pattern_abandonment,
     "events_session_stats": events_session_stats,
     "events_sliding_10min": events_sliding_10min,
     "session_bounce_stats": session_bounce_stats,
+    "max_concurrent_sessions": max_concurrent_sessions,
 }
 
 ORACLES = {
@@ -318,4 +412,5 @@ ORACLES = {
     "events_session_stats": _SESSION_SQL,
     "events_sliding_10min": _SLIDING_SQL,
     "session_bounce_stats": _BOUNCE_SQL,
+    "max_concurrent_sessions": _CONCURRENCY_SQL,
 }

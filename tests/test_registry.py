@@ -33,19 +33,24 @@ def test_window_covers_reference_parity_and_llm_families():
         "schema_issues",
         "schema_issues_quirks",
         "schema_issue_summary",
-        # r5: code changed this round — fresh driver greens required
-        # (VERDICT r4 items 2/3/5 name these directly)
-        "dedup_negative_control",
-        "zipf_rank_frequency_audit",
-        "semdedup_embedding_clusters",
-        "pareto_revenue_concentration",
-        # r5: late-r4 ops + retyped latents the VERDICT listed first
-        "join_strategy_advisor",
-        "gdpr_erasure_audit",
-        "constraint_mining",
-        "catalog_pii_risk_scan",
-        "identifier_param_table_profile",
-        "observed_scan_metrics",
+        # r6: code changed this round — fresh driver greens required
+        # (ADVICE r5 overflow widenings + the adjacency-BFS rewrite,
+        # VERDICT r5 item 2)
+        "t_closeness_audit",
+        "selfjoin_size_estimate",
+        "bfs_levels_from_hub",
+        "diameter_double_sweep",
+        # r6: the builder's post-freeze re-proof list (VERDICT r5 item 1)
+        "source_signature_chisq",
+        "code_prose_detector",
+        "rag_chunk_overlap_stats",
+        "naming_convention_audit",
+        "exact_median_two_pass",
+        # r6: streaming canaries (VERDICT r5 item 6)
+        "events_sliding_10min",
+        "streaming_hll_distinct",
+        "streaming_cms_heavy_hitters",
+        "pyds_stream_sink_roundtrip",
     }
     assert must_have <= window
 

@@ -1,0 +1,224 @@
+"""Round-6 additions: independent pure-Python reference tests for the
+new operators (interval concurrency, Mann-Whitney U, degree
+assortativity, grouped MAD) plus regression fixtures for the ADVICE r5
+overflow widenings. The reference implementations share NO code with
+either engine — a bug would have to reproduce identically three ways
+to slip through."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from conftest import assert_matches_oracle
+
+GAP_US = 15 * 60 * 1_000_000
+
+
+def _sessions_from_events(rows):
+    """rows: (user_id, ts_us) -> list of (start_us, end_us) with the
+    15-minute-gap rule, end = last event + gap."""
+    by_user = defaultdict(list)
+    for uid, t in rows:
+        by_user[uid].append(t)
+    out = []
+    for uid, ts in by_user.items():
+        ts.sort()
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > GAP_US:
+                out.append((start, prev + GAP_US))
+                start = t
+            prev = t
+        out.append((start, prev + GAP_US))
+    return out
+
+
+def test_max_concurrent_sessions_matches_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_us(ts) FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    con.close()
+    iv = _sessions_from_events(rows)
+    deltas = sorted(
+        [(s, 1) for s, _ in iv] + [(e, -1) for _, e in iv]
+    )  # (t, d): d=-1 sorts before +1 at equal t — end exclusive
+    cur = peak = 0
+    peak_at = None
+    for t, d in deltas:
+        cur += d
+        if cur > peak:
+            peak, peak_at = cur, t
+    from rdbms_metadata_manager_spark.streaming.events_batch import (
+        max_concurrent_sessions,
+    )
+
+    row = max_concurrent_sessions(spark, sf_dir).collect()[0]
+    assert row.n_sessions == len(iv)
+    assert row.peak_concurrent == peak
+    got_us = int(row.peak_at.timestamp() * 1_000_000)
+    # float seconds round-trip can wobble the last microsecond digit
+    assert abs(got_us - peak_at) <= 1
+
+
+def test_mann_whitney_u_matches_pure_python_midranks(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.hashing import h32_sql
+
+    con = duckdb.connect()
+    salted = "'mw:' || user_id::VARCHAR"
+    rows = con.execute(
+        f"""
+        SELECT coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0),
+               {h32_sql(salted)} % 2
+        FROM '{sf_dir}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    con.close()
+    vals = sorted(rows)
+    # midranks x2 via run-length walk over the sorted metric values
+    r_a_x2 = 0
+    n_a = sum(1 for _, a in rows if a == 0)
+    n_b = len(rows) - n_a
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        avgrank_x2 = 2 * i + (j - i) + 1  # 2*cum_before + n_t + 1
+        r_a_x2 += avgrank_x2 * sum(1 for k in range(i, j) if vals[k][1] == 0)
+        i = j
+    u_a_x2 = r_a_x2 - n_a * (n_a + 1)
+    from rdbms_metadata_manager_spark.queries.cohort import mann_whitney_u_test
+
+    row = mann_whitney_u_test(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.u_a_x2 == u_a_x2
+    assert row.cle_permille == (1000 * u_a_x2) // (2 * n_a * n_b)
+    # A/A sanity: the hash split should sit near 500 per-mille — only
+    # meaningful with enough users (sf0.001 has 15; a 7/8 split lands
+    # anywhere)
+    if n_a + n_b >= 200:
+        assert 300 <= row.cle_permille <= 700
+
+
+def test_degree_assortativity_matches_pure_python_pearson(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.mining import (
+        MAX_BASKET,
+        degree_assortativity,
+    )
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH bk AS (
+          SELECT l_orderkey, l_partkey FROM (
+            SELECT l_orderkey, l_partkey,
+                   count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+            FROM (SELECT DISTINCT l_orderkey, l_partkey
+                  FROM '{sf_dir}/lineitem.parquet')
+          ) WHERE basket_n <= {MAX_BASKET}
+        )
+        SELECT a.l_partkey, b.l_partkey
+        FROM bk a JOIN bk b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    con.close()
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    pairs = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    m = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    num, den = m * sxy - sx * sx, m * sxx - sx * sx
+    # truncation toward zero, matching Spark div / DuckDB //
+    want = None
+    if den != 0:
+        q = (1000 * abs(num)) // abs(den)
+        want = q if (num >= 0) == (den > 0) else -q
+    row = degree_assortativity(spark, sf_dir).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.assortativity_permille == want
+    # a float cross-check that the permille is the right Pearson r
+    if den != 0:
+        r = num / den
+        assert abs(row.assortativity_permille - 1000 * r) <= 1.0
+
+
+def test_grouped_mad_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.profiling import grouped_mad_two_pass
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_orderpriority, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        FROM '{sf_dir}/orders.parquet'
+        """
+    ).fetchall()
+    con.close()
+    by_grp = defaultdict(list)
+    for g, t in rows:
+        by_grp[g].append(t)
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    got = {r.grp: r for r in grouped_mad_two_pass(spark, sf_dir).collect()}
+    assert set(got) == set(by_grp)
+    for g, xs in by_grp.items():
+        med = lower_median(xs)
+        mad = lower_median([abs(x - med) for x in xs])
+        assert got[g].n_rows == len(xs)
+        assert got[g].median_cents == med
+        assert got[g].mad_cents == mad
+
+
+def test_t_closeness_wide_products_do_not_wrap(spark, sf_dir, tmp_path):
+    """ADVICE r5 #1 regression: with counts inflated so cnt*N exceeds
+    int64 the Spark side must keep matching the HUGEINT oracle. True
+    1e10-row fixtures don't fit a test; instead verify the widened
+    expression class directly: DECIMAL(38,0) products of two ~1e10
+    factors survive where the bigint product wraps."""
+    big = 12_000_000_000  # 1.2e10; big*big ~ 1.44e20 >> int64 max
+    df = spark.createDataFrame([(big, big)], "a long, b long")
+    wide = df.select(
+        (F.col("a").cast("decimal(38,0)") * F.col("b")).alias("p")
+    ).collect()[0]
+    assert int(wide.p) == big * big
+    got = duckdb.sql(f"SELECT {big}::HUGEINT * {big} AS p").fetchone()[0]
+    assert int(got) == big * big
+
+
+def test_selfjoin_f2_matches_oracle_after_widening(spark, sf_dir):
+    """ADVICE r5 #2: the widened F2 squares still hash-match."""
+    from rdbms_metadata_manager_spark.queries.skew import _F2_SQL, selfjoin_size_estimate
+
+    assert_matches_oracle(selfjoin_size_estimate(spark, sf_dir), _F2_SQL, sf_dir)
+
+
+def test_bfs_adjacency_rewrite_matches_oracles(spark, sf_dir):
+    """The adjacency-BFS rewrite (VERDICT r5 item 2) keeps both faces
+    oracle-exact, and the early-exit can never clip a layer: every
+    (node, dist) the unrolled oracle derives must still appear."""
+    from rdbms_metadata_manager_spark.queries.mining import (
+        _bfs_oracle,
+        _diameter_oracle,
+        bfs_levels_from_hub,
+        diameter_double_sweep,
+    )
+
+    assert_matches_oracle(bfs_levels_from_hub(spark, sf_dir), _bfs_oracle(), sf_dir)
+    assert_matches_oracle(
+        diameter_double_sweep(spark, sf_dir), _diameter_oracle(), sf_dir
+    )
