@@ -630,8 +630,90 @@ ORDER BY event_type
 """
 
 
+def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type burstiness via the Fano factor over hourly
+    counts — F = var/mean of the counts per fixed time window, the
+    standard dispersion index: F ≈ 1000‰ is Poisson (memoryless
+    traffic), >1000 bursty (retry storms, batch jobs), <1000
+    regular (heartbeats). The number a capacity planner reads NEXT
+    to [[max_concurrent_sessions]]'s peak: the peak says how high,
+    the Fano factor says whether the peak is luck or structure.
+
+    Counts come from the SAME dense gap-filled hour spine as
+    [[resample_events_hourly]] — empty hours are real zeros and MUST
+    enter the variance (dropping them biases F down exactly when the
+    traffic is most bursty). Exactness: population variance carried
+    as n·ΣQ − S² over integer counts, Fano per-mille =
+    (1000·(nQ − S²)) div (n·S) — one integer ratio, no float moment
+    math; products widen to DECIMAL(38,0)/HUGEINT (Q is count² —
+    wraps int64 at ~3e9-event hours). Scale: one (type, hour)
+    rollup; the spine is bounded by |types| × hours-of-history, and
+    the moments aggregate that bounded relation."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+        )
+    )
+    dense = spine.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    mom = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q"),
+    )
+    return mom.select(
+        "event_type",
+        "n_hours",
+        F.col("s").alias("n_events"),
+        F.expr(
+            "CASE WHEN s = 0 THEN NULL ELSE"
+            " CAST((1000 * (n_hours * q - CAST(s AS DECIMAL(38,0)) * s))"
+            " div (CAST(n_hours AS DECIMAL(38,0)) * s) AS BIGINT) END"
+        ).alias("fano_permille"),
+    ).orderBy("event_type")
+
+
+_FANO_SQL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM counts GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM b
+),
+dense AS (
+  SELECT s.event_type, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c.hour = s.hour
+),
+mom AS (
+  SELECT event_type, count(*)::BIGINT AS n_hours,
+         CAST(sum(c) AS BIGINT) AS s,
+         sum(c::HUGEINT * c) AS q
+  FROM dense GROUP BY event_type
+)
+SELECT event_type, n_hours, s AS n_events,
+       CASE WHEN s = 0 THEN NULL ELSE
+         CAST((1000 * (n_hours * q - s::HUGEINT * s))
+              // (n_hours::HUGEINT * s) AS BIGINT) END AS fano_permille
+FROM mom
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
+    "event_burstiness_fano": event_burstiness_fano,
     "ewma_daily_events": ewma_daily_events,
     "ols_trend_per_segment": ols_trend_per_segment,
     "autocorr_daily_events": autocorr_daily_events,
@@ -641,6 +723,7 @@ QUERIES = {
 }
 ORACLES = {
     "forecast_seasonal_naive_backtest": _FORECAST_SQL,
+    "event_burstiness_fano": _FANO_SQL,
     "ewma_daily_events": _EWMA_SQL,
     "ols_trend_per_segment": _OLS_SQL,
     "autocorr_daily_events": _ACF_SQL,

@@ -1659,10 +1659,113 @@ FROM stats
 """
 
 
+RICH_CLUB_KS = (2, 4, 8, 16, 32, 64, 128, 256)
+
+
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the co-purchase graph at
+    doubling degree thresholds — the density of the subgraph induced
+    by nodes of degree > k: φ(k) = 2·E_k / (N_k·(N_k−1)). Rising
+    φ(k) means the hubs form a tightly-wired core (the "rich club") —
+    together with [[degree_assortativity]] this is the standard
+    two-number summary of hub wiring, and for a join planner a strong
+    rich club means the skewed keys CO-OCCUR (salting must split the
+    hot-hot pairs, not just the hot rows).
+
+    Scale: everything derives from two BOUNDED histograms — edges by
+    min(endpoint degrees) and nodes by degree (≤ max-degree rows
+    each) — so the per-k probes are conditional sums over broadcast
+    relations; the edge relation is scanned ONCE (the degree join is
+    the same ~|V|-row broadcast the assortativity face uses). All
+    integer; truncated per-mille; classes with N_k < 2 report NULL."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    paired = e.join(
+        F.broadcast(deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))), "a"
+    ).join(
+        F.broadcast(deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))), "b"
+    )
+    edge_hist = paired.groupBy(
+        F.least("da", "db").alias("m")
+    ).agg(F.count(F.lit(1)).alias("ce"))
+    deg_hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("cn"))
+    probes = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k long")
+    ek = (
+        probes.crossJoin(F.broadcast(edge_hist))
+        .groupBy("k")
+        .agg(F.sum(F.when(F.col("m") > F.col("k"), F.col("ce"))).alias("n_edges"))
+    )
+    nk = (
+        probes.crossJoin(F.broadcast(deg_hist))
+        .groupBy("k")
+        .agg(F.sum(F.when(F.col("deg") > F.col("k"), F.col("cn"))).alias("n_nodes"))
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.expr(
+                "CASE WHEN coalesce(n_nodes, 0) < 2 THEN NULL ELSE"
+                " CAST((2000 * coalesce(n_edges, 0))"
+                " div (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1)) AS BIGINT) END"
+            ).alias("phi_permille"),
+        )
+        .orderBy("k")
+    )
+
+
+def _rich_club_oracle() -> str:
+    ks = ", ".join(str(k) for k in RICH_CLUB_KS)
+    return f"""
+WITH bk AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey
+  FROM (
+    SELECT l_orderkey, l_partkey,
+           count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE basket_n <= {MAX_BASKET}
+),
+e0 AS MATERIALIZED ({_KCORE_EDGES_SQL}),
+deg AS (
+  SELECT n, count(*)::BIGINT AS deg FROM (
+    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY n
+),
+edge_hist AS (
+  SELECT least(x.deg, y.deg) AS m, count(*)::BIGINT AS ce
+  FROM e0 JOIN deg x ON x.n = e0.a JOIN deg y ON y.n = e0.b
+  GROUP BY 1
+),
+deg_hist AS (SELECT deg, count(*)::BIGINT AS cn FROM deg GROUP BY deg),
+probes AS (SELECT unnest([{ks}])::BIGINT AS k)
+SELECT p.k,
+       coalesce((SELECT sum(cn) FROM deg_hist WHERE deg > p.k), 0)::BIGINT
+         AS n_nodes,
+       coalesce((SELECT sum(ce) FROM edge_hist WHERE m > p.k), 0)::BIGINT
+         AS n_edges,
+       CASE WHEN coalesce((SELECT sum(cn) FROM deg_hist WHERE deg > p.k), 0) < 2
+            THEN NULL ELSE
+         CAST((2000 * coalesce((SELECT sum(ce) FROM edge_hist WHERE m > p.k), 0)::HUGEINT)
+              // ((SELECT sum(cn) FROM deg_hist WHERE deg > p.k)::HUGEINT
+                  * ((SELECT sum(cn) FROM deg_hist WHERE deg > p.k) - 1)) AS BIGINT) END
+         AS phi_permille
+FROM probes p
+ORDER BY p.k
+"""
+
+
 QUERIES = {
     "skyline_customers": skyline_customers,
     "pareto_revenue_concentration": pareto_revenue_concentration,
     "degree_assortativity": degree_assortativity,
+    "rich_club_coefficient": rich_club_coefficient,
     "copurchase_part_pairs": copurchase_part_pairs,
     "copurchase_triangles": copurchase_triangles,
     "drift_event_type_shares": drift_event_type_shares,
@@ -1681,6 +1784,7 @@ ORACLES = {
     "skyline_customers": _SKYLINE_SQL,
     "pareto_revenue_concentration": _PARETO_SQL,
     "degree_assortativity": _assortativity_oracle(),
+    "rich_club_coefficient": _rich_club_oracle(),
     "copurchase_part_pairs": _PAIRS_SQL,
     "copurchase_triangles": _TRI_SQL,
     "drift_event_type_shares": _DRIFT_SQL,

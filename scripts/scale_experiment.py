@@ -127,12 +127,25 @@ FIXED_OUTPUT_KERNELS = [
     "selfjoin_size_estimate",
     "multi_touch_attribution",
     "diameter_double_sweep",
+    # round-6 fixed-output additions: 1-row / ≤|groups|-row reports.
+    # Concurrency: replicas share the time axis, so the sweep-line
+    # peak grows ~Kx while the delta relation grows exactly Kx; the
+    # prefix kernel must stay shuffle-bound. Mann-Whitney: the value
+    # rollup grows ≤Kx, midrank prefix rides the same kernel.
+    # Assortativity: disjoint identical graph replicas pool to the
+    # SAME r (both numerator terms scale K²) — output value is the
+    # scale invariant itself. MAD: orders replicate with offset keys,
+    # per-group medians invariant.
+    "max_concurrent_sessions",
+    "mann_whitney_u_test",
+    "degree_assortativity",
+    "grouped_mad_two_pass",
 ]
 
 # versioned: v2 replicas added lineitem.parquet, v3 adds
-# events.parquet; an old _done marker must not serve a dir that
-# lacks the newer tables
-_DONE = "_done_v3"
+# events.parquet, v4 adds orders.parquet; an old _done marker must
+# not serve a dir that lacks the newer tables
+_DONE = "_done_v4"
 
 DOC_OFFSET = 10_000_000
 VEC_OFFSET = 10_000_000
@@ -209,6 +222,18 @@ def build_replica_dir(spark, k: int) -> str:
     for p in ev_parts[1:]:
         v = v.unionByName(p)
     v.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    od = load(spark, BASE, "orders")
+    od_parts = [
+        od.select(
+            (F.col("o_orderkey") + F.lit(r * DOC_OFFSET)).alias("o_orderkey"),
+            *[c for c in od.columns if c != "o_orderkey"],
+        )
+        for r in range(k)
+    ]
+    o = od_parts[0]
+    for p in od_parts[1:]:
+        o = o.unionByName(p)
+    o.repartition(32).write.mode("overwrite").parquet(f"{out}/orders.parquet")
     open(f"{out}/{_DONE}", "w").close()
     return out
 

@@ -184,6 +184,80 @@ def test_grouped_mad_matches_pure_python(spark, sf_dir):
         assert got[g].mad_cents == mad
 
 
+def test_event_burstiness_fano_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.forecast import event_burstiness_fano
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, date_trunc('hour', ts), count(*)
+        FROM '{sf_dir}/events.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    con.close()
+    by_type = defaultdict(dict)
+    for t, h, c in rows:
+        by_type[t][h] = c
+    got = {r.event_type: r for r in event_burstiness_fano(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for t, hours in by_type.items():
+        h0, h1 = min(hours), max(hours)
+        n = int((h1 - h0).total_seconds() // 3600) + 1
+        counts = [0] * n
+        for h, c in hours.items():
+            counts[int((h - h0).total_seconds() // 3600)] = c
+        s, q = sum(counts), sum(c * c for c in counts)
+        want = (1000 * (n * q - s * s)) // (n * s)
+        assert got[t].n_hours == n
+        assert got[t].n_events == s
+        assert got[t].fano_permille == want
+        # sanity: a random event stream should not read as ultra-regular
+        assert got[t].fano_permille > 0
+
+
+def test_rich_club_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.mining import (
+        MAX_BASKET,
+        RICH_CLUB_KS,
+        rich_club_coefficient,
+    )
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH bk AS (
+          SELECT l_orderkey, l_partkey FROM (
+            SELECT l_orderkey, l_partkey,
+                   count(*) OVER (PARTITION BY l_orderkey) AS basket_n
+            FROM (SELECT DISTINCT l_orderkey, l_partkey
+                  FROM '{sf_dir}/lineitem.parquet')
+          ) WHERE basket_n <= {MAX_BASKET}
+        )
+        SELECT a.l_partkey, b.l_partkey
+        FROM bk a JOIN bk b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    con.close()
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = {r.k: r for r in rich_club_coefficient(spark, sf_dir).collect()}
+    assert set(got) == set(RICH_CLUB_KS)
+    for k in RICH_CLUB_KS:
+        nodes = {n for n, d in deg.items() if d > k}
+        e_k = sum(1 for a, b in edges if a in nodes and b in nodes)
+        r = got[k]
+        assert r.n_nodes == len(nodes)
+        assert r.n_edges == e_k
+        if len(nodes) < 2:
+            assert r.phi_permille is None
+        else:
+            assert r.phi_permille == (2000 * e_k) // (len(nodes) * (len(nodes) - 1))
+
+
 def test_t_closeness_wide_products_do_not_wrap(spark, sf_dir, tmp_path):
     """ADVICE r5 #1 regression: with counts inflated so cnt*N exceeds
     int64 the Spark side must keep matching the HUGEINT oracle. True
