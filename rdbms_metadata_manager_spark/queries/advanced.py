@@ -680,9 +680,90 @@ ORDER BY channel
 """
 
 
+def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard similarity between event types' USER
+    SETS — the audience-overlap matrix ("do clickers also purchase?")
+    behind segment targeting and funnel design: J(a,b) =
+    |U_a ∩ U_b| / |U_a ∪ U_b| over exact distinct-user sets, the
+    EXACT twin of sketch-based overlap ([[hll_sketch_partition_union]]
+    estimates set sizes; this takes the true intersection because the
+    pair space is tiny even when the sets are not).
+
+    Scale: ONE distinct (user, type) rollup, then per-user type-set
+    pair emission with the basket-pairs idiom (collect_set + C(n,2)
+    transform inside codegen — fanout bounded by |types|² per user,
+    NOT by events); intersections aggregate those pairs, sizes come
+    from the same rollup, and the |types|²-row spine is a broadcast
+    cross join so zero-overlap pairs still report 0. All integer."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ut.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "y -> struct(x AS ta, y AS tb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.ta", "p.tb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    spine = (
+        sz.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                sz.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+            )
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    return (
+        spine.join(F.broadcast(pairs), ["ta", "tb"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            "inter",
+            F.expr(
+                "CAST((1000 * inter) div (n_a + n_b - inter) AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+_TYPE_JACCARD_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sz AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*)::BIGINT AS inter
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT sa.event_type AS ta, sb.event_type AS tb,
+       sa.n AS n_a, sb.n AS n_b,
+       coalesce(p.inter, 0)::BIGINT AS inter,
+       CAST((1000 * coalesce(p.inter, 0)) // (sa.n + sb.n - coalesce(p.inter, 0))
+            AS BIGINT) AS jaccard_permille
+FROM sz sa
+JOIN sz sb ON sa.event_type < sb.event_type
+LEFT JOIN pairs p ON p.ta = sa.event_type AND p.tb = sb.event_type
+ORDER BY ta, tb
+"""
+
+
 QUERIES = {
     "bitwise_functions_events": bitwise_functions_events,
     "multi_touch_attribution": multi_touch_attribution,
+    "event_type_user_jaccard": event_type_user_jaccard,
     "listagg_nations_per_region": listagg_nations_per_region,
     "asof_join_last_click": asof_join_last_click,
     "map_functions_events": map_functions_events,
@@ -704,6 +785,7 @@ QUERIES = {
 ORACLES = {
     "bitwise_functions_events": _BITWISE_SQL,
     "multi_touch_attribution": _ATTRIB_SQL,
+    "event_type_user_jaccard": _TYPE_JACCARD_SQL,
     "listagg_nations_per_region": _LISTAGG_SQL,
     "asof_join_last_click": _ASOF_SQL,
     "map_functions_events": _MAP_SQL,

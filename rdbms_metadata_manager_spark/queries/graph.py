@@ -136,5 +136,91 @@ ORDER BY n.n_nationkey
 """
 
 
-QUERIES = {"pagerank_trade_graph": pagerank_trade_graph}
-ORACLES = {"pagerank_trade_graph": _PAGERANK_SQL}
+REACH_DEPTH = 4
+TOP_LANES = 2
+
+
+def recursive_cte_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability over the top-trade-lane graph written
+    as a TRUE ``WITH RECURSIVE`` CTE — Spark 4.1's recursive-CTE
+    support (UNION ALL form), the declarative twin of the iterative-
+    fixpoint faces ([[bfs_levels_from_hub]] materializes frontiers by
+    hand; this hands the SAME semantics to the engine). Graph: each
+    nation keeps its TOP_LANES highest-volume supplier nations
+    (w desc, dst tiebreak — deterministic), giving a sparse directed
+    graph where reachability is non-trivial; the walk starts at
+    nation 0 and the recursive term is depth-bounded (dist <
+    REACH_DEPTH), which also makes the cyclic graph terminate — path
+    fanout is ≤ TOP_LANES^REACH_DEPTH rows, the bounded case.
+
+    The edge relation is passed to ``spark.sql`` as a DataFrame
+    parameter (no temp-view name pollution). DuckDB runs the
+    byte-identical recursion — one of the few operator shapes where
+    BOTH engines accept the same modern-SQL text."""
+    nation = tables(spark, sf_dir, "nation")[0]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    lanes = (
+        _trade_edges(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_LANES)
+        .select("src", "dst")
+    )
+    reach = spark.sql(
+        f"""
+WITH RECURSIVE reach(node, dist) AS (
+  SELECT 0, 0
+  UNION ALL
+  SELECT t.dst, r.dist + 1
+  FROM reach r JOIN {{lanes}} t ON t.src = r.node
+  WHERE r.dist < {REACH_DEPTH}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM reach GROUP BY node
+""",
+        lanes=lanes,
+    )
+    return (
+        reach.join(nation, F.col("n_nationkey") == F.col("node"))
+        .select("n_nationkey", "n_name", "dist")
+        .orderBy("dist", "n_nationkey")
+    )
+
+
+_REACH_SQL = f"""
+WITH RECURSIVE tw AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+lanes AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM tw
+  ) WHERE rn <= {TOP_LANES}
+),
+reach(node, dist) AS (
+  SELECT 0, 0
+  UNION ALL
+  SELECT t.dst, r.dist + 1
+  FROM reach r JOIN lanes t ON t.src = r.node
+  WHERE r.dist < {REACH_DEPTH}
+)
+SELECT n.n_nationkey, n.n_name, CAST(min(r.dist) AS BIGINT) AS dist
+FROM reach r JOIN nation n ON n.n_nationkey = r.node
+GROUP BY 1, 2
+ORDER BY dist, n_nationkey
+"""
+
+
+QUERIES = {
+    "pagerank_trade_graph": pagerank_trade_graph,
+    "recursive_cte_trade_reach": recursive_cte_trade_reach,
+}
+ORACLES = {
+    "pagerank_trade_graph": _PAGERANK_SQL,
+    "recursive_cte_trade_reach": _REACH_SQL,
+}

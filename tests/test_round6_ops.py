@@ -258,6 +258,72 @@ def test_rich_club_matches_pure_python(spark, sf_dir):
             assert r.phi_permille == (2000 * e_k) // (len(nodes) * (len(nodes) - 1))
 
 
+def test_event_type_user_jaccard_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.advanced import event_type_user_jaccard
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT user_id, event_type FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    con.close()
+    sets = defaultdict(set)
+    for u, t in rows:
+        sets[t].add(u)
+    types = sorted(sets)
+    got = {(r.ta, r.tb): r for r in event_type_user_jaccard(spark, sf_dir).collect()}
+    assert set(got) == {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    for (a, b), r in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert (r.n_a, r.n_b, r.inter) == (len(sets[a]), len(sets[b]), inter)
+        assert r.jaccard_permille == (1000 * inter) // union
+
+
+def test_recursive_cte_reach_matches_pure_python_bfs(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.graph import (
+        REACH_DEPTH,
+        TOP_LANES,
+        recursive_cte_trade_reach,
+    )
+
+    con = duckdb.connect()
+    lanes = con.execute(
+        f"""
+        WITH tw AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+          FROM '{sf_dir}/lineitem.parquet' l
+          JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+          JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey
+          JOIN '{sf_dir}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        )
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM tw
+        ) WHERE rn <= {TOP_LANES}
+        """
+    ).fetchall()
+    con.close()
+    adj = defaultdict(list)
+    for s, d in lanes:
+        adj[s].append(d)
+    dist = {0: 0}
+    frontier = [0]
+    for d in range(1, REACH_DEPTH + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = d
+                    nxt.append(m)
+        frontier = nxt
+    got = {r.n_nationkey: r.dist for r in recursive_cte_trade_reach(spark, sf_dir).collect()}
+    assert got == dist
+
+
 def test_t_closeness_wide_products_do_not_wrap(spark, sf_dir, tmp_path):
     """ADVICE r5 #1 regression: with counts inflated so cnt*N exceeds
     int64 the Spark side must keep matching the HUGEINT oracle. True
