@@ -152,6 +152,10 @@ HEADLINE = [
     "mann_whitney_u_test",
     "degree_assortativity",
     "grouped_mad_two_pass",
+    "event_burstiness_fano",
+    "rich_club_coefficient",
+    "recursive_cte_trade_reach",
+    "event_type_user_jaccard",
 ]
 
 

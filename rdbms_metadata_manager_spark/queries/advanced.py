@@ -689,19 +689,25 @@ def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates set sizes; this takes the true intersection because the
     pair space is tiny even when the sets are not).
 
-    Scale: ONE distinct (user, type) rollup, then per-user type-set
-    pair emission with the basket-pairs idiom (collect_set + C(n,2)
-    transform inside codegen — fanout bounded by |types|² per user,
-    NOT by events); intersections aggregate those pairs, sizes come
-    from the same rollup, and the |types|²-row spine is a broadcast
-    cross join so zero-overlap pairs still report 0. All integer."""
+    Scale: ONE user-keyed shuffle — collect_set dedups (user, type)
+    inside the aggregation, so there is no separate DISTINCT pass;
+    set sizes AND intersections both derive from the materialized
+    per-user type sets (per-user fanout bounded by |types|², NOT by
+    events), and the |types|²-row spine is a broadcast cross join so
+    zero-overlap pairs still report 0. All integer."""
     ev = load(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        ut.groupBy("user_id")
+    ut_sets = (
+        ev.groupBy("user_id")
         .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
-        .select(
+        .localCheckpoint(eager=False)
+    )
+    sz = (
+        ut_sets.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        ut_sets.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ts, (x, i) -> "
