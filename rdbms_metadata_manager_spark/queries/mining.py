@@ -1706,7 +1706,7 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(F.col("deg") > F.col("k"), F.col("cn"))).alias("n_nodes"))
     )
     return (
-        nk.join(ek, "k")
+        nk.join(F.broadcast(ek), "k")
         .select(
             "k",
             F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),

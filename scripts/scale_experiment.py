@@ -140,6 +140,10 @@ FIXED_OUTPUT_KERNELS = [
     "mann_whitney_u_test",
     "degree_assortativity",
     "grouped_mad_two_pass",
+    # bounded outputs: 6 types / 8 k-probes / 15 type pairs
+    "event_burstiness_fano",
+    "rich_club_coefficient",
+    "event_type_user_jaccard",
 ]
 
 # versioned: v2 replicas added lineitem.parquet, v3 adds

@@ -982,3 +982,65 @@ def test_pareto_and_budget_ride_partitioned_range_kernel(spark, sf_dir):
             assert ("ASC" not in head) and ("DESC" not in head), (
                 "unpartitioned window: " + m.group(0)
             )
+
+
+def test_concurrency_and_mann_whitney_ride_partitioned_range_kernel(spark, sf_dir):
+    """The two round-6 consumers of prefix.ranged_prefix — the
+    sweep-line concurrency running sum and the Mann-Whitney midrank
+    prefix — must show only PARTITIONED windows (the range _pid or
+    the kernel's non-foldable constant group), never the
+    single-executor global sort the kernel exists to replace."""
+    import re
+
+    from rdbms_metadata_manager_spark.queries.cohort import mann_whitney_u_test
+    from rdbms_metadata_manager_spark.streaming.events_batch import (
+        max_concurrent_sessions,
+    )
+
+    for df in (
+        max_concurrent_sessions(spark, sf_dir),
+        mann_whitney_u_test(spark, sf_dir),
+    ):
+        plan = physical_plan(df)
+        assert "windowspecdefinition(_pid" in plan, plan
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = m.group(1).split(",")[0]
+            assert ("ASC" not in head) and ("DESC" not in head), (
+                "unpartitioned window: " + m.group(0)
+            )
+
+
+def test_hub_wiring_faces_broadcast_degrees_no_smj(spark, sf_dir):
+    """degree_assortativity and rich_club_coefficient join the edge
+    list against the ~|V|-row degree relation: both sides must come
+    in as broadcast hash joins (the relation is V-bounded), with no
+    sort-merge join anywhere — the edge relation is scanned once from
+    the memoized checkpoint."""
+    from rdbms_metadata_manager_spark.queries.mining import (
+        degree_assortativity,
+        rich_club_coefficient,
+    )
+
+    for df in (
+        degree_assortativity(spark, sf_dir),
+        rich_club_coefficient(spark, sf_dir),
+    ):
+        plan = physical_plan(df, execute=True)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+def test_type_jaccard_single_user_shuffle(spark, sf_dir):
+    """event_type_user_jaccard: collect_set dedups inside the ONE
+    user-keyed aggregation, which lives behind the checkpoint — so
+    the visible plan must read the set relation from ExistingRDD and
+    contain NO second user_id exchange (sizes and intersections both
+    derive from the materialized sets), with the spine joins
+    broadcast and no sort-merge join anywhere."""
+    from rdbms_metadata_manager_spark.queries.advanced import event_type_user_jaccard
+
+    plan = physical_plan(event_type_user_jaccard(spark, sf_dir), execute=True)
+    assert "hashpartitioning(user_id" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
