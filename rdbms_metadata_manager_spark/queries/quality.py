@@ -513,9 +513,126 @@ ORDER BY kind, subject, target
 """
 
 
+_FANOUT_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Children-per-parent fanout profile for the big FK edges — the
+    join-cardinality numbers a planner (and
+    [[join_strategy_advisor]]) needs BEFORE running the join:
+    [[dq_referential_integrity]] answers "are there orphans?"; this
+    answers "when the join hits, how hard does it fan out?" (max
+    fanout is the skew bound, avg×rows is the join output estimate).
+    Per edge: parent rows, child rows, distinct referenced parents,
+    referenced share in per-mille, and min/max/avg (per-mille)
+    children per REFERENCED parent.
+
+    Scale: the child side of each edge collapses to a (key, count)
+    rollup with map-side combine (the same one-scan-per-child-table
+    inline() trick the orphan audit uses keeps lineitem to a single
+    pass for its two edges); the parent side contributes only a key
+    projection; one edge-keyed aggregate of the key-sized relation
+    finishes it. All integer."""
+    by_child: dict[str, list[tuple[int, str]]] = {}
+    for i, (_label, child, ckey, _p, _pk) in enumerate(_FANOUT_EDGES):
+        by_child.setdefault(child, []).append((i, ckey))
+    child_parts = []
+    for child, edges in by_child.items():
+        pairs = ", ".join(f"({eid}, CAST({ckey} AS BIGINT))" for eid, ckey in edges)
+        child_parts.append(
+            load(spark, sf_dir, child)
+            .select(F.expr(f"inline(array({pairs}))").alias("e", "k"))
+            .filter(F.col("k").isNotNull())
+        )
+    child_keys = child_parts[0]
+    for p in child_parts[1:]:
+        child_keys = child_keys.unionByName(p)
+    child_keys = child_keys.groupBy("e", "k").agg(F.count(F.lit(1)).alias("cnt"))
+
+    parent_parts = []
+    parent_counts = []
+    for i, (_label, _c, _ck, parent, pkey) in enumerate(_FANOUT_EDGES):
+        pdf = load(spark, sf_dir, parent)
+        parent_parts.append(
+            pdf.select(F.lit(i).alias("e"), F.col(pkey).cast("bigint").alias("k"))
+        )
+        parent_counts.append(
+            pdf.agg(F.lit(i).alias("e"), F.count(F.lit(1)).alias("n_parents"))
+        )
+    parents = parent_parts[0]
+    for p in parent_parts[1:]:
+        parents = parents.unionByName(p)
+    np_df = parent_counts[0]
+    for p in parent_counts[1:]:
+        np_df = np_df.unionByName(p)
+
+    matched = child_keys.join(parents, ["e", "k"])
+    prof = matched.groupBy("e").agg(
+        F.sum("cnt").alias("n_matched_children"),
+        F.count(F.lit(1)).alias("n_referenced_parents"),
+        F.min("cnt").alias("min_fanout"),
+        F.max("cnt").alias("max_fanout"),
+    )
+    totals = child_keys.groupBy("e").agg(F.sum("cnt").alias("n_children"))
+    labels = spark.createDataFrame(
+        [(i, e[0]) for i, e in enumerate(_FANOUT_EDGES)], "e long, edge string"
+    )
+    return (
+        labels.join(F.broadcast(np_df), "e")
+        .join(F.broadcast(totals), "e")
+        .join(F.broadcast(prof), "e")
+        .select(
+            "edge",
+            "n_parents",
+            "n_children",
+            "n_referenced_parents",
+            F.expr(
+                "CAST(1000 * n_referenced_parents div n_parents AS BIGINT)"
+            ).alias("referenced_permille"),
+            "min_fanout",
+            "max_fanout",
+            F.expr(
+                "CAST(1000 * n_matched_children div n_referenced_parents AS BIGINT)"
+            ).alias("avg_fanout_permille"),
+        )
+        .orderBy("edge")
+    )
+
+
+def _fanout_oracle() -> str:
+    parts = []
+    for label, child, ckey, parent, pkey in _FANOUT_EDGES:
+        parts.append(
+            f"""
+SELECT '{label}' AS edge,
+       (SELECT count(*) FROM {parent})::BIGINT AS n_parents,
+       (SELECT count(*) FROM {child} WHERE {ckey} IS NOT NULL)::BIGINT
+         AS n_children,
+       count(*)::BIGINT AS n_referenced_parents,
+       CAST(1000 * count(*) // (SELECT count(*) FROM {parent}) AS BIGINT)
+         AS referenced_permille,
+       CAST(min(cnt) AS BIGINT) AS min_fanout,
+       CAST(max(cnt) AS BIGINT) AS max_fanout,
+       CAST(1000 * sum(cnt) // count(*) AS BIGINT) AS avg_fanout_permille
+FROM (
+  SELECT c.{ckey} AS k, count(*) AS cnt
+  FROM {child} c
+  WHERE c.{ckey} IS NOT NULL
+    AND EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})
+  GROUP BY 1
+)"""
+        )
+    return "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts) + "\n) ORDER BY edge"
+
+
 QUERIES = {
     "dq_expectations_orders": dq_expectations_orders,
     "dq_referential_integrity": dq_referential_integrity,
+    "fk_fanout_profile": fk_fanout_profile,
     "benford_digit_audit": benford_digit_audit,
     "gdpr_erasure_audit": gdpr_erasure_audit,
     "constraint_mining": constraint_mining,
@@ -523,6 +640,7 @@ QUERIES = {
 ORACLES = {
     "dq_expectations_orders": _DQ_EXPECT_SQL,
     "dq_referential_integrity": _DQ_FK_SQL,
+    "fk_fanout_profile": _fanout_oracle(),
     "benford_digit_audit": _BENFORD_SQL,
     "gdpr_erasure_audit": _ERASURE_SQL,
     "constraint_mining": _constraint_oracle(),

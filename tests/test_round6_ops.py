@@ -324,6 +324,41 @@ def test_recursive_cte_reach_matches_pure_python_bfs(spark, sf_dir):
     assert got == dist
 
 
+def test_fk_fanout_profile_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.quality import (
+        _FANOUT_EDGES,
+        fk_fanout_profile,
+    )
+
+    got = {r.edge: r for r in fk_fanout_profile(spark, sf_dir).collect()}
+    assert set(got) == {e[0] for e in _FANOUT_EDGES}
+    con = duckdb.connect()
+    for label, child, ckey, parent, pkey in _FANOUT_EDGES:
+        pkeys = {
+            r[0]
+            for r in con.execute(
+                f"SELECT {pkey} FROM '{sf_dir}/{parent}.parquet'"
+            ).fetchall()
+        }
+        fan = defaultdict(int)
+        n_children = 0
+        for (k,) in con.execute(
+            f"SELECT {ckey} FROM '{sf_dir}/{child}.parquet' WHERE {ckey} IS NOT NULL"
+        ).fetchall():
+            n_children += 1
+            if k in pkeys:
+                fan[k] += 1
+        r = got[label]
+        assert r.n_parents == len(pkeys)
+        assert r.n_children == n_children
+        assert r.n_referenced_parents == len(fan)
+        assert r.referenced_permille == 1000 * len(fan) // len(pkeys)
+        assert r.min_fanout == min(fan.values())
+        assert r.max_fanout == max(fan.values())
+        assert r.avg_fanout_permille == 1000 * sum(fan.values()) // len(fan)
+    con.close()
+
+
 def test_t_closeness_wide_products_do_not_wrap(spark, sf_dir, tmp_path):
     """ADVICE r5 #1 regression: with counts inflated so cnt*N exceeds
     int64 the Spark side must keep matching the HUGEINT oracle. True
