@@ -887,10 +887,119 @@ FROM tot
 """
 
 
+def user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user count and cumulative unique users — the
+    acquisition curve every growth dashboard opens with, computed
+    exactly (first-seen day per user, NOT approximate distinct):
+    [[dau_mau_stickiness]] reads engagement, this reads growth.
+
+    Scale: one user-keyed min() rollup (map-side combined), one
+    per-day rollup, then the cumulative sum over the CALENDAR-DAY
+    relation — bounded by the corpus' date range, the documented
+    ≤K-row case, so the one_group window is sanctioned (an unbounded
+    key here would ride ranged_prefix instead)."""
+    from pyspark.sql import Window
+
+    from .prefix import one_group
+
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
+    w = (
+        Window.partitionBy(one_group(F.col("day")))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "day", "n_new_users", F.sum("n_new_users").over(w).alias("cum_users")
+    ).orderBy("day")
+
+
+_ACQUISITION_SQL = """
+WITH fd AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS day
+  FROM events GROUP BY user_id
+),
+daily AS (SELECT day, count(*)::BIGINT AS n_new_users FROM fd GROUP BY day)
+SELECT day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM daily
+ORDER BY day
+"""
+
+
+LIFETIME_QS = ((1, 4), (2, 4), (3, 4))  # quartiles as (num, den)
+
+
+def user_lifetime_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of per-user lifetime (last-seen − first-seen,
+    whole days) — the churn planner's number ([[user_acquisition_curve]]
+    counts arrivals; this says how long they stay). percentile_disc
+    convention (value at rank ⌈q·n⌉), same as the banded-selection
+    faces — but here the VALUE DOMAIN is calendar days, so the whole
+    (lifetime → user count) histogram is bounded by the corpus' date
+    range and the driver walks it directly: no second pass, no
+    per-group buffering, one user rollup + one ≤|days|-row collect at
+    any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        (
+            F.expr(f"unix_timestamp(max(ts)) div {DAY_SECONDS}")
+            - F.expr(f"unix_timestamp(min(ts)) div {DAY_SECONDS}")
+        ).alias("lifetime_days")
+    )
+    hist = sorted(
+        (r.lifetime_days, r.n)
+        for r in life.groupBy("lifetime_days")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_users = sum(c for _, c in hist)
+    if n_users == 0:
+        return spark.createDataFrame(
+            [(0, None, None, None)],
+            "n_users bigint, q1_days bigint, median_days bigint, q3_days bigint",
+        )
+
+    def at_rank(k: int) -> int:
+        cum = 0
+        for v, c in hist:
+            cum += c
+            if cum >= k:
+                return v
+        raise AssertionError("rank beyond histogram mass")
+
+    qs = [at_rank(-(-num * n_users // den)) for num, den in LIFETIME_QS]
+    return spark.createDataFrame(
+        [(n_users, qs[0], qs[1], qs[2])],
+        "n_users bigint, q1_days bigint, median_days bigint, q3_days bigint",
+    )
+
+
+_LIFETIME_SQL = f"""
+WITH life AS (
+  SELECT user_id,
+         epoch_us(max(ts)) // 1000000 // {DAY_SECONDS}
+           - epoch_us(min(ts)) // 1000000 // {DAY_SECONDS} AS lifetime_days
+  FROM events GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS n_users,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY lifetime_days)::BIGINT AS q1_days,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY lifetime_days)::BIGINT AS median_days,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY lifetime_days)::BIGINT AS q3_days
+FROM life
+"""
+
+
 QUERIES = {
     "user_activity_streaks": user_activity_streaks,
     "ab_test_aa_calibration": ab_test_aa_calibration,
     "mann_whitney_u_test": mann_whitney_u_test,
+    "user_acquisition_curve": user_acquisition_curve,
+    "user_lifetime_quartiles": user_lifetime_quartiles,
     "weekly_revenue_wow": weekly_revenue_wow,
     "cohort_retention": cohort_retention,
     "event_markov_transitions": event_markov_transitions,
@@ -905,6 +1014,8 @@ ORACLES = {
     "user_activity_streaks": _STREAKS_SQL,
     "ab_test_aa_calibration": _aa_oracle(),
     "mann_whitney_u_test": _mw_oracle(),
+    "user_acquisition_curve": _ACQUISITION_SQL,
+    "user_lifetime_quartiles": _LIFETIME_SQL,
     "weekly_revenue_wow": _WOW_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_markov_transitions": _MARKOV_SQL,

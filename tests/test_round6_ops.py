@@ -324,6 +324,47 @@ def test_recursive_cte_reach_matches_pure_python_bfs(spark, sf_dir):
     assert got == dist
 
 
+def test_user_acquisition_and_lifetime_match_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.cohort import (
+        user_acquisition_curve,
+        user_lifetime_quartiles,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_us(ts) FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    con.close()
+    first, last = {}, {}
+    for u, t in rows:
+        first[u] = min(first.get(u, t), t)
+        last[u] = max(last.get(u, t), t)
+    from datetime import date, timedelta
+
+    days = defaultdict(int)
+    for u, t in first.items():
+        days[date(1970, 1, 1) + timedelta(days=t // 86_400_000_000)] += 1
+    got = user_acquisition_curve(spark, sf_dir).collect()
+    assert [r.day for r in got] == sorted(days)
+    cum = 0
+    for r in got:
+        assert r.n_new_users == days[r.day]
+        cum += r.n_new_users
+        assert r.cum_users == cum
+    assert cum == len(first)
+
+    lifetimes = sorted(
+        (last[u] // 1_000_000 // 86400) - (first[u] // 1_000_000 // 86400)
+        for u in first
+    )
+    n = len(lifetimes)
+    q = user_lifetime_quartiles(spark, sf_dir).collect()[0]
+    assert q.n_users == n
+    assert q.q1_days == lifetimes[-(-n // 4) - 1]
+    assert q.median_days == lifetimes[-(-n // 2) - 1]
+    assert q.q3_days == lifetimes[-(-3 * n // 4) - 1]
+
+
 def test_fk_fanout_profile_matches_pure_python(spark, sf_dir):
     from rdbms_metadata_manager_spark.queries.quality import (
         _FANOUT_EDGES,
