@@ -253,7 +253,101 @@ ORDER BY l_returnflag
 """
 
 
+def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — how many orders are placed but not
+    yet fully shipped on each calendar day, the operations curve a
+    warehouse sizes its floor from. An order is OPEN from its order
+    date through the max ship date across its line items
+    (inclusive). Same sweep-line shape as
+    [[max_concurrent_sessions]]: +1 on open day, −1 on the day after
+    close, dense day spine, running sum.
+
+    Scale: one lineitem rollup (map-side max per order), one join to
+    orders on the order key, then ALL arithmetic happens on the
+    per-day delta relation — bounded by the calendar range, so the
+    cumulative window uses the sanctioned one_group form (an
+    unbounded time domain would ride ranged_prefix). Output rows =
+    days, flat at any order count."""
+    from pyspark.sql import Window
+
+    from .prefix import one_group
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_date"))
+    iv = orders.select("o_orderkey", "o_orderdate").join(
+        close, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    deltas = iv.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.lit(1).cast("bigint").alias("d"),
+    ).unionAll(
+        iv.select(
+            F.date_add(F.col("close_date").cast("date"), 1).alias("day"),
+            F.lit(-1).cast("bigint").alias("d"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("n_opened"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).alias("n_closed"),
+        F.sum("d").alias("net"),
+    )
+    spine = per_day.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    dense = spine.join(per_day, "day", "left").select(
+        "day",
+        F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        F.coalesce("net", F.lit(0)).alias("net"),
+    )
+    w = (
+        Window.partitionBy(one_group(F.col("day")))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "day", "n_opened", "n_closed", F.sum("net").over(w).alias("backlog")
+    ).orderBy("day")
+
+
+_BACKLOG_SQL = """
+WITH close AS (
+  SELECT l_orderkey, max(l_shipdate) AS close_date
+  FROM lineitem GROUP BY l_orderkey
+),
+iv AS (
+  SELECT o.o_orderdate, c.close_date
+  FROM orders o JOIN close c ON c.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT o_orderdate AS day, 1::BIGINT AS d FROM iv
+  UNION ALL
+  SELECT close_date + INTERVAL 1 DAY, -1::BIGINT FROM iv
+),
+per_day AS (
+  SELECT CAST(day AS DATE) AS day,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_opened,
+         sum(CASE WHEN d < 0 THEN 1 ELSE 0 END)::BIGINT AS n_closed,
+         CAST(sum(d) AS BIGINT) AS net
+  FROM deltas GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+  FROM per_day
+)
+SELECT s.day,
+       coalesce(p.n_opened, 0)::BIGINT AS n_opened,
+       coalesce(p.n_closed, 0)::BIGINT AS n_closed,
+       CAST(sum(coalesce(p.net, 0)) OVER (ORDER BY s.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM spine s LEFT JOIN per_day p ON p.day = s.day
+ORDER BY s.day
+"""
+
+
 QUERIES = {
+    "open_orders_backlog": open_orders_backlog,
     "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -263,6 +357,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "open_orders_backlog": _BACKLOG_SQL,
     "q14_promo_revenue_ratio": _Q14_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
     "q19_disjunctive_revenue": _Q19_SQL,

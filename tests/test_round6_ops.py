@@ -365,6 +365,38 @@ def test_user_acquisition_and_lifetime_match_pure_python(spark, sf_dir):
     assert q.q3_days == lifetimes[-(-3 * n // 4) - 1]
 
 
+def test_open_orders_backlog_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.tpch_extra import open_orders_backlog
+
+    con = duckdb.connect()
+    iv = con.execute(
+        f"""
+        SELECT o.o_orderdate::DATE, max(l.l_shipdate)::DATE
+        FROM '{sf_dir}/orders.parquet' o
+        JOIN '{sf_dir}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+        """
+    ).fetchall()
+    con.close()
+    from datetime import timedelta
+
+    opened, closed = defaultdict(int), defaultdict(int)
+    for o, c in iv:
+        opened[o] += 1
+        closed[c + timedelta(days=1)] += 1
+    d0, d1 = min(opened | closed), max(opened | closed)
+    got = open_orders_backlog(spark, sf_dir).collect()
+    assert got[0].day == d0 and got[-1].day == d1
+    assert len(got) == (d1 - d0).days + 1
+    backlog = 0
+    for r in got:
+        assert r.n_opened == opened.get(r.day, 0)
+        assert r.n_closed == closed.get(r.day, 0)
+        backlog += r.n_opened - r.n_closed
+        assert r.backlog == backlog
+    assert backlog == 0  # every order eventually closes
+
+
 def test_fk_fanout_profile_matches_pure_python(spark, sf_dir):
     from rdbms_metadata_manager_spark.queries.quality import (
         _FANOUT_EDGES,
