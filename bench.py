@@ -156,6 +156,10 @@ HEADLINE = [
     "rich_club_coefficient",
     "recursive_cte_trade_reach",
     "event_type_user_jaccard",
+    "fk_fanout_profile",
+    "user_acquisition_curve",
+    "user_lifetime_quartiles",
+    "open_orders_backlog",
 ]
 
 
