@@ -43,12 +43,24 @@ INIT_RANK = 0.04  # 1 / N_NATIONS
 ITERATIONS = 3
 
 
+_TRADE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src=customer nation, dst=supplier nation, w=lineitem count)."""
+    """(src=customer nation, dst=supplier nation, w=lineitem count) —
+    the ≤|nations|²-row trade graph, materialized once per (corpus,
+    app): the 4-table join behind it is the whole cost of BOTH
+    consumers (PageRank and the recursive-CTE reach), so they share
+    one checkpoint the way the co-purchase faces share the edge
+    memo."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _TRADE_CACHE.get(key)
+    if cached is not None:
+        return cached
     lineitem, orders, customer, supplier = tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier"
     )
-    return (
+    out = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
@@ -61,13 +73,16 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("dst"),
         )
         .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
     )
+    _TRADE_CACHE[key] = out
+    return out
 
 
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nation PageRank after 3 damped iterations over the trade graph."""
     nation = tables(spark, sf_dir, "nation")[0]
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     # edge transition weights never change across iterations
     trans = (
