@@ -806,7 +806,88 @@ ORDER BY p.epoch, p.shard
 """
 
 
+NEYMAN_BUDGET = 1000  # total sample size the plan allocates
+
+
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — how many of a
+    NEYMAN_BUDGET-row sample each stratum should get to minimize the
+    estimator variance: n_h ∝ N_h·σ_h (big AND volatile strata get
+    more), the design upgrade over [[sample_stratified_lang]]'s
+    proportional allocation (n_h ∝ N_h), reported side by side so the
+    delta IS the variance win. Strata = market segment, metric =
+    account balance cents.
+
+    Exactness: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — ONE IEEE sqrt of an
+    exact DECIMAL-carried integer (correctly rounded, so both engines
+    produce the identical double and the identical floor), then all
+    allocation arithmetic returns to exact integers: alloc =
+    BUDGET·w_h div Σw. Scale: one map-side-combined moment rollup per
+    stratum; everything after is |strata| rows."""
+    customer = load_spread(spark, sf_dir, "customer", "c_custkey")
+    mom = (
+        customer.select(
+            F.col("c_mktsegment").alias("stratum"),
+            F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("x"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_pop"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                "CAST(floor(sqrt(CAST(n_pop * q - s * s AS DOUBLE))) AS BIGINT)"
+            ),
+        )
+    )
+    tot = mom.agg(
+        F.sum("w").alias("w_tot"), F.sum("n_pop").alias("n_tot")
+    )
+    return (
+        mom.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_pop",
+            "w",
+            F.expr(
+                f"CAST({NEYMAN_BUDGET} * w div w_tot AS BIGINT)"
+            ).alias("neyman_n"),
+            F.expr(
+                f"CAST({NEYMAN_BUDGET} * n_pop div n_tot AS BIGINT)"
+            ).alias("proportional_n"),
+        )
+        .orderBy("stratum")
+    )
+
+
+_NEYMAN_SQL = f"""
+WITH mom AS (
+  SELECT c_mktsegment AS stratum,
+         count(*)::BIGINT AS n_pop,
+         sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)::HUGEINT) AS s,
+         sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)::HUGEINT
+             * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS q
+  FROM customer GROUP BY 1
+),
+w AS (
+  SELECT stratum, n_pop,
+         CAST(floor(sqrt(CAST(n_pop * q - s * s AS DOUBLE))) AS BIGINT) AS w
+  FROM mom
+),
+tot AS (SELECT sum(w) AS w_tot, sum(n_pop) AS n_tot FROM w)
+SELECT stratum, n_pop, w,
+       CAST({NEYMAN_BUDGET} * w // w_tot AS BIGINT) AS neyman_n,
+       CAST({NEYMAN_BUDGET} * n_pop // n_tot AS BIGINT) AS proportional_n
+FROM w, tot
+ORDER BY stratum
+"""
+
+
 QUERIES = {
+    "neyman_allocation_plan": neyman_allocation_plan,
     "coreset_kcenter_sample": coreset_kcenter_sample,
     "split_train_val_test": split_train_val_test,
     "leakage_safe_split": leakage_safe_split,
@@ -821,6 +902,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "neyman_allocation_plan": _NEYMAN_SQL,
     "coreset_kcenter_sample": _coreset_oracle(),
     "split_train_val_test": _SPLIT_SQL,
     "leakage_safe_split": _LEAK_SPLIT_SQL,

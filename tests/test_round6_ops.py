@@ -432,6 +432,42 @@ def test_fk_fanout_profile_matches_pure_python(spark, sf_dir):
     con.close()
 
 
+def test_neyman_allocation_matches_pure_python(spark, sf_dir):
+    import math
+
+    from rdbms_metadata_manager_spark.llm.sampling import (
+        NEYMAN_BUDGET,
+        neyman_allocation_plan,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT c_mktsegment, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        FROM '{sf_dir}/customer.parquet'
+        """
+    ).fetchall()
+    con.close()
+    strata = defaultdict(list)
+    for seg, x in rows:
+        strata[seg].append(x)
+    w = {
+        seg: int(math.floor(math.sqrt(float(len(xs) * sum(v * v for v in xs) - sum(xs) ** 2))))
+        for seg, xs in strata.items()
+    }
+    w_tot, n_tot = sum(w.values()), sum(len(xs) for xs in strata.values())
+    got = {r.stratum: r for r in neyman_allocation_plan(spark, sf_dir).collect()}
+    assert set(got) == set(strata)
+    for seg, xs in strata.items():
+        r = got[seg]
+        assert r.n_pop == len(xs)
+        assert r.w == w[seg]
+        assert r.neyman_n == NEYMAN_BUDGET * w[seg] // w_tot
+        assert r.proportional_n == NEYMAN_BUDGET * len(xs) // n_tot
+    # the design property: total allocation is within |strata| of budget
+    assert 0 <= NEYMAN_BUDGET - sum(r.neyman_n for r in got.values()) < len(got) + 1
+
+
 def test_t_closeness_wide_products_do_not_wrap(spark, sf_dir, tmp_path):
     """ADVICE r5 #1 regression: with counts inflated so cnt*N exceeds
     int64 the Spark side must keep matching the HUGEINT oracle. True
