@@ -292,14 +292,97 @@ SELECT status, count(*)::BIGINT AS n_rows FROM diff GROUP BY status ORDER BY sta
 """
 
 
+def state_dwell_time_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state report over the SCD2 state machine — for each
+    state (event type), the total dwell time across all users' CLOSED
+    intervals and its share of all closed dwell time: the
+    "where do users actually spend their time" readout that event
+    COUNTS can't give (one long error state outweighs a hundred
+    quick clicks). Rides the same `_state_intervals` kernel as
+    [[scd2_user_state_intervals]]; open (current) states have no end
+    yet and are excluded, like every duration metric over an
+    unfinished interval.
+
+    Exactness: dwell carried in integer epoch micros; the share is
+    1000·dwell div total with the sum widened to DECIMAL(38,0)/
+    HUGEINT (micros sums reach 1e19 at ~1e7 user-years — past
+    int64). Scale: the interval build is the one user-keyed shuffle
+    the SCD2 family shares; this adds a |states|-row rollup."""
+    iv = _state_intervals(load(spark, sf_dir, "events")).filter(
+        F.col("valid_to").isNotNull()
+    )
+    per = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(
+            (F.unix_micros("valid_to") - F.unix_micros("valid_from")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("dwell_us"),
+    )
+    tot = per.agg(F.sum("dwell_us").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_intervals",
+            F.col("dwell_us").cast("bigint").alias("dwell_us"),
+            F.expr("CAST(1000 * dwell_us div t AS BIGINT)").alias(
+                "dwell_share_permille"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DWELL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, (sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS run_id
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, run_id, event_type, min(ts) AS valid_from
+  FROM runs GROUP BY user_id, run_id, event_type
+),
+closed AS (
+  SELECT event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM intervals
+),
+per AS (
+  SELECT event_type, count(*)::BIGINT AS n_intervals,
+         sum(epoch_us(valid_to) - epoch_us(valid_from))::HUGEINT AS dwell_us
+  FROM closed WHERE valid_to IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_intervals,
+       CAST(dwell_us AS BIGINT) AS dwell_us,
+       CAST(1000 * dwell_us // (SELECT sum(dwell_us) FROM per) AS BIGINT)
+         AS dwell_share_permille
+FROM per
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "scd2_user_state_intervals": scd2_user_state_intervals,
+    "state_dwell_time_shares": state_dwell_time_shares,
     "scd2_state_snapshots": scd2_state_snapshots,
     "pit_state_at_purchase": pit_state_at_purchase,
     "snapshot_diff_orders": snapshot_diff_orders,
 }
 ORACLES = {
     "scd2_user_state_intervals": _SCD2_SQL,
+    "state_dwell_time_shares": _DWELL_SQL,
     "scd2_state_snapshots": _SNAPSHOT_SQL,
     "pit_state_at_purchase": _PIT_SQL,
     "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,

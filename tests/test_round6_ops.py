@@ -432,6 +432,38 @@ def test_fk_fanout_profile_matches_pure_python(spark, sf_dir):
     con.close()
 
 
+def test_state_dwell_shares_match_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.scd import state_dwell_time_shares
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, epoch_us(ts), event_id, event_type
+        FROM '{sf_dir}/events.parquet' ORDER BY user_id, 2, event_id
+        """
+    ).fetchall()
+    con.close()
+    by_user = defaultdict(list)
+    for u, t, e, typ in rows:
+        by_user[u].append((t, typ))
+    dwell, n_iv = defaultdict(int), defaultdict(int)
+    for u, evs in by_user.items():
+        runs = []  # (type, start)
+        for t, typ in evs:
+            if not runs or runs[-1][0] != typ:
+                runs.append((typ, t))
+        for (typ, start), (_, nxt) in zip(runs, runs[1:]):
+            dwell[typ] += nxt - start
+            n_iv[typ] += 1
+    total = sum(dwell.values())
+    got = {r.event_type: r for r in state_dwell_time_shares(spark, sf_dir).collect()}
+    assert set(got) == set(dwell)
+    for typ, r in got.items():
+        assert r.n_intervals == n_iv[typ]
+        assert r.dwell_us == dwell[typ]
+        assert r.dwell_share_permille == 1000 * dwell[typ] // total
+
+
 def test_neyman_allocation_matches_pure_python(spark, sf_dir):
     import math
 
