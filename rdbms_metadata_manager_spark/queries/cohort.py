@@ -994,10 +994,142 @@ FROM life
 """
 
 
+SRM_CHI2_MICRO = 3_841_459  # chi-square(1) critical value at p=0.05, x1e6
+
+
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the hash-assigned A/B
+    arms — the FIRST thing an experimentation platform checks before
+    reading any metric: under a 50/50 design, χ²(1) =
+    (n_a − n_b)²/(n_a + n_b); a significant χ² means the assignment
+    or logging pipeline dropped users asymmetrically and every
+    downstream readout ([[ab_test_aa_calibration]],
+    [[mann_whitney_u_test]]) is void. Carried as exact integer
+    micros (the (n_a−n_b)² numerator is integer; ×1e6 div n), with
+    the 3.84 critical value as an integer threshold — no float path
+    at all.
+
+    Scale: one user rollup + a 2-row aggregate."""
+    from ..llm.hashing import h32
+
+    events = load(spark, sf_dir, "events")
+    arm = (h32(F.concat(F.lit("mw:"), F.col("user_id").cast("string"))) % 2).alias(
+        "arm"
+    )
+    users = events.select("user_id").distinct().select(arm)
+    wide = users.agg(
+        F.sum((F.col("arm") == 0).cast("bigint")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("bigint")).alias("n_b"),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((1000000 * CAST((n_a - n_b) AS DECIMAL(38,0)) * (n_a - n_b))"
+            " div (n_a + n_b) AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr(
+            "CAST((1000000 * CAST((n_a - n_b) AS DECIMAL(38,0)) * (n_a - n_b))"
+            f" div (n_a + n_b) > {SRM_CHI2_MICRO} AS BOOLEAN)"
+        ).alias("srm_detected"),
+    )
+
+
+def _srm_oracle() -> str:
+    from ..llm.hashing import h32_sql
+
+    salted = "'mw:' || user_id::VARCHAR"
+    arm = f"{h32_sql(salted)} % 2"
+    return f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+wide AS (
+  SELECT sum(CASE WHEN {arm} = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN {arm} = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM users
+)
+SELECT n_a, n_b,
+       CAST((1000000 * (n_a - n_b)::HUGEINT * (n_a - n_b)) // (n_a + n_b)
+            AS BIGINT) AS chi2_micro,
+       (1000000 * (n_a - n_b)::HUGEINT * (n_a - n_b)) // (n_a + n_b)
+         > {SRM_CHI2_MICRO} AS srm_detected
+FROM wide
+"""
+
+
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of the customer inter-order gap (days between
+    consecutive orders) — the replenishment-cycle number a retention
+    team sets campaign cadence by, and the lifecycle twin of
+    [[user_lifetime_quartiles]] (events say how long users stay;
+    this says how often buyers come back). percentile_disc
+    convention (rank ⌈q·n⌉).
+
+    Scale: consecutive gaps come from a customer-partitioned lag
+    window (keyed, never global); the gap VALUE domain is calendar
+    days, so the (gap → count) histogram is bounded by the date
+    range and the driver walks it directly — one rollup, one ≤|days|
+    collect, no second pass."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .withColumn("prev_d", F.lag("d").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(F.datediff("d", "prev_d").cast("long").alias("gap_days"))
+    )
+    hist = sorted(
+        (r.gap_days, r.n)
+        for r in gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n = sum(c for _, c in hist)
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None, None, None)],
+            "n_gaps bigint, q1_days bigint, median_days bigint, q3_days bigint",
+        )
+
+    def at_rank(k: int) -> int:
+        cum = 0
+        for v, c in hist:
+            cum += c
+            if cum >= k:
+                return v
+        raise AssertionError("rank beyond histogram mass")
+
+    qs = [at_rank(-(-num * n // den)) for num, den in LIFETIME_QS]
+    return spark.createDataFrame(
+        [(n, qs[0], qs[1], qs[2])],
+        "n_gaps bigint, q1_days bigint, median_days bigint, q3_days bigint",
+    )
+
+
+_REPEAT_SQL = """
+WITH gaps AS (
+  SELECT datediff('day', lag(o_orderdate::DATE) OVER w, o_orderdate::DATE)::BIGINT
+           AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT count(*)::BIGINT AS n_gaps,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_days)::BIGINT AS q1_days,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)::BIGINT AS median_days,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY gap_days)::BIGINT AS q3_days
+FROM gaps WHERE gap_days IS NOT NULL
+"""
+
+
 QUERIES = {
     "user_activity_streaks": user_activity_streaks,
     "ab_test_aa_calibration": ab_test_aa_calibration,
     "mann_whitney_u_test": mann_whitney_u_test,
+    "ab_srm_check": ab_srm_check,
+    "repeat_purchase_intervals": repeat_purchase_intervals,
     "user_acquisition_curve": user_acquisition_curve,
     "user_lifetime_quartiles": user_lifetime_quartiles,
     "weekly_revenue_wow": weekly_revenue_wow,
@@ -1014,6 +1146,8 @@ ORACLES = {
     "user_activity_streaks": _STREAKS_SQL,
     "ab_test_aa_calibration": _aa_oracle(),
     "mann_whitney_u_test": _mw_oracle(),
+    "ab_srm_check": _srm_oracle(),
+    "repeat_purchase_intervals": _REPEAT_SQL,
     "user_acquisition_curve": _ACQUISITION_SQL,
     "user_lifetime_quartiles": _LIFETIME_SQL,
     "weekly_revenue_wow": _WOW_SQL,

@@ -464,6 +464,48 @@ def test_state_dwell_shares_match_pure_python(spark, sf_dir):
         assert r.dwell_share_permille == 1000 * dwell[typ] // total
 
 
+def test_srm_and_repeat_intervals_match_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.hashing import h32_sql
+    from rdbms_metadata_manager_spark.queries.cohort import (
+        LIFETIME_QS,
+        ab_srm_check,
+        repeat_purchase_intervals,
+    )
+
+    con = duckdb.connect()
+    arms = con.execute(
+        f"""
+        SELECT {h32_sql("'mw:' || user_id::VARCHAR")} % 2
+        FROM (SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet')
+        """
+    ).fetchall()
+    n_a = sum(1 for (a,) in arms if a == 0)
+    n_b = len(arms) - n_a
+    r = ab_srm_check(spark, sf_dir).collect()[0]
+    chi2 = 1_000_000 * (n_a - n_b) ** 2 // (n_a + n_b)
+    assert (r.n_a, r.n_b, r.chi2_micro) == (n_a, n_b, chi2)
+    assert r.srm_detected == (chi2 > 3_841_459)
+
+    orders = con.execute(
+        f"SELECT o_custkey, o_orderdate::DATE, o_orderkey FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    con.close()
+    by_cust = defaultdict(list)
+    for c, d, k in orders:
+        by_cust[c].append((d, k))
+    gaps = []
+    for c, os_ in by_cust.items():
+        os_.sort()
+        for (d0, _), (d1, _) in zip(os_, os_[1:]):
+            gaps.append((d1 - d0).days)
+    gaps.sort()
+    n = len(gaps)
+    q = repeat_purchase_intervals(spark, sf_dir).collect()[0]
+    assert q.n_gaps == n
+    want = [gaps[-(-num * n // den) - 1] for num, den in LIFETIME_QS]
+    assert (q.q1_days, q.median_days, q.q3_days) == tuple(want)
+
+
 def test_neyman_allocation_matches_pure_python(spark, sf_dir):
     import math
 
