@@ -160,6 +160,10 @@ HEADLINE = [
     "user_acquisition_curve",
     "user_lifetime_quartiles",
     "open_orders_backlog",
+    "neyman_allocation_plan",
+    "state_dwell_time_shares",
+    "ab_srm_check",
+    "repeat_purchase_intervals",
 ]
 
 
