@@ -57,10 +57,19 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _TRADE_CACHE.get(key)
     if cached is not None:
         return cached
+    out = _build_trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    _TRADE_CACHE[key] = out
+    return out
+
+
+def _build_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncheckpointed 4-table build plan (plan-asserted in
+    tests/test_graph.py: map-side partial aggregation before the
+    (src, dst) shuffle, broadcast supplier dim)."""
     lineitem, orders, customer, supplier = tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier"
     )
-    out = (
+    return (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
@@ -73,10 +82,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("dst"),
         )
         .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)
     )
-    _TRADE_CACHE[key] = out
-    return out
 
 
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,7 +9,7 @@ from rdbms_metadata_manager_spark.llm.pii import pii_redaction
 from rdbms_metadata_manager_spark.queries.graph import (
     BASE,
     N_NATIONS,
-    _trade_edges,
+    _build_trade_edges,
     pagerank_trade_graph,
 )
 
@@ -18,8 +18,10 @@ from test_plans import physical_plan
 
 def test_pagerank_edge_build_is_scale_shaped(spark, sf_dir):
     """The heavy stage must partially aggregate map-side before the
-    (src, dst) shuffle and broadcast the supplier dim."""
-    plan = physical_plan(_trade_edges(spark, sf_dir))
+    (src, dst) shuffle and broadcast the supplier dim. Asserted on
+    the UNCHECKPOINTED builder — _trade_edges itself memoizes a
+    localCheckpoint whose visible plan is just the RDD scan."""
+    plan = physical_plan(_build_trade_edges(spark, sf_dir))
     assert "partial_count" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
 
