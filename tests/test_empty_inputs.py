@@ -11,7 +11,7 @@ import pytest
 @pytest.fixture(scope="module")
 def empty_dir(spark, sf_dir, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("empty_sf"))
-    for t in ["orders", "documents", "events", "customer", "supplier", "lineitem", "embeddings"]:
+    for t in ["orders", "documents", "events", "customer", "supplier", "lineitem", "embeddings", "nation", "region", "part"]:
         (
             spark.read.parquet(f"{sf_dir}/{t}.parquet")
             .limit(0)
@@ -134,6 +134,17 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("llm.sampling", "coreset_kcenter_sample"),
         ("llm.clustering", "cluster_safe_split"),
         ("queries.cohort", "user_activity_streaks"),
+        # round-6 additions that contract to ZERO rows on empty input
+        ("queries.advanced", "event_type_user_jaccard"),
+        ("queries.mining", "rich_club_coefficient"),
+        ("queries.forecast", "event_burstiness_fano"),
+        ("queries.cohort", "user_acquisition_curve"),
+        ("queries.tpch_extra", "open_orders_backlog"),
+        ("queries.scd", "state_dwell_time_shares"),
+        ("queries.profiling", "grouped_mad_two_pass"),
+        ("queries.graph", "recursive_cte_trade_reach"),
+        ("queries.quality", "fk_fanout_profile"),
+        ("llm.sampling", "neyman_allocation_plan"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):
@@ -282,3 +293,39 @@ def test_round5_summary_ops_survive_empty_corpus(spark, empty_dir):
 
     (b,) = bloom_filter_fpr_audit(spark, empty_dir).collect()
     assert (b.n_keys, b.bits_set, b.n_false_positives, b.fp_permille) == (0, 0, 0, 0)
+
+
+def test_round6_one_row_reports_degrade_to_nulls(spark, empty_dir):
+    """The round-6 global-report operators contract to ONE row of
+    zero/NULL cells on an empty corpus (guarded divisions — never an
+    ANSI divide-by-zero, never a driver-side TypeError from an empty
+    histogram walk)."""
+    from rdbms_metadata_manager_spark.queries.cohort import (
+        ab_srm_check,
+        mann_whitney_u_test,
+        repeat_purchase_intervals,
+        user_lifetime_quartiles,
+    )
+    from rdbms_metadata_manager_spark.queries.mining import degree_assortativity
+    from rdbms_metadata_manager_spark.streaming.events_batch import (
+        max_concurrent_sessions,
+    )
+
+    r = max_concurrent_sessions(spark, empty_dir).collect()
+    assert len(r) == 1 and r[0].n_sessions == 0 and r[0].peak_at is None
+
+    r = mann_whitney_u_test(spark, empty_dir).collect()
+    assert len(r) == 1 and r[0].cle_permille is None
+
+    r = ab_srm_check(spark, empty_dir).collect()
+    assert len(r) == 1 and r[0].chi2_micro is None
+
+    r = degree_assortativity(spark, empty_dir).collect()
+    assert len(r) == 1 and r[0].n_edges == 0
+    assert r[0].assortativity_permille is None
+
+    r = user_lifetime_quartiles(spark, empty_dir).collect()
+    assert len(r) == 1 and (r[0].n_users, r[0].median_days) == (0, None)
+
+    r = repeat_purchase_intervals(spark, empty_dir).collect()
+    assert len(r) == 1 and (r[0].n_gaps, r[0].median_days) == (0, None)
