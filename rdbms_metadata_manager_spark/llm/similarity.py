@@ -632,7 +632,14 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "d")
         .agg(F.sum("t").alias("s"))
     )
-    norms = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    # s² and sa·sb are (1000·n_label)²-scale products: at 100 TB they
+    # wrap int64 silently while the DuckDB oracle's BIGINT square
+    # ERRORS — widen one factor to DECIMAL(38,0)/HUGEINT on both
+    # engines (ADVICE r5 class); the values stay exact integers and
+    # the final double conversion is identical
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ss")
+    )
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
     sides = sums.join(norms, "label").join(counts, "label")
     a = sides.select(
@@ -647,7 +654,7 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["d"])
         .where(F.col("label_a") < F.col("label_b"))
         .groupBy("label_a", "label_b", "n_a", "n_b", "ssa", "ssb")
-        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+        .agg(F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sb")).alias("dot"))
         .select(
             "label_a",
             "label_b",
@@ -674,11 +681,11 @@ sums AS (
   SELECT label, i.i AS d, CAST(sum(tk[i.i]) AS BIGINT) AS s
   FROM t, idx i GROUP BY 1, 2
 ),
-norms AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS ss FROM sums GROUP BY 1),
+norms AS (SELECT label, sum(s::HUGEINT * s) AS ss FROM sums GROUP BY 1),
 counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
 pairs AS (
   SELECT a.label AS label_a, b.label AS label_b,
-         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+         sum(a.s::HUGEINT * b.s) AS dot
   FROM sums a JOIN sums b ON a.d = b.d AND a.label < b.label
   GROUP BY 1, 2
 )
