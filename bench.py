@@ -164,6 +164,13 @@ HEADLINE = [
     "state_dwell_time_shares",
     "ab_srm_check",
     "repeat_purchase_intervals",
+    "kruskal_wallis_priority",
+    "spearman_daily_rho",
+    "kaplan_meier_repurchase",
+    "hhi_market_concentration",
+    "cohort_ltv_curve",
+    "dow_hour_activity_residuals",
+    "fk_inclusion_discovery",
 ]
 
 

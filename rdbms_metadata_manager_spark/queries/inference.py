@@ -1,0 +1,758 @@
+"""Statistical-inference faces: k-group rank tests, rank
+correlation, survival analysis, market concentration, cohort LTV,
+and seasonality residuals — the experimentation/analytics layer a
+warehouse team runs on top of the relational core.
+
+[beyond-reference] per SURVEY.md §2.2: the reference
+(antonylucas/rdbms-metadata-manager, app.py) has no statistical
+surface; these extend the aggregation/window categories with the
+tests an analytics platform actually ships.
+
+Exactness doctrine (same as the rest of the package): every
+statistic is carried in exact integer/DECIMAL arithmetic for as long
+as the math allows; where a final IEEE step is unavoidable (a sqrt,
+a division, an ordered product), BOTH engines execute the identical
+scalar op sequence on identical exact inputs, so the doubles
+hash-match bit-for-bit (the [[ewma_daily_events]] /
+[[neyman_allocation_plan]] precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import DAY_SECONDS, load
+from .prefix import one_group, ranged_prefix
+
+
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H over order-priority groups on o_totalprice —
+    the k-group extension of [[mann_whitney_u_test]]: "does order
+    value differ by priority class?" without any normality
+    assumption. Midranks doubled so ties stay integral
+    (avgrank×2 = 2·cum_before + n_t + 1); per-group rank sums are
+    exact DECIMAL(38,0); H and its tie-corrected twin are then ONE
+    identical IEEE scalar DAG on both engines (per-group terms
+    folded in sorted-group order — never an aggregation-order-
+    dependent float sum).
+
+    Scale: one (value, group) rollup shuffle, the global midrank
+    prefix rides the range-partitioned two-pass kernel
+    (``ranged_prefix`` — no single-partition window over the
+    unbounded value domain), and the fold runs over k≤5 group rows.
+    rank_sum_x2 is emitted as BIGINT (exact for N ≲ 2·10⁹ rows; the
+    internal DECIMAL carry never wraps)."""
+    orders = load(spark, sf_dir, "orders")
+    gt = (
+        orders.select(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("metric"),
+            F.col("o_orderpriority").alias("grp"),
+        )
+        .groupBy("metric", "grp")
+        .agg(F.count(F.lit(1)).alias("n_gt"))
+        .localCheckpoint(eager=False)
+    )
+    ticks = gt.groupBy("metric").agg(F.sum("n_gt").alias("n_t"))
+    cum = ranged_prefix(ticks, [F.col("metric")], sum_cols=["n_t"])
+    ranked = cum.select(
+        "metric",
+        (2 * (F.col("cum_n_t") - F.col("n_t")) + F.col("n_t") + 1).alias("avgrank_x2"),
+    )
+    per_grp = (
+        gt.join(ranked, "metric")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gt").alias("n_g"),
+            F.sum(F.col("n_gt").cast("decimal(38,0)") * F.col("avgrank_x2")).alias(
+                "r_x2"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tie = ticks.agg(
+        F.sum(
+            F.col("n_t").cast("decimal(38,0)") * F.col("n_t") * F.col("n_t")
+            - F.col("n_t")
+        ).alias("tie_sum")
+    )
+    stat = (
+        per_grp.groupBy()
+        .agg(
+            F.sum("n_g").alias("n_total"),
+            F.count(F.lit(1)).alias("k_groups"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("grp"),
+                        F.col("n_g"),
+                        F.col("r_x2").cast("double").alias("r_x2_d"),
+                    )
+                )
+            ).alias("arr"),
+        )
+        .crossJoin(F.broadcast(tie))
+        .select(
+            "n_total",
+            "k_groups",
+            F.expr(
+                "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, e) -> acc"
+                " + (e.r_x2_d / 2.0) * (e.r_x2_d / 2.0) / CAST(e.n_g AS DOUBLE))"
+            ).alias("s_val"),
+            F.expr("CAST(n_total AS DOUBLE)").alias("nd"),
+            F.expr("CAST(tie_sum AS DOUBLE)").alias("tie_d"),
+        )
+        .select(
+            "n_total",
+            "k_groups",
+            F.expr(
+                "CASE WHEN n_total < 2 THEN NULL ELSE"
+                " 12.0 * s_val / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0) END"
+            ).alias("h_stat"),
+            F.expr(
+                "CASE WHEN n_total < 2 THEN NULL ELSE"
+                " 1.0 - tie_d / (nd * nd * nd - nd) END"
+            ).alias("tie_c"),
+        )
+        .select(
+            "n_total",
+            "k_groups",
+            "h_stat",
+            F.expr(
+                "CASE WHEN h_stat IS NULL OR tie_c = 0.0 THEN NULL"
+                " ELSE h_stat / tie_c END"
+            ).alias("h_tie_adj"),
+        )
+    )
+    return (
+        per_grp.crossJoin(F.broadcast(stat))
+        .select(
+            "grp",
+            "n_g",
+            F.col("r_x2").cast("bigint").alias("rank_sum_x2"),
+            F.expr("CAST(r_x2 div n_g AS BIGINT)").alias("mean_rank_x2"),
+            "n_total",
+            "k_groups",
+            "h_stat",
+            "h_tie_adj",
+        )
+        .orderBy("grp")
+    )
+
+
+_KRUSKAL_SQL = """
+WITH gt AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS metric,
+         o_orderpriority AS grp, count(*)::BIGINT AS n_gt
+  FROM orders GROUP BY 1, 2
+),
+ticks AS (SELECT metric, sum(n_gt)::BIGINT AS n_t FROM gt GROUP BY 1),
+cum AS (
+  SELECT metric, n_t,
+         CAST(sum(n_t) OVER (ORDER BY metric ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_n_t
+  FROM ticks
+),
+ranked AS (SELECT metric, 2 * (cum_n_t - n_t) + n_t + 1 AS avgrank_x2 FROM cum),
+per_grp AS (
+  SELECT grp, sum(n_gt)::BIGINT AS n_g,
+         sum(n_gt::HUGEINT * avgrank_x2) AS r_x2
+  FROM gt JOIN ranked USING (metric) GROUP BY grp
+),
+tie AS (SELECT sum(n_t::HUGEINT * n_t * n_t - n_t) AS tie_sum FROM ticks),
+stat0 AS (
+  SELECT sum(n_g)::BIGINT AS n_total, count(*)::BIGINT AS k_groups,
+         list(struct_pack(grp := grp, n_g := n_g, r_x2_d := r_x2::DOUBLE)
+              ORDER BY grp) AS arr
+  FROM per_grp
+),
+stat1 AS (
+  SELECT n_total, k_groups,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(arr, e -> (e.r_x2_d / 2.0) * (e.r_x2_d / 2.0)
+                                      / CAST(e.n_g AS DOUBLE))),
+           (acc, x) -> acc + x) AS s_val,
+         CAST(n_total AS DOUBLE) AS nd,
+         CAST(tie_sum AS DOUBLE) AS tie_d
+  FROM stat0, tie
+),
+stat2 AS (
+  SELECT n_total, k_groups,
+         CASE WHEN n_total < 2 THEN NULL ELSE
+           12.0 * s_val / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0) END AS h_stat,
+         CASE WHEN n_total < 2 THEN NULL ELSE
+           1.0 - tie_d / (nd * nd * nd - nd) END AS tie_c
+  FROM stat1
+),
+stat AS (
+  SELECT n_total, k_groups, h_stat,
+         CASE WHEN h_stat IS NULL OR tie_c = 0.0 THEN NULL
+              ELSE h_stat / tie_c END AS h_tie_adj
+  FROM stat2
+)
+SELECT grp, n_g, CAST(r_x2 AS BIGINT) AS rank_sum_x2,
+       CAST(r_x2 // n_g AS BIGINT) AS mean_rank_x2,
+       n_total, k_groups, h_stat, h_tie_adj
+FROM per_grp, stat
+ORDER BY grp
+"""
+
+
+def spearman_daily_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between DAILY order count and DAILY
+    revenue — "do busy days also make money, monotonically?" — the
+    outlier-robust twin of [[correlation_quantity_price]] (Pearson
+    there, midrank Pearson here, which IS Spearman under ties).
+
+    Exactness: midranks doubled (integral under ties); all five
+    Pearson sufficient statistics over the doubled ranks are exact
+    BIGINTs (the daily relation is CALENDAR-BOUNDED forever — ranks
+    ≤ 2·days, sums ≤ days³ ≪ 2⁶³); the variance product widens to
+    DECIMAL(38,0); then exactly one IEEE sqrt and one division,
+    identical on both engines. cov/var numerators are emitted raw so
+    the test can check them against an independent Python reference.
+
+    Scale: one daily rollup shuffle (map-side combined) does all the
+    heavy lifting; the rank joins and windows run on the ≤|days|
+    relation — the documented bounded case where ``one_group`` is
+    sanctioned."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.floor(F.unix_timestamp("o_orderdate") / DAY_SECONDS).alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ord"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
+                "rev_cents"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def rank_x2(metric: str, out: str) -> DataFrame:
+        vals = daily.groupBy(metric).agg(F.count(F.lit(1)).alias("n_v"))
+        w = (
+            Window.partitionBy(one_group(F.col(metric)))
+            .orderBy(metric)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return vals.select(
+            metric,
+            (
+                2 * (F.sum("n_v").over(w) - F.col("n_v")) + F.col("n_v") + 1
+            ).alias(out),
+        )
+
+    ranked = daily.join(F.broadcast(rank_x2("n_ord", "rx")), "n_ord").join(
+        F.broadcast(rank_x2("rev_cents", "ry")), "rev_cents"
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.coalesce(F.sum("rx"), F.lit(0)).alias("sx"),
+        F.coalesce(F.sum("ry"), F.lit(0)).alias("sy"),
+        F.coalesce(F.sum(F.col("rx") * F.col("rx")), F.lit(0)).alias("sxx"),
+        F.coalesce(F.sum(F.col("ry") * F.col("ry")), F.lit(0)).alias("syy"),
+        F.coalesce(F.sum(F.col("rx") * F.col("ry")), F.lit(0)).alias("sxy"),
+    )
+    return sums.select(
+        "n_days",
+        F.expr("CAST(n_days * sxy - sx * sy AS BIGINT)").alias("cov_num"),
+        F.expr("CAST(n_days * sxx - sx * sx AS BIGINT)").alias("varx_num"),
+        F.expr("CAST(n_days * syy - sy * sy AS BIGINT)").alias("vary_num"),
+        F.expr(
+            "CASE WHEN n_days < 2 OR (n_days * sxx - sx * sx) = 0"
+            " OR (n_days * syy - sy * sy) = 0 THEN NULL ELSE"
+            " CAST(n_days * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(CAST(n_days * sxx - sx * sx AS DECIMAL(38,0))"
+            "             * (n_days * syy - sy * sy) AS DOUBLE)) END"
+        ).alias("rho"),
+    )
+
+
+_SPEARMAN_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS} AS day_idx,
+         count(*)::BIGINT AS n_ord,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS rev_cents
+  FROM orders GROUP BY 1
+),
+rx AS (
+  SELECT n_ord,
+         2 * (CAST(sum(count(*)) OVER (ORDER BY n_ord ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) - count(*)) + count(*) + 1 AS rx
+  FROM daily GROUP BY n_ord
+),
+ry AS (
+  SELECT rev_cents,
+         2 * (CAST(sum(count(*)) OVER (ORDER BY rev_cents ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) - count(*)) + count(*) + 1 AS ry
+  FROM daily GROUP BY rev_cents
+),
+ranked AS (
+  SELECT rx, ry FROM daily JOIN rx USING (n_ord) JOIN ry USING (rev_cents)
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n_days,
+         coalesce(sum(rx), 0)::BIGINT AS sx, coalesce(sum(ry), 0)::BIGINT AS sy,
+         coalesce(sum(rx * rx), 0)::BIGINT AS sxx,
+         coalesce(sum(ry * ry), 0)::BIGINT AS syy,
+         coalesce(sum(rx * ry), 0)::BIGINT AS sxy
+  FROM ranked
+)
+SELECT n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS varx_num,
+       CAST(n_days * syy - sy * sy AS BIGINT) AS vary_num,
+       CASE WHEN n_days < 2 OR (n_days * sxx - sx * sx) = 0
+                 OR (n_days * syy - sy * sy) = 0 THEN NULL ELSE
+         CAST(n_days * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(CAST(n_days * sxx - sx * sx AS HUGEINT)
+                     * (n_days * syy - sy * sy) AS DOUBLE)) END AS rho
+FROM sums
+"""
+
+
+def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of the customer repurchase
+    interval, WITH right-censoring — the statistically honest version
+    of [[repeat_purchase_intervals]]: every consecutive-order gap is
+    an observed event, and the open interval from each customer's
+    LAST order to the end of the observation window is censored (a
+    naive gap histogram silently drops exactly the customers who
+    churned, biasing the curve optimistic).
+
+    Exactness: the life table (n_risk, d, c per distinct gap length)
+    is pure integer arithmetic; S(t) = Π (n_s − d_s)/n_s is the one
+    genuinely sequential product — computed as an ORDERED in-row fold
+    over the duration-sorted ratio array, mirrored by DuckDB
+    list_reduce: identical IEEE multiply sequence, so the doubles
+    hash-match bit-for-bit (the [[ewma_daily_events]] precedent; no
+    libm, no aggregation-order hazard). Censored rows at time t stay
+    in the risk set for events at t (standard right-continuous K-M).
+
+    Scale: gaps come from a customer-partitioned lag window (keyed,
+    never global); the life table lives on the distinct-gap relation,
+    CALENDAR-BOUNDED forever (≤ date-span days), so the one-row array
+    assembly and the O(T²) prefix products are the documented ≤K
+    bounded case — raw order volume only ever pays the per-customer
+    rollup shuffle."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(f"unix_timestamp(o_orderdate) div {DAY_SECONDS}").alias("day_idx"),
+    )
+    gmax = orders.agg(F.max("day_idx").alias("gd"))
+    w = Window.partitionBy("o_custkey").orderBy("day_idx", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev", F.lag("day_idx").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select((F.col("day_idx") - F.col("prev")).alias("dur"), F.lit(1).alias("ev"))
+    )
+    cens = (
+        orders.groupBy("o_custkey")
+        .agg(F.max("day_idx").alias("last_day"))
+        .crossJoin(F.broadcast(gmax))
+        .select((F.col("gd") - F.col("last_day")).alias("dur"), F.lit(0).alias("ev"))
+    )
+    iv = gaps.unionAll(cens)
+    roll = iv.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    tot = iv.agg(F.count(F.lit(1)).alias("n_iv"))
+    wq = (
+        Window.partitionBy(one_group(F.col("dur")))
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km1 = roll.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        (
+            F.col("n_iv")
+            - (F.sum(F.col("d") + F.col("c")).over(wq) - (F.col("d") + F.col("c")))
+        ).alias("n_risk"),
+        "d",
+        "c",
+    )
+    one = km1.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "n_risk", "d", "c"))
+        ).alias("arr")
+    )
+    two = one.select(
+        "arr",
+        F.expr(
+            "transform(arr, s -> CASE WHEN s.d = 0 THEN CAST(1.0 AS DOUBLE)"
+            " ELSE CAST(s.n_risk - s.d AS DOUBLE) / CAST(s.n_risk AS DOUBLE) END)"
+        ).alias("ratios"),
+    )
+    return (
+        two.select("ratios", F.posexplode("arr").alias("pos", "s"))
+        .select(
+            F.col("s.dur").alias("dur_days"),
+            F.col("s.n_risk").alias("n_risk"),
+            F.col("s.d").alias("d_events"),
+            F.col("s.c").alias("c_censored"),
+            F.expr(
+                "aggregate(slice(ratios, 1, pos + 1), CAST(1.0 AS DOUBLE),"
+                " (acc, x) -> acc * x)"
+            ).alias("surv"),
+        )
+        .orderBy("dur_days")
+    )
+
+
+_KM_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS} AS day_idx
+  FROM orders
+),
+gmax AS (SELECT max(day_idx) AS gd FROM o),
+gaps AS (
+  SELECT (day_idx - lag(day_idx) OVER
+            (PARTITION BY o_custkey ORDER BY day_idx, o_orderkey)) AS dur,
+         1 AS ev
+  FROM o
+),
+cens AS (
+  SELECT gd - max(day_idx) AS dur, 0 AS ev
+  FROM o, gmax GROUP BY o_custkey, gd
+),
+iv AS (
+  SELECT dur, ev FROM gaps WHERE dur IS NOT NULL
+  UNION ALL SELECT dur, ev FROM cens
+),
+roll AS (
+  SELECT dur, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c
+  FROM iv GROUP BY dur
+),
+tot AS (SELECT count(*)::BIGINT AS n_iv FROM iv),
+km1 AS (
+  SELECT dur,
+         n_iv - (CAST(sum(d + c) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) - (d + c)) AS n_risk,
+         d, c
+  FROM roll, tot
+),
+one AS (
+  SELECT list(struct_pack(dur := dur, n_risk := n_risk, d := d, c := c)
+              ORDER BY dur) AS arr
+  FROM km1
+),
+two AS (
+  SELECT arr,
+         list_transform(arr, s -> CASE WHEN s.d = 0 THEN CAST(1.0 AS DOUBLE)
+           ELSE CAST(s.n_risk - s.d AS DOUBLE) / CAST(s.n_risk AS DOUBLE) END)
+           AS ratios
+  FROM one
+),
+rows_ AS (
+  SELECT unnest(list_transform(arr, (s, i) -> struct_pack(
+           dur_days := s.dur, n_risk := s.n_risk,
+           d_events := s.d, c_censored := s.c,
+           surv := list_reduce(list_prepend(CAST(1.0 AS DOUBLE), ratios[1:i]),
+                               (acc, x) -> acc * x)))) AS r
+  FROM two
+)
+SELECT r.dur_days AS dur_days, r.n_risk AS n_risk, r.d_events AS d_events,
+       r.c_censored AS c_censored, r.surv AS surv
+FROM rows_
+ORDER BY dur_days
+"""
+
+
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each region — the antitrust-grade "is this market dominated?"
+    readout ([[pareto_revenue_concentration]] reads cumulative-share
+    concentration over customers; HHI is the single-number moment
+    version over suppliers). hhi_e8 = Σ share² scaled by 10⁸
+    (10⁸ = monopoly, 10⁸/n = perfectly even split across n).
+
+    Exactness: revenue in integer cents; Σ r² and the scaled ratio in
+    DECIMAL(38,0)/HUGEINT with truncating integer div on both engines
+    (exact while regional revenue < ~3·10¹⁴ cents, i.e. $3T — beyond
+    any realistic region; documented rather than guarded).
+
+    Scale: ONE map-side-combined rollup of lineitem on l_suppkey is
+    the only big shuffle; the supplier→nation→region dim chain is a
+    broadcast join; per-region aggregation then runs on |suppliers|
+    rows."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dim = (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    rev_s = lineitem.groupBy("l_suppkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)"
+                " AS BIGINT)"
+            )
+        ).alias("r_cents")
+    )
+    return (
+        rev_s.join(F.broadcast(dim), rev_s.l_suppkey == dim.s_suppkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("r_cents").alias("revenue_cents"),
+            F.sum(F.col("r_cents").cast("decimal(38,0)") * F.col("r_cents")).alias(
+                "sum_sq"
+            ),
+            F.max("r_cents").alias("top_r"),
+        )
+        .select(
+            F.col("r_name").alias("region_name"),
+            "n_suppliers",
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            F.expr(
+                "CASE WHEN revenue_cents = 0 THEN NULL ELSE"
+                " CAST((CAST(100000000 AS DECIMAL(38,0)) * sum_sq)"
+                " div (CAST(revenue_cents AS DECIMAL(38,0)) * revenue_cents)"
+                " AS BIGINT) END"
+            ).alias("hhi_e8"),
+            F.expr(
+                "CASE WHEN revenue_cents = 0 THEN NULL ELSE"
+                " CAST((10000 * CAST(top_r AS DECIMAL(38,0))) div revenue_cents"
+                " AS BIGINT) END"
+            ).alias("top1_share_bp"),
+        )
+        .orderBy("region_name")
+    )
+
+
+_HHI_SQL = """
+WITH rev_s AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+             AS BIGINT))::BIGINT AS r_cents
+  FROM lineitem GROUP BY 1
+),
+dim AS (
+  SELECT s_suppkey, r_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+agg AS (
+  SELECT r_name AS region_name, count(*)::BIGINT AS n_suppliers,
+         sum(r_cents)::BIGINT AS revenue_cents,
+         sum(r_cents::HUGEINT * r_cents) AS sum_sq,
+         max(r_cents)::BIGINT AS top_r
+  FROM rev_s JOIN dim ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT region_name, n_suppliers, revenue_cents,
+       CASE WHEN revenue_cents = 0 THEN NULL ELSE
+         CAST((100000000::HUGEINT * sum_sq)
+              // (revenue_cents::HUGEINT * revenue_cents) AS BIGINT) END AS hhi_e8,
+       CASE WHEN revenue_cents = 0 THEN NULL ELSE
+         CAST((10000 * top_r::HUGEINT) // revenue_cents AS BIGINT) END
+         AS top1_share_bp
+FROM agg
+ORDER BY region_name
+"""
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per signup cohort by month of age —
+    the revenue companion of [[cohort_retention]] (that one counts
+    RETAINED customers per cohort-age cell; this accumulates the
+    MONEY those cells produce, per cohort member, in exact cents).
+
+    Scale: first-order month is one customer-keyed min() rollup; the
+    cohort×age cell rollup shuffles once on (cohort, age); the
+    cumulative sum is a window PARTITIONED by cohort (bounded frame
+    per cohort = months of history — never a global sort). The
+    customer↔cohort join hash-partitions on o_custkey; nothing is
+    collected."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").alias("m_idx"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m_idx").alias("cohort_idx"))
+    sizes = first.groupBy("cohort_idx").agg(F.count(F.lit(1)).alias("n_customers"))
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort_idx", (F.col("m_idx") - F.col("cohort_idx")).alias("age"))
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_idx")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_rev_cents", F.sum("rev").over(w).cast("bigint"))
+        .join(F.broadcast(sizes), "cohort_idx")
+        .select(
+            "cohort_idx",
+            F.expr(
+                "CAST(cohort_idx div 12 AS STRING) || '-' ||"
+                " lpad(CAST(cohort_idx % 12 + 1 AS STRING), 2, '0')"
+            ).alias("cohort_month"),
+            F.col("age").alias("age_months"),
+            "n_customers",
+            "cum_rev_cents",
+            F.expr("CAST(cum_rev_cents div n_customers AS BIGINT)").alias(
+                "ltv_cents_per_customer"
+            ),
+        )
+        .orderBy("cohort_idx", "age_months")
+    )
+
+
+_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m_idx,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+first_m AS (SELECT o_custkey, min(m_idx) AS cohort_idx FROM o GROUP BY 1),
+sizes AS (
+  SELECT cohort_idx, count(*)::BIGINT AS n_customers FROM first_m GROUP BY 1
+),
+cells AS (
+  SELECT cohort_idx, m_idx - cohort_idx AS age, sum(cents)::BIGINT AS rev
+  FROM o JOIN first_m USING (o_custkey)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_idx, age,
+         CAST(sum(rev) OVER (PARTITION BY cohort_idx ORDER BY age
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+  FROM cells
+)
+SELECT cohort_idx,
+       (cohort_idx // 12)::VARCHAR || '-' ||
+         lpad((cohort_idx % 12 + 1)::VARCHAR, 2, '0') AS cohort_month,
+       age AS age_months, n_customers, cum_rev_cents,
+       CAST(cum_rev_cents // n_customers AS BIGINT) AS ltv_cents_per_customer
+FROM cum JOIN sizes USING (cohort_idx)
+ORDER BY cohort_idx, age_months
+"""
+
+
+def dow_hour_activity_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × 4-hour-bucket activity heatmap with
+    independence residuals — the seasonality readout behind staffing
+    and anomaly baselines: each of the 42 cells carries its event
+    count, its global share, and its relative deviation from the
+    rowtotal×coltotal/N independence expectation in per-mille (the
+    standardized-residual question [[anomaly_event_hours]] asks per
+    concrete hour, asked here of the WEEKLY TEMPLATE instead).
+
+    Engine-neutral calendar arithmetic: dow and hour derive from
+    epoch-second integer division ((day+3) mod 7 pins Monday=0;
+    1970-01-01 was a Thursday) — never from dayofweek()/hour(), whose
+    Sunday-origin and timezone conventions differ across engines.
+
+    Scale: one 42-cell rollup (map-side combined) from the raw scan;
+    the dense 7×6 spine, row/col margins, and N are broadcast
+    cross/left joins on ≤42-row relations. Residual products widen
+    to DECIMAL(38,0) (n×N reaches 10²⁴ at petabyte scale — int64
+    wraps, HUGEINT/DECIMAL do not)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("day_idx"),
+        F.expr("(unix_timestamp(ts) div 3600) % 24 div 4").alias("hour4"),
+    )
+    cells = ev.groupBy(
+        F.expr("(day_idx + 3) % 7").alias("dow"), "hour4"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        spark.range(7)
+        .withColumnRenamed("id", "dow")
+        .crossJoin(spark.range(6).withColumnRenamed("id", "hour4"))
+    )
+    full = (
+        spine.join(F.broadcast(cells), ["dow", "hour4"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .localCheckpoint(eager=False)
+    )
+    rows = full.groupBy("dow").agg(F.sum("n").alias("row_total"))
+    cols = full.groupBy("hour4").agg(F.sum("n").alias("col_total"))
+    tot = full.agg(F.sum("n").alias("n_total"))
+    return (
+        full.join(F.broadcast(rows), "dow")
+        .join(F.broadcast(cols), "hour4")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour4",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("row_total").cast("bigint").alias("row_total"),
+            F.col("col_total").cast("bigint").alias("col_total"),
+            F.expr(
+                "CASE WHEN n_total = 0 THEN NULL ELSE"
+                " CAST((1000 * n) div n_total AS BIGINT) END"
+            ).alias("share_pm"),
+            F.expr(
+                "CASE WHEN row_total * col_total = 0 THEN NULL ELSE"
+                " CAST((1000 * (CAST(n AS DECIMAL(38,0)) * n_total"
+                " - CAST(row_total AS DECIMAL(38,0)) * col_total))"
+                " div (CAST(row_total AS DECIMAL(38,0)) * col_total) AS BIGINT) END"
+            ).alias("resid_pm"),
+        )
+        .orderBy("dow", "hour4")
+    )
+
+
+_DOW_HOUR_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS day_idx,
+         (epoch_us(ts) // 1000000 // 3600) % 24 // 4 AS hour4
+  FROM events
+),
+cells AS (
+  SELECT (day_idx + 3) % 7 AS dow, hour4, count(*)::BIGINT AS n
+  FROM ev GROUP BY 1, 2
+),
+spine AS (
+  SELECT d.range AS dow, h.range AS hour4
+  FROM range(0, 7) d, range(0, 6) h
+),
+full_ AS (
+  SELECT spine.dow, spine.hour4, coalesce(cells.n, 0)::BIGINT AS n
+  FROM spine LEFT JOIN cells ON spine.dow = cells.dow AND spine.hour4 = cells.hour4
+),
+rows_ AS (SELECT dow, sum(n)::BIGINT AS row_total FROM full_ GROUP BY 1),
+cols_ AS (SELECT hour4, sum(n)::BIGINT AS col_total FROM full_ GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS n_total FROM full_)
+SELECT f.dow, f.hour4, f.n AS n_events, row_total, col_total,
+       CASE WHEN n_total = 0 THEN NULL ELSE
+         CAST((1000 * n) // n_total AS BIGINT) END AS share_pm,
+       CASE WHEN row_total * col_total = 0 THEN NULL ELSE
+         CAST((1000 * (n::HUGEINT * n_total - row_total::HUGEINT * col_total))
+              // (row_total::HUGEINT * col_total) AS BIGINT) END AS resid_pm
+FROM full_ f
+JOIN rows_ USING (dow) JOIN cols_ USING (hour4), tot
+ORDER BY dow, hour4
+"""
+
+
+QUERIES = {
+    "kruskal_wallis_priority": kruskal_wallis_priority,
+    "spearman_daily_rho": spearman_daily_rho,
+    "kaplan_meier_repurchase": kaplan_meier_repurchase,
+    "hhi_market_concentration": hhi_market_concentration,
+    "cohort_ltv_curve": cohort_ltv_curve,
+    "dow_hour_activity_residuals": dow_hour_activity_residuals,
+}
+
+ORACLES = {
+    "kruskal_wallis_priority": _KRUSKAL_SQL,
+    "spearman_daily_rho": _SPEARMAN_SQL,
+    "kaplan_meier_repurchase": _KM_SQL,
+    "hhi_market_concentration": _HHI_SQL,
+    "cohort_ltv_curve": _LTV_SQL,
+    "dow_hour_activity_residuals": _DOW_HOUR_SQL,
+}

@@ -468,8 +468,233 @@ ORDER BY b.table_name
 """
 
 
+# Candidate (child_table.child_col → parent_table.parent_col)
+# inclusion dependencies, generated by the key-column naming/type
+# heuristic a catalog crawler would apply to this star schema (every
+# *key/ *_id column paired with each same-stem key column).  The
+# list deliberately includes reverse-direction probes (c_custkey →
+# o_custkey, p_partkey → l_partkey, …) whose inclusion only holds
+# partially — a discovery report that can't say "no" is not a
+# discovery report.  Single source of truth: the Spark plan AND the
+# DuckDB oracle are both generated from this literal.
+_INCLUSION_SPEC: list[tuple[str, str, str, str]] = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ("region", "r_regionkey", "nation", "n_regionkey"),
+]
+
+
+def _inclusion_sides() -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+    child_cols: dict[str, list[str]] = {}
+    parent_cols: dict[str, list[str]] = {}
+    for ct, cc, pt, pc in _INCLUSION_SPEC:
+        child_cols.setdefault(ct, [])
+        if cc not in child_cols[ct]:
+            child_cols[ct].append(cc)
+        parent_cols.setdefault(pt, [])
+        if pc not in parent_cols[pt]:
+            parent_cols[pt].append(pc)
+    return child_cols, parent_cols
+
+
+def fk_inclusion_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency mining over the star schema — the
+    metadata manager's DISCOVERY twin: the reference lints columns it
+    is TOLD are keys (rules 1–5, app.py:36-96); this measures, from
+    the data, which candidate column pairs actually satisfy the
+    referential containment an FK would require
+    ([[dq_referential_integrity]] validates the declared FKs;
+    [[constraint_mining]] checks per-table constraints; this ranks
+    UNDECLARED cross-table candidates). Per candidate pair:
+    containment (child distinct values found in parent, per-mille)
+    and coverage (parent distinct values referenced, per-mille);
+    verdict 'holds' only at exactly 1000‰ containment. NULLs are
+    ignored on both sides (SQL FK semantics).
+
+    Scale: each table is scanned ONCE, column-pruned to its key
+    columns, melted to (table, col, value) rows; DISTINCT is one
+    keyed shuffle per side; containment is a hash join on
+    (table, col, value) — fact-sized relations are never broadcast
+    (only the 12-row spec and the per-pair aggregates are). The
+    distinct relations are exactly the FK key domains, the same
+    cardinality any FK validation pays at 100 TB."""
+    from .base import load
+
+    child_cols, parent_cols = _inclusion_sides()
+
+    def melt(side: dict[str, list[str]]) -> DataFrame:
+        parts = []
+        for tbl in sorted(side):
+            cols = side[tbl]
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), F.col(c).cast("long").alias("v")
+                    )
+                    for c in cols
+                ]
+            )
+            parts.append(
+                load(spark, sf_dir, tbl)
+                .select(F.lit(tbl).alias("tbl"), F.explode(entries).alias("e"))
+                .select("tbl", F.col("e.col").alias("col"), F.col("e.v").alias("v"))
+                .filter(F.col("v").isNotNull())
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.distinct()
+
+    child_long = melt(child_cols)
+    parent_long = melt(parent_cols).localCheckpoint(eager=False)
+    spec = spark.createDataFrame(
+        _INCLUSION_SPEC,
+        "child_table string, child_col string, parent_table string, parent_col string",
+    )
+    pairs = child_long.join(
+        F.broadcast(spec),
+        (child_long.tbl == spec.child_table) & (child_long.col == spec.child_col),
+    ).select("child_table", "child_col", "parent_table", "parent_col", "v")
+    pl = parent_long.select(
+        F.col("tbl").alias("p_tbl"),
+        F.col("col").alias("p_col"),
+        F.col("v").alias("pv"),
+        F.lit(1).alias("hit"),
+    )
+    contained = (
+        pairs.join(
+            pl,
+            (pairs.parent_table == pl.p_tbl)
+            & (pairs.parent_col == pl.p_col)
+            & (pairs.v == pl.pv),
+            "left",
+        )
+        .groupBy("child_table", "child_col", "parent_table", "parent_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_child_distinct"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contained"),
+        )
+    )
+    pcnt = parent_long.groupBy("tbl", "col").agg(
+        F.count(F.lit(1)).alias("n_parent_distinct")
+    )
+    keys = ["child_table", "child_col", "parent_table", "parent_col"]
+    return (
+        spec.join(F.broadcast(contained), keys, "left")
+        .join(
+            F.broadcast(pcnt),
+            (F.col("parent_table") == F.col("tbl"))
+            & (F.col("parent_col") == F.col("col")),
+            "left",
+        )
+        .select(
+            F.expr("child_table || '.' || child_col").alias("child_ref"),
+            F.expr("parent_table || '.' || parent_col").alias("parent_ref"),
+            F.coalesce("n_child_distinct", F.lit(0)).cast("bigint").alias(
+                "n_child_distinct"
+            ),
+            F.coalesce("n_parent_distinct", F.lit(0)).cast("bigint").alias(
+                "n_parent_distinct"
+            ),
+            F.coalesce("n_contained", F.lit(0)).cast("bigint").alias("n_contained"),
+            F.expr(
+                "CASE WHEN coalesce(n_child_distinct, 0) = 0 THEN NULL ELSE"
+                " CAST((1000 * coalesce(n_contained, 0))"
+                " div n_child_distinct AS BIGINT) END"
+            ).alias("containment_pm"),
+            F.expr(
+                "CASE WHEN coalesce(n_parent_distinct, 0) = 0 THEN NULL ELSE"
+                " CAST((1000 * coalesce(n_contained, 0))"
+                " div n_parent_distinct AS BIGINT) END"
+            ).alias("coverage_pm"),
+        )
+        .withColumn(
+            "verdict",
+            F.expr(
+                "CASE WHEN containment_pm IS NULL THEN 'empty'"
+                " WHEN containment_pm = 1000 THEN 'holds'"
+                " WHEN containment_pm >= 990 THEN 'near' ELSE 'no' END"
+            ),
+        )
+        .orderBy("child_ref", "parent_ref")
+    )
+
+
+def _inclusion_oracle() -> str:
+    child_cols, parent_cols = _inclusion_sides()
+
+    def melt_sql(side: dict[str, list[str]]) -> str:
+        selects = [
+            f"SELECT '{tbl}' AS tbl, '{c}' AS col, {c}::BIGINT AS v"
+            f" FROM {tbl} WHERE {c} IS NOT NULL"
+            for tbl in sorted(side)
+            for c in side[tbl]
+        ]
+        return " UNION ALL ".join(selects)
+
+    values = ", ".join(
+        f"('{ct}', '{cc}', '{pt}', '{pc}')" for ct, cc, pt, pc in _INCLUSION_SPEC
+    )
+    return f"""
+WITH child_long AS (SELECT DISTINCT * FROM ({melt_sql(child_cols)})),
+parent_long AS (SELECT DISTINCT * FROM ({melt_sql(parent_cols)})),
+spec AS (
+  SELECT * FROM (VALUES {values})
+    AS t(child_table, child_col, parent_table, parent_col)
+),
+pairs AS (
+  SELECT child_table, child_col, parent_table, parent_col, v
+  FROM child_long JOIN spec ON tbl = child_table AND col = child_col
+),
+contained AS (
+  SELECT child_table, child_col, parent_table, parent_col,
+         count(*)::BIGINT AS n_child_distinct,
+         sum(CASE WHEN pl.v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contained
+  FROM pairs p
+  LEFT JOIN parent_long pl
+    ON pl.tbl = p.parent_table AND pl.col = p.parent_col AND pl.v = p.v
+  GROUP BY 1, 2, 3, 4
+),
+pcnt AS (
+  SELECT tbl, col, count(*)::BIGINT AS n_parent_distinct
+  FROM parent_long GROUP BY 1, 2
+),
+joined AS (
+  SELECT s.child_table || '.' || s.child_col AS child_ref,
+         s.parent_table || '.' || s.parent_col AS parent_ref,
+         coalesce(c.n_child_distinct, 0)::BIGINT AS n_child_distinct,
+         coalesce(p.n_parent_distinct, 0)::BIGINT AS n_parent_distinct,
+         coalesce(c.n_contained, 0)::BIGINT AS n_contained,
+         CASE WHEN coalesce(c.n_child_distinct, 0) = 0 THEN NULL ELSE
+           CAST((1000 * coalesce(c.n_contained, 0))
+                // c.n_child_distinct AS BIGINT) END AS containment_pm,
+         CASE WHEN coalesce(p.n_parent_distinct, 0) = 0 THEN NULL ELSE
+           CAST((1000 * coalesce(c.n_contained, 0))
+                // p.n_parent_distinct AS BIGINT) END AS coverage_pm
+  FROM spec s
+  LEFT JOIN contained c USING (child_table, child_col, parent_table, parent_col)
+  LEFT JOIN pcnt p ON s.parent_table = p.tbl AND s.parent_col = p.col
+)
+SELECT *, CASE WHEN containment_pm IS NULL THEN 'empty'
+               WHEN containment_pm = 1000 THEN 'holds'
+               WHEN containment_pm >= 990 THEN 'near' ELSE 'no' END AS verdict
+FROM joined
+ORDER BY child_ref, parent_ref
+"""
+
+
 QUERIES = {
     "schema_issues": schema_issues,
+    "fk_inclusion_discovery": fk_inclusion_discovery,
     "schema_issues_quirks": schema_issues_quirks,
     "schema_issue_summary": schema_issue_summary,
     "pyds_catalog_columns": pyds_catalog_columns,
@@ -480,6 +705,7 @@ QUERIES = {
 
 ORACLES = {
     "schema_issues": SCHEMA_ISSUES_ORACLE,
+    "fk_inclusion_discovery": _inclusion_oracle(),
     "schema_issues_quirks": SCHEMA_ISSUES_QUIRKS_ORACLE,
     "schema_issue_summary": _SUMMARY_ORACLE,
     "pyds_catalog_columns": _pyds_columns_oracle(),

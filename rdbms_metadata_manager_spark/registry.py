@@ -24,6 +24,7 @@ def _modules():
         forecast,
         formats,
         graph,
+        inference,
         metadata,
         mining,
         modern,
@@ -37,7 +38,7 @@ def _modules():
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining, spatial, cogroup]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining, spatial, cogroup, inference]
     # No try/except here: every dependency these modules use is part
     # of the environment contract (pyarrow/pandas/numpy), and the
     # PRIORITY window below hard-requires their query names — a
