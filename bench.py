@@ -171,6 +171,10 @@ HEADLINE = [
     "cohort_ltv_curve",
     "dow_hour_activity_residuals",
     "fk_inclusion_discovery",
+    "gini_revenue_exact",
+    "duplicate_payment_candidates",
+    "join_cardinality_audit",
+    "bipartite_hits_event_types",
 ]
 
 

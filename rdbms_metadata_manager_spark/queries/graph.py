@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import tables
+from .base import load, tables
 
 N_NATIONS = 25
 DAMPING = 0.85
@@ -237,11 +237,80 @@ ORDER BY dist, n_nationkey
 """
 
 
+def bipartite_hits_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scoring on the user↔event-type bipartite
+    graph, carried as EXACT PATH COUNTS instead of normalized floats:
+    with hubs initialized to 1, authority a₁(t) = deg(t), hub
+    h₁(u) = Σ_{t∋u} a₁(t), authority a₂(t) = Σ_{u∋t} h₁(u) — i.e.
+    a₂ counts length-3 paths t→u→t'→u' through the incidence
+    structure. Per-iteration normalization is a positive scalar, so
+    the RANKING equals textbook HITS iteration-2 exactly while every
+    number stays integral (the [[pagerank_trade_graph]] trick taken
+    further: no rounding contract needed at all). High a₂/deg ratio =
+    the event types co-engaged by the most promiscuous users.
+
+    Scale: one distinct over (user, type) — the same rollup any
+    engagement metric pays; a₁ lives on the tiny type relation
+    (broadcast); h₁ is a user-keyed rollup; a₂ re-joins edges to h₁
+    hash-partitioned on user_id. Nothing iterates driver-side and no
+    per-user state exceeds its edge count; hub sums widen to
+    DECIMAL(38,0) (path counts are products of degrees — 10¹⁸ wraps
+    at web scale)."""
+    edges = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a1 = edges.groupBy("event_type").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = (
+        edges.join(F.broadcast(a1), "event_type")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("a1").cast("decimal(38,0)")).alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "user_id")
+        .groupBy("event_type")
+        .agg(F.sum("h1").alias("a2"))
+    )
+    return (
+        a1.join(a2, "event_type")
+        .select(
+            "event_type",
+            F.col("a1").cast("bigint").alias("n_users"),
+            F.expr("CAST(a2 AS BIGINT)").alias("paths3"),
+            F.expr("CAST(a2 div a1 AS BIGINT)").alias("paths3_per_user"),
+        )
+        .orderBy(F.desc("paths3"), "event_type")
+    )
+
+
+_HITS_SQL = """
+WITH edges AS (SELECT DISTINCT user_id, event_type FROM events),
+a1 AS (SELECT event_type, count(*)::BIGINT AS a1 FROM edges GROUP BY 1),
+h1 AS (
+  SELECT user_id, sum(a1::HUGEINT) AS h1
+  FROM edges JOIN a1 USING (event_type) GROUP BY 1
+),
+a2 AS (
+  SELECT event_type, sum(h1) AS a2
+  FROM edges JOIN h1 USING (user_id) GROUP BY 1
+)
+SELECT event_type, a1 AS n_users,
+       CAST(a2 AS BIGINT) AS paths3,
+       CAST(a2 // a1 AS BIGINT) AS paths3_per_user
+FROM a1 JOIN a2 USING (event_type)
+ORDER BY paths3 DESC, event_type
+"""
+
+
 QUERIES = {
     "pagerank_trade_graph": pagerank_trade_graph,
     "recursive_cte_trade_reach": recursive_cte_trade_reach,
+    "bipartite_hits_event_types": bipartite_hits_event_types,
 }
 ORACLES = {
     "pagerank_trade_graph": _PAGERANK_SQL,
     "recursive_cte_trade_reach": _REACH_SQL,
+    "bipartite_hits_event_types": _HITS_SQL,
 }

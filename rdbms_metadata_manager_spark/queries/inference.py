@@ -739,8 +739,76 @@ ORDER BY dow, hour4
 """
 
 
+def gini_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of customer revenue, in per-mille —
+    the inequality headline number, computed from the closed form
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted values
+    ([[pandas_udaf_gini_acctbal]] demonstrates the UDAF face
+    per-nation; this is the distributed exact global twin, and
+    [[pareto_revenue_concentration]]'s single-number summary). Tie
+    safety: permuting ranks among equal values leaves Σ i·xᵢ
+    unchanged, so the custkey tiebreak only guarantees a total order
+    for the kernel, never affects the statistic.
+
+    Scale: one customer rollup shuffle, then the global rank rides
+    the range-partitioned two-pass kernel (``ranged_prefix`` — no
+    single-partition window over the unbounded customer relation);
+    products widen to DECIMAL(38,0) (i·xᵢ reaches n·Σx ~ 10²⁴ at
+    petabyte scale). The statistic is 3 integers and one integer
+    division — nothing floating anywhere."""
+    orders = load(spark, sf_dir, "orders")
+    cust_rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias("rev")
+    )
+    ranked = ranged_prefix(
+        cust_rev, [F.col("rev"), F.col("o_custkey")], rank_col="i"
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.coalesce(F.sum("rev"), F.lit(0)).cast("decimal(38,0)").alias("sx"),
+            F.coalesce(
+                F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev")), F.lit(0)
+            ).alias("six"),
+        )
+        .select(
+            "n_customers",
+            F.expr("CAST(sx AS BIGINT)").alias("total_cents"),
+            F.expr(
+                "CASE WHEN n_customers = 0 OR sx = 0 THEN NULL ELSE"
+                " CAST((1000 * (2 * six - (n_customers + 1) * sx))"
+                " div (n_customers * sx) AS BIGINT) END"
+            ).alias("gini_permille"),
+        )
+    )
+
+
+_GINI_SQL = """
+WITH cust_rev AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM cust_rev
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n_customers,
+         coalesce(sum(rev), 0)::HUGEINT AS sx,
+         coalesce(sum(i::HUGEINT * rev), 0)::HUGEINT AS six
+  FROM ranked
+)
+SELECT n_customers, CAST(sx AS BIGINT) AS total_cents,
+       CASE WHEN n_customers = 0 OR sx = 0 THEN NULL ELSE
+         CAST((1000 * (2 * six - (n_customers + 1) * sx))
+              // (n_customers * sx) AS BIGINT) END AS gini_permille
+FROM sums
+"""
+
+
 QUERIES = {
     "kruskal_wallis_priority": kruskal_wallis_priority,
+    "gini_revenue_exact": gini_revenue_exact,
     "spearman_daily_rho": spearman_daily_rho,
     "kaplan_meier_repurchase": kaplan_meier_repurchase,
     "hhi_market_concentration": hhi_market_concentration,
@@ -750,6 +818,7 @@ QUERIES = {
 
 ORACLES = {
     "kruskal_wallis_priority": _KRUSKAL_SQL,
+    "gini_revenue_exact": _GINI_SQL,
     "spearman_daily_rho": _SPEARMAN_SQL,
     "kaplan_meier_repurchase": _KM_SQL,
     "hhi_market_concentration": _HHI_SQL,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from .queries import (
         advanced,
+        audit,
         cogroup,
         cohort,
         features,
@@ -38,7 +39,7 @@ def _modules():
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining, spatial, cogroup, inference]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining, spatial, cogroup, inference, audit]
     # No try/except here: every dependency these modules use is part
     # of the environment contract (pyarrow/pandas/numpy), and the
     # PRIORITY window below hard-requires their query names — a

@@ -1,0 +1,173 @@
+"""Independent pure-Python references for the operational-audit and
+graph batch (gini, duplicate payments, join-cardinality audit,
+bipartite HITS), plus boundary fixtures for the 7-day duplicate
+window."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import duckdb
+
+from conftest import assert_matches_oracle
+
+
+def test_gini_matches_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey
+        """
+    ).fetchall()
+    con.close()
+    xs = sorted(v for (v,) in rows)
+    n = len(xs)
+    sx = sum(xs)
+    six = sum(i * x for i, x in enumerate(xs, start=1))
+    exp = (1000 * (2 * six - (n + 1) * sx)) // (n * sx)
+
+    from rdbms_metadata_manager_spark.queries.inference import gini_revenue_exact
+
+    row = gini_revenue_exact(spark, sf_dir).collect()[0]
+    assert (row.n_customers, row.total_cents, row.gini_permille) == (n, sx, exp)
+
+
+def test_duplicate_payments_match_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+               epoch_us(o_orderdate) // 1000000 // 86400
+        FROM '{sf_dir}/orders.parquet'
+        """
+    ).fetchall()
+    con.close()
+    groups = defaultdict(list)
+    for ck, ok, cents, day in rows:
+        groups[(ck, cents)].append((day, ok))
+    exp = set()
+    for (ck, cents), members in groups.items():
+        members.sort()
+        for i, (d1, k1) in enumerate(members):
+            for d2, k2 in members[i + 1 :]:
+                if d2 - d1 <= 7:
+                    exp.add((ck, cents, k1, k2, d2 - d1))
+
+    from rdbms_metadata_manager_spark.queries.audit import (
+        duplicate_payment_candidates,
+    )
+
+    got = {
+        (r.o_custkey, r.amount_cents, r.orderkey_first, r.orderkey_second, r.day_gap)
+        for r in duplicate_payment_candidates(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_duplicate_payments_window_boundary_fixture(spark, tmp_path):
+    """Exactly-7-day gaps are IN, 8-day gaps are OUT; same-day pairs
+    emit once with the lower orderkey first; a 3-order cluster emits
+    all qualifying pairs."""
+    d = tmp_path / "dup"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT * FROM (VALUES
+          (10, 1, 'O', 99.99, TIMESTAMP '1995-03-01', '1-URGENT'),
+          (11, 1, 'O', 99.99, TIMESTAMP '1995-03-08', '1-URGENT'),
+          (12, 1, 'O', 99.99, TIMESTAMP '1995-03-09', '1-URGENT'),
+          (20, 2, 'O', 50.00, TIMESTAMP '1995-03-01', '1-URGENT'),
+          (21, 2, 'O', 50.00, TIMESTAMP '1995-03-01', '1-URGENT'),
+          (30, 3, 'O', 10.00, TIMESTAMP '1995-03-01', '1-URGENT'),
+          (31, 3, 'O', 10.01, TIMESTAMP '1995-03-01', '1-URGENT')
+        ) AS t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority))
+        TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    from rdbms_metadata_manager_spark.queries.audit import (
+        _DUP_PAY_SQL,
+        duplicate_payment_candidates,
+    )
+
+    df = duplicate_payment_candidates(spark, str(d))
+    assert_matches_oracle(df, _DUP_PAY_SQL, str(d))
+    got = {
+        (r.o_custkey, r.orderkey_first, r.orderkey_second, r.day_gap)
+        for r in df.collect()
+    }
+    # cust1: 10->11 gap7 IN, 11->12 gap1 IN, 10->12 gap8 OUT;
+    # cust2: same-day pair once; cust3: amounts differ -> none
+    assert got == {(1, 10, 11, 7), (1, 11, 12, 1), (2, 20, 21, 0)}
+
+
+def test_join_cardinality_matches_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+
+    def counts(tbl, key):
+        return Counter(
+            dict(
+                con.execute(
+                    f"SELECT {key}, count(*) FROM '{sf_dir}/{tbl}.parquet'"
+                    f" WHERE {key} IS NOT NULL GROUP BY 1"
+                ).fetchall()
+            )
+        )
+
+    lo = counts("lineitem", "l_orderkey")
+    oo = counts("orders", "o_orderkey")
+    oc = counts("orders", "o_custkey")
+    cc = counts("customer", "c_custkey")
+    con.close()
+
+    from rdbms_metadata_manager_spark.queries.audit import join_cardinality_audit
+
+    got = {r.join_name: r for r in join_cardinality_audit(spark, sf_dir).collect()}
+    assert len(got) == 5
+
+    def check(row, cl, cr):
+        actual = sum(n * cr[k] for k, n in cl.items() if k in cr)
+        n_l, n_r = sum(cl.values()), sum(cr.values())
+        est = (n_l * n_r) // max(len(cl), len(cr))
+        assert (row.n_left, row.d_left) == (n_l, len(cl))
+        assert (row.n_right, row.d_right) == (n_r, len(cr))
+        assert row.actual_rows == actual
+        assert row.est_rows == est
+        assert row.est_err_pm == (1000 * actual) // est
+
+    check(got["lineitem_orders"], lo, oo)
+    check(got["orders_customer"], oc, cc)
+
+
+def test_bipartite_hits_matches_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+    edges = set(
+        con.execute(
+            f"SELECT DISTINCT user_id, event_type FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    a1 = Counter(t for _, t in edges)
+    h1 = defaultdict(int)
+    for u, t in edges:
+        h1[u] += a1[t]
+    a2 = defaultdict(int)
+    for u, t in edges:
+        a2[t] += h1[u]
+
+    from rdbms_metadata_manager_spark.queries.graph import (
+        bipartite_hits_event_types,
+    )
+
+    got = bipartite_hits_event_types(spark, sf_dir).collect()
+    assert len(got) == len(a1)
+    for r in got:
+        assert r.n_users == a1[r.event_type]
+        assert r.paths3 == a2[r.event_type]
+        assert r.paths3_per_user == a2[r.event_type] // a1[r.event_type]
+    # ranking is by exact path counts, descending
+    assert [r.paths3 for r in got] == sorted((r.paths3 for r in got), reverse=True)
