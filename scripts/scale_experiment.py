@@ -144,6 +144,25 @@ FIXED_OUTPUT_KERNELS = [
     "event_burstiness_fano",
     "rich_club_coefficient",
     "event_type_user_jaccard",
+    # round-6 session-2 additions: ≤|groups|/1-row/42-cell/calendar-
+    # bounded reports over orders+events. Replicas keep o_custkey,
+    # so per-customer series grow Kx (KM gap multisets shift toward
+    # 0-day events — the wall, not the value, is what's measured);
+    # the statistical rollups (value ticks, daily spine, life table,
+    # rank kernel) stay domain-bounded. HITS: user offsets keep
+    # per-user degree constant, edges grow exactly Kx.
+    # duplicate_payment_candidates is deliberately ABSENT: the order
+    # replica transform copies each (custkey, cents, day) K times, so
+    # duplicate DENSITY (not just volume) grows — pairs grow K² by
+    # construction of the synthetic data, which measures the data
+    # transform, not the plan (see SCALE.md).
+    "kruskal_wallis_priority",
+    "spearman_daily_rho",
+    "kaplan_meier_repurchase",
+    "gini_revenue_exact",
+    "cohort_ltv_curve",
+    "dow_hour_activity_residuals",
+    "bipartite_hits_event_types",
 ]
 
 # versioned: v2 replicas added lineitem.parquet, v3 adds

@@ -1044,3 +1044,143 @@ def test_type_jaccard_single_user_shuffle(spark, sf_dir):
     assert "ExistingRDD" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_inference_batch_all_windows_partitioned(spark, sf_dir):
+    """Every window in the round-6 session-2 statistical faces must
+    carry a partition key — the range kernel's _pid (kruskal, gini),
+    the customer/cohort key (Kaplan-Meier lag, LTV cumsum), or the
+    non-foldable constant group on the documented CALENDAR-BOUNDED
+    relations (spearman ranks, KM life table). No unpartitioned
+    global sort may appear anywhere."""
+    import re
+
+    from rdbms_metadata_manager_spark.queries.inference import (
+        cohort_ltv_curve,
+        gini_revenue_exact,
+        kaplan_meier_repurchase,
+        kruskal_wallis_priority,
+        spearman_daily_rho,
+    )
+
+    for fn in (
+        kruskal_wallis_priority,
+        gini_revenue_exact,
+        spearman_daily_rho,
+        kaplan_meier_repurchase,
+        cohort_ltv_curve,
+    ):
+        plan = physical_plan(fn(spark, sf_dir))
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = m.group(1).split(",")[0]
+            assert ("ASC" not in head) and ("DESC" not in head), (
+                fn.__name__ + " unpartitioned window: " + m.group(0)
+            )
+
+
+def test_duplicate_payments_is_equality_keyed_join(spark, sf_dir):
+    """The 7-day duplicate screen must be an EQUALITY-keyed self-join
+    on (customer, cents) with the band as a post-join filter — never
+    a cartesian or nested-loop range join (the all-pairs shape that
+    dies at scale)."""
+    from rdbms_metadata_manager_spark.queries.audit import (
+        duplicate_payment_candidates,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(duplicate_payment_candidates(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_join_cardinality_audit_joins_only_rollups(spark, sf_dir):
+    """The exact |R JOIN S| must come from joining the per-key COUNT
+    rollups — every equality join in the plan must sit above
+    aggregates on both sides (the raw fact join is never
+    materialized). The only nested-loop joins allowed are the 1-row
+    stat cross joins."""
+    import re
+
+    from rdbms_metadata_manager_spark.queries.audit import join_cardinality_audit
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(join_cardinality_audit(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        m = re.search(r"SortMergeJoin|ShuffledHashJoin", ln)
+        if not m:
+            continue
+        depth = m.start()
+        sub = []
+        for nxt in lines[i + 1 :]:
+            body = re.sub(r"^[:+\- ]*", "", nxt)
+            ind = len(nxt) - len(body)
+            if body and ind <= depth:
+                break
+            sub.append(nxt)
+        body = "\n".join(sub)
+        # checkpointed rollups surface as Scan ExistingRDD[k, n]
+        assert ("HashAggregate" in body) or ("Scan parquet" not in body), (
+            "equality join over un-aggregated inputs:\n" + body
+        )
+
+
+def test_fk_inclusion_fact_sides_never_broadcast(spark, sf_dir):
+    """The containment join hash-partitions on (table, col, value):
+    fact-sized melted relations must never sit on a broadcast build
+    side — every BroadcastExchange subtree must be the literal spec
+    (LocalTableScan) or a per-pair aggregate, and the value join must
+    be a shuffle join."""
+    from rdbms_metadata_manager_spark.queries.metadata import fk_inclusion_discovery
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(fk_inclusion_discovery(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    for sub in _broadcast_subtrees(plan):
+        # allowed build sides: the literal spec (createDataFrame ->
+        # Scan ExistingRDD over the 4 spec columns) and the per-pair
+        # aggregates (whose subtrees legitimately contain the melt
+        # scans BELOW the aggregate). Illegal: a parquet scan
+        # broadcast with no aggregation above it.
+        if "Scan parquet" in sub:
+            assert "HashAggregate" in sub, "fact-sized broadcast subtree:\n" + sub
+        else:
+            assert ("HashAggregate" in sub) or ("child_table#" in sub), (
+                "unexpected broadcast subtree:\n" + sub
+            )
+
+
+def test_bipartite_hits_broadcasts_type_degrees_only(spark, sf_dir):
+    """a1 (the tiny per-type degree relation) is the only explicit
+    broadcast; the h1 re-join runs keyed on user_id (shuffle join),
+    and nothing nested-loops."""
+    from rdbms_metadata_manager_spark.queries.graph import (
+        bipartite_hits_event_types,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(bipartite_hits_event_types(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for sub in _broadcast_subtrees(plan):
+        assert "HashAggregate" in sub, "non-aggregate broadcast subtree:\n" + sub
