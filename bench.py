@@ -175,6 +175,8 @@ HEADLINE = [
     "duplicate_payment_candidates",
     "join_cardinality_audit",
     "bipartite_hits_event_types",
+    "wilson_ci_return_rate",
+    "approx_percentile_rank_audit",
 ]
 
 

@@ -213,12 +213,103 @@ FROM (
     return " UNION ALL ".join(selects) + "\nORDER BY join_name"
 
 
+# approx_percentile rank-error audit: quantile probes in per-mille
+# and the sketch accuracy parameter (rank error guarantee = n/ACC).
+_PCT_QS = [100, 250, 500, 750, 900, 990]
+_PCT_ACC = 10000
+
+
+def approx_percentile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audits Spark's approx_percentile against its FORMAL rank-error
+    contract: with accuracy A, the returned value's exact rank must
+    lie within n/A of the target rank q·n (Greenwald-Khanna style
+    guarantee) — a much tighter check than
+    [[approx_distinct_stats]]'s 10% value tolerance (here the bound
+    is ±0.01% of n). The emitted columns are the exact
+    percentile_disc values plus boolean in-bound flags; the oracle
+    emits the same exact values with literal TRUE flags, so a sketch
+    regression breaks the hash match while the output stays
+    deterministic (sketch values themselves never surface).
+
+    Scale: two scans — one combined aggregate computing n, the six
+    exact order statistics, and the six sketch probes; one follow-up
+    scan counting rows below/at each probe value (conditional sums
+    against the broadcast 1-row probe relation). Rank checks are
+    exact integer comparisons."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("tick")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for q in _PCT_QS:
+        aggs.append(
+            F.expr(
+                f"percentile_disc({q / 1000}) WITHIN GROUP (ORDER BY tick)"
+            ).alias(f"x_{q}")
+        )
+        aggs.append(
+            F.expr(f"approx_percentile(tick, {q / 1000}, {_PCT_ACC})").alias(
+                f"a_{q}"
+            )
+        )
+    one = li.agg(*aggs)
+    counts = li.crossJoin(F.broadcast(one)).agg(
+        *[
+            F.sum((F.col("tick") < F.col(f"a_{q}")).cast("bigint")).alias(f"lt_{q}")
+            for q in _PCT_QS
+        ],
+        *[
+            F.sum((F.col("tick") <= F.col(f"a_{q}")).cast("bigint")).alias(
+                f"le_{q}"
+            )
+            for q in _PCT_QS
+        ],
+    )
+    rows = []
+    for q in _PCT_QS:
+        rows.append(
+            one.crossJoin(F.broadcast(counts)).select(
+                F.lit(q).alias("q_permille"),
+                F.col("n_rows"),
+                F.col(f"x_{q}").alias("exact_tick"),
+                F.expr(
+                    # the approx value's exact-rank interval
+                    # [lt+1, le] must intersect the guaranteed band
+                    # q*n ± n/ACC (empty input passes vacuously)
+                    f"CASE WHEN n_rows = 0 THEN TRUE ELSE"
+                    f" le_{q} >= CAST(floor({q / 1000} * n_rows"
+                    f"   - CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT)"
+                    f" AND lt_{q} < CAST(ceil({q / 1000} * n_rows"
+                    f"   + CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT) + 1 END"
+                ).alias("rank_in_bound"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("q_permille")
+
+
+def _pct_audit_oracle() -> str:
+    selects = [
+        f"""
+SELECT {q} AS q_permille, count(*)::BIGINT AS n_rows,
+       percentile_disc({q / 1000}) WITHIN GROUP (ORDER BY tick) AS exact_tick,
+       TRUE AS rank_in_bound
+FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS tick
+      FROM lineitem)"""
+        for q in _PCT_QS
+    ]
+    return " UNION ALL ".join(selects) + "\nORDER BY q_permille"
+
+
 QUERIES = {
     "duplicate_payment_candidates": duplicate_payment_candidates,
     "join_cardinality_audit": join_cardinality_audit,
+    "approx_percentile_rank_audit": approx_percentile_rank_audit,
 }
 
 ORACLES = {
     "duplicate_payment_candidates": _DUP_PAY_SQL,
     "join_cardinality_audit": _join_audit_oracle(),
+    "approx_percentile_rank_audit": _pct_audit_oracle(),
 }

@@ -806,9 +806,111 @@ FROM sums
 """
 
 
+def wilson_ci_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per part brand with a 95% WILSON score interval —
+    the uncertainty-honest version of a rate leaderboard: a brand
+    with 3 returns out of 5 items must not outrank one with 300 of
+    1000, and the Wilson interval (unlike the naive Wald CI) stays
+    inside [0,1] and behaves at small n and extreme p̂. The z-test
+    twin of [[ab_test_aa_calibration]] pointed at a business rate.
+
+    Exactness: n and r are exact integers; the interval is one
+    IEEE scalar DAG (two divisions, one sqrt) written as IDENTICAL
+    expression text in both engines over those integers — bit-exact
+    doubles, no aggregation-order hazard (the
+    [[spearman_daily_rho]] contract). z = 1.96, z² = 3.8416 as exact
+    decimal literals.
+
+    Scale: one lineitem⋈part join shuffled on the part key (never
+    broadcast — part is fact-sized at warehouse scale), one brand
+    rollup, 25 output rows."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias("n_returned"),
+        )
+        .select(
+            "p_brand",
+            "n_items",
+            "n_returned",
+            F.expr("CAST((1000 * n_returned) div n_items AS BIGINT)").alias(
+                "return_rate_pm"
+            ),
+            F.expr(
+                "CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE)"
+            ).alias("p_hat"),
+        )
+        .select(
+            "p_brand",
+            "n_items",
+            "n_returned",
+            "return_rate_pm",
+            F.expr(
+                "(p_hat + CAST(3.8416 AS DOUBLE) / (2.0 * CAST(n_items AS DOUBLE)))"
+                " / (1.0 + CAST(3.8416 AS DOUBLE) / CAST(n_items AS DOUBLE))"
+                " - (CAST(1.96 AS DOUBLE)"
+                "    / (1.0 + CAST(3.8416 AS DOUBLE) / CAST(n_items AS DOUBLE)))"
+                " * sqrt(p_hat * (1.0 - p_hat) / CAST(n_items AS DOUBLE)"
+                "        + CAST(3.8416 AS DOUBLE)"
+                "          / (4.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)))"
+            ).alias("wilson_low"),
+            F.expr(
+                "(p_hat + CAST(3.8416 AS DOUBLE) / (2.0 * CAST(n_items AS DOUBLE)))"
+                " / (1.0 + CAST(3.8416 AS DOUBLE) / CAST(n_items AS DOUBLE))"
+                " + (CAST(1.96 AS DOUBLE)"
+                "    / (1.0 + CAST(3.8416 AS DOUBLE) / CAST(n_items AS DOUBLE)))"
+                " * sqrt(p_hat * (1.0 - p_hat) / CAST(n_items AS DOUBLE)"
+                "        + CAST(3.8416 AS DOUBLE)"
+                "          / (4.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)))"
+            ).alias("wilson_high"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_WILSON_SQL = """
+WITH agg AS (
+  SELECT p_brand, count(*)::BIGINT AS n_items,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+),
+ph AS (
+  SELECT p_brand, n_items, n_returned,
+         CAST((1000 * n_returned) // n_items AS BIGINT) AS return_rate_pm,
+         CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE) AS p_hat
+  FROM agg
+)
+SELECT p_brand, n_items, n_returned, return_rate_pm,
+       (p_hat + CAST(3.8416 AS DOUBLE) / (2.0 * CAST(n_items AS DOUBLE)))
+         / (1.0 + CAST(3.8416 AS DOUBLE) / CAST(n_items AS DOUBLE))
+       - (CAST(1.96 AS DOUBLE)
+          / (1.0 + CAST(3.8416 AS DOUBLE) / CAST(n_items AS DOUBLE)))
+       * sqrt(p_hat * (1.0 - p_hat) / CAST(n_items AS DOUBLE)
+              + CAST(3.8416 AS DOUBLE)
+                / (4.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)))
+         AS wilson_low,
+       (p_hat + CAST(3.8416 AS DOUBLE) / (2.0 * CAST(n_items AS DOUBLE)))
+         / (1.0 + CAST(3.8416 AS DOUBLE) / CAST(n_items AS DOUBLE))
+       + (CAST(1.96 AS DOUBLE)
+          / (1.0 + CAST(3.8416 AS DOUBLE) / CAST(n_items AS DOUBLE)))
+       * sqrt(p_hat * (1.0 - p_hat) / CAST(n_items AS DOUBLE)
+              + CAST(3.8416 AS DOUBLE)
+                / (4.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)))
+         AS wilson_high
+FROM ph
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "kruskal_wallis_priority": kruskal_wallis_priority,
     "gini_revenue_exact": gini_revenue_exact,
+    "wilson_ci_return_rate": wilson_ci_return_rate,
     "spearman_daily_rho": spearman_daily_rho,
     "kaplan_meier_repurchase": kaplan_meier_repurchase,
     "hhi_market_concentration": hhi_market_concentration,
@@ -819,6 +921,7 @@ QUERIES = {
 ORACLES = {
     "kruskal_wallis_priority": _KRUSKAL_SQL,
     "gini_revenue_exact": _GINI_SQL,
+    "wilson_ci_return_rate": _WILSON_SQL,
     "spearman_daily_rho": _SPEARMAN_SQL,
     "kaplan_meier_repurchase": _KM_SQL,
     "hhi_market_concentration": _HHI_SQL,

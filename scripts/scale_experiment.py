@@ -163,6 +163,10 @@ FIXED_OUTPUT_KERNELS = [
     "cohort_ltv_curve",
     "dow_hour_activity_residuals",
     "bipartite_hits_event_types",
+    # 6 quantile probes over Kx lineitem ticks: two scans, 1-row
+    # sketch relation; rows fixed at 6 (wilson_ci_return_rate needs
+    # the part table the replica dirs don't carry — prose row only).
+    "approx_percentile_rank_audit",
 ]
 
 # versioned: v2 replicas added lineitem.parquet, v3 adds

@@ -171,3 +171,64 @@ def test_bipartite_hits_matches_pure_python(spark, sf_dir):
         assert r.paths3_per_user == a2[r.event_type] // a1[r.event_type]
     # ranking is by exact path counts, descending
     assert [r.paths3 for r in got] == sorted((r.paths3 for r in got), reverse=True)
+
+
+def test_wilson_ci_matches_pure_python(spark, sf_dir):
+    import math
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT p_brand, count(*),
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/part.parquet' p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+        """
+    ).fetchall()
+    con.close()
+    exp = {b: (int(n), int(r)) for b, n, r in rows}
+
+    from rdbms_metadata_manager_spark.queries.inference import wilson_ci_return_rate
+
+    got = wilson_ci_return_rate(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    z, z2 = 1.96, 3.8416
+    for row in got:
+        n, r = exp[row.p_brand]
+        assert (row.n_items, row.n_returned) == (n, r)
+        assert row.return_rate_pm == (1000 * r) // n
+        p = r / n
+        denom = 1.0 + z2 / n
+        center = (p + z2 / (2.0 * n)) / denom
+        half = (z / denom) * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        assert abs(row.wilson_low - (center - half)) < 1e-12
+        assert abs(row.wilson_high - (center + half)) < 1e-12
+        assert 0.0 <= row.wilson_low <= row.wilson_high <= 1.0
+
+
+def test_approx_percentile_audit_flags_and_exact_ticks(spark, sf_dir):
+    con = duckdb.connect()
+    ticks = sorted(
+        t
+        for (t,) in con.execute(
+            f"SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            f" FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    n = len(ticks)
+
+    from rdbms_metadata_manager_spark.queries.audit import (
+        approx_percentile_rank_audit,
+    )
+
+    got = approx_percentile_rank_audit(spark, sf_dir).collect()
+    assert [r.q_permille for r in got] == [100, 250, 500, 750, 900, 990]
+    for r in got:
+        assert r.n_rows == n
+        # percentile_disc convention: smallest value with
+        # cume_dist >= q, i.e. element at rank ceil(q*n)
+        k = max(1, -(-r.q_permille * n // 1000))
+        assert r.exact_tick == ticks[k - 1]
+        assert r.rank_in_bound is True
