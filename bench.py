@@ -177,6 +177,7 @@ HEADLINE = [
     "bipartite_hits_event_types",
     "wilson_ci_return_rate",
     "approx_percentile_rank_audit",
+    "formats_text_source_roundtrip",
 ]
 
 

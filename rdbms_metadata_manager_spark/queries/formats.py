@@ -76,6 +76,117 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+
+def formats_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw TEXT-file source/sink round-trip — the format every crawl
+    corpus actually arrives in: documents are serialized one-per-line
+    as ``doc_id \\t source \\t text`` via DataFrameWriter.text, read
+    back with spark.read.text (one ``value`` column, no schema), and
+    re-parsed with split-limit semantics. The oracle computes the
+    same per-source aggregate straight from parquet, so any loss in
+    the line hop (delimiters, truncation, encoding, partial lines)
+    breaks the hash match. The checksum column (sum of doc_ids) makes
+    silent row duplication/loss visible even when counts collide.
+
+    Scale: .text scans split by line across executors exactly like a
+    100 TB crawl dump; the parse is three JVM string ops per line
+    (codegen), and the rollup is map-side combined. The split limit
+    (3) keeps embedded delimiters in the payload intact."""
+    docs = load(spark, sf_dir, "documents")
+    tmp = os.path.join(
+        tempfile.gettempdir(), "spark_fmt_text", os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "source", "text").alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(tmp)
+    lines = spark.read.text(tmp)
+    parsed = lines.select(
+        F.expr("split(value, '\t', 3)").alias("p")
+    ).select(
+        F.expr("CAST(p[0] AS BIGINT)").alias("doc_id"),
+        F.col("p")[1].alias("source"),
+        F.col("p")[2].alias("text"),
+    )
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEXT_SOURCE_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       sum(doc_id)::BIGINT AS id_checksum
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+BINARY_DOCS = 24  # fixture size: files written driver-side per call
+
+
+def binaryfile_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — how a multimodal pipeline ingests
+    image/audio blobs from an object store: a small deterministic
+    fixture (the first 24 documents, UTF-8 bytes, one ``<doc_id>.bin``
+    each) is materialized, read back via
+    spark.read.format("binaryFile"), and fingerprinted (length +
+    md5 of the content column). The oracle md5s the same documents'
+    text straight from parquet — byte-exact cross-engine digest
+    parity over the binary content path ([[multimodal_features]]
+    processes binary COLUMNS; this pins the binary FILE source that
+    feeds them).
+
+    Scale: binaryFile lists and splits by FILE, so the fixture bound
+    (24) is test-sized while the plan shape (path listing → per-file
+    content rows → projection) is exactly the 100 TB blob-ingest
+    shape; the md5/length run JVM-side per file."""
+    docs = load(spark, sf_dir, "documents")
+    tmp = os.path.join(
+        tempfile.gettempdir(), "spark_fmt_bin", os.path.basename(sf_dir.rstrip("/"))
+    )
+    rows = (
+        docs.filter(F.col("doc_id") <= BINARY_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    os.makedirs(tmp, exist_ok=True)
+    for f in os.listdir(tmp):
+        os.unlink(os.path.join(tmp, f))
+    for r in rows:
+        with open(os.path.join(tmp, f"{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(tmp)
+    return (
+        bf.select(
+            F.expr(
+                "CAST(regexp_extract(path, '([0-9]+)\\\\.bin$', 1) AS BIGINT)"
+            ).alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# strlen, not length: the Spark side reports the FILE size in UTF-8
+# BYTES, so the oracle must count bytes too (DuckDB length() counts
+# characters — a divergence the ASCII testdata would never surface,
+# pinned by the multi-byte fixture in tests/test_format_sources.py).
+_BINARYFILE_SQL = f"""
+SELECT doc_id, strlen(text)::BIGINT AS n_bytes, md5(text) AS content_md5
+FROM documents
+WHERE doc_id <= {BINARY_DOCS}
+ORDER BY doc_id
+"""
+
 def formats_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 XML expression support (`to_xml`-shaped construction +
     `from_xml` parse), proven by roundtrip: each event row is rendered
@@ -128,9 +239,13 @@ ORDER BY event_id
 QUERIES = {
     "formats_csv_json_roundtrip": formats_csv_json_roundtrip,
     "formats_xml_roundtrip": formats_xml_roundtrip,
+    "formats_text_source_roundtrip": formats_text_source_roundtrip,
+    "binaryfile_source_stats": binaryfile_source_stats,
 }
 
 ORACLES = {
     "formats_csv_json_roundtrip": _ROUNDTRIP_SQL,
     "formats_xml_roundtrip": _XML_SQL,
+    "formats_text_source_roundtrip": _TEXT_SOURCE_SQL,
+    "binaryfile_source_stats": _BINARYFILE_SQL,
 }
