@@ -531,31 +531,42 @@ def fk_inclusion_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     child_cols, parent_cols = _inclusion_sides()
 
-    def melt(side: dict[str, list[str]]) -> DataFrame:
-        parts = []
-        for tbl in sorted(side):
-            cols = side[tbl]
-            entries = F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col"), F.col(c).cast("long").alias("v")
-                    )
-                    for c in cols
-                ]
-            )
-            parts.append(
-                load(spark, sf_dir, tbl)
-                .select(F.lit(tbl).alias("tbl"), F.explode(entries).alias("e"))
-                .select("tbl", F.col("e.col").alias("col"), F.col("e.v").alias("v"))
-                .filter(F.col("v").isNotNull())
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out.distinct()
+    # ONE scan + melt per table covering both sides' columns, ONE
+    # distinct shuffle over the union — the per-side relations are
+    # then cheap filters on the shared memo (columns used by both
+    # sides, like c_custkey, are melted and deduplicated once).
+    union_cols: dict[str, list[str]] = {}
+    for side in (child_cols, parent_cols):
+        for tbl, cols in side.items():
+            union_cols.setdefault(tbl, [])
+            union_cols[tbl] += [c for c in cols if c not in union_cols[tbl]]
+    parts = []
+    for tbl in sorted(union_cols):
+        entries = F.array(
+            *[
+                F.struct(F.lit(c).alias("col"), F.col(c).cast("long").alias("v"))
+                for c in union_cols[tbl]
+            ]
+        )
+        parts.append(
+            load(spark, sf_dir, tbl)
+            .select(F.lit(tbl).alias("tbl"), F.explode(entries).alias("e"))
+            .select("tbl", F.col("e.col").alias("col"), F.col("e.v").alias("v"))
+            .filter(F.col("v").isNotNull())
+        )
+    melted = parts[0]
+    for p in parts[1:]:
+        melted = melted.unionAll(p)
+    melted = melted.distinct().localCheckpoint(eager=False)
 
-    child_long = melt(child_cols)
-    parent_long = melt(parent_cols).localCheckpoint(eager=False)
+    def side_filter(side: dict[str, list[str]]) -> F.Column:
+        cond = F.lit(False)
+        for tbl, cols in side.items():
+            cond = cond | ((F.col("tbl") == tbl) & F.col("col").isin(cols))
+        return cond
+
+    child_long = melted.filter(side_filter(child_cols))
+    parent_long = melted.filter(side_filter(parent_cols))
     spec = spark.createDataFrame(
         _INCLUSION_SPEC,
         "child_table string, child_col string, parent_table string, parent_col string",
