@@ -178,6 +178,7 @@ HEADLINE = [
     "wilson_ci_return_rate",
     "approx_percentile_rank_audit",
     "formats_text_source_roundtrip",
+    "cuped_adjusted_ab",
 ]
 
 

@@ -907,10 +907,170 @@ ORDER BY p_brand
 """
 
 
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/A experiment — the
+    technique every mature experimentation platform applies before
+    reading a metric: regress the post-period per-user metric Y on
+    its pre-period twin X (θ = cov/var over the pooled population),
+    then compare arms on Y − θ·(X − X̄). Completes the experimentation
+    ladder: [[ab_test_aa_calibration]] (proportions z),
+    [[ab_srm_check]] (assignment integrity), [[mann_whitney_u_test]]
+    (nonparametric), this (sensitivity). The pre/post split is the
+    midpoint of the event time range; arms are the same salted-hash
+    assignment family as the other A/A faces.
+
+    Exactness: per-user X/Y are integer cents; every sufficient
+    statistic (n, ΣX, ΣY, ΣX², ΣXY, ΣY², per-arm sums) is exact
+    DECIMAL(38,0); θ, the adjusted means, and the variance-reduction
+    ratio (= ρ²_XY) are then one identical IEEE scalar DAG over
+    those exact integers — bit-exact doubles cross-engine.
+
+    Scale: one global min/max, then ONE user-keyed rollup with
+    conditional pre/post sums (the shuffle every per-user metric
+    pays) feeding a single-row aggregate. Nothing iterates; nothing
+    is collected."""
+    from ..llm.hashing import h32
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    rng = ev.agg(
+        F.expr("CAST((min(day) + max(day)) div 2 AS BIGINT)").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN day < mid THEN cents ELSE 0 END")), F.lit(0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN day >= mid THEN cents ELSE 0 END")),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .withColumn(
+            "arm",
+            h32(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))) % 2,
+        )
+    )
+    d38 = "decimal(38,0)"
+    sums = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum((F.col("arm") == 0).cast("bigint")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END")).alias("sx_a"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END")).alias("sy_a"),
+    )
+    return (
+        sums.select(
+            "*",
+            F.expr("CAST(n - n_a AS BIGINT)").alias("n_b"),
+            F.expr("CAST(sx - sx_a AS DECIMAL(38,0))").alias("sx_b"),
+            F.expr("CAST(sy - sy_a AS DECIMAL(38,0))").alias("sy_b"),
+            F.expr("CAST(n * sxy - sx * sy AS DOUBLE)").alias("cov_d"),
+            F.expr("CAST(n * sxx - sx * sx AS DOUBLE)").alias("varx_d"),
+            F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("vary_d"),
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            "n_a",
+            "n_b",
+            F.expr(
+                "CASE WHEN varx_d = 0.0 THEN 0.0 ELSE cov_d / varx_d END"
+            ).alias("theta"),
+            F.expr(
+                "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE"
+                " CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+                " - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) END"
+            ).alias("diff_raw"),
+            F.expr(
+                "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE"
+                " (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+                "  - (CASE WHEN varx_d = 0.0 THEN 0.0 ELSE cov_d / varx_d END)"
+                "    * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+                "       - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+                " - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+                "  - (CASE WHEN varx_d = 0.0 THEN 0.0 ELSE cov_d / varx_d END)"
+                "    * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+                "       - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) END"
+            ).alias("diff_cuped"),
+            F.expr(
+                "CASE WHEN varx_d = 0.0 OR vary_d = 0.0 THEN 0.0 ELSE"
+                " (cov_d / varx_d) * (cov_d / vary_d) END"
+            ).alias("variance_reduction"),
+        )
+    )
+
+
+def _cuped_oracle() -> str:
+    from ..llm.hashing import h32_sql
+
+    salted = "'cuped:' || user_id::VARCHAR"
+    arm = f"{h32_sql(salted)} % 2"
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // {DAY_SECONDS} AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+rng AS (SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS mid FROM ev),
+per_user AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN day < mid THEN cents ELSE 0 END), 0)::BIGINT AS x,
+         coalesce(sum(CASE WHEN day >= mid THEN cents ELSE 0 END), 0)::BIGINT AS y,
+         {arm} AS arm
+  FROM ev, rng GROUP BY user_id
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+         sum(y::HUGEINT * y) AS syy,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN arm = 0 THEN x::HUGEINT ELSE 0 END) AS sx_a,
+         sum(CASE WHEN arm = 0 THEN y::HUGEINT ELSE 0 END) AS sy_a
+  FROM per_user
+),
+wide AS (
+  SELECT *, CAST(n - n_a AS BIGINT) AS n_b,
+         sx - sx_a AS sx_b, sy - sy_a AS sy_b,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov_d,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx_d,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary_d
+  FROM sums
+)
+SELECT n AS n_users, n_a, n_b,
+       CASE WHEN varx_d = 0.0 THEN 0.0 ELSE cov_d / varx_d END AS theta,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+         CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS diff_raw,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+         (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - (CASE WHEN varx_d = 0.0 THEN 0.0 ELSE cov_d / varx_d END)
+            * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+         - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+          - (CASE WHEN varx_d = 0.0 THEN 0.0 ELSE cov_d / varx_d END)
+            * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) END AS diff_cuped,
+       CASE WHEN varx_d = 0.0 OR vary_d = 0.0 THEN 0.0 ELSE
+         (cov_d / varx_d) * (cov_d / vary_d) END AS variance_reduction
+FROM wide
+"""
+
+
 QUERIES = {
     "kruskal_wallis_priority": kruskal_wallis_priority,
     "gini_revenue_exact": gini_revenue_exact,
     "wilson_ci_return_rate": wilson_ci_return_rate,
+    "cuped_adjusted_ab": cuped_adjusted_ab,
     "spearman_daily_rho": spearman_daily_rho,
     "kaplan_meier_repurchase": kaplan_meier_repurchase,
     "hhi_market_concentration": hhi_market_concentration,
@@ -922,6 +1082,7 @@ ORACLES = {
     "kruskal_wallis_priority": _KRUSKAL_SQL,
     "gini_revenue_exact": _GINI_SQL,
     "wilson_ci_return_rate": _WILSON_SQL,
+    "cuped_adjusted_ab": _cuped_oracle(),
     "spearman_daily_rho": _SPEARMAN_SQL,
     "kaplan_meier_repurchase": _KM_SQL,
     "hhi_market_concentration": _HHI_SQL,

@@ -167,6 +167,8 @@ FIXED_OUTPUT_KERNELS = [
     # sketch relation; rows fixed at 6 (wilson_ci_return_rate needs
     # the part table the replica dirs don't carry — prose row only).
     "approx_percentile_rank_audit",
+    # one user-keyed conditional rollup + a 1-row aggregate; 1 row out
+    "cuped_adjusted_ab",
 ]
 
 # versioned: v2 replicas added lineitem.parquet, v3 adds

@@ -385,3 +385,57 @@ def test_fk_inclusion_matches_pure_python_sets(spark, sf_dir):
     r2 = got[("customer.c_custkey", "orders.o_custkey")]
     assert r2.n_contained == len(ck & oc)
     assert r2.containment_pm == 1000 * len(ck & oc) // len(ck)
+
+
+def test_cuped_matches_pure_python(spark, sf_dir):
+    """Independent CUPED reference: per-user pre/post cents, pooled
+    theta = cov/var, adjusted arm difference, rho^2 variance
+    reduction — sharing no code with either engine (including an
+    independent h32 arm assignment via the tested SQL helper)."""
+    import duckdb as _dd
+
+    from rdbms_metadata_manager_spark.llm.hashing import h32_sql
+
+    con = _dd.connect()
+    arm_expr = h32_sql("'cuped:' || user_id::VARCHAR") + " % 2"
+    rows = con.execute(
+        f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM '{sf_dir}/events.parquet'
+        ), rng AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev)
+        SELECT user_id, {arm_expr},
+               coalesce(sum(CASE WHEN day < mid THEN cents END), 0),
+               coalesce(sum(CASE WHEN day >= mid THEN cents END), 0)
+        FROM ev, rng GROUP BY user_id, 2
+        """
+    ).fetchall()
+    con.close()
+    n = len(rows)
+    sx = sum(x for _, _, x, _ in rows)
+    sy = sum(y for _, _, _, y in rows)
+    sxx = sum(x * x for _, _, x, _ in rows)
+    sxy = sum(x * y for _, _, x, y in rows)
+    syy = sum(y * y for _, _, _, y in rows)
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    theta = cov / vx
+    a = [(x, y) for _, arm, x, y in rows if arm == 0]
+    b = [(x, y) for _, arm, x, y in rows if arm == 1]
+    mean = lambda vs: sum(vs) / len(vs)
+    adj = lambda grp: mean([y for _, y in grp]) - theta * (
+        mean([x for x, _ in grp]) - sx / n
+    )
+
+    from rdbms_metadata_manager_spark.queries.inference import cuped_adjusted_ab
+
+    row = cuped_adjusted_ab(spark, sf_dir).collect()[0]
+    assert (row.n_users, row.n_a, row.n_b) == (n, len(a), len(b))
+    assert abs(row.theta - theta) < 1e-9 * abs(theta)
+    assert abs(
+        row.diff_raw - (mean([y for _, y in a]) - mean([y for _, y in b]))
+    ) < 1e-6
+    assert abs(row.diff_cuped - (adj(a) - adj(b))) < 1e-6
+    assert abs(row.variance_reduction - cov * cov / (vx * vy)) < 1e-12
+    # CUPED must not INCREASE variance: rho^2 in [0, 1]
+    assert 0.0 <= row.variance_reduction <= 1.0
