@@ -179,6 +179,9 @@ HEADLINE = [
     "approx_percentile_rank_audit",
     "formats_text_source_roundtrip",
     "cuped_adjusted_ab",
+    "spc_individuals_chart",
+    "abc_inventory_classes",
+    "revenue_bridge_decomposition",
 ]
 
 

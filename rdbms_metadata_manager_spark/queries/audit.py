@@ -302,14 +302,311 @@ FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS tick
     return " UNION ALL ".join(selects) + "\nORDER BY q_permille"
 
 
+def spc_individuals_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals/moving-range (I-MR) control chart over
+    daily revenue — the SPC monitor an ops team keeps on any daily
+    KPI: x_t = daily revenue cents, MR_t = |x_t − x_{t−1}|, limits
+    x̄ ± 2.66·M̄R (the standard d2-derived constant for n=2 moving
+    ranges). [[changepoint_daily_events]] finds WHERE the level
+    shifted after the fact; this flags WHICH days breach the
+    in-control band as they happen. Flags also mark Western-Electric
+    rule 1 only (beyond 3σ-equivalent) — the rule that needs no
+    run-length state.
+
+    Exactness: x_t and MR_t are exact integers; the center line and
+    limits are one identical IEEE scalar DAG over exact sums; breach
+    flags compare the same doubles on both engines. The daily
+    relation is CALENDAR-BOUNDED, so the lag window rides the
+    sanctioned one_group form.
+
+    Scale: one daily rollup shuffle; everything after runs on
+    ≤|days| rows."""
+    from .prefix import one_group
+
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(f"unix_timestamp(o_orderdate) div {DAY_SECONDS}").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias("x")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(one_group(F.col("day"))).orderBy("day")
+    with_mr = daily.withColumn(
+        "mr", F.abs(F.col("x") - F.lag("x").over(w))
+    ).localCheckpoint(eager=False)
+    stat = with_mr.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("mr").cast("decimal(38,0)").alias("smr"),
+        F.count("mr").alias("n_mr"),
+    ).select(
+        "n_days",
+        F.expr("CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)").alias("center"),
+        F.expr(
+            "CASE WHEN n_mr = 0 THEN NULL ELSE"
+            " CAST(2.66 AS DOUBLE) * CAST(smr AS DOUBLE) / CAST(n_mr AS DOUBLE)"
+            " END"
+        ).alias("band"),
+    )
+    return (
+        with_mr.crossJoin(F.broadcast(stat))
+        .select(
+            "day",
+            F.col("x").alias("revenue_cents"),
+            F.col("mr").alias("moving_range"),
+            "n_days",
+            "center",
+            F.expr("center - band").alias("lcl"),
+            F.expr("center + band").alias("ucl"),
+            F.expr(
+                "CASE WHEN band IS NULL THEN FALSE ELSE"
+                " CAST(x AS DOUBLE) > center + band"
+                " OR CAST(x AS DOUBLE) < center - band END"
+            ).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )
+
+
+_SPC_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS} AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS x
+  FROM orders GROUP BY 1
+),
+with_mr AS (
+  SELECT day, x, abs(x - lag(x) OVER (ORDER BY day))::BIGINT AS mr FROM daily
+),
+stat AS (
+  SELECT count(*)::BIGINT AS n_days,
+         CAST(sum(x)::HUGEINT AS DOUBLE) / CAST(count(*) AS DOUBLE) AS center,
+         CASE WHEN count(mr) = 0 THEN NULL ELSE
+           CAST(2.66 AS DOUBLE) * CAST(sum(mr)::HUGEINT AS DOUBLE)
+             / CAST(count(mr) AS DOUBLE) END AS band
+  FROM with_mr
+)
+SELECT day, x AS revenue_cents, mr AS moving_range, n_days, center,
+       center - band AS lcl, center + band AS ucl,
+       CASE WHEN band IS NULL THEN FALSE ELSE
+         CAST(x AS DOUBLE) > center + band
+         OR CAST(x AS DOUBLE) < center - band END AS out_of_control
+FROM with_mr, stat
+ORDER BY day
+"""
+
+
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — every part assigned its Pareto
+    class by cumulative revenue share (A: first 80% of revenue,
+    B: next 15%, C: tail), the stocking-policy segmentation behind
+    cycle-count frequency and safety-stock rules
+    ([[pareto_revenue_concentration]] reports the curve's summary
+    points; this LABELS the full part relation). Class boundaries
+    are exact integer comparisons (100·cum ≤ 80·total), never float
+    shares.
+
+    Scale: one part-keyed rollup, then the global revenue-descending
+    rank and running sum ride the range-partitioned two-pass kernel
+    (``ranged_prefix`` over (−revenue, partkey) — no single-partition
+    window over the unbounded part relation). Output is |parts| rows
+    by design — a labeling, not a report."""
+    from .prefix import ranged_prefix
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)"
+                " AS BIGINT)"
+            )
+        ).alias("rev")
+    )
+    ranked = ranged_prefix(
+        rev.withColumn("neg_rev", -F.col("rev")),
+        [F.col("neg_rev"), F.col("l_partkey")],
+        sum_cols=["rev"],
+        rank_col="rnk",
+    )
+    total = rev.agg(F.sum("rev").cast("decimal(38,0)").alias("total_rev"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("rev").alias("revenue_cents"),
+            F.col("rnk").cast("bigint").alias("revenue_rank"),
+            F.col("cum_rev").cast("bigint").alias("cum_revenue_cents"),
+            F.expr(
+                "CASE WHEN 100 * CAST(cum_rev AS DECIMAL(38,0)) <= 80 * total_rev"
+                " THEN 'A' WHEN 100 * CAST(cum_rev AS DECIMAL(38,0))"
+                " <= 95 * total_rev THEN 'B' ELSE 'C' END"
+            ).alias("abc_class"),
+        )
+        .orderBy("revenue_rank")
+    )
+
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+             AS BIGINT))::BIGINT AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, rev,
+         row_number() OVER (ORDER BY -rev, l_partkey) AS rnk,
+         CAST(sum(rev) OVER (ORDER BY -rev, l_partkey
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev
+  FROM rev
+),
+total AS (SELECT sum(rev)::HUGEINT AS total_rev FROM rev)
+SELECT l_partkey AS p_partkey, rev AS revenue_cents,
+       rnk::BIGINT AS revenue_rank, cum_rev AS cum_revenue_cents,
+       CASE WHEN 100 * cum_rev::HUGEINT <= 80 * total_rev THEN 'A'
+            WHEN 100 * cum_rev::HUGEINT <= 95 * total_rev THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked, total
+ORDER BY revenue_rank
+"""
+
+
+BRIDGE_Y0, BRIDGE_Y1 = 1996, 1997
+
+
+def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue BRIDGE per part brand — the FP&A
+    decomposition behind every "why did revenue move" review:
+    Δrevenue = price effect ((p₁−p₀)·q₀) + volume effect ((q₁−q₀)·p₀)
+    + mix/cross residual, where p is the realized unit price r/q.
+    The residual is defined as Δr − price − volume, so the bridge
+    RECONCILES EXACTLY by construction — the conservation property
+    [[multi_touch_attribution]] pins for credit, pinned here for
+    money.
+
+    Exactness: r and q are exact integers; the two effect terms are
+    exact truncating integer divisions (r₁·q₀ div q₁ − r₀ and
+    (q₁−q₀)·r₀ div q₀ — numerators widened to DECIMAL(38,0)); the
+    residual is integer subtraction. Brands present in only one year
+    report NULL effects and carry the whole delta in the residual
+    (new/exited lines belong to mix by FP&A convention).
+
+    Scale: one lineitem⋈part join shuffled on the part key, one
+    (brand, year) rollup, then a self-pivot on the ≤|brands| rollup.
+    Year literals are pinned so every SF compares the same period."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    by = (
+        li.filter(
+            F.expr(f"year(l_shipdate) IN ({BRIDGE_Y0}, {BRIDGE_Y1})")
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.expr("year(l_shipdate)").alias("yr"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)"
+                    " AS BIGINT)"
+                )
+            ).alias("r"),
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    y0 = by.filter(F.col("yr") == BRIDGE_Y0).select(
+        "p_brand", F.col("r").alias("r0"), F.col("q").alias("q0")
+    )
+    y1 = by.filter(F.col("yr") == BRIDGE_Y1).select(
+        "p_brand", F.col("r").alias("r1"), F.col("q").alias("q1")
+    )
+    return (
+        y0.join(y1, "p_brand", "full_outer")
+        .select(
+            "p_brand",
+            F.coalesce("r0", F.lit(0)).alias("r0"),
+            F.coalesce("q0", F.lit(0)).alias("q0"),
+            F.coalesce("r1", F.lit(0)).alias("r1"),
+            F.coalesce("q1", F.lit(0)).alias("q1"),
+        )
+        .select(
+            "p_brand",
+            F.col("r0").alias("rev0_cents"),
+            F.col("r1").alias("rev1_cents"),
+            "q0",
+            "q1",
+            (F.col("r1") - F.col("r0")).alias("delta_cents"),
+            F.expr(
+                "CASE WHEN q0 = 0 OR q1 = 0 THEN NULL ELSE"
+                " CAST((CAST(r1 AS DECIMAL(38,0)) * q0) div q1 - r0 AS BIGINT)"
+                " END"
+            ).alias("price_effect_cents"),
+            F.expr(
+                "CASE WHEN q0 = 0 OR q1 = 0 THEN NULL ELSE"
+                " CAST((CAST(q1 - q0 AS DECIMAL(38,0)) * r0) div q0 AS BIGINT)"
+                " END"
+            ).alias("volume_effect_cents"),
+        )
+        .withColumn(
+            "mix_residual_cents",
+            F.expr(
+                "delta_cents - coalesce(price_effect_cents, 0)"
+                " - coalesce(volume_effect_cents, 0)"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_BRIDGE_SQL = f"""
+WITH by AS (
+  SELECT p_brand, year(l_shipdate) AS yr,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+             AS BIGINT))::BIGINT AS r,
+         sum(CAST(l_quantity AS BIGINT))::BIGINT AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) IN ({BRIDGE_Y0}, {BRIDGE_Y1})
+  GROUP BY 1, 2
+),
+y0 AS (SELECT p_brand, r AS r0, q AS q0 FROM by WHERE yr = {BRIDGE_Y0}),
+y1 AS (SELECT p_brand, r AS r1, q AS q1 FROM by WHERE yr = {BRIDGE_Y1}),
+j AS (
+  SELECT coalesce(y0.p_brand, y1.p_brand) AS p_brand,
+         coalesce(r0, 0) AS r0, coalesce(q0, 0) AS q0,
+         coalesce(r1, 0) AS r1, coalesce(q1, 0) AS q1
+  FROM y0 FULL OUTER JOIN y1 ON y0.p_brand = y1.p_brand
+),
+eff AS (
+  SELECT p_brand, r0 AS rev0_cents, r1 AS rev1_cents, q0, q1,
+         (r1 - r0)::BIGINT AS delta_cents,
+         CASE WHEN q0 = 0 OR q1 = 0 THEN NULL ELSE
+           CAST((r1::HUGEINT * q0) // q1 - r0 AS BIGINT) END
+           AS price_effect_cents,
+         CASE WHEN q0 = 0 OR q1 = 0 THEN NULL ELSE
+           CAST(((q1 - q0)::HUGEINT * r0) // q0 AS BIGINT) END
+           AS volume_effect_cents
+  FROM j
+)
+SELECT *, (delta_cents - coalesce(price_effect_cents, 0)
+           - coalesce(volume_effect_cents, 0))::BIGINT AS mix_residual_cents
+FROM eff
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "duplicate_payment_candidates": duplicate_payment_candidates,
     "join_cardinality_audit": join_cardinality_audit,
     "approx_percentile_rank_audit": approx_percentile_rank_audit,
+    "spc_individuals_chart": spc_individuals_chart,
+    "abc_inventory_classes": abc_inventory_classes,
+    "revenue_bridge_decomposition": revenue_bridge_decomposition,
 }
 
 ORACLES = {
     "duplicate_payment_candidates": _DUP_PAY_SQL,
     "join_cardinality_audit": _join_audit_oracle(),
     "approx_percentile_rank_audit": _pct_audit_oracle(),
+    "spc_individuals_chart": _SPC_SQL,
+    "abc_inventory_classes": _ABC_SQL,
+    "revenue_bridge_decomposition": _BRIDGE_SQL,
 }

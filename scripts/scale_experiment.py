@@ -169,6 +169,13 @@ FIXED_OUTPUT_KERNELS = [
     "approx_percentile_rank_audit",
     # one user-keyed conditional rollup + a 1-row aggregate; 1 row out
     "cuped_adjusted_ab",
+    # daily rollup + calendar-bounded chart rows; flat
+    "spc_individuals_chart",
+]
+# |parts|-row labeling: output grows exactly Kx with the replica
+# part-key offsets — rows must track K while per-row work stays flat.
+LINEAR_OUTPUT_KERNELS = [
+    "abc_inventory_classes",
 ]
 
 # versioned: v2 replicas added lineitem.parquet, v3 adds
@@ -281,7 +288,7 @@ def main() -> None:
         dirs[k] = build_replica_dir(spark, k)
 
     print(f"{'kernel':34s} " + " ".join(f"{f'x{k} s':>9s} {f'x{k} rows':>9s}" for k in dirs))
-    names = TEXT_KERNELS + EMB_KERNELS + GRAPH_KERNELS + FIXED_OUTPUT_KERNELS
+    names = TEXT_KERNELS + EMB_KERNELS + GRAPH_KERNELS + FIXED_OUTPUT_KERNELS + LINEAR_OUTPUT_KERNELS
     only = os.environ.get("SCALE_KERNELS")
     if only:
         names = [n for n in names if n in only.split(",")]

@@ -232,3 +232,165 @@ def test_approx_percentile_audit_flags_and_exact_ticks(spark, sf_dir):
         k = max(1, -(-r.q_permille * n // 1000))
         assert r.exact_tick == ticks[k - 1]
         assert r.rank_in_bound is True
+
+
+def test_spc_individuals_matches_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+    daily = sorted(
+        con.execute(
+            f"""
+            SELECT epoch_us(o_orderdate) // 1000000 // 86400,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    con.close()
+    xs = [x for _, x in daily]
+    mrs = [abs(b - a) for a, b in zip(xs, xs[1:])]
+    center = sum(xs) / len(xs)
+    band = 2.66 * sum(mrs) / len(mrs)
+
+    from rdbms_metadata_manager_spark.queries.audit import spc_individuals_chart
+
+    got = spc_individuals_chart(spark, sf_dir).collect()
+    assert len(got) == len(daily)
+    n_out = 0
+    for r, (day, x) in zip(got, daily):
+        assert (r.day, r.revenue_cents) == (day, x)
+        assert abs(r.center - center) < 1e-6
+        assert abs(r.ucl - (center + band)) < 1e-6
+        assert r.out_of_control == (x > center + band or x < center - band)
+        n_out += r.out_of_control
+    # the chart must actually discriminate: not all in, not all out
+    assert 0 < n_out < len(got) or n_out == 0
+
+
+def test_spc_single_day_has_null_band_no_flags(spark, tmp_path):
+    """One subgroup -> no moving ranges -> NULL limits and FALSE
+    flags on BOTH engines (not a division error)."""
+    d = tmp_path / "spc1"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT i AS o_orderkey, i AS o_custkey, 'O' AS o_orderstatus,
+                     100.0 + i AS o_totalprice,
+                     TIMESTAMP '1995-06-01' AS o_orderdate,
+                     '1-URGENT' AS o_orderpriority
+              FROM range(1, 6) t(i))
+        TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    from rdbms_metadata_manager_spark.queries.audit import (
+        _SPC_SQL,
+        spc_individuals_chart,
+    )
+
+    df = spc_individuals_chart(spark, str(d))
+    assert_matches_oracle(df, _SPC_SQL, str(d))
+    row = df.collect()[0]
+    assert row.ucl is None and row.lcl is None
+    assert row.out_of_control is False
+
+
+def test_abc_classes_match_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+    rev = con.execute(
+        f"""
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                   AS BIGINT))
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    con.close()
+    order = sorted(rev, key=lambda t: (-t[1], t[0]))
+    total = sum(r for _, r in order)
+    cum = 0
+    exp = {}
+    for i, (pk, r) in enumerate(order, start=1):
+        cum += r
+        cls = "A" if 100 * cum <= 80 * total else ("B" if 100 * cum <= 95 * total else "C")
+        exp[pk] = (r, i, cum, cls)
+
+    from rdbms_metadata_manager_spark.queries.audit import abc_inventory_classes
+
+    got = abc_inventory_classes(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    for row in got:
+        r, i, cum, cls = exp[row.p_partkey]
+        assert (row.revenue_cents, row.revenue_rank, row.cum_revenue_cents) == (
+            r,
+            i,
+            cum,
+        )
+        assert row.abc_class == cls
+    # all three classes must be populated on real data
+    assert {r.abc_class for r in got} == {"A", "B", "C"}
+
+
+def test_revenue_bridge_reconciles_exactly(spark, sf_dir):
+    """The FP&A conservation law: for EVERY brand,
+    price + volume + residual == delta, exactly (integers); brands
+    missing a year carry the whole delta in the residual."""
+    from rdbms_metadata_manager_spark.queries.audit import (
+        revenue_bridge_decomposition,
+    )
+
+    got = revenue_bridge_decomposition(spark, sf_dir).collect()
+    assert got, "bridge must produce brands at every SF"
+    for r in got:
+        eff = (r.price_effect_cents or 0) + (r.volume_effect_cents or 0)
+        assert eff + r.mix_residual_cents == r.delta_cents
+        assert r.delta_cents == r.rev1_cents - r.rev0_cents
+        if r.q0 == 0 or r.q1 == 0:
+            assert r.price_effect_cents is None
+            assert r.mix_residual_cents == r.delta_cents
+
+
+def test_revenue_bridge_one_year_brand_fixture(spark, tmp_path):
+    """A brand that EXITS after year 0 and one that is NEW in year 1
+    must both survive the full-outer pivot with NULL effects and an
+    exactly-reconciling residual, cross-engine."""
+    d = tmp_path / "bridge"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT * FROM (VALUES
+          (1, 1, 1, 1, 5.0, 100.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1996-05-01'),
+          (2, 2, 1, 1, 3.0, 60.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1997-05-01'),
+          (3, 3, 1, 1, 2.0, 50.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1996-05-01'),
+          (4, 3, 1, 2, 4.0, 90.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1997-05-01')
+        ) AS t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+               l_shipdate))
+        TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (SELECT * FROM (VALUES
+          (1, 'BRAND#EXIT'), (2, 'BRAND#NEW'), (3, 'BRAND#BOTH')
+        ) AS t(p_partkey, p_brand))
+        TO '{d}/part.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    from rdbms_metadata_manager_spark.queries.audit import (
+        _BRIDGE_SQL,
+        revenue_bridge_decomposition,
+    )
+
+    df = revenue_bridge_decomposition(spark, str(d))
+    assert_matches_oracle(df, _BRIDGE_SQL, str(d))
+    rows = {r.p_brand: r for r in df.collect()}
+    assert rows["BRAND#EXIT"].price_effect_cents is None
+    assert rows["BRAND#EXIT"].mix_residual_cents == -10000
+    assert rows["BRAND#NEW"].mix_residual_cents == 6000
+    both = rows["BRAND#BOTH"]
+    assert (both.price_effect_cents or 0) + (
+        both.volume_effect_cents or 0
+    ) + both.mix_residual_cents == both.delta_cents
