@@ -182,6 +182,8 @@ HEADLINE = [
     "spc_individuals_chart",
     "abc_inventory_classes",
     "revenue_bridge_decomposition",
+    "harmonic_centrality_trade",
+    "lsh_band_planner",
 ]
 
 

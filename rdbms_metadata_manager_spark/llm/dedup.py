@@ -1294,7 +1294,76 @@ ORDER BY threshold_pct
 """
 
 
+# The S-curve planner's SQL is ENGINE-PORTABLE by construction: both
+# engines execute this byte-identical text.  No libm pow anywhere —
+# s^r and (1−s^r)^b are EXPLICIT repeated-squaring chains (r and b
+# are powers of two), and the family threshold (1/b)^(1/r) is a
+# sqrt chain; every step is an IEEE-exact op, so the doubles
+# hash-match without any rounding contract.
+_LSH_PLANNER_SQL = f"""
+WITH grid AS (
+  SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) AS g(r, b)
+),
+pts AS (
+  SELECT * FROM (VALUES (100), (200), (300), (400), (500), (600),
+                        (700), (800), (900)) AS p(s_pm)
+),
+base AS (
+  SELECT r, b, s_pm, CAST(s_pm AS DOUBLE) / 1000.0 AS s FROM grid, pts
+),
+c1 AS (SELECT *, s * s AS t1 FROM base),
+c2 AS (SELECT *, t1 * t1 AS t2 FROM c1),
+c3 AS (SELECT *, t2 * t2 AS t3 FROM c2),
+c4 AS (SELECT *, t3 * t3 AS t4 FROM c3),
+sr AS (
+  SELECT r, b, s_pm,
+         CASE r WHEN 2 THEN t1 WHEN 4 THEN t2 WHEN 8 THEN t3 ELSE t4 END AS s_r
+  FROM c4
+),
+y0 AS (SELECT *, 1.0 - s_r AS y FROM sr),
+d1 AS (SELECT *, y * y AS u1 FROM y0),
+d2 AS (SELECT *, u1 * u1 AS u2 FROM d1),
+d3 AS (SELECT *, u2 * u2 AS u3 FROM d2),
+pb AS (
+  SELECT r, b, s_pm,
+         CASE b WHEN 1 THEN y WHEN 2 THEN u1 WHEN 4 THEN u2 ELSE u3 END AS miss
+  FROM d3
+),
+th0 AS (SELECT *, 1.0 / CAST(b AS DOUBLE) AS v0 FROM pb),
+t1c AS (SELECT *, sqrt(v0) AS v1 FROM th0),
+t2c AS (SELECT *, sqrt(v1) AS v2 FROM t1c),
+t3c AS (SELECT *, sqrt(v2) AS v3 FROM t2c),
+t4c AS (SELECT *, sqrt(v3) AS v4 FROM t3c)
+SELECT r, b, s_pm,
+       CAST(floor(1000.0 * (1.0 - miss)) AS BIGINT) AS p_catch_pm,
+       CASE r WHEN 2 THEN v1 WHEN 4 THEN v2 WHEN 8 THEN v3 ELSE v4 END
+         AS s_threshold,
+       r = {MINHASH_ROWS} AND b = {MINHASH_BANDS} AS deployed
+FROM t4c
+ORDER BY r, s_pm
+"""
+
+
+def lsh_band_planner(spark, sf_dir):  # sf_dir unused: closed-form planner
+    """MinHash-LSH (bands, rows) parameter planner — the S-curve
+    table behind choosing [[dedup_minhash_lsh]]'s family: for every
+    (r, b) split of the K=16 signature, the probability a pair with
+    Jaccard s collides in ≥1 band, P = 1 − (1 − sʳ)ᵇ, evaluated at
+    nine similarity points, plus the family threshold (1/b)^(1/r)
+    where the curve inflects. The deployed cell (r={MINHASH_ROWS},
+    b={MINHASH_BANDS}) is flagged. Determinism: NO libm pow — r and
+    b are powers of two, so sʳ and (1−sʳ)ᵇ are explicit
+    repeated-squaring chains and the root is a sqrt chain (both
+    IEEE-exact); both engines run the byte-identical SQL text.
+
+    Scale: a 36-row closed-form table — the planner costs nothing at
+    any corpus size; it PARAMETERIZES the operator that does the
+    work."""
+    return spark.sql(_LSH_PLANNER_SQL)
+
+
 QUERIES = {
+    "lsh_band_planner": lsh_band_planner,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1313,6 +1382,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lsh_band_planner": _LSH_PLANNER_SQL,
     "dedup_exact": _EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,

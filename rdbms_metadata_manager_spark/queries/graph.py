@@ -237,6 +237,90 @@ ORDER BY dist, n_nationkey
 """
 
 
+def harmonic_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality over the top-trade-lane graph — "which
+    nation can reach the trade network fastest" — C(v) = Σ_{u≠v} 1/d(v,u),
+    the centrality that stays well-defined on DISCONNECTED graphs
+    (closeness breaks; unreachable nodes simply contribute 0).
+    All-pairs BFS as ONE ``WITH RECURSIVE`` walk seeded from every
+    nation ([[recursive_cte_trade_reach]] walks from nation 0; this
+    is its all-sources generalization), scored in exact integer
+    per-mille: Σ (1000 div d) — no float reciprocals.
+
+    Scale: the lanes graph is the ≤|nations|·TOP_LANES relation the
+    whole trade family shares; the recursion's path fanout is bounded
+    by |nations|·TOP_LANES^REACH_DEPTH — the documented bounded case.
+    On a big graph the same query runs unchanged; the depth bound is
+    the knob."""
+    nation = tables(spark, sf_dir, "nation")[0]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    lanes = (
+        _trade_edges(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_LANES)
+        .select("src", "dst")
+    )
+    harm = spark.sql(
+        f"""
+WITH RECURSIVE walk(root, node, dist) AS (
+  SELECT n_nationkey, n_nationkey, 0 FROM {{nation}}
+  UNION ALL
+  SELECT w.root, t.dst, w.dist + 1
+  FROM walk w JOIN {{lanes}} t ON t.src = w.node
+  WHERE w.dist < {REACH_DEPTH}
+),
+sp AS (SELECT root, node, min(dist) AS d FROM walk GROUP BY root, node)
+SELECT root,
+       CAST(count(CASE WHEN node <> root THEN 1 END) AS BIGINT) AS n_reached,
+       CAST(coalesce(sum(CASE WHEN node <> root THEN 1000 div d END), 0)
+            AS BIGINT) AS harmonic_x1000
+FROM sp GROUP BY root
+""",
+        nation=nation.select("n_nationkey"),
+        lanes=lanes,
+    )
+    return (
+        harm.join(nation, F.col("n_nationkey") == F.col("root"))
+        .select("n_nationkey", "n_name", "n_reached", "harmonic_x1000")
+        .orderBy(F.desc("harmonic_x1000"), "n_nationkey")
+    )
+
+
+_HARMONIC_SQL = f"""
+WITH RECURSIVE tw AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+lanes AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM tw
+  ) WHERE rn <= {TOP_LANES}
+),
+walk(root, node, dist) AS (
+  SELECT n_nationkey, n_nationkey, 0 FROM nation
+  UNION ALL
+  SELECT w.root, t.dst, w.dist + 1
+  FROM walk w JOIN lanes t ON t.src = w.node
+  WHERE w.dist < {REACH_DEPTH}
+),
+sp AS (SELECT root, node, min(dist) AS d FROM walk GROUP BY root, node)
+SELECT n.n_nationkey, n.n_name,
+       CAST(count(CASE WHEN node <> root THEN 1 END) AS BIGINT) AS n_reached,
+       CAST(coalesce(sum(CASE WHEN node <> root THEN 1000 // d END), 0)
+            AS BIGINT) AS harmonic_x1000
+FROM sp JOIN nation n ON n.n_nationkey = sp.root
+GROUP BY 1, 2
+ORDER BY harmonic_x1000 DESC, n_nationkey
+"""
+
+
 def bipartite_hits_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hub/authority scoring on the user↔event-type bipartite
     graph, carried as EXACT PATH COUNTS instead of normalized floats:
@@ -308,8 +392,10 @@ QUERIES = {
     "pagerank_trade_graph": pagerank_trade_graph,
     "recursive_cte_trade_reach": recursive_cte_trade_reach,
     "bipartite_hits_event_types": bipartite_hits_event_types,
+    "harmonic_centrality_trade": harmonic_centrality_trade,
 }
 ORACLES = {
+    "harmonic_centrality_trade": _HARMONIC_SQL,
     "pagerank_trade_graph": _PAGERANK_SQL,
     "recursive_cte_trade_reach": _REACH_SQL,
     "bipartite_hits_event_types": _HITS_SQL,

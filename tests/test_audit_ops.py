@@ -394,3 +394,89 @@ def test_revenue_bridge_one_year_brand_fixture(spark, tmp_path):
     assert (both.price_effect_cents or 0) + (
         both.volume_effect_cents or 0
     ) + both.mix_residual_cents == both.delta_cents
+
+
+def test_harmonic_centrality_matches_pure_python_bfs(spark, sf_dir):
+    """Independent BFS over the same top-2 trade lanes (depth 4):
+    per-root reach counts and the integer-per-mille harmonic sums
+    must match the recursive-CTE computation exactly."""
+    con = duckdb.connect()
+    lanes_rows = con.execute(
+        f"""
+        WITH tw AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+          FROM '{sf_dir}/lineitem.parquet' l
+          JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+          JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey
+          JOIN '{sf_dir}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        )
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM tw
+        ) WHERE rn <= 2
+        """
+    ).fetchall()
+    nations = [
+        k
+        for (k,) in con.execute(
+            f"SELECT n_nationkey FROM '{sf_dir}/nation.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+    adj = defaultdict(list)
+    for s, t in lanes_rows:
+        adj[s].append(t)
+
+    def bfs(root):
+        dist = {root: 0}
+        frontier = [root]
+        for d in range(1, 5):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    from rdbms_metadata_manager_spark.queries.graph import (
+        harmonic_centrality_trade,
+    )
+
+    got = {r.n_nationkey: r for r in harmonic_centrality_trade(spark, sf_dir).collect()}
+    assert set(got) == set(nations)
+    for root in nations:
+        dist = bfs(root)
+        reached = [d for n, d in dist.items() if n != root]
+        assert got[root].n_reached == len(reached)
+        assert got[root].harmonic_x1000 == sum(1000 // d for d in reached)
+
+
+def test_lsh_band_planner_matches_closed_form(spark, sf_dir):
+    """p_catch must equal floor(1000*(1-(1-s^r)^b)) computed
+    independently, the threshold must be (1/b)^(1/r), the curve must
+    be monotone in s for every family, and exactly one family row set
+    is flagged deployed."""
+    from rdbms_metadata_manager_spark.llm.dedup import (
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        lsh_band_planner,
+    )
+
+    got = lsh_band_planner(spark, sf_dir).collect()
+    assert len(got) == 4 * 9
+    by_family = defaultdict(list)
+    for r in got:
+        s = r.s_pm / 1000.0
+        p = 1.0 - (1.0 - s**r.r) ** r.b
+        assert abs(r.p_catch_pm - int(1000.0 * p)) <= 1  # float assoc slack
+        assert abs(r.s_threshold - (1.0 / r.b) ** (1.0 / r.r)) < 1e-12
+        assert r.deployed == (r.r == MINHASH_ROWS and r.b == MINHASH_BANDS)
+        by_family[(r.r, r.b)].append((r.s_pm, r.p_catch_pm))
+    for fam, pts in by_family.items():
+        ps = [p for _, p in sorted(pts)]
+        assert ps == sorted(ps), f"non-monotone S-curve for {fam}"
+    assert sum(1 for r in got if r.deployed) == 9
