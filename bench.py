@@ -184,6 +184,8 @@ HEADLINE = [
     "revenue_bridge_decomposition",
     "harmonic_centrality_trade",
     "lsh_band_planner",
+    "theil_sen_daily_trend",
+    "dedup_survivorship_audit",
 ]
 
 

@@ -396,12 +396,96 @@ ORDER BY drop_doc
 """
 
 
+def dedup_survivorship_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-bias audit of quality-aware dedup — the QA
+    question every curation pipeline must answer after
+    [[dedup_keep_best]] runs: does keeping the best family member
+    actually RAISE the surviving corpus' quality, and how much mass
+    do the dropped docs carry? Every document is classed 'kept'
+    (family winner), 'dropped' (family loser), or 'unique' (never in
+    a near-dup family), with exact integer score stats per class
+    (count, min/max, mean in milli-units via truncating div, exact
+    median via percentile_disc). By construction mean(kept) ≥
+    mean(dropped); 'unique' calibrates both against the untouched
+    corpus.
+
+    Scale: rides the memoized pair/CC/score relations the whole
+    dedup family amortizes; the per-family rank window is bounded by
+    family size; the class rollup is 3 rows."""
+    from pyspark.sql import Window
+
+    from .curation import quality_classifier_scores
+
+    cc = dedup_clusters(spark, sf_dir)
+    scores = quality_classifier_scores(spark, sf_dir).select("doc_id", "score")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), "doc_id")
+    fam = (
+        cc.join(scores, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "rk")
+    )
+    classed = scores.join(fam, "doc_id", "left").select(
+        "score",
+        F.expr(
+            "CASE WHEN rk IS NULL THEN 'unique'"
+            " WHEN rk = 1 THEN 'kept' ELSE 'dropped' END"
+        ).alias("doc_class"),
+    )
+    return (
+        classed.groupBy("doc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.expr(
+                "CAST((1000 * CAST(sum(score) AS DECIMAL(38,0))) div count(1)"
+                " AS BIGINT)"
+            ).alias("mean_score_milli"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY score)"
+            ).alias("median_score"),
+        )
+        .orderBy("doc_class")
+    )
+
+
+def _survivorship_oracle() -> str:
+    from .curation import _QC_SQL
+
+    return f"""
+WITH cc AS ({_CLUSTERS_SQL}),
+qc AS ({_QC_SQL}),
+fam AS (
+  SELECT cc.doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY score DESC, cc.doc_id) AS rk
+  FROM cc JOIN qc ON qc.doc_id = cc.doc_id
+),
+classed AS (
+  SELECT qc.score,
+         CASE WHEN fam.rk IS NULL THEN 'unique'
+              WHEN fam.rk = 1 THEN 'kept' ELSE 'dropped' END AS doc_class
+  FROM qc LEFT JOIN fam ON fam.doc_id = qc.doc_id
+)
+SELECT doc_class, count(*)::BIGINT AS n_docs,
+       min(score)::BIGINT AS min_score, max(score)::BIGINT AS max_score,
+       CAST((1000 * sum(score)::HUGEINT) // count(*) AS BIGINT)
+         AS mean_score_milli,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY score)::BIGINT
+         AS median_score
+FROM classed
+GROUP BY doc_class
+ORDER BY doc_class
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "cluster_safe_split": cluster_safe_split,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_survivorship_audit": dedup_survivorship_audit,
 }
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
@@ -409,4 +493,5 @@ ORACLES = {
     "dedup_clusters_star": _CLUSTERS_SQL,
     "dedup_cluster_size_histogram": _CLUSTER_SIZES_SQL,
     "dedup_keep_best": _keep_best_oracle(),
+    "dedup_survivorship_audit": _survivorship_oracle(),
 }

@@ -1066,11 +1066,124 @@ FROM wide
 """
 
 
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue — the median of all
+    pairwise day-to-day slopes, the estimator that shrugs off the
+    outlier days that wreck [[ols_trend_per_segment]]'s least
+    squares (breakdown point 29% vs 0%). Slopes are carried as exact
+    integer MICRO-cents/day (10⁶·Δr div Δd, truncating identically
+    on both engines — the statistic is DEFINED as the median of
+    these integer micro-slopes); the intercept is the median of
+    10⁶·r − slope·day over the days. percentile_disc keeps every
+    emitted value an actual data value.
+
+    Scale: the pair relation is |days|² over the CALENDAR-BOUNDED
+    daily rollup (≤ ~3M pairs for a decade — forever), built by a
+    triangular self-join on the ≤|days| relation; the raw order
+    volume only pays the daily rollup shuffle. The slope median
+    deliberately does NOT use percentile_disc (Spark's sort-agg
+    buffers the full multiset in one reducer — measured 11 s on the
+    2.9M pairs and OOM-shaped at larger spans): it rides the
+    range-partitioned prefix kernel as a (value, count) histogram
+    walk, the [[exact_median_two_pass]] shape. The intercept median
+    runs over the ≤|days| relation, where percentile_disc is the
+    sanctioned bounded case."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr(f"unix_timestamp(o_orderdate) div {DAY_SECONDS}").alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
+                "r"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .select(
+            F.expr(
+                "CAST((1000000 * CAST(b.r - a.r AS DECIMAL(38,0)))"
+                " div (b.d - a.d) AS BIGINT)"
+            ).alias("slope")
+        )
+    )
+    # checkpoint the histogram: the range kernel's sampling pass, the
+    # prefix pass, and the total all read ONE materialization of the
+    # |days|² pair join instead of re-evaluating it per consumer
+    ticks = (
+        slopes.groupBy("slope")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .localCheckpoint(eager=False)
+    )
+    cum = ranged_prefix(ticks, [F.col("slope")], sum_cols=["n_t"])
+    tot = ticks.agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("n_pairs"))
+    med_slope = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_n_t") >= F.expr("CAST((n_pairs + 1) div 2 AS BIGINT)"))
+        .groupBy("n_pairs")
+        .agg(F.min("slope").alias("slope_microcents_per_day"))
+    )
+    return (
+        daily.crossJoin(F.broadcast(med_slope))
+        .select(
+            "n_pairs",
+            "slope_microcents_per_day",
+            F.expr(
+                "1000000 * CAST(r AS DECIMAL(38,0))"
+                " - CAST(slope_microcents_per_day AS DECIMAL(38,0)) * d"
+            ).alias("ic"),
+        )
+        .groupBy("n_pairs", "slope_microcents_per_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ic) AS BIGINT)"
+            ).alias("intercept_microcents"),
+        )
+        .select(
+            "n_days",
+            "n_pairs",
+            "slope_microcents_per_day",
+            "intercept_microcents",
+        )
+    )
+
+
+_THEIL_SEN_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS} AS d,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS r
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT CAST((1000000 * CAST(b.r - a.r AS HUGEINT)) // (b.d - a.d) AS BIGINT)
+           AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ms AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)::BIGINT
+           AS slope_microcents_per_day
+  FROM slopes
+)
+SELECT count(*)::BIGINT AS n_days, n_pairs, slope_microcents_per_day,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY
+            1000000 * r::HUGEINT - slope_microcents_per_day::HUGEINT * d)
+            AS BIGINT) AS intercept_microcents
+FROM daily, ms
+GROUP BY n_pairs, slope_microcents_per_day
+"""
+
+
 QUERIES = {
     "kruskal_wallis_priority": kruskal_wallis_priority,
     "gini_revenue_exact": gini_revenue_exact,
     "wilson_ci_return_rate": wilson_ci_return_rate,
     "cuped_adjusted_ab": cuped_adjusted_ab,
+    "theil_sen_daily_trend": theil_sen_daily_trend,
     "spearman_daily_rho": spearman_daily_rho,
     "kaplan_meier_repurchase": kaplan_meier_repurchase,
     "hhi_market_concentration": hhi_market_concentration,
@@ -1083,6 +1196,7 @@ ORACLES = {
     "gini_revenue_exact": _GINI_SQL,
     "wilson_ci_return_rate": _WILSON_SQL,
     "cuped_adjusted_ab": _cuped_oracle(),
+    "theil_sen_daily_trend": _THEIL_SEN_SQL,
     "spearman_daily_rho": _SPEARMAN_SQL,
     "kaplan_meier_repurchase": _KM_SQL,
     "hhi_market_concentration": _HHI_SQL,

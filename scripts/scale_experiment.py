@@ -171,6 +171,12 @@ FIXED_OUTPUT_KERNELS = [
     "cuped_adjusted_ab",
     # daily rollup + calendar-bounded chart rows; flat
     "spc_individuals_chart",
+    # |days|^2 pair relation over the calendar-bounded daily rollup;
+    # the pair count is constant in K (replicas share the day spine),
+    # so the wall tracks the rollup scan only. 1 row out.
+    "theil_sen_daily_trend",
+    # rides the pair/CC/score memos; 3-row class report.
+    "dedup_survivorship_audit",
 ]
 # |parts|-row labeling: output grows exactly Kx with the replica
 # part-key offsets — rows must track K while per-row work stays flat.

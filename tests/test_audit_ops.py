@@ -480,3 +480,63 @@ def test_lsh_band_planner_matches_closed_form(spark, sf_dir):
         ps = [p for _, p in sorted(pts)]
         assert ps == sorted(ps), f"non-monotone S-curve for {fam}"
     assert sum(1 for r in got if r.deployed) == 9
+
+
+def test_theil_sen_matches_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+    daily = sorted(
+        con.execute(
+            f"""
+            SELECT epoch_us(o_orderdate) // 1000000 // 86400,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    con.close()
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    slopes = sorted(
+        trunc_div(1_000_000 * (r2 - r1), d2 - d1)
+        for i, (d1, r1) in enumerate(daily)
+        for d2, r2 in daily[i + 1 :]
+    )
+    n_pairs = len(slopes)
+    med = slopes[-(-n_pairs // 2) - 1]  # percentile_disc(0.5): rank ceil(n/2)
+    ics = sorted(1_000_000 * r - med * d for d, r in daily)
+    ic = ics[-(-len(ics) // 2) - 1]
+
+    from rdbms_metadata_manager_spark.queries.inference import theil_sen_daily_trend
+
+    row = theil_sen_daily_trend(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.n_pairs) == (len(daily), n_pairs)
+    assert row.slope_microcents_per_day == med
+    assert row.intercept_microcents == ic
+
+
+def test_survivorship_classes_partition_and_order(spark, sf_dir):
+    """The three classes must exactly partition the scored corpus,
+    kept must dominate dropped on both mean and median (by
+    construction of keep-best), and every family contributes exactly
+    one kept member."""
+    from rdbms_metadata_manager_spark.llm.clustering import (
+        dedup_clusters,
+        dedup_survivorship_audit,
+    )
+    from rdbms_metadata_manager_spark.llm.curation import (
+        quality_classifier_scores,
+    )
+
+    got = {r.doc_class: r for r in dedup_survivorship_audit(spark, sf_dir).collect()}
+    n_scored = quality_classifier_scores(spark, sf_dir).count()
+    cc = dedup_clusters(spark, sf_dir)
+    n_fam_docs = cc.count()
+    n_families = cc.select("cluster_id").distinct().count()
+    assert sum(r.n_docs for r in got.values()) == n_scored
+    assert got["kept"].n_docs == n_families
+    assert got["dropped"].n_docs == n_fam_docs - n_families
+    assert got["kept"].mean_score_milli >= got["dropped"].mean_score_milli
+    assert got["kept"].median_score >= got["dropped"].median_score
