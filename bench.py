@@ -186,6 +186,7 @@ HEADLINE = [
     "lsh_band_planner",
     "theil_sen_daily_trend",
     "dedup_survivorship_audit",
+    "packing_bounds_curve",
 ]
 
 

@@ -886,7 +886,80 @@ ORDER BY stratum
 """
 
 
+
+PACK_LENGTHS = [512, 1024, 2048, 4096]
+
+
+def packing_bounds_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning curve — for each candidate sequence
+    length L, the exact closed-form packing bounds a training run is
+    budgeted from: how many documents overflow L (must truncate or
+    split), how many tokens survive capping at L, the bin-packing
+    LOWER bound ceil(capped_tokens / L), and the per-mille truncation
+    loss. [[pack_training_sequences]] executes ONE packing at the
+    deployed L; this is the capacity-planning sweep that chooses L —
+    pure integer arithmetic, no sequential packing pass (the greedy
+    packers are O(n) sequential; the BOUNDS are a single aggregate).
+
+    Scale: one scan computing whitespace token counts, then a
+    broadcast cross join against the 4-row L relation and one rollup
+    — scan-bound at any corpus size."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    lens = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    ls = spark.createDataFrame([(l,) for l in PACK_LENGTHS], "l bigint")
+    return (
+        lens.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum((F.col("n_tokens") > F.col("l")).cast("bigint")).alias(
+                "n_overflow_docs"
+            ),
+            F.sum(F.least("n_tokens", F.col("l"))).alias("capped_tokens"),
+        )
+        .select(
+            F.col("l").alias("seq_len"),
+            "n_docs",
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            "n_overflow_docs",
+            F.col("capped_tokens").cast("bigint").alias("capped_tokens"),
+            F.expr(
+                "CAST((capped_tokens + seq_len - 1) div seq_len AS BIGINT)"
+            ).alias("min_bins"),
+            F.expr(
+                "CASE WHEN total_tokens = 0 THEN NULL ELSE"
+                " CAST((1000 * (total_tokens - capped_tokens))"
+                " div total_tokens AS BIGINT) END"
+            ).alias("truncation_loss_pm"),
+        )
+        .orderBy("seq_len")
+    )
+
+
+_PACK_BOUNDS_SQL = f"""
+WITH lens AS (
+  SELECT len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+),
+ls AS (SELECT unnest([{', '.join(str(l) for l in PACK_LENGTHS)}])::BIGINT AS l)
+SELECT l AS seq_len, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(CASE WHEN n_tokens > l THEN 1 ELSE 0 END)::BIGINT AS n_overflow_docs,
+       sum(least(n_tokens, l))::BIGINT AS capped_tokens,
+       CAST((sum(least(n_tokens, l)) + l - 1) // l AS BIGINT) AS min_bins,
+       CASE WHEN sum(n_tokens) = 0 THEN NULL ELSE
+         CAST((1000 * (sum(n_tokens) - sum(least(n_tokens, l))))
+              // sum(n_tokens) AS BIGINT) END AS truncation_loss_pm
+FROM lens, ls
+GROUP BY l
+ORDER BY seq_len
+"""
+
+
 QUERIES = {
+    "packing_bounds_curve": packing_bounds_curve,
     "neyman_allocation_plan": neyman_allocation_plan,
     "coreset_kcenter_sample": coreset_kcenter_sample,
     "split_train_val_test": split_train_val_test,
@@ -901,7 +974,9 @@ QUERIES = {
     "epoch_shuffle_shards": epoch_shuffle_shards,
 }
 
+
 ORACLES = {
+    "packing_bounds_curve": _PACK_BOUNDS_SQL,
     "neyman_allocation_plan": _NEYMAN_SQL,
     "coreset_kcenter_sample": _coreset_oracle(),
     "split_train_val_test": _SPLIT_SQL,

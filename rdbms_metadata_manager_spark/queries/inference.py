@@ -1120,12 +1120,16 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = ranged_prefix(ticks, [F.col("slope")], sum_cols=["n_t"])
     tot = ticks.agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("n_pairs"))
-    med_slope = (
+    # global agg (never groupBy): on a single-day corpus there are NO
+    # pairs, and the report row must still exist with a NULL slope —
+    # exactly what the oracle's aggregate produces (parity gap found
+    # by the hypothesis property sweep).
+    med = (
         cum.crossJoin(F.broadcast(tot))
         .filter(F.col("cum_n_t") >= F.expr("CAST((n_pairs + 1) div 2 AS BIGINT)"))
-        .groupBy("n_pairs")
         .agg(F.min("slope").alias("slope_microcents_per_day"))
     )
+    med_slope = tot.crossJoin(F.broadcast(med))
     return (
         daily.crossJoin(F.broadcast(med_slope))
         .select(

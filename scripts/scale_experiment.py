@@ -177,6 +177,8 @@ FIXED_OUTPUT_KERNELS = [
     "theil_sen_daily_trend",
     # rides the pair/CC/score memos; 3-row class report.
     "dedup_survivorship_audit",
+    # one scan + 4-row spine; scan-bound, 4 rows out.
+    "packing_bounds_curve",
 ]
 # |parts|-row labeling: output grows exactly Kx with the replica
 # part-key offsets — rows must track K while per-row work stays flat.

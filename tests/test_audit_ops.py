@@ -540,3 +540,35 @@ def test_survivorship_classes_partition_and_order(spark, sf_dir):
     assert got["dropped"].n_docs == n_fam_docs - n_families
     assert got["kept"].mean_score_milli >= got["dropped"].mean_score_milli
     assert got["kept"].median_score >= got["dropped"].median_score
+
+
+def test_packing_bounds_match_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+    lens = [
+        n
+        for (n,) in con.execute(
+            f"SELECT len(string_split(text, ' ')) FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+
+    from rdbms_metadata_manager_spark.llm.sampling import (
+        PACK_LENGTHS,
+        packing_bounds_curve,
+    )
+
+    got = {r.seq_len: r for r in packing_bounds_curve(spark, sf_dir).collect()}
+    assert sorted(got) == PACK_LENGTHS
+    total = sum(lens)
+    for L in PACK_LENGTHS:
+        capped = sum(min(n, L) for n in lens)
+        r = got[L]
+        assert r.n_docs == len(lens)
+        assert r.total_tokens == total
+        assert r.n_overflow_docs == sum(1 for n in lens if n > L)
+        assert r.capped_tokens == capped
+        assert r.min_bins == -(-capped // L)
+        assert r.truncation_loss_pm == 1000 * (total - capped) // total
+    # monotone: longer contexts lose less
+    losses = [got[L].truncation_loss_pm for L in PACK_LENGTHS]
+    assert losses == sorted(losses, reverse=True)
