@@ -187,6 +187,7 @@ HEADLINE = [
     "theil_sen_daily_trend",
     "dedup_survivorship_audit",
     "packing_bounds_curve",
+    "ivf_nprobe_recall_curve",
 ]
 
 

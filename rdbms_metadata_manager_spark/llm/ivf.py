@@ -203,13 +203,159 @@ LIMIT {TOP_K}
 """
 
 
+RECALL_Q = 16  # query batch: vec_id < RECALL_Q; corpus = the rest
+PROBE_SWEEP = [1, 2, 4, 8]
+
+
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE — recall@K as a function of nprobe — the
+    plot every vector-database deployment reads before fixing its
+    latency/recall trade-off ([[ann_recall_report]] audits the LSH
+    index at its one operating point; this SWEEPS the IVF knob).
+    For a 16-query batch: exact brute-force top-K per query vs the
+    top-K restricted to the query's nprobe nearest cells, for
+    nprobe ∈ {1, 2, 4, 8}; hits and integer per-mille recall per
+    sweep point. Monotone in nprobe by construction (probing more
+    cells only adds candidates); recall saturates at 1000 once nprobe
+    reaches the cell count (10 label cells here, so nprobe=8 is still
+    a real approximation).
+
+    Plan: ONE scored relation (corpus × broadcast query batch, with
+    each row's cell rank for the query) feeds BOTH the exact leg and
+    all four ANN legs — the sweep costs one scan plus four K-row
+    windows, not five scans. Cosines and cell ranks inherit the
+    module's determinism contract (rounded centroids, ordered-fold
+    dot products, label/vec_id tie-breaks)."""
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    centroids = _centroid_arrays(emb)
+    assigned = _assignments(emb, centroids).localCheckpoint(eager=False)
+    qs = assigned.filter(F.col("vec_id") < RECALL_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = assigned.filter(F.col("vec_id") >= RECALL_Q)
+    wq = Window.partitionBy("query_id").orderBy(F.col("qscore").desc(), "c_label")
+    qcell = (
+        qs.crossJoin(F.broadcast(centroids))
+        .withColumn("qscore", _dot(F.col("qv"), F.col("centroid")))
+        .withColumn("crank", F.row_number().over(wq))
+        .select(
+            F.col("query_id").alias("qc_query"),
+            F.col("c_label").alias("qc_cell"),
+            "crank",
+        )
+    )
+    sc = (
+        corpus.join(F.broadcast(qs))
+        .join(
+            F.broadcast(qcell),
+            (F.col("query_id") == F.col("qc_query"))
+            & (F.col("cell") == F.col("qc_cell")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine(F.col("v"), F.col("qv")).alias("cosine"),
+            "crank",
+        )
+        .localCheckpoint(eager=False)
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    exact = (
+        sc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    nq = qs.agg(F.count(F.lit(1)).alias("n_queries"))
+    legs = []
+    for p in PROBE_SWEEP:
+        ann = (
+            sc.filter(F.col("crank") <= p)
+            .withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+        legs.append(
+            ann.join(exact, ["query_id", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(p).cast("bigint").alias("nprobe"), "hits")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return (
+        out.crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            "n_queries",
+            F.lit(TOP_K).cast("bigint").alias("k_top"),
+            "hits",
+            F.expr(
+                "CASE WHEN n_queries = 0 THEN NULL ELSE"
+                " CAST((1000 * hits) div (n_queries * k_top) AS BIGINT) END"
+            ).alias("recall_pm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _nprobe_curve_oracle() -> str:
+    legs = " UNION ALL ".join(
+        f"""
+SELECT {p} AS nprobe, count(*)::BIGINT AS hits
+FROM (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM sc WHERE crank <= {p})
+      WHERE rk <= {TOP_K}) ann
+JOIN exact USING (query_id, vec_id)"""
+        for p in PROBE_SWEEP
+    )
+    return f"""
+WITH {_CENTROID_CTE},
+qs AS (SELECT vec_id AS query_id, v AS qv FROM assigned WHERE vec_id < {RECALL_Q}),
+corpus AS (SELECT vec_id, v, cell FROM assigned WHERE vec_id >= {RECALL_Q}),
+qcell AS (
+  SELECT vec_id AS query_id, label AS cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, label) AS crank
+  FROM scored WHERE vec_id < {RECALL_Q}
+),
+sc AS (
+  SELECT q.query_id, c.vec_id, {_cosine_sql("c.v", "q.qv")} AS cosine, qc.crank
+  FROM corpus c CROSS JOIN qs q
+  JOIN qcell qc ON qc.query_id = q.query_id AND qc.cell = c.cell
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rk
+    FROM sc)
+  WHERE rk <= {TOP_K}
+),
+nq AS (SELECT count(*)::BIGINT AS n_queries FROM qs),
+legs AS ({legs})
+SELECT nprobe, n_queries, {TOP_K}::BIGINT AS k_top, hits,
+       CASE WHEN n_queries = 0 THEN NULL ELSE
+         CAST((1000 * hits) // (n_queries * {TOP_K}) AS BIGINT) END AS recall_pm
+FROM legs, nq
+ORDER BY nprobe
+"""
+
+
 QUERIES = {
     "similarity_ivf_search": similarity_ivf_search,
     "ivf_cell_stats": ivf_cell_stats,
     "ivf_kmeans_search": ivf_kmeans_search,
+    "ivf_nprobe_recall_curve": ivf_nprobe_recall_curve,
 }
 
 ORACLES = {
+    "ivf_nprobe_recall_curve": _nprobe_curve_oracle(),
     "similarity_ivf_search": _IVF_SQL,
     "ivf_cell_stats": _IVF_STATS_SQL,
     "ivf_kmeans_search": _ivf_kmeans_sql(),

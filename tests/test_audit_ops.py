@@ -572,3 +572,26 @@ def test_packing_bounds_match_pure_python(spark, sf_dir):
     # monotone: longer contexts lose less
     losses = [got[L].truncation_loss_pm for L in PACK_LENGTHS]
     assert losses == sorted(losses, reverse=True)
+
+
+def test_ivf_nprobe_recall_monotone_and_saturating(spark, sf_dir):
+    """Probing more cells only ADDS candidates: recall must be
+    non-decreasing in nprobe, hit K cells (=|labels| at nprobe=8 on
+    this 8-label corpus) means the ANN set IS the exact set ->
+    recall exactly 1000; every hits count is bounded by n_queries*K."""
+    from rdbms_metadata_manager_spark.llm.ivf import (
+        PROBE_SWEEP,
+        TOP_K,
+        ivf_nprobe_recall_curve,
+    )
+
+    got = ivf_nprobe_recall_curve(spark, sf_dir).collect()
+    assert [r.nprobe for r in got] == PROBE_SWEEP
+    hits = [r.hits for r in got]
+    assert hits == sorted(hits)
+    for r in got:
+        assert 0 <= r.hits <= r.n_queries * TOP_K
+        assert r.recall_pm == 1000 * r.hits // (r.n_queries * TOP_K)
+    # the sweep must discriminate: the tail probes strictly more of
+    # the corpus than the head
+    assert got[-1].recall_pm > got[0].recall_pm
