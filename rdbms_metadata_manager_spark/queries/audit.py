@@ -239,19 +239,42 @@ def approx_percentile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("tick")
     )
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    from .prefix import ranged_prefix
+
+    # Exact order statistics via the distributed (value, count)
+    # histogram walk — NOT percentile_disc, whose sort-aggregate
+    # buffers the full multiset in one reducer (the same single-node
+    # pattern theil_sen_daily_trend measured and banned; the oracle
+    # keeps percentile_disc because DuckDB is the referee, not the
+    # scale path). percentile_disc semantics preserved exactly:
+    # smallest value whose cumulative count reaches ceil(q·n).
+    hist = (
+        li.groupBy("tick")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .localCheckpoint(eager=False)
+    )
+    cum = ranged_prefix(hist, [F.col("tick")], sum_cols=["n_t"])
+    tot = hist.agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("n_rows"))
+    exact_aggs = [F.first("n_rows").alias("n_rows")]
     for q in _PCT_QS:
-        aggs.append(
+        exact_aggs.append(
             F.expr(
-                f"percentile_disc({q / 1000}) WITHIN GROUP (ORDER BY tick)"
+                f"min(CASE WHEN cum_n_t >="
+                f" CAST(({q} * n_rows + 999) div 1000 AS BIGINT)"
+                f" THEN tick END)"
             ).alias(f"x_{q}")
         )
-        aggs.append(
+    exacts = cum.crossJoin(F.broadcast(tot)).agg(*exact_aggs)
+    # the sketch itself aggregates distributively (partial sketches
+    # merge) — it is the op under audit AND the scalable path
+    one = li.agg(
+        *[
             F.expr(f"approx_percentile(tick, {q / 1000}, {_PCT_ACC})").alias(
                 f"a_{q}"
             )
-        )
-    one = li.agg(*aggs)
+            for q in _PCT_QS
+        ]
+    ).crossJoin(F.broadcast(exacts))
     counts = li.crossJoin(F.broadcast(one)).agg(
         *[
             F.sum((F.col("tick") < F.col(f"a_{q}")).cast("bigint")).alias(f"lt_{q}")
@@ -269,13 +292,13 @@ def approx_percentile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             one.crossJoin(F.broadcast(counts)).select(
                 F.lit(q).alias("q_permille"),
-                F.col("n_rows"),
+                F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
                 F.col(f"x_{q}").alias("exact_tick"),
                 F.expr(
                     # the approx value's exact-rank interval
                     # [lt+1, le] must intersect the guaranteed band
                     # q*n ± n/ACC (empty input passes vacuously)
-                    f"CASE WHEN n_rows = 0 THEN TRUE ELSE"
+                    f"CASE WHEN coalesce(n_rows, 0) = 0 THEN TRUE ELSE"
                     f" le_{q} >= CAST(floor({q / 1000} * n_rows"
                     f"   - CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT)"
                     f" AND lt_{q} < CAST(ceil({q / 1000} * n_rows"
