@@ -188,6 +188,8 @@ HEADLINE = [
     "dedup_survivorship_audit",
     "packing_bounds_curve",
     "ivf_nprobe_recall_curve",
+    "mann_kendall_trend_test",
+    "capture_recapture_users",
 ]
 
 

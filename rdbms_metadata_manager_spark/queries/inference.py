@@ -1182,12 +1182,213 @@ GROUP BY n_pairs, slope_microcents_per_day
 """
 
 
+def mann_kendall_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend TEST on daily revenue — the significance
+    companion of [[theil_sen_daily_trend]] (the standard pairing:
+    Theil–Sen estimates the slope, Mann–Kendall decides whether a
+    monotone trend exists at all): S = Σ_{i<j} sign(rⱼ − rᵢ) over
+    the same |days|² pair relation, with the tie-corrected variance
+    18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) carried as an exact
+    integer, and the continuity-corrected z = (S∓1)/√(Var) as one
+    identical IEEE sqrt+division on both engines.
+
+    Scale: the calendar-bounded daily rollup is the only contact
+    with raw volume; S is a single exact aggregate over the bounded
+    pair join; the tie term reads the ≤|days| value rollup."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr(f"unix_timestamp(o_orderdate) div {DAY_SECONDS}").alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
+                "r"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_agg = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(sign(b.r - a.r) AS BIGINT)")), F.lit(0)
+            ).alias("s_stat")
+        )
+    )
+    ties = daily.groupBy("r").agg(F.count(F.lit(1)).alias("t"))
+    stat = (
+        daily.agg(F.count(F.lit(1)).alias("n_days"))
+        .crossJoin(F.broadcast(s_agg))
+        .crossJoin(
+            F.broadcast(
+                ties.agg(
+                    F.coalesce(
+                        F.sum(
+                            F.col("t").cast("decimal(38,0)")
+                            * (F.col("t") - 1)
+                            * (2 * F.col("t") + 5)
+                        ),
+                        F.lit(0),
+                    ).alias("tie_term")
+                )
+            )
+        )
+    )
+    return stat.select(
+        "n_days",
+        "s_stat",
+        F.expr(
+            "CAST(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1) * (2 * n_days + 5)"
+            " - tie_term AS BIGINT)"
+        ).alias("var_s_x18"),
+        F.expr(
+            "CASE WHEN CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)"
+            "   * (2 * n_days + 5) - tie_term <= 0 THEN NULL"
+            " WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+            "   / sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)"
+            "     * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)"
+            " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+            "   / sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)"
+            "     * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)"
+            " ELSE 0.0 END"
+        ).alias("z_stat"),
+    )
+
+
+_MANN_KENDALL_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS} AS d,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS r
+  FROM orders GROUP BY 1
+),
+s_agg AS (
+  SELECT coalesce(sum(CAST(sign(b.r - a.r) AS BIGINT)), 0)::BIGINT AS s_stat
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ties AS (SELECT r, count(*)::BIGINT AS t FROM daily GROUP BY r),
+tt AS (
+  SELECT coalesce(sum(t::HUGEINT * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM ties
+),
+stat AS (
+  SELECT (SELECT count(*)::BIGINT FROM daily) AS n_days, s_stat, tie_term
+  FROM s_agg, tt
+)
+SELECT n_days, s_stat,
+       CAST(n_days::HUGEINT * (n_days - 1) * (2 * n_days + 5) - tie_term
+            AS BIGINT) AS var_s_x18,
+       CASE WHEN n_days::HUGEINT * (n_days - 1) * (2 * n_days + 5)
+                 - tie_term <= 0 THEN NULL
+            WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              / sqrt(CAST(n_days::HUGEINT * (n_days - 1) * (2 * n_days + 5)
+                - tie_term AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+              / sqrt(CAST(n_days::HUGEINT * (n_days - 1) * (2 * n_days + 5)
+                - tie_term AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z_stat
+FROM stat
+"""
+
+
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture (Chapman) population estimate audited
+    against the exact answer — the ecology estimator data teams
+    reuse to size populations seen only through overlapping samples:
+    treating each half of the event period as a capture occasion,
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from first-half users, second-half
+    users, and the overlap. Because this corpus is FULLY observed,
+    the exact distinct-user count is computable, so the estimator's
+    signed error ships next to it (same audit pattern as
+    [[selfjoin_size_estimate]] for AMS F₂ and
+    [[bloom_filter_fpr_audit]] for Bloom). Chapman's estimator is
+    exact-integer arithmetic end to end — no floats anywhere.
+
+    Scale: one user-keyed rollup with two boolean presence flags —
+    the shuffle ANY distinct-user metric pays; everything after is a
+    1-row aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("day")
+    )
+    rng = ev.agg(
+        F.expr("CAST((min(day) + max(day)) div 2 AS BIGINT)").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("day") < F.col("mid")).cast("int")).alias("in1"),
+            F.max((F.col("day") >= F.col("mid")).cast("int")).alias("in2"),
+        )
+    )
+    return (
+        per_user.agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(F.sum("in1"), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum("in2"), F.lit(0)).alias("n2"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END")),
+                F.lit(0),
+            ).alias("m_both"),
+        )
+        .select(
+            "n_true",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("m_both").cast("bigint").alias("m_both"),
+            F.expr(
+                "CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)) div (m_both + 1)"
+                " - 1 AS BIGINT)"
+            ).alias("chapman_estimate"),
+        )
+        .withColumn(
+            "est_err_pm",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN NULL ELSE"
+                " CAST((1000 * (chapman_estimate - n_true)) div n_true AS BIGINT)"
+                " END"
+            ),
+        )
+    )
+
+
+_CAPTURE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // {DAY_SECONDS} AS day FROM events
+),
+rng AS (SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS mid FROM ev),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN day < mid THEN 1 ELSE 0 END) AS in1,
+         max(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS in2
+  FROM ev, rng GROUP BY user_id
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_true,
+         coalesce(sum(in1), 0)::BIGINT AS n1,
+         coalesce(sum(in2), 0)::BIGINT AS n2,
+         coalesce(sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END), 0)::BIGINT
+           AS m_both
+  FROM per_user
+)
+SELECT n_true, n1, n2, m_both,
+       CAST(((n1 + 1)::HUGEINT * (n2 + 1)) // (m_both + 1) - 1 AS BIGINT)
+         AS chapman_estimate,
+       CASE WHEN n_true = 0 THEN NULL ELSE
+         CAST((1000 * (CAST(((n1 + 1)::HUGEINT * (n2 + 1)) // (m_both + 1) - 1
+              AS HUGEINT) - n_true)) // n_true AS BIGINT) END AS est_err_pm
+FROM agg
+"""
+
+
 QUERIES = {
     "kruskal_wallis_priority": kruskal_wallis_priority,
     "gini_revenue_exact": gini_revenue_exact,
     "wilson_ci_return_rate": wilson_ci_return_rate,
     "cuped_adjusted_ab": cuped_adjusted_ab,
     "theil_sen_daily_trend": theil_sen_daily_trend,
+    "mann_kendall_trend_test": mann_kendall_trend_test,
+    "capture_recapture_users": capture_recapture_users,
     "spearman_daily_rho": spearman_daily_rho,
     "kaplan_meier_repurchase": kaplan_meier_repurchase,
     "hhi_market_concentration": hhi_market_concentration,
@@ -1201,6 +1402,8 @@ ORACLES = {
     "wilson_ci_return_rate": _WILSON_SQL,
     "cuped_adjusted_ab": _cuped_oracle(),
     "theil_sen_daily_trend": _THEIL_SEN_SQL,
+    "mann_kendall_trend_test": _MANN_KENDALL_SQL,
+    "capture_recapture_users": _CAPTURE_SQL,
     "spearman_daily_rho": _SPEARMAN_SQL,
     "kaplan_meier_repurchase": _KM_SQL,
     "hhi_market_concentration": _HHI_SQL,

@@ -179,6 +179,10 @@ FIXED_OUTPUT_KERNELS = [
     "dedup_survivorship_audit",
     # one scan + 4-row spine; scan-bound, 4 rows out.
     "packing_bounds_curve",
+    # same |days|^2 bounded pair join as theil_sen; 1 row out.
+    "mann_kendall_trend_test",
+    # one user-keyed flag rollup; 1 row out.
+    "capture_recapture_users",
 ]
 # |parts|-row labeling: output grows exactly Kx with the replica
 # part-key offsets — rows must track K while per-row work stays flat.

@@ -595,3 +595,70 @@ def test_ivf_nprobe_recall_monotone_and_saturating(spark, sf_dir):
     # the sweep must discriminate: the tail probes strictly more of
     # the corpus than the head
     assert got[-1].recall_pm > got[0].recall_pm
+
+
+def test_mann_kendall_matches_pure_python(spark, sf_dir):
+    import math
+
+    con = duckdb.connect()
+    daily = sorted(
+        con.execute(
+            f"""
+            SELECT epoch_us(o_orderdate) // 1000000 // 86400,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    con.close()
+    rs = [r for _, r in daily]
+    n = len(rs)
+    s = sum(
+        (0 if rs[j] == rs[i] else (1 if rs[j] > rs[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(rs)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var18 / 18.0)
+
+    from rdbms_metadata_manager_spark.queries.inference import (
+        mann_kendall_trend_test,
+    )
+
+    row = mann_kendall_trend_test(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.s_stat, row.var_s_x18) == (n, s, var18)
+    assert abs(row.z_stat - z) < 1e-12
+
+
+def test_capture_recapture_matches_pure_python(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_us(ts) // 1000000 // 86400"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    con.close()
+    days = [d for _, d in rows]
+    mid = (min(days) + max(days)) // 2
+    u1 = {u for u, d in rows if d < mid}
+    u2 = {u for u, d in rows if d >= mid}
+    n_true = len(u1 | u2)
+    chapman = ((len(u1) + 1) * (len(u2) + 1)) // (len(u1 & u2) + 1) - 1
+
+    from rdbms_metadata_manager_spark.queries.inference import (
+        capture_recapture_users,
+    )
+
+    row = capture_recapture_users(spark, sf_dir).collect()[0]
+    assert (row.n_true, row.n1, row.n2, row.m_both) == (
+        n_true,
+        len(u1),
+        len(u2),
+        len(u1 & u2),
+    )
+    assert row.chapman_estimate == chapman
+    diff = 1000 * (chapman - n_true)
+    trunc = abs(diff) // n_true
+    assert row.est_err_pm == (trunc if diff >= 0 else -trunc)
