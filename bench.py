@@ -190,6 +190,7 @@ HEADLINE = [
     "ivf_nprobe_recall_curve",
     "mann_kendall_trend_test",
     "capture_recapture_users",
+    "wald_wolfowitz_runs_test",
 ]
 
 

@@ -1381,6 +1381,118 @@ FROM agg
 """
 
 
+def wald_wolfowitz_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz RUNS test on daily revenue — is the sequence of
+    above/below-median days RANDOM, or does it cluster (momentum) or
+    alternate (overcorrection)? The randomness companion to the
+    monotone-trend [[mann_kendall_trend_test]]: a series can be
+    trendless yet wildly non-random, and this is the test that says
+    so. Days equal to the median are excluded (standard convention);
+    runs are counted exactly (1 + sign changes); E[R] and Var[R] are
+    the closed forms over exact integers; z is one identical IEEE
+    DAG on both engines.
+
+    Scale: one daily rollup; the median, the sign sequence, and the
+    run count all live on the CALENDAR-BOUNDED relation
+    (percentile_disc and the lag window are the sanctioned ≤|days|
+    bounded case — the unbounded-relation ban on percentile_disc
+    does not apply here)."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr(f"unix_timestamp(o_orderdate) div {DAY_SECONDS}").alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
+                "r"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    med = daily.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").alias("med")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("r") != F.col("med"))
+        .select("d", (F.col("r") > F.col("med")).cast("int").alias("s"))
+    )
+    w = Window.partitionBy(one_group(F.col("d"))).orderBy("d")
+    runs = signs.withColumn("chg", (F.col("s") != F.lag("s").over(w)).cast("int"))
+    return (
+        runs.agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.coalesce(F.sum("s"), F.lit(0)).alias("n_above"),
+            F.coalesce(F.sum(1 - F.col("s")), F.lit(0)).alias("n_below"),
+            (F.lit(1) + F.coalesce(F.sum("chg"), F.lit(0))).alias("n_runs"),
+        )
+        .select(
+            "n_used",
+            F.col("n_above").cast("bigint").alias("n_above"),
+            F.col("n_below").cast("bigint").alias("n_below"),
+            F.expr(
+                "CASE WHEN n_used = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(n_runs AS BIGINT) END"
+            ).alias("n_runs"),
+            F.expr(
+                "CASE WHEN n_above = 0 OR n_below = 0 THEN NULL ELSE"
+                " 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
+                " / CAST(n_used AS DOUBLE) + 1.0 END"
+            ).alias("expected_runs"),
+        )
+        .withColumn(
+            "z_stat",
+            F.expr(
+                "CASE WHEN expected_runs IS NULL OR n_used < 2 THEN NULL ELSE"
+                " (CAST(n_runs AS DOUBLE) - expected_runs)"
+                " / sqrt((expected_runs - 1.0) * (expected_runs - 2.0)"
+                "        / (CAST(n_used AS DOUBLE) - 1.0)) END"
+            ),
+        )
+    )
+
+
+_RUNS_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS} AS d,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS r
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY r)::BIGINT AS med FROM daily
+),
+signs AS (
+  SELECT d, CASE WHEN r > med THEN 1 ELSE 0 END AS s
+  FROM daily, med WHERE r != med
+),
+runs AS (
+  SELECT s, CASE WHEN s != lag(s) OVER (ORDER BY d) THEN 1 ELSE 0 END AS chg
+  FROM signs
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_used,
+         coalesce(sum(s), 0)::BIGINT AS n_above,
+         coalesce(sum(1 - s), 0)::BIGINT AS n_below,
+         (1 + coalesce(sum(chg), 0))::BIGINT AS n_runs
+  FROM runs
+),
+stat AS (
+  SELECT n_used, n_above, n_below,
+         CASE WHEN n_used = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(n_runs AS BIGINT) END AS n_runs,
+         CASE WHEN n_above = 0 OR n_below = 0 THEN NULL ELSE
+           2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+           / CAST(n_used AS DOUBLE) + 1.0 END AS expected_runs
+  FROM agg
+)
+SELECT *, CASE WHEN expected_runs IS NULL OR n_used < 2 THEN NULL ELSE
+            (CAST(n_runs AS DOUBLE) - expected_runs)
+            / sqrt((expected_runs - 1.0) * (expected_runs - 2.0)
+                   / (CAST(n_used AS DOUBLE) - 1.0)) END AS z_stat
+FROM stat
+"""
+
+
 QUERIES = {
     "kruskal_wallis_priority": kruskal_wallis_priority,
     "gini_revenue_exact": gini_revenue_exact,
@@ -1389,6 +1501,7 @@ QUERIES = {
     "theil_sen_daily_trend": theil_sen_daily_trend,
     "mann_kendall_trend_test": mann_kendall_trend_test,
     "capture_recapture_users": capture_recapture_users,
+    "wald_wolfowitz_runs_test": wald_wolfowitz_runs_test,
     "spearman_daily_rho": spearman_daily_rho,
     "kaplan_meier_repurchase": kaplan_meier_repurchase,
     "hhi_market_concentration": hhi_market_concentration,
@@ -1404,6 +1517,7 @@ ORACLES = {
     "theil_sen_daily_trend": _THEIL_SEN_SQL,
     "mann_kendall_trend_test": _MANN_KENDALL_SQL,
     "capture_recapture_users": _CAPTURE_SQL,
+    "wald_wolfowitz_runs_test": _RUNS_SQL,
     "spearman_daily_rho": _SPEARMAN_SQL,
     "kaplan_meier_repurchase": _KM_SQL,
     "hhi_market_concentration": _HHI_SQL,

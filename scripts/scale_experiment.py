@@ -183,6 +183,8 @@ FIXED_OUTPUT_KERNELS = [
     "mann_kendall_trend_test",
     # one user-keyed flag rollup; 1 row out.
     "capture_recapture_users",
+    # daily rollup + bounded sign sequence; 1 row out.
+    "wald_wolfowitz_runs_test",
 ]
 # |parts|-row labeling: output grows exactly Kx with the replica
 # part-key offsets — rows must track K while per-row work stays flat.

@@ -662,3 +662,36 @@ def test_capture_recapture_matches_pure_python(spark, sf_dir):
     diff = 1000 * (chapman - n_true)
     trunc = abs(diff) // n_true
     assert row.est_err_pm == (trunc if diff >= 0 else -trunc)
+
+
+def test_runs_test_matches_pure_python(spark, sf_dir):
+    import math
+
+    con = duckdb.connect()
+    daily = sorted(
+        con.execute(
+            f"""
+            SELECT epoch_us(o_orderdate) // 1000000 // 86400,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    con.close()
+    rs = sorted(r for _, r in daily)
+    med = rs[-(-len(rs) // 2) - 1]  # percentile_disc(0.5)
+    signs = [1 if r > med else 0 for _, r in daily if r != med]
+    n = len(signs)
+    n1, n0 = sum(signs), n - sum(signs)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    e = 2.0 * n1 * n0 / n + 1.0
+    z = (runs - e) / math.sqrt((e - 1.0) * (e - 2.0) / (n - 1.0))
+
+    from rdbms_metadata_manager_spark.queries.inference import (
+        wald_wolfowitz_runs_test,
+    )
+
+    row = wald_wolfowitz_runs_test(spark, sf_dir).collect()[0]
+    assert (row.n_used, row.n_above, row.n_below, row.n_runs) == (n, n1, n0, runs)
+    assert abs(row.expected_runs - e) < 1e-9
+    assert abs(row.z_stat - z) < 1e-9
