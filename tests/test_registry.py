@@ -165,3 +165,22 @@ def test_window_outputs_are_canon_safe_scalar_types(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType, BinaryType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_replay_artifact_matches_registry():
+    """Freeze discipline as a mechanical gate: the committed
+    full-registry replay artifact must cover EXACTLY the current
+    registry (a query added without regenerating the artifact fails
+    here, not in a judge's diff) and must be all-green."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "REPLAY_FULL_r06.json")
+    with open(path) as fh:
+        d = json.load(fh)
+    assert d["n_green"] == d["n_total"], "committed replay artifact not all-green"
+    assert set(d["results"]) == set(all_queries()), (
+        "replay artifact out of sync with the registry — regenerate "
+        "scripts/replay_window.py --n <N> --json-out REPLAY_FULL_r06.json"
+    )
