@@ -1184,3 +1184,38 @@ def test_bipartite_hits_broadcasts_type_degrees_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     for sub in _broadcast_subtrees(plan):
         assert "HashAggregate" in sub, "non-aggregate broadcast subtree:\n" + sub
+
+
+def test_late_session2_ops_all_windows_partitioned(spark, sf_dir):
+    """The late session-2 batch (Theil-Sen, Mann-Kendall, runs test,
+    SPC chart, ABC classes, percentile audit) must show only
+    PARTITIONED windows — the range kernel's _pid or the non-foldable
+    constant group on documented bounded relations; never a global
+    sort."""
+    import re
+
+    from rdbms_metadata_manager_spark.queries.audit import (
+        abc_inventory_classes,
+        approx_percentile_rank_audit,
+        spc_individuals_chart,
+    )
+    from rdbms_metadata_manager_spark.queries.inference import (
+        mann_kendall_trend_test,
+        theil_sen_daily_trend,
+        wald_wolfowitz_runs_test,
+    )
+
+    for fn in (
+        theil_sen_daily_trend,
+        mann_kendall_trend_test,
+        wald_wolfowitz_runs_test,
+        spc_individuals_chart,
+        abc_inventory_classes,
+        approx_percentile_rank_audit,
+    ):
+        plan = physical_plan(fn(spark, sf_dir))
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = m.group(1).split(",")[0]
+            assert ("ASC" not in head) and ("DESC" not in head), (
+                fn.__name__ + " unpartitioned window: " + m.group(0)
+            )
