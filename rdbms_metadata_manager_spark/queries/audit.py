@@ -157,7 +157,10 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("est_rows"),
             )
             .withColumn(
-                "est_err_pm",
+                # a RATIO (1000 = perfect estimate), deliberately named
+                # apart from capture_recapture_users' SIGNED est_err_pm
+                # (0 = perfect) — ADVICE r6 #2
+                "actual_vs_est_pm",
                 F.expr(
                     "CASE WHEN est_rows = 0 THEN NULL ELSE"
                     " CAST((1000 * CAST(actual_rows AS DECIMAL(38,0)))"
@@ -180,7 +183,7 @@ SELECT '{jname}' AS join_name, n_left, d_left, n_right, d_right,
        actual_rows, est_rows,
        CASE WHEN est_rows = 0 THEN NULL ELSE
          CAST((1000 * actual_rows::HUGEINT) // est_rows AS BIGINT) END
-         AS est_err_pm
+         AS actual_vs_est_pm
 FROM (
   WITH lroll AS (
     SELECT {lk}::BIGINT AS k, count(*)::BIGINT AS ln FROM {lt}
@@ -295,12 +298,18 @@ def approx_percentile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
                 F.col(f"x_{q}").alias("exact_tick"),
                 F.expr(
-                    # the approx value's exact-rank interval
-                    # [lt+1, le] must intersect the guaranteed band
-                    # q*n ± n/ACC (empty input passes vacuously)
+                    # the approx value's exact-rank interval [lt+1, le]
+                    # must intersect the integer-rank band
+                    # [ceil(q*n - n/ACC) - 1, ceil(q*n + n/ACC) + 1]:
+                    # the formal q*n ± n/ACC band widened by EXACTLY one
+                    # rank per end, deliberately (ADVICE r6 #4) — the
+                    # engine's target-rank convention (q*n vs ceil(q*n)
+                    # vs 1+floor(q*(n-1))) is itself a <1-rank
+                    # ambiguity, so the audited guarantee is n/ACC + 1
+                    # ranks. Empty input passes vacuously.
                     f"CASE WHEN coalesce(n_rows, 0) = 0 THEN TRUE ELSE"
-                    f" le_{q} >= CAST(floor({q / 1000} * n_rows"
-                    f"   - CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT)"
+                    f" le_{q} >= CAST(ceil({q / 1000} * n_rows"
+                    f"   - CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT) - 1"
                     f" AND lt_{q} < CAST(ceil({q / 1000} * n_rows"
                     f"   + CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT) + 1 END"
                 ).alias("rank_in_bound"),

@@ -88,26 +88,46 @@ def formats_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     breaks the hash match. The checksum column (sum of doc_ids) makes
     silent row duplication/loss visible even when counts collide.
 
+    Framing is LOSSLESS for arbitrary payloads (ADVICE r6): source
+    and text are percent-escaped (% -> %25 first, then TAB/LF/CR ->
+    %09/%0A/%0D) before the concat_ws write, so no raw delimiter or
+    line break survives into the line stream; the reader decodes in
+    the reverse order (%09/%0A/%0D first, %25 last). Round-trip
+    identity is pinned by a hostile-payload test in
+    tests/test_format_sources.py.
+
     Scale: .text scans split by line across executors exactly like a
-    100 TB crawl dump; the parse is three JVM string ops per line
-    (codegen), and the rollup is map-side combined. The split limit
-    (3) keeps embedded delimiters in the payload intact."""
+    100 TB crawl dump; the parse is a handful of JVM string ops per
+    line (codegen), and the rollup is map-side combined."""
     docs = load(spark, sf_dir, "documents")
     tmp = os.path.join(
         tempfile.gettempdir(), "spark_fmt_text", os.path.basename(sf_dir.rstrip("/"))
     )
+
+    def _esc(col: str):
+        e = F.replace(F.col(col), F.lit("%"), F.lit("%25"))
+        e = F.replace(e, F.lit("\t"), F.lit("%09"))
+        e = F.replace(e, F.lit("\n"), F.lit("%0A"))
+        return F.replace(e, F.lit("\r"), F.lit("%0D"))
+
+    def _unesc(col):
+        d = F.replace(col, F.lit("%09"), F.lit("\t"))
+        d = F.replace(d, F.lit("%0A"), F.lit("\n"))
+        d = F.replace(d, F.lit("%0D"), F.lit("\r"))
+        return F.replace(d, F.lit("%25"), F.lit("%"))
+
     docs.select(
-        F.concat_ws("\t", F.col("doc_id").cast("string"), "source", "text").alias(
-            "value"
-        )
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), _esc("source"), _esc("text")
+        ).alias("value")
     ).write.mode("overwrite").text(tmp)
     lines = spark.read.text(tmp)
     parsed = lines.select(
         F.expr("split(value, '\t', 3)").alias("p")
     ).select(
         F.expr("CAST(p[0] AS BIGINT)").alias("doc_id"),
-        F.col("p")[1].alias("source"),
-        F.col("p")[2].alias("text"),
+        _unesc(F.col("p")[1]).alias("source"),
+        _unesc(F.col("p")[2]).alias("text"),
     )
     return (
         parsed.groupBy("source")

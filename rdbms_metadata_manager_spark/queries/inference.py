@@ -1443,7 +1443,13 @@ def wald_wolfowitz_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "z_stat",
             F.expr(
-                "CASE WHEN expected_runs IS NULL OR n_used < 2 THEN NULL ELSE"
+                # n_used <= 2 (not < 2): with n_used = 2 and one day on
+                # each side of the median, expected_runs = 2 and the
+                # variance term (expected_runs-1)(expected_runs-2) is 0
+                # -> 0/0 NaN; expected_runs <= 2 iff n_used <= 2, so
+                # this guard NULLs every degenerate-variance case on
+                # both engines (ADVICE r6 #3)
+                "CASE WHEN expected_runs IS NULL OR n_used <= 2 THEN NULL ELSE"
                 " (CAST(n_runs AS DOUBLE) - expected_runs)"
                 " / sqrt((expected_runs - 1.0) * (expected_runs - 2.0)"
                 "        / (CAST(n_used AS DOUBLE) - 1.0)) END"
@@ -1485,7 +1491,7 @@ stat AS (
            / CAST(n_used AS DOUBLE) + 1.0 END AS expected_runs
   FROM agg
 )
-SELECT *, CASE WHEN expected_runs IS NULL OR n_used < 2 THEN NULL ELSE
+SELECT *, CASE WHEN expected_runs IS NULL OR n_used <= 2 THEN NULL ELSE
             (CAST(n_runs AS DOUBLE) - expected_runs)
             / sqrt((expected_runs - 1.0) * (expected_runs - 2.0)
                    / (CAST(n_used AS DOUBLE) - 1.0)) END AS z_stat

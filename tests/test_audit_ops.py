@@ -137,7 +137,7 @@ def test_join_cardinality_matches_pure_python(spark, sf_dir):
         assert (row.n_right, row.d_right) == (n_r, len(cr))
         assert row.actual_rows == actual
         assert row.est_rows == est
-        assert row.est_err_pm == (1000 * actual) // est
+        assert row.actual_vs_est_pm == (1000 * actual) // est
 
     check(got["lineitem_orders"], lo, oo)
     check(got["orders_customer"], oc, cc)

@@ -89,6 +89,33 @@ def test_runs_test_alternating_fixture(spark, tmp_path):
     assert r.z_stat > 0  # more runs than expected: over-mixing
 
 
+def test_runs_test_two_day_degenerate_is_null(spark, tmp_path):
+    """ADVICE r6 #3: n_used = 2 with one day on each side of the
+    median gives expected_runs = 2 and a ZERO variance term — the
+    z-stat must be NULL (guarded), not a 0/0 NaN whose cross-engine
+    hash match was accidental."""
+    from rdbms_metadata_manager_spark.queries.inference import (
+        _RUNS_SQL,
+        wald_wolfowitz_runs_test,
+    )
+
+    d = tmp_path / "deg"
+    d.mkdir()
+    # 3 days: median day (20) is excluded -> n_used = 2, one above,
+    # one below, expected_runs = 2*1*1/2 + 1 = 2
+    _orders(
+        d,
+        [(1, 1, 10.0, "1995-03-01"), (2, 2, 20.0, "1995-03-02"),
+         (3, 3, 30.0, "1995-03-03")],
+    )
+    df = wald_wolfowitz_runs_test(spark, str(d))
+    assert_matches_oracle(df, _RUNS_SQL, str(d))
+    r = df.collect()[0]
+    assert (r.n_used, r.n_above, r.n_below) == (2, 1, 1)
+    assert abs(r.expected_runs - 2.0) < 1e-12
+    assert r.z_stat is None
+
+
 def test_capture_recapture_disjoint_halves_fixture(spark, tmp_path):
     """Zero overlap between occasions: Chapman degrades to
     (n1+1)(n2+1) - 1 — a wild overestimate the audit must REPORT,
