@@ -209,15 +209,33 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over the exact-Jaccard pair list: each doc in
-    a pair gets its component's minimum doc_id as cluster keeper."""
+    a pair gets its component's minimum doc_id as cluster keeper.
+
+    Materialized once per (corpus, Spark app), like the pair list it
+    rides: connected_components is an ITERATIVE kernel (O(log n)
+    star-contraction rounds, several jobs), and five downstream
+    queries (keep_best, survivorship, size histogram, safe split,
+    threshold composition) would otherwise re-run the whole fixpoint
+    per call (r7 tide audit: the re-derivation was most of
+    dedup_keep_best's per-call wall)."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _CC_CACHE.get(key)
+    if cached is not None:
+        return cached
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return (
+    out = (
         connected_components(pairs)
         .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
         .orderBy("doc_id")
+        .localCheckpoint(eager=True)
     )
+    _CC_CACHE[key] = out
+    return out
 
 
 _CLUSTERS_SQL = f"""

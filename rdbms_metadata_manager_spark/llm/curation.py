@@ -374,13 +374,23 @@ QC_W_NWORDS = 6        # length reward
 QC_BIAS = -100
 
 
+_QC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-inference stage of the curation pipeline: the
     weighted-feature score (vs quality_filter_gate's first-fail rule
     CASCADE — both shapes exist in real pipelines; Gopher uses rules,
     C4/fastText-style filters use a trained scorer). Integer fixed-
-    point end to end, one corpus scan + the per-doc top-word rollup."""
-    return (
+    point end to end, one corpus scan + the per-doc top-word rollup.
+    Materialized once per (corpus, Spark app): keep_best and the
+    survivorship audit re-read the ≤|docs|-row score relation instead
+    of re-running the full-text feature scan per call."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _QC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = (
         _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
         .withColumn(
             "score",
@@ -399,7 +409,10 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score") >= 0).alias("accepted"),
         )
         .orderBy("doc_id")
+        .localCheckpoint(eager=True)
     )
+    _QC_CACHE[key] = out
+    return out
 
 
 _QC_SQL = f"""

@@ -223,11 +223,18 @@ def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE groupBy(user) feeds both metrics; the stats are
     two tiny order-statistics aggregates over the per-user relation
     (≪ events) and the loss pass re-reads it with a 1-row broadcast
-    clip. At 100 TB: the user rollup is the only event-sized shuffle."""
+    clip. At 100 TB: the user rollup is the only event-sized shuffle —
+    checkpointed, so its four consumers (2 stats + 2 loss legs) pay it
+    ONCE, not per leg (the r7 tide audit found the re-derivation was
+    this query's whole bench drift)."""
     events = load_spread(spark, sf_dir, "events", "event_id")
-    per_user = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .localCheckpoint(eager=False)
     )
     legs = []
     for metric, col in (("event_count", "n_events"), ("value_cents_sum", "value_cents")):

@@ -15,7 +15,7 @@ then chunking (Σ ceil(tokens/32) windows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries.base import load_spread
@@ -129,39 +129,60 @@ def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) — the earlier ``partitionBy(source)`` window put an entire
     source on one executor, which is exactly the mega-domain this
     operator exists to cap. The within-source cumsum is the kernel's
-    global cumsum minus the source's exclusive start offset
-    (min(global − own) per source: one more source-keyed shuffle, the
-    same key the totals already pay). The budget is a 1-row broadcast
-    from a two-level aggregate. Admission by cumulative tokens (not
-    doc count) is deterministic given the doc_id order."""
-    from ..queries.prefix import ranged_prefix
+    global cumsum minus the source's exclusive start offset; because
+    the kernel's order leads with source, that offset is simply the
+    exclusive prefix sum of the PER-SOURCE TOTALS in source order —
+    a ≤|sources| bounded relation (one one_group window, sanctioned),
+    broadcast back. Everything (totals, the budget, the offsets)
+    derives from ONE checkpointed per-source rollup instead of the
+    three full-relation passes + source-keyed shuffle the r5 plan
+    paid (the r7 tide audit traced this query's bench drift to pure
+    stage-count floor: 5 shuffles on a rolled-up relation). Admission
+    by cumulative tokens (not doc count) is deterministic given the
+    doc_id order."""
+    from ..queries.prefix import one_group, ranged_prefix
 
-    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    # one checkpoint of the slim (doc_id, source, n_tokens) projection:
+    # tokenizing the full text column is the unit cost here (~0.5 s per
+    # pass at sf0.1), and the totals rollup + the range kernel's
+    # sampler + exchange would otherwise each re-read and re-split it
+    d = (
+        load_spread(spark, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .localCheckpoint(eager=False)
     )
-    budget = (
-        d.groupBy("source")
-        .agg(F.sum("n_tokens").alias("t"))
-        .agg((F.avg("t") * BUDGET_FRACTION).alias("budget"))
-    )
+    # totals deliberately NOT checkpointed: its three consumers
+    # re-derive it from the slim checkpoint for less than the job
+    # barrier a second materialization costs (measured 1.71 vs 1.41 s)
     totals = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    budget = totals.agg(
+        (F.avg("total_tokens") * BUDGET_FRACTION).alias("budget")
+    )
+    w = (
+        Window.partitionBy(one_group(F.col("source")))
+        .orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = totals.select(
+        "source",
+        "total_tokens",
+        F.coalesce(F.sum("total_tokens").over(w), F.lit(0)).alias("_start"),
+    )
     g = ranged_prefix(
         d, [F.col("source"), F.col("doc_id")], sum_cols=["n_tokens"]
     )
-    starts = g.groupBy("source").agg(
-        F.min(F.col("cum_n_tokens") - F.col("n_tokens")).alias("_start")
-    )
     kept = (
-        g.join(starts, "source")
+        g.join(F.broadcast(starts), "source")
         .withColumn("cum_tokens", F.col("cum_n_tokens") - F.col("_start"))
         .crossJoin(F.broadcast(budget))
         .filter(F.col("cum_tokens") <= F.col("budget"))
-        .groupBy("source")
+        .groupBy("source", "total_tokens")
         .agg(F.count("*").alias("n_docs_kept"), F.sum("n_tokens").alias("n_tokens_kept"))
     )
     return (
-        kept.join(totals, "source")
-        .select(
+        kept.select(
             "source",
             "n_docs_kept",
             "n_tokens_kept",
