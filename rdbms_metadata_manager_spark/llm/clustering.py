@@ -459,8 +459,13 @@ def dedup_survivorship_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((1000 * CAST(sum(score) AS DECIMAL(38,0))) div count(1)"
                 " AS BIGINT)"
             ).alias("mean_score_milli"),
+            # CAST: Spark's percentile_disc yields DOUBLE even over a
+            # BIGINT column; the value is an actual (integer) score, so
+            # the cast is exact and matches the oracle's ::BIGINT
+            # (window type-class lint, surfaced by the r7 rotation)
             F.expr(
-                "percentile_disc(0.5) WITHIN GROUP (ORDER BY score)"
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY score)"
+                " AS BIGINT)"
             ).alias("median_score"),
         )
         .orderBy("doc_class")

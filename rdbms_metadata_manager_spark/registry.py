@@ -96,72 +96,82 @@ PRIORITY: tuple[str, ...] = (
     "schema_issues",
     "schema_issues_quirks",
     "schema_issue_summary",
-    # round-6 rotation (VERDICT r5 item 1): every r5-green row leaves
-    # the window; 47 of the 47 open slots go to never-driver-checked
-    # names (102 remained after r5), ordered:
-    # (a) the builder's post-r5-freeze re-proof list — queries whose
-    #     CODE changed after the freeze (green history doesn't
-    #     transfer across a rewrite); source_signature_chisq is the
-    #     one previously-green re-entry,
-    # (b) queries whose code changed THIS round (ADVICE r5 overflow
-    #     widenings; the adjacency-BFS rewrite),
-    # (c) the remaining never-checked r5 operators,
-    # (d) streaming canaries (VERDICT r5 item 6) — the four
-    #     never-checked streaming faces double as the rotation's
-    #     environment-sensitivity probes,
-    # (e) oldest-first never-checked backfill (registration order).
-    # (a) post-r5-freeze re-proofs
-    "source_signature_chisq",
-    "code_prose_detector",
-    "rag_chunk_overlap_stats",
-    "naming_convention_audit",
-    "exact_median_two_pass",
-    # (b) changed this round
-    "t_closeness_audit",         # DECIMAL(38,0) widening (ADVICE r6 #1)
-    "selfjoin_size_estimate",    # DECIMAL(38,0) F2 squares (ADVICE r6 #2)
-    "bfs_levels_from_hub",       # adjacency-BFS rewrite
-    "diameter_double_sweep",     # adjacency-BFS rewrite (VERDICT r5 item 2)
-    # (c) never-checked r5 operators
-    "multi_touch_attribution",
-    "bitwise_functions_events",
-    "hof_functions_documents",
-    "grouped_trimmed_mean_two_pass",
-    "bloom_filter_fpr_audit",
-    "index_redundancy_audit",
-    "dedup_keep_best",
-    # (d) streaming canaries — never driver-checked
-    "events_sliding_10min",
+    # round-7 rotation (VERDICT r6 item 1): every r6-green row leaves
+    # the window except the pins, two streaming canaries, and one
+    # changed-code re-proof; the other 44 slots are all
+    # never-driver-checked (cumulative distinct driver-green
+    # 236 + 44 = 280, the r6 target), ordered:
+    # (a) the judge's re-proof list — queries REWRITTEN after their
+    #     first green (theil_sen again this round: driver-guided
+    #     median refinement; approx_percentile_rank_audit also took
+    #     the ADVICE r6 #4 band fix),
+    # (b) queries whose code changed THIS round and were never
+    #     driver-checked (the r7 memo/ADVICE work),
+    # (c) the 26 session-2 names from VERDICT r6 (fk_inclusion is in
+    #     (a); wald_wolfowitz/join_cardinality/formats_text also took
+    #     ADVICE r6 fixes this round),
+    # (d) oldest-first never-checked backfill (registration order —
+    #     the 14 r6-session-1 operators),
+    # (e) repeats: streaming canaries + the largest already-green
+    #     changed-code rewrite (dedup_keep_best, now riding the CC +
+    #     score memos). The other changed-but-already-green names
+    #     (source_token_budget_cap, dp_sensitivity_audit,
+    #     cluster_safe_split, dedup_clusters) are re-proofed by the
+    #     committed full-registry pristine replay at HEAD plus
+    #     three-scale parity runs — window slots go to never-checked
+    #     coverage first.
+    # (a) rewritten-after-green re-proofs
+    "theil_sen_daily_trend",
+    "approx_percentile_rank_audit",
+    "fk_inclusion_discovery",
+    # (b) changed this round, never driver-checked
+    "quality_classifier_scores",   # memoized (r7 tide audit)
+    "dedup_cluster_size_histogram",  # rides the new CC memo
+    # (c) the VERDICT r6 session-2 list
+    "kruskal_wallis_priority",
+    "spearman_daily_rho",
+    "kaplan_meier_repurchase",
+    "mann_kendall_trend_test",
+    "wald_wolfowitz_runs_test",    # ADVICE r6 #3 guard
+    "capture_recapture_users",
+    "cuped_adjusted_ab",
+    "spc_individuals_chart",
+    "abc_inventory_classes",
+    "revenue_bridge_decomposition",
+    "harmonic_centrality_trade",
+    "lsh_band_planner",
+    "ivf_nprobe_recall_curve",
+    "dedup_survivorship_audit",    # rides the new CC + score memos
+    "packing_bounds_curve",
+    "gini_revenue_exact",
+    "hhi_market_concentration",
+    "cohort_ltv_curve",
+    "dow_hour_activity_residuals",
+    "duplicate_payment_candidates",
+    "join_cardinality_audit",      # ADVICE r6 #2 rename
+    "bipartite_hits_event_types",
+    "wilson_ci_return_rate",
+    "formats_text_source_roundtrip",  # ADVICE r6 #1 lossless framing
+    "binaryfile_source_stats",
+    # (d) oldest never-driver-checked backfill (registration order)
+    "event_type_user_jaccard",
+    "open_orders_backlog",
+    "grouped_mad_two_pass",
+    "recursive_cte_trade_reach",
+    "mann_whitney_u_test",
+    "ab_srm_check",
+    "repeat_purchase_intervals",
+    "user_acquisition_curve",
+    "user_lifetime_quartiles",
+    "state_dwell_time_shares",
+    "event_burstiness_fano",
+    "fk_fanout_profile",
+    "degree_assortativity",
+    "rich_club_coefficient",
+    # (e) repeats: streaming canaries + changed-code re-proof
     "streaming_hll_distinct",
-    "streaming_cms_heavy_hitters",
     "pyds_stream_sink_roundtrip",
-    # (e) oldest never-driver-checked backfill (registration order)
-    "user_event_gap_histogram",
-    "funnel_time_to_convert",
-    "event_path_trigrams",
-    "rfm_customer_segments",
-    "dau_mau_stickiness",
-    "scd2_user_state_intervals",
-    "scd2_state_snapshots",
-    "snapshot_diff_orders",
-    "feature_scale_orders",
-    "feature_quantile_buckets",
-    "forecast_seasonal_naive_backtest",
-    "ewma_daily_events",
-    "ols_trend_per_segment",
-    "holt_trend_daily_events",
-    "formats_xml_roundtrip",
-    "dq_expectations_orders",
-    "benford_digit_audit",
-    "drift_event_type_shares",
-    "kcore_copurchase_parts",
-    "label_propagation_communities",
-    "association_rules_lift",
-    "link_prediction_hub_cn",
-    "local_clustering_coefficients",
-    "copurchase_degree_histogram",
-    "cogroup_balance_ks",
-    "dedup_containment",
-    "dedup_sketch_recall_report",
+    "dedup_keep_best",
 )
 
 

@@ -33,23 +33,19 @@ def test_window_covers_reference_parity_and_llm_families():
         "schema_issues",
         "schema_issues_quirks",
         "schema_issue_summary",
-        # r6: code changed this round — fresh driver greens required
-        # (ADVICE r5 overflow widenings + the adjacency-BFS rewrite,
-        # VERDICT r5 item 2)
-        "t_closeness_audit",
-        "selfjoin_size_estimate",
-        "bfs_levels_from_hub",
-        "diameter_double_sweep",
-        # r6: the builder's post-freeze re-proof list (VERDICT r5 item 1)
-        "source_signature_chisq",
-        "code_prose_detector",
-        "rag_chunk_overlap_stats",
-        "naming_convention_audit",
-        "exact_median_two_pass",
-        # r6: streaming canaries (VERDICT r5 item 6)
-        "events_sliding_10min",
+        # r7: rewritten-after-green re-proofs (VERDICT r6 item 1)
+        "theil_sen_daily_trend",
+        "approx_percentile_rank_audit",
+        "fk_inclusion_discovery",
+        # r7: code changed this round — fresh driver greens required
+        # (ADVICE r6 fixes + the tide-audit memo/plan work)
+        "quality_classifier_scores",
+        "dedup_keep_best",
+        "wald_wolfowitz_runs_test",
+        "join_cardinality_audit",
+        "formats_text_source_roundtrip",
+        # r7: streaming canaries (VERDICT r6 item 1)
         "streaming_hll_distinct",
-        "streaming_cms_heavy_hitters",
         "pyds_stream_sink_roundtrip",
     }
     assert must_have <= window
