@@ -191,6 +191,15 @@ HEADLINE = [
     "mann_kendall_trend_test",
     "capture_recapture_users",
     "wald_wolfowitz_runs_test",
+    # round-7 additions
+    "permutation_test_ab",
+    "bayesian_bootstrap_revenue_ci",
+    "anova_f_order_priority",
+    "daily_cross_correlation",
+    "conformal_forecast_intervals",
+    "bh_fdr_nation_drift",
+    "quality_scorer_auc",
+    "mix_effective_sample_size",
 ]
 
 

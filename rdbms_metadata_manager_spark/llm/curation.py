@@ -432,6 +432,106 @@ ORDER BY doc_id
 """
 
 
+def quality_scorer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the linear quality scorer against the rule
+    cascade's verdict — the threshold-FREE complement of
+    [[quality_scorer_agreement]] (kappa grades the shipped cutoffs;
+    AUC grades the scorer's ranking no matter where the cutoff
+    lands, the number a filter-swap review actually argues about).
+    AUC here IS the Mann–Whitney probability
+    P(score_pos > score_neg) + ½P(tie), computed exactly from the
+    per-score (pos, neg) histogram: 2U = Σ_v c₁(v)·(2·C₀(<v) + c₀(v))
+    — all integers, ties handled by construction — and
+    auc_permille = (1000·2U) div (2·n₁·n₀).
+
+    Scale: label and score come from ONE _doc_features pass (never a
+    join of two scorer jobs); the score histogram is one
+    map-side-combined rollup; the exclusive negative-count prefix
+    rides the range-partitioned kernel (``ranged_prefix``), so no
+    single executor ever sorts the whole score column. Products ride
+    DECIMAL(38,0)/HUGEINT (c₁·C₀ reaches n₁·n₀ ≈ |docs|² at 100 TB)."""
+    from ..queries.prefix import ranged_prefix
+
+    feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
+    scored = feats.select(
+        F.expr(
+            f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
+            f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
+            f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+        ).alias("score"),
+        F.expr(
+            f"CASE WHEN NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}"
+            f" OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}"
+            f" OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})"
+            f" THEN 1 ELSE 0 END"
+        ).alias("pos"),
+    )
+    counts = scored.groupBy("score").agg(
+        F.sum("pos").alias("c1"),
+        F.sum(1 - F.col("pos")).alias("c0"),
+    )
+    cum = ranged_prefix(counts, [F.col("score")], sum_cols=["c0"])
+    return (
+        cum.agg(
+            F.coalesce(F.sum("c1"), F.lit(0)).alias("n_pos"),
+            F.coalesce(F.sum("c0"), F.lit(0)).alias("n_neg"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(c1 AS DECIMAL(38,0)) * (2 * (cum_c0 - c0) + c0)"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("u2"),
+        )
+        .select(
+            F.expr("CAST(n_pos + n_neg AS BIGINT)").alias("n_docs"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            F.expr(
+                "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE"
+                " CAST((1000 * u2) div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                " AS BIGINT) END"
+            ).alias("auc_permille"),
+        )
+    )
+
+
+_AUC_SQL = f"""
+WITH {_DOC_FEATURES_CTES},
+v AS (
+  SELECT {QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm
+           + {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) // 4)
+           + {QC_W_NWORDS} * n_words + {QC_BIAS} AS score,
+         CASE WHEN NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}
+           OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}
+           OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})
+           THEN 1 ELSE 0 END AS pos
+  FROM scored
+),
+counts AS (
+  SELECT score, sum(pos)::BIGINT AS c1, sum(1 - pos)::BIGINT AS c0
+  FROM v GROUP BY score
+),
+cum AS (
+  SELECT *, coalesce(sum(c0) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0_below
+  FROM counts
+),
+agg AS (
+  SELECT coalesce(sum(c1), 0)::BIGINT AS n_pos,
+         coalesce(sum(c0), 0)::BIGINT AS n_neg,
+         coalesce(sum(c1::HUGEINT * (2 * c0_below + c0)), 0) AS u2
+  FROM cum
+)
+SELECT CAST(n_pos + n_neg AS BIGINT) AS n_docs, n_pos, n_neg,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+         CAST((1000 * u2) // (2 * n_pos::HUGEINT * n_neg) AS BIGINT) END
+         AS auc_permille
+FROM agg
+"""
+
+
 def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the two quality filters the repo ships —
     the Gopher-style rule cascade (``quality_filter_gate``) and the
@@ -968,6 +1068,7 @@ QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "quality_classifier_scores": quality_classifier_scores,
     "quality_scorer_agreement": quality_scorer_agreement,
+    "quality_scorer_auc": quality_scorer_auc,
     "score_calibration_bins": score_calibration_bins,
     "boilerplate_ngram_report": boilerplate_ngram_report,
     "source_quality_gate": source_quality_gate,
@@ -981,6 +1082,7 @@ ORACLES = {
     "dsir_importance_weights": _DSIR_SQL,
     "quality_classifier_scores": _QC_SQL,
     "quality_scorer_agreement": _AGREEMENT_SQL,
+    "quality_scorer_auc": _AUC_SQL,
     "score_calibration_bins": _CALIBRATION_SQL,
     "boilerplate_ngram_report": _boilerplate_sql(),
     "source_quality_gate": _SOURCE_GATE_SQL,

@@ -425,12 +425,115 @@ SELECT metric, value FROM (
 """
 
 
+def mix_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size + design effect of the source-mix
+    reweighting — the number that says what a weighted corpus is
+    WORTH: applying [[source_mix_weights]]'s equalizing weights makes
+    n documents carry the statistical information of only
+    ESS = (Σwᵢ)²/Σwᵢ² of them (Kish), and deff = n·Σw²/(Σw)² is the
+    variance inflation a reweighted estimate pays. The report every
+    mixture review should read next to the weights themselves.
+
+    Exactness: weights are integer per-mille
+    ((1000·grand) div (n_sources·source_tokens), the same truncating
+    ratio family as [[source_mix_weights]]); ESS and deff are emitted
+    in exact integer milli-units via DECIMAL(38,0)/HUGEINT square
+    products — no float anywhere.
+
+    Scale: one corpus scan → per-source rollup; everything after
+    runs on the ≤|sources| bounded relation."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("t")
+    )
+    g = per_source.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).alias("grand"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    weighted = per_source.crossJoin(F.broadcast(g)).select(
+        "n_docs",
+        F.expr(
+            "CASE WHEN t = 0 THEN CAST(0 AS BIGINT) ELSE"
+            " CAST((1000 * CAST(grand AS DECIMAL(38,0)))"
+            " div (CAST(n_sources AS DECIMAL(38,0)) * t) AS BIGINT) END"
+        ).alias("w_pm"),
+        "n_sources",
+    )
+    return (
+        weighted.agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.first("n_sources").alias("n_sources"),
+            F.coalesce(
+                F.sum(F.expr("CAST(n_docs AS DECIMAL(38,0)) * w_pm")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s1"),
+            F.coalesce(
+                F.sum(F.expr("CAST(n_docs AS DECIMAL(38,0)) * w_pm * w_pm")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s2"),
+        )
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_sources", F.lit(0)).cast("bigint").alias("n_sources"),
+            F.expr(
+                "CASE WHEN s2 = 0 THEN NULL ELSE"
+                " CAST((1000 * s1 * s1) div s2 AS BIGINT) END"
+            ).alias("ess_milli"),
+            F.expr(
+                "CASE WHEN s1 = 0 THEN NULL ELSE"
+                " CAST((1000 * CAST(n_docs AS DECIMAL(38,0)) * s2)"
+                " div (s1 * s1) AS BIGINT) END"
+            ).alias("deff_milli"),
+        )
+    )
+
+
+_ESS_SQL = """
+WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS t
+  FROM d GROUP BY source
+),
+g AS (
+  SELECT coalesce(sum(t), 0)::BIGINT AS grand, count(*)::BIGINT AS n_sources
+  FROM per_source
+),
+weighted AS (
+  SELECT n_docs,
+         CASE WHEN t = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST((1000 * grand::HUGEINT) // (n_sources::HUGEINT * t) AS BIGINT)
+         END AS w_pm,
+         n_sources
+  FROM per_source, g
+),
+agg AS (
+  SELECT coalesce(sum(n_docs), 0)::BIGINT AS n_docs,
+         first(n_sources) AS n_sources,
+         coalesce(sum(n_docs::HUGEINT * w_pm), 0) AS s1,
+         coalesce(sum(n_docs::HUGEINT * w_pm * w_pm), 0) AS s2
+  FROM weighted
+)
+SELECT n_docs, coalesce(n_sources, 0)::BIGINT AS n_sources,
+       CASE WHEN s2 = 0 THEN NULL ELSE
+         CAST((1000 * s1 * s1) // s2 AS BIGINT) END AS ess_milli,
+       CASE WHEN s1 = 0 THEN NULL ELSE
+         CAST((1000 * n_docs::HUGEINT * s2) // (s1 * s1) AS BIGINT) END
+         AS deff_milli
+FROM agg
+"""
+
+
 QUERIES = {
     "pipeline_stage_counts": pipeline_stage_counts,
     "corpus_overview_report": corpus_overview_report,
     "source_token_budget_cap": source_token_budget_cap,
     "source_mix_weights": source_mix_weights,
     "corpus_temperature_mix": corpus_temperature_mix,
+    "mix_effective_sample_size": mix_effective_sample_size,
 }
 ORACLES = {
     "pipeline_stage_counts": _PIPELINE_SQL,
@@ -438,4 +541,5 @@ ORACLES = {
     "source_token_budget_cap": _BUDGET_SQL,
     "source_mix_weights": _MIX_SQL,
     "corpus_temperature_mix": _TEMPERATURE_SQL,
+    "mix_effective_sample_size": _ESS_SQL,
 }

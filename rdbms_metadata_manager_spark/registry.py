@@ -35,11 +35,12 @@ def _modules():
         scd,
         skew,
         spatial,
+        stats,
         tpch_extra,
         tpch_rest,
     )
 
-    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining, spatial, cogroup, inference, audit]
+    mods = [relational, advanced, tpch_extra, tpch_rest, skew, metadata, modern, profiling, graph, cohort, scd, features, forecast, formats, quality, mining, spatial, cogroup, inference, audit, stats]
     # No try/except here: every dependency these modules use is part
     # of the environment contract (pyarrow/pandas/numpy), and the
     # PRIORITY window below hard-requires their query names — a

@@ -145,6 +145,12 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.graph", "recursive_cte_trade_reach"),
         ("queries.quality", "fk_fanout_profile"),
         ("llm.sampling", "neyman_allocation_plan"),
+        # round-7 additions that contract to ZERO rows on empty input
+        # (the global-aggregate stats reports are covered by
+        # test_round7_ops.test_global_agg_stats_on_empty_input)
+        ("queries.stats", "daily_cross_correlation"),
+        ("queries.stats", "conformal_forecast_intervals"),
+        ("queries.stats", "bh_fdr_nation_drift"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

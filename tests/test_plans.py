@@ -1219,3 +1219,51 @@ def test_late_session2_ops_all_windows_partitioned(spark, sf_dir):
             assert ("ASC" not in head) and ("DESC" not in head), (
                 fn.__name__ + " unpartitioned window: " + m.group(0)
             )
+
+
+def test_round7_stats_ops_windows_partitioned_and_joins_broadcast(spark, sf_dir):
+    """The r7 statistics batch: (a) no unpartitioned window anywhere
+    (conformal's rank and BH's step-up ride the one_group bounded
+    idiom; everything else is aggregate-only), (b) the per-query
+    small sides (lag spine alignment, nation fill, the broadcast
+    report scalars) never fall back to a sort-merge join — at 100 TB
+    only the base rollup shuffles."""
+    import re
+
+    from rdbms_metadata_manager_spark.queries.stats import (
+        bayesian_bootstrap_revenue_ci,
+        bh_fdr_nation_drift,
+        conformal_forecast_intervals,
+        daily_cross_correlation,
+        permutation_test_ab,
+    )
+
+    for fn in (
+        permutation_test_ab,
+        bayesian_bootstrap_revenue_ci,
+        daily_cross_correlation,
+        conformal_forecast_intervals,
+        bh_fdr_nation_drift,
+    ):
+        plan = physical_plan(fn(spark, sf_dir))
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = m.group(1).split(",")[0]
+            assert ("ASC" not in head) and ("DESC" not in head), (
+                fn.__name__ + " unpartitioned window: " + m.group(0)
+            )
+        assert "SortMergeJoin" not in plan, fn.__name__ + " SMJ:\n" + plan
+
+
+def test_round7_auc_rides_prefix_kernel(spark, sf_dir):
+    """quality_scorer_auc's negative-count prefix must show the range
+    kernel's _pid-partitioned window, never a global score sort."""
+    import re
+
+    from rdbms_metadata_manager_spark.llm.curation import quality_scorer_auc
+
+    plan = physical_plan(quality_scorer_auc(spark, sf_dir))
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = m.group(1).split(",")[0]
+        assert ("ASC" not in head) and ("DESC" not in head), (
+            "unpartitioned window: " + m.group(0)
+        )
