@@ -185,6 +185,26 @@ FIXED_OUTPUT_KERNELS = [
     "capture_recapture_users",
     # daily rollup + bounded sign sequence; 1 row out.
     "wald_wolfowitz_runs_test",
+    # round-7 additions — all bounded reports:
+    # permutation: the user rollup grows Kx (offset user ids keep
+    # per-user sums), the fan-out stays x(P+1); 1 row out.
+    "permutation_test_ab",
+    # bootstrap: replicas share the day spine, so the 256-replicate
+    # fan-out is CONSTANT in K — wall tracks the daily rollup scan.
+    "bayesian_bootstrap_revenue_ci",
+    # one map-side-combined aggregate; 1 row out.
+    "anova_f_order_priority",
+    # daily spine constant in K -> 8 lag rows, rollup-scan-bound.
+    "daily_cross_correlation",
+    # day spine constant in K; 1 row out.
+    "conformal_forecast_intervals",
+    # score histogram <= |docs| (token renaming shifts the features
+    # per replica — the wall, not the value, is what's measured);
+    # 1 row out. (bh_fdr_nation_drift needs customer+nation tables
+    # the replica dirs don't carry — prose row in SCALE.md only.)
+    "quality_scorer_auc",
+    # per-source rollup; sources preserved across replicas; 1 row.
+    "mix_effective_sample_size",
 ]
 # |parts|-row labeling: output grows exactly Kx with the replica
 # part-key offsets — rows must track K while per-row work stays flat.
