@@ -200,6 +200,10 @@ HEADLINE = [
     "bh_fdr_nation_drift",
     "quality_scorer_auc",
     "mix_effective_sample_size",
+    "cramers_v_nation_segment",
+    "ab_power_mde_report",
+    "jackknife_source_sensitivity",
+    "gains_curve_scorer",
 ]
 
 

@@ -532,6 +532,184 @@ FROM agg
 """
 
 
+def jackknife_source_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out sensitivity of the corpus mean quality
+    score — the data-ablation readout a mixture owner reads before
+    dropping or capping a domain ([[source_token_budget_cap]] caps by
+    volume; this says what each source does to QUALITY): for every
+    source, the corpus mean score without it, and the delta against
+    the full-corpus mean, both in exact milli-units
+    ((1000·(S−s_s)) div (n−n_s) — truncating div, identical on both
+    engines; a single-source corpus yields NULL, not a 0-division).
+
+    Scale: rides the memoized per-doc score relation, one doc-keyed
+    join to recover the source, one per-source rollup; the jackknife
+    itself runs on the ≤|sources| bounded relation."""
+    scores = quality_classifier_scores(spark, sf_dir).select("doc_id", "score")
+    src = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source"
+    )
+    per_source = (
+        scores.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_s"),
+            F.sum(F.col("score").cast("decimal(38,0)")).alias("s_s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per_source.agg(
+        F.coalesce(F.sum("n_s"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("s_s"), F.lit(0).cast("decimal(38,0)")).alias("s"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_docs"),
+            F.expr(
+                "CASE WHEN n - n_s = 0 THEN NULL ELSE"
+                " CAST((1000 * (s - s_s)) div (n - n_s) AS BIGINT) END"
+            ).alias("loo_mean_milli"),
+            F.expr(
+                "CASE WHEN n - n_s = 0 OR n = 0 THEN NULL ELSE"
+                " CAST((1000 * (s - s_s)) div (n - n_s)"
+                " - (1000 * s) div n AS BIGINT) END"
+            ).alias("delta_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+_JACKKNIFE_SQL = f"""
+WITH qc AS ({{qc}}),
+per_source AS (
+  SELECT d.source, count(*)::BIGINT AS n_s, sum(qc.score::HUGEINT) AS s_s
+  FROM qc JOIN documents d ON d.doc_id = qc.doc_id
+  GROUP BY d.source
+),
+tot AS (
+  SELECT coalesce(sum(n_s), 0)::BIGINT AS n,
+         coalesce(sum(s_s), 0)::HUGEINT AS s
+  FROM per_source
+)
+SELECT source, n_s AS n_docs,
+       CASE WHEN n - n_s = 0 THEN NULL ELSE
+         CAST((1000 * (s - s_s)) // (n - n_s) AS BIGINT) END AS loo_mean_milli,
+       CASE WHEN n - n_s = 0 OR n = 0 THEN NULL ELSE
+         CAST((1000 * (s - s_s)) // (n - n_s)
+              - (1000 * s) // n AS BIGINT) END AS delta_milli
+FROM per_source, tot
+ORDER BY source
+"""
+
+
+def gains_curve_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains (lift) table for the quality scorer — the
+    curve a "how much good data do the top-k score deciles capture?"
+    review reads, and the rank-resolved companion of
+    [[quality_scorer_auc]] (AUC is its integral): documents are
+    ranked by score (best first, doc_id tiebreak), split into 10
+    equal-rank deciles, and each decile reports how many rule-KEPT
+    docs it holds plus the cumulative per-mille of all kept docs
+    captured so far.
+
+    Scale: label and score from ONE _doc_features pass; the global
+    rank rides the range-partitioned prefix kernel (never a global
+    sort on one executor); the cumulative walk runs on the ≤10-row
+    decile relation (sanctioned one_group case)."""
+    from ..queries.prefix import one_group, ranged_prefix
+
+    feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
+    v = feats.select(
+        "doc_id",
+        F.expr(
+            f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
+            f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
+            f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+        ).alias("score"),
+        F.expr(
+            f"CASE WHEN NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}"
+            f" OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}"
+            f" OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})"
+            f" THEN 1 ELSE 0 END"
+        ).alias("pos"),
+    )
+    ranked = ranged_prefix(
+        v, [F.col("score").desc(), F.col("doc_id")], rank_col="rk"
+    )
+    tot = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("pos"), F.lit(0)).alias("p"),
+    )
+    deciles = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST(((rk - 1) * 10) div n AS BIGINT)").alias("decile"),
+            "pos",
+            "p",
+        )
+        .groupBy("decile", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").alias("n_kept"),
+        )
+    )
+    w = (
+        Window.partitionBy(one_group(F.col("decile")))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        deciles.withColumn("_cum", F.sum("n_kept").over(w))
+        .select(
+            "decile",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.expr(
+                "CASE WHEN p = 0 THEN NULL ELSE"
+                " CAST((1000 * _cum) div p AS BIGINT) END"
+            ).alias("cum_kept_permille"),
+        )
+        .orderBy("decile")
+    )
+
+
+_GAINS_SQL = f"""
+WITH {_DOC_FEATURES_CTES},
+v AS (
+  SELECT doc_id,
+         {QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm
+           + {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) // 4)
+           + {QC_W_NWORDS} * n_words + {QC_BIAS} AS score,
+         CASE WHEN NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}
+           OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}
+           OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})
+           THEN 1 ELSE 0 END AS pos
+  FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM v
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n, coalesce(sum(pos), 0)::BIGINT AS p FROM v
+),
+deciles AS (
+  SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS decile, p,
+         count(*)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_kept
+  FROM ranked, tot
+  GROUP BY 1, 2
+)
+SELECT decile, n_docs, n_kept,
+       CASE WHEN p = 0 THEN NULL ELSE
+         CAST((1000 * sum(n_kept) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // p
+              AS BIGINT) END AS cum_kept_permille
+FROM deciles
+ORDER BY decile
+"""
+
+
 def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the two quality filters the repo ships —
     the Gopher-style rule cascade (``quality_filter_gate``) and the
@@ -1069,6 +1247,8 @@ QUERIES = {
     "quality_classifier_scores": quality_classifier_scores,
     "quality_scorer_agreement": quality_scorer_agreement,
     "quality_scorer_auc": quality_scorer_auc,
+    "jackknife_source_sensitivity": jackknife_source_sensitivity,
+    "gains_curve_scorer": gains_curve_scorer,
     "score_calibration_bins": score_calibration_bins,
     "boilerplate_ngram_report": boilerplate_ngram_report,
     "source_quality_gate": source_quality_gate,
@@ -1083,6 +1263,8 @@ ORACLES = {
     "quality_classifier_scores": _QC_SQL,
     "quality_scorer_agreement": _AGREEMENT_SQL,
     "quality_scorer_auc": _AUC_SQL,
+    "jackknife_source_sensitivity": _JACKKNIFE_SQL.format(qc=_QC_SQL),
+    "gains_curve_scorer": _GAINS_SQL,
     "score_calibration_bins": _CALIBRATION_SQL,
     "boilerplate_ngram_report": _boilerplate_sql(),
     "source_quality_gate": _SOURCE_GATE_SQL,

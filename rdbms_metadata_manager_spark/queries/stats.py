@@ -844,6 +844,215 @@ ORDER BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# cramers_v_nation_segment
+# --------------------------------------------------------------------------
+
+
+def cramers_v_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the nation × market-segment contingency table —
+    the EFFECT-SIZE of categorical association ([[source_signature_chisq]]
+    tests one margin against uniformity; this measures how strongly
+    two real dimensions co-vary, the number a "does geography drive
+    segment mix?" review reads). χ² is carried as an EXACT integer in
+    micro-units: per cell, ((o·N − r·c)² · 10⁶) div (r·c·N) is a pure
+    integer (DECIMAL(38,0)/HUGEINT products), so the 125-cell sum is
+    order-independent — the lever that makes a float χ² portable
+    (a per-cell double sum would be aggregation-order-dependent).
+    V = sqrt(χ²/(N·min(R−1,C−1))) is then one identical IEEE DAG.
+
+    Scale: one customer scan → one (nation, segment) rollup; margins
+    and cells all live on the ≤R·C bounded relation."""
+    cust = load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    cells = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rows_m = cells.groupBy("c_nationkey").agg(F.sum("o").alias("rt"))
+    cols_m = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.coalesce(F.sum("o"), F.lit(0)).alias("n"),
+        F.countDistinct("c_nationkey").alias("r_levels"),
+        F.countDistinct("c_mktsegment").alias("c_levels"),
+    )
+    # χ² = Σ_observed (o−e)²/e + Σ_zero-cells e, with the second sum
+    # closed-form as N − Σ_observed e (only observed cells are ever
+    # materialized); each term is truncated to micro-units per cell,
+    # so the sums are pure integers and order-independent
+    return (
+        cells.join(F.broadcast(rows_m), "c_nationkey")
+        .join(F.broadcast(cols_m), "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("_n"),
+            F.first("r_levels").alias("_r"),
+            F.first("c_levels").alias("_c"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)"
+                        " * (CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)"
+                        " * 1000000"
+                        " div (CAST(rt AS DECIMAL(38,0)) * ct * n) AS DECIMAL(38,0))"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_obs_micro"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST((CAST(rt AS DECIMAL(38,0)) * ct * 1000000)"
+                        " div n AS DECIMAL(38,0))"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_e_obs_micro"),
+        )
+        .select(
+            F.col("_n").cast("bigint").alias("n_customers"),
+            F.col("_r").cast("bigint").alias("n_nations"),
+            F.col("_c").cast("bigint").alias("n_segments"),
+            F.expr(
+                "CASE WHEN _n = 0 THEN NULL ELSE"
+                " CAST(_obs_micro + 1000000 * CAST(_n AS DECIMAL(38,0))"
+                " - _e_obs_micro AS BIGINT) END"
+            ).alias("chi2_micro"),
+            F.expr(
+                "CASE WHEN _n = 0 OR least(_r, _c) < 2 THEN NULL ELSE"
+                " sqrt((CAST(_obs_micro + 1000000 * CAST(_n AS DECIMAL(38,0))"
+                "       - _e_obs_micro AS DOUBLE) / 1000000.0)"
+                "      / (CAST(_n AS DOUBLE) * (least(_r, _c) - 1))) END"
+            ).alias("cramers_v"),
+        )
+    )
+
+
+_CRAMER_SQL = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS o
+  FROM customer GROUP BY 1, 2
+),
+rows_m AS (SELECT c_nationkey, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+cols_m AS (SELECT c_mktsegment, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+tot AS (
+  SELECT coalesce(sum(o), 0)::BIGINT AS n,
+         count(DISTINCT c_nationkey)::BIGINT AS r_levels,
+         count(DISTINCT c_mktsegment)::BIGINT AS c_levels
+  FROM cells
+),
+agg AS (
+  SELECT first(n) AS _n, first(r_levels) AS _r, first(c_levels) AS _c,
+         coalesce(sum(
+           (o::HUGEINT * n - rt::HUGEINT * ct)
+           * (o::HUGEINT * n - rt::HUGEINT * ct)
+           * 1000000 // (rt::HUGEINT * ct * n)
+         ), 0) AS _obs_micro,
+         coalesce(sum((rt::HUGEINT * ct * 1000000) // n), 0) AS _e_obs_micro
+  FROM cells
+  JOIN rows_m USING (c_nationkey)
+  JOIN cols_m USING (c_mktsegment)
+  CROSS JOIN tot
+)
+SELECT CAST(_n AS BIGINT) AS n_customers, CAST(_r AS BIGINT) AS n_nations,
+       CAST(_c AS BIGINT) AS n_segments,
+       CASE WHEN _n = 0 THEN NULL ELSE
+         CAST(_obs_micro + 1000000 * _n::HUGEINT - _e_obs_micro AS BIGINT)
+         END AS chi2_micro,
+       CASE WHEN _n = 0 OR least(_r, _c) < 2 THEN NULL ELSE
+         sqrt((CAST(_obs_micro + 1000000 * _n::HUGEINT - _e_obs_micro
+               AS DOUBLE) / 1000000.0)
+              / (CAST(_n AS DOUBLE) * (least(_r, _c) - 1))) END AS cramers_v
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# ab_power_mde_report
+# --------------------------------------------------------------------------
+
+# Φ^-1(1 - 0.05/2) and Φ^-1(0.8): the 5%-two-sided / 80%-power design
+# constants, generated once in Python and embedded as identical
+# literals in both engines (the BH_Z_THRESHOLDS lever).
+Z_ALPHA2 = NormalDist().inv_cdf(1.0 - 0.05 / 2.0)
+Z_BETA = NormalDist().inv_cdf(0.8)
+
+
+def ab_power_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the per-user revenue A/B at the
+    CURRENT arm sizes — the experiment-design readout
+    ([[ab_srm_check]] validates the split, [[cuped_adjusted_ab]]
+    reduces the variance; this says what effect the test can even
+    see): MDE = (z_{α/2} + z_β)·√(σ²·(1/n_a + 1/n_b)) at 5%
+    two-sided / 80% power, with σ² the pooled per-user revenue
+    variance. The z constants are Python-generated literals identical
+    in both engines; σ² comes from exact DECIMAL sufficient
+    statistics, so the final DAG is bit-identical.
+
+    Scale: ONE user-keyed rollup feeding a single-row aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(F.sum("cents").alias("x")).withColumn(
+        "arm",
+        h32(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))) % 2,
+    )
+    d38 = "decimal(38,0)"
+    sums = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("s"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("ss"),
+        F.sum((F.col("arm") == 0).cast("bigint")).alias("n_a"),
+    )
+    mde = (
+        f"CASE WHEN n < 2 OR n_a = 0 OR n - n_a = 0 THEN NULL ELSE"
+        f" ({Z_ALPHA2!r} + {Z_BETA!r})"
+        f" * sqrt(((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)"
+        f"          / (n - 1))"
+        f"        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / (n - n_a))) END"
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.expr("CAST(n - n_a AS BIGINT)").alias("n_b"),
+        F.expr(
+            "CASE WHEN n = 0 THEN NULL ELSE"
+            " CAST((1000 * s) div n AS BIGINT) END"
+        ).alias("mean_cents_milli"),
+        F.expr(mde).alias("mde_cents"),
+    )
+
+
+def _power_oracle() -> str:
+    mde = (
+        f"CASE WHEN n < 2 OR n_a = 0 OR n - n_a = 0 THEN NULL ELSE"
+        f" ({Z_ALPHA2!r} + {Z_BETA!r})"
+        f" * sqrt(((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)"
+        f"          / (n - 1))"
+        f"        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / (n - n_a))) END"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS x,
+         {h32_sql("'cuped:' || user_id::VARCHAR")} % 2 AS arm
+  FROM events GROUP BY user_id
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n, sum(x::HUGEINT) AS s,
+         sum(x::HUGEINT * x) AS ss,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a
+  FROM per_user
+)
+SELECT n AS n_users, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+       CASE WHEN n = 0 THEN NULL ELSE
+         CAST((1000 * s) // n AS BIGINT) END AS mean_cents_milli,
+       {mde} AS mde_cents
+FROM sums
+"""
+
+
 QUERIES = {
     "permutation_test_ab": permutation_test_ab,
     "bayesian_bootstrap_revenue_ci": bayesian_bootstrap_revenue_ci,
@@ -851,6 +1060,8 @@ QUERIES = {
     "daily_cross_correlation": daily_cross_correlation,
     "conformal_forecast_intervals": conformal_forecast_intervals,
     "bh_fdr_nation_drift": bh_fdr_nation_drift,
+    "cramers_v_nation_segment": cramers_v_nation_segment,
+    "ab_power_mde_report": ab_power_mde_report,
 }
 
 ORACLES = {
@@ -860,4 +1071,6 @@ ORACLES = {
     "daily_cross_correlation": _XCORR_SQL,
     "conformal_forecast_intervals": _CONFORMAL_SQL,
     "bh_fdr_nation_drift": _bh_oracle(),
+    "cramers_v_nation_segment": _CRAMER_SQL,
+    "ab_power_mde_report": _power_oracle(),
 }

@@ -205,6 +205,14 @@ FIXED_OUTPUT_KERNELS = [
     "quality_scorer_auc",
     # per-source rollup; sources preserved across replicas; 1 row.
     "mix_effective_sample_size",
+    # user rollup grows Kx, single-row MDE report.
+    "ab_power_mde_report",
+    # rides the memoized score relation; <=|sources| rows.
+    "jackknife_source_sensitivity",
+    # rank kernel over the Kx score relation; 10 decile rows.
+    "gains_curve_scorer",
+    # (cramers_v_nation_segment needs the customer table the replica
+    # dirs don't carry — prose row in SCALE.md only.)
 ]
 # |parts|-row labeling: output grows exactly Kx with the replica
 # part-key offsets — rows must track K while per-row work stays flat.

@@ -1231,9 +1231,12 @@ def test_round7_stats_ops_windows_partitioned_and_joins_broadcast(spark, sf_dir)
     import re
 
     from rdbms_metadata_manager_spark.queries.stats import (
+        ab_power_mde_report,
+        anova_f_order_priority,
         bayesian_bootstrap_revenue_ci,
         bh_fdr_nation_drift,
         conformal_forecast_intervals,
+        cramers_v_nation_segment,
         daily_cross_correlation,
         permutation_test_ab,
     )
@@ -1244,6 +1247,9 @@ def test_round7_stats_ops_windows_partitioned_and_joins_broadcast(spark, sf_dir)
         daily_cross_correlation,
         conformal_forecast_intervals,
         bh_fdr_nation_drift,
+        cramers_v_nation_segment,
+        ab_power_mde_report,
+        anova_f_order_priority,
     ):
         plan = physical_plan(fn(spark, sf_dir))
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):

@@ -472,6 +472,173 @@ def test_mix_ess_matches_pure_python(spark, sf_dir):
     assert r.deff_milli == (1000 * n * s2) // (s1 * s1)
 
 
+def test_cramers_v_independence_and_perfect_association(spark, tmp_path):
+    from rdbms_metadata_manager_spark.queries.stats import (
+        _CRAMER_SQL,
+        cramers_v_nation_segment,
+    )
+
+    con = duckdb.connect()
+    # independent: every (nation, segment) cell has exactly 2 rows ->
+    # o*N == rt*ct everywhere -> chi2 exactly 0, V = 0
+    d1 = tmp_path / "ind"
+    d1.mkdir()
+    con.execute(
+        f"""COPY (SELECT i AS c_custkey, (i % 3) AS c_nationkey,
+                     'SEG' || ((i // 3) % 4)::VARCHAR AS c_mktsegment
+              FROM range(0, 24) t(i))
+            TO '{d1}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    df1 = cramers_v_nation_segment(spark, str(d1))
+    assert_matches_oracle(df1, _CRAMER_SQL, str(d1))
+    r1 = df1.collect()[0]
+    assert (r1.chi2_micro, r1.cramers_v) == (0, 0.0)
+
+    # perfect: nation determines segment -> V = 1 (chi2 = N*(k-1))
+    d2 = tmp_path / "perf"
+    d2.mkdir()
+    con.execute(
+        f"""COPY (SELECT i AS c_custkey, (i % 3) AS c_nationkey,
+                     'SEG' || (i % 3)::VARCHAR AS c_mktsegment
+              FROM range(0, 30) t(i))
+            TO '{d2}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    df2 = cramers_v_nation_segment(spark, str(d2))
+    assert_matches_oracle(df2, _CRAMER_SQL, str(d2))
+    r2 = df2.collect()[0]
+    # per-cell micro-truncation bounds the error by #cells micro-units
+    assert abs(r2.cramers_v - 1.0) < 1e-6
+    assert abs(r2.chi2_micro - 30 * (3 - 1) * 1_000_000) <= 9
+
+
+def test_cramers_v_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.stats import cramers_v_nation_segment
+
+    con = duckdb.connect()
+    cells = con.execute(
+        f"""SELECT c_nationkey, c_mktsegment, count(*)::BIGINT
+            FROM '{sf_dir}/customer.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    con.close()
+    rt, ct, n = {}, {}, 0
+    for nk, seg, o in cells:
+        rt[nk] = rt.get(nk, 0) + o
+        ct[seg] = ct.get(seg, 0) + o
+        n += o
+    obs = sum(
+        ((o * n - rt[nk] * ct[seg]) ** 2 * 1_000_000) // (rt[nk] * ct[seg] * n)
+        for nk, seg, o in cells
+    )
+    e_obs = sum((rt[nk] * ct[seg] * 1_000_000) // n for nk, seg, _ in cells)
+    chi_micro = obs + 1_000_000 * n - e_obs
+    v = math.sqrt((chi_micro / 1e6) / (n * (min(len(rt), len(ct)) - 1)))
+    r = cramers_v_nation_segment(spark, sf_dir).collect()[0]
+    assert (r.n_customers, r.n_nations, r.n_segments) == (n, len(rt), len(ct))
+    assert r.chi2_micro == chi_micro
+    assert abs(r.cramers_v - v) < 1e-12
+
+
+def test_ab_power_mde_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.stats import (
+        Z_ALPHA2,
+        Z_BETA,
+        ab_power_mde_report,
+    )
+
+    con = duckdb.connect()
+    per_user = con.execute(
+        f"""SELECT user_id,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+            FROM '{sf_dir}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    con.close()
+    n = len(per_user)
+    s = sum(x for _, x in per_user)
+    ss = sum(x * x for _, x in per_user)
+    n_a = sum(1 for u, _ in per_user if _h32(f"cuped:{u}") % 2 == 0)
+    var = (ss - s * s / n) / (n - 1)
+    mde = (Z_ALPHA2 + Z_BETA) * math.sqrt(var * (1 / n_a + 1 / (n - n_a)))
+    r = ab_power_mde_report(spark, sf_dir).collect()[0]
+    assert (r.n_users, r.n_a, r.n_b) == (n, n_a, n - n_a)
+    assert r.mean_cents_milli == (1000 * s) // n
+    assert abs(r.mde_cents - mde) < 1e-9 * max(1.0, mde)
+
+
+def test_jackknife_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.curation import (
+        jackknife_source_sensitivity,
+        quality_classifier_scores,
+    )
+
+    scores = {
+        r.doc_id: r.score
+        for r in quality_classifier_scores(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    srcs = dict(
+        con.execute(
+            f"SELECT doc_id, source FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    per = {}
+    for i, sc in scores.items():
+        ns, ssum = per.get(srcs[i], (0, 0))
+        per[srcs[i]] = (ns + 1, ssum + sc)
+    n = sum(v[0] for v in per.values())
+    s = sum(v[1] for v in per.values())
+    got = {r.source: r for r in jackknife_source_sensitivity(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for src, (ns, ssum) in per.items():
+        r = got[src]
+        assert r.n_docs == ns
+        if n - ns == 0:
+            assert r.loo_mean_milli is None
+        else:
+            loo = _trunc_div(1000 * (s - ssum), n - ns)
+            assert r.loo_mean_milli == loo
+            assert r.delta_milli == loo - _trunc_div(1000 * s, n)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """div/: truncation toward zero (Python // floors)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_gains_curve_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.curation import (
+        gains_curve_scorer,
+        quality_classifier_scores,
+        quality_filter_gate,
+    )
+
+    scores = {
+        r.doc_id: r.score
+        for r in quality_classifier_scores(spark, sf_dir).collect()
+    }
+    keeps = {r.doc_id: r.keep for r in quality_filter_gate(spark, sf_dir).collect()}
+    ranked = sorted(scores, key=lambda i: (-scores[i], i))
+    n, p = len(ranked), sum(keeps.values())
+    exp = {}
+    for rk, i in enumerate(ranked, start=1):
+        dec = ((rk - 1) * 10) // n
+        nd, nk = exp.get(dec, (0, 0))
+        exp[dec] = (nd + 1, nk + (1 if keeps[i] else 0))
+    got = {r.decile: r for r in gains_curve_scorer(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    cum = 0
+    for dec in sorted(exp):
+        nd, nk = exp[dec]
+        cum += nk
+        r = got[dec]
+        assert (r.n_docs, r.n_kept) == (nd, nk)
+        assert r.cum_kept_permille == (1000 * cum) // p
+    # the curve is monotone and ends at exactly 1000 permille
+    assert got[max(exp)].cum_kept_permille == 1000
+
+
 def test_global_agg_stats_on_empty_input(spark, sf_dir, tmp_path):
     """The three global-aggregate reports (permutation, bootstrap,
     ANOVA) must yield ONE row of NULL-guarded cells on an empty
