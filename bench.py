@@ -204,6 +204,8 @@ HEADLINE = [
     "ab_power_mde_report",
     "jackknife_source_sensitivity",
     "gains_curve_scorer",
+    "cmh_return_rate_strata",
+    "minmax_skipping_audit",
 ]
 
 

@@ -625,6 +625,185 @@ ORDER BY p_brand
 """
 
 
+SKIP_FILES = 64  # simulated file count per layout
+SKIP_PROBES = 8  # equal-width probe ranges per key
+
+
+def minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) file-skipping audit — the number that
+    decides a table's physical layout at 100 TB: orders are laid out
+    into 64 equal-row files two ways (clustered by order date;
+    clustered by customer key), each file records its min/max ZONE
+    for BOTH keys (exactly what parquet row-group statistics store),
+    and 8 equal-width probe ranges per key report how many files a
+    range scan could SKIP. The expected asymmetry — a date-clustered
+    layout skips ~⅞ of files for date probes and nearly nothing for
+    customer probes — is the measured argument behind "cluster by
+    the predicate you filter on" ([[partition_layout_advisor]] ranks
+    candidate keys by cardinality heuristics; this MEASURES the
+    pruning each layout would deliver; [[zorder_locality_report]]
+    covers the both-keys-at-once compromise).
+
+    Exactness: file assignment is the exact global rank (range
+    kernel, never a one-executor sort) bucketed by
+    ((rank−1)·64) div n; zones and probe edges are exact integers;
+    overlap counting is integer comparison.
+
+    Scale: per layout, one range-kernel pass over the slim 3-column
+    projection; zones aggregate map-side to ≤64 rows; probes run on
+    a 64×8 bounded cross."""
+    from .prefix import ranged_prefix
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("ck"),
+            F.expr(f"unix_timestamp(o_orderdate) div {DAY_SECONDS}").alias("dy"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dy").alias("dy_min"),
+        F.max("dy").alias("dy_max"),
+        F.min("ck").alias("ck_min"),
+        F.max("ck").alias("ck_max"),
+    ).localCheckpoint(eager=False)
+    probe_legs = []
+    for layout, lcol in (("by_custkey", "ck"), ("by_date", "dy")):
+        ranked = ranged_prefix(
+            base, [F.col(lcol), F.col("o_orderkey")], rank_col="rk"
+        )
+        files = (
+            ranked.crossJoin(F.broadcast(tot.select("n")))
+            .select(
+                F.expr(f"CAST(((rk - 1) * {SKIP_FILES}) div n AS BIGINT)").alias(
+                    "f"
+                ),
+                "dy",
+                "ck",
+            )
+            .groupBy("f")
+            .agg(
+                F.min("dy").alias("f_dy_lo"),
+                F.max("dy").alias("f_dy_hi"),
+                F.min("ck").alias("f_ck_lo"),
+                F.max("ck").alias("f_ck_hi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        for probe_key, pcol in (("custkey", "ck"), ("date", "dy")):
+            probes = tot.select(
+                F.explode(F.expr(f"sequence(0, {SKIP_PROBES} - 1)")).alias("k"),
+                F.expr(
+                    f"greatest(({pcol}_max - {pcol}_min + 1)"
+                    f" div {SKIP_PROBES}, 1)"
+                ).alias("_step"),
+                F.col(f"{pcol}_min").alias("_lo0"),
+                F.col(f"{pcol}_max").alias("_hi0"),
+            ).select(
+                "k",
+                F.expr("_lo0 + k * _step").alias("p_lo"),
+                F.expr(
+                    f"CASE WHEN k = {SKIP_PROBES} - 1 THEN _hi0"
+                    f" ELSE _lo0 + (k + 1) * _step - 1 END"
+                ).alias("p_hi"),
+            )
+            probe_legs.append(
+                probes.join(F.broadcast(files))
+                .groupBy("k", "p_lo", "p_hi")
+                .agg(
+                    F.count(F.lit(1)).alias("files_total"),
+                    F.sum(
+                        F.expr(
+                            f"CASE WHEN f_{pcol}_hi >= p_lo"
+                            f" AND f_{pcol}_lo <= p_hi THEN 1 ELSE 0 END"
+                        )
+                    ).alias("files_touched"),
+                )
+                .select(
+                    F.lit(layout).alias("layout"),
+                    F.lit(probe_key).alias("probe_key"),
+                    F.col("k").cast("bigint").alias("probe_id"),
+                    F.col("files_total").cast("bigint").alias("files_total"),
+                    F.col("files_touched").cast("bigint").alias("files_touched"),
+                    F.expr(
+                        "CAST((1000 * (files_total - files_touched))"
+                        " div files_total AS BIGINT)"
+                    ).alias("skip_permille"),
+                )
+            )
+    out = probe_legs[0]
+    for leg in probe_legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("layout", "probe_key", "probe_id")
+
+
+def _minmax_oracle() -> str:
+    legs = []
+    for layout, lcol in (("by_custkey", "ck"), ("by_date", "dy")):
+        for probe_key, pcol in (("custkey", "ck"), ("date", "dy")):
+            legs.append(
+                f"""
+SELECT '{layout}' AS layout, '{probe_key}' AS probe_key,
+       CAST(p.k AS BIGINT) AS probe_id,
+       count(*)::BIGINT AS files_total,
+       sum(CASE WHEN f.f_{pcol}_hi >= p.p_lo AND f.f_{pcol}_lo <= p.p_hi
+                THEN 1 ELSE 0 END)::BIGINT AS files_touched,
+       CAST((1000 * (count(*) - sum(CASE WHEN f.f_{pcol}_hi >= p.p_lo
+            AND f.f_{pcol}_lo <= p.p_hi THEN 1 ELSE 0 END)))
+            // count(*) AS BIGINT) AS skip_permille
+FROM probes_{pcol} p CROSS JOIN files_{layout} f
+GROUP BY p.k, p.p_lo, p.p_hi"""
+            )
+        _ = lcol
+    union = "\nUNION ALL\n".join(legs)
+    files_ctes = ", ".join(
+        f"""
+ranked_{layout} AS (
+  SELECT *, row_number() OVER (ORDER BY {lcol}, o_orderkey) AS rk FROM base
+),
+files_{layout} AS (
+  SELECT CAST(((rk - 1) * {SKIP_FILES}) // (SELECT n FROM tot) AS BIGINT) AS f,
+         min(dy) AS f_dy_lo, max(dy) AS f_dy_hi,
+         min(ck) AS f_ck_lo, max(ck) AS f_ck_hi
+  FROM ranked_{layout}
+  GROUP BY 1
+)"""
+        for layout, lcol in (("by_custkey", "ck"), ("by_date", "dy"))
+    )
+    probes_ctes = ", ".join(
+        f"""
+probes_{pcol} AS (
+  SELECT t.k,
+         {pcol}_min + t.k * greatest(({pcol}_max - {pcol}_min + 1)
+           // {SKIP_PROBES}, 1) AS p_lo,
+         CASE WHEN t.k = {SKIP_PROBES} - 1 THEN {pcol}_max
+              ELSE {pcol}_min + (t.k + 1) * greatest(({pcol}_max - {pcol}_min
+                + 1) // {SKIP_PROBES}, 1) - 1 END AS p_hi
+  FROM tot, range(0, {SKIP_PROBES}) t(k)
+)"""
+        for pcol in ("ck", "dy")
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey AS ck,
+         epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS} AS dy
+  FROM orders
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n, min(dy) AS dy_min, max(dy) AS dy_max,
+         min(ck) AS ck_min, max(ck) AS ck_max
+  FROM base
+),
+{files_ctes},
+{probes_ctes}
+{union}
+ORDER BY layout, probe_key, probe_id
+"""
+
+
 QUERIES = {
     "duplicate_payment_candidates": duplicate_payment_candidates,
     "join_cardinality_audit": join_cardinality_audit,
@@ -632,6 +811,7 @@ QUERIES = {
     "spc_individuals_chart": spc_individuals_chart,
     "abc_inventory_classes": abc_inventory_classes,
     "revenue_bridge_decomposition": revenue_bridge_decomposition,
+    "minmax_skipping_audit": minmax_skipping_audit,
 }
 
 ORACLES = {
@@ -641,4 +821,5 @@ ORACLES = {
     "spc_individuals_chart": _SPC_SQL,
     "abc_inventory_classes": _ABC_SQL,
     "revenue_bridge_decomposition": _BRIDGE_SQL,
+    "minmax_skipping_audit": _minmax_oracle(),
 }

@@ -1053,6 +1053,128 @@ FROM sums
 """
 
 
+# --------------------------------------------------------------------------
+# cmh_return_rate_strata
+# --------------------------------------------------------------------------
+
+
+def cmh_return_rate_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel test for the order-return rate across
+    an A/A split, STRATIFIED by customer nation — the pooled-2×2 test
+    an experimentation platform needs when the outcome's base rate
+    differs by segment (a plain two-proportion z like
+    [[wilson_ci_return_rate]]'s CI is confounded by mix; CMH pools
+    the per-stratum evidence): z = (Σaᵢ − ΣEᵢ)/√(ΣVᵢ) over the 25
+    nation strata, arm = md5('cmh:'||custkey) % 2, outcome = the
+    order contains ≥1 returned line item.
+
+    Determinism: Σaᵢ is an exact integer; Eᵢ and Vᵢ are per-STRATUM
+    doubles (one identical IEEE DAG on exact counts — per-row doubles
+    are safe; only float SUMS are order-dependent) floored to integer
+    micro-units, so the cross-stratum sums are pure integers and
+    order-independent; z is one final identical DAG. floor() (never a
+    bare double→int cast: Spark truncates, DuckDB rounds).
+
+    Scale: one orders×(returned-orders) left-semi-derived flag +
+    one orders×customer broadcast-key join, one nation-keyed rollup;
+    the test itself runs on the ≤25-row stratum relation."""
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("rok"))
+        .distinct()
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    flagged = (
+        orders.join(returned, orders.o_orderkey == returned.rok, "left")
+        .select(
+            "o_custkey",
+            F.col("rok").isNotNull().cast("bigint").alias("ret"),
+            (
+                h32(F.concat(F.lit("cmh:"), F.col("o_custkey").cast("string")))
+                % 2
+            ).alias("arm"),
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    strata = flagged.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("arm") == 0).cast("bigint")).alias("n1"),
+        F.sum("ret").alias("m1"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN ret ELSE 0 END")).alias("a"),
+    )
+    e_micro = (
+        "CASE WHEN n = 0 THEN 0 ELSE CAST(floor("
+        " (CAST(n1 AS DOUBLE) * m1 / n) * 1000000) AS BIGINT) END"
+    )
+    v_micro = (
+        "CASE WHEN n < 2 THEN 0 ELSE CAST(floor("
+        " (CAST(n1 AS DOUBLE) * (n - n1) * m1 * (n - m1)"
+        "  / (CAST(n AS DOUBLE) * n * (n - 1))) * 1000000) AS BIGINT) END"
+    )
+    return (
+        strata.agg(
+            F.count(F.lit(1)).alias("n_strata"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.sum("a"), F.lit(0)).alias("sum_a"),
+            F.coalesce(F.sum(F.expr(e_micro)), F.lit(0)).alias("e_micro"),
+            F.coalesce(F.sum(F.expr(v_micro)), F.lit(0)).alias("v_micro"),
+        )
+        .select(
+            F.col("n_strata").cast("bigint").alias("n_strata"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("sum_a").cast("bigint").alias("sum_a"),
+            F.expr(
+                "CASE WHEN v_micro = 0 THEN NULL ELSE"
+                " (CAST(1000000 * sum_a - e_micro AS DOUBLE))"
+                " / sqrt(1000000.0 * CAST(v_micro AS DOUBLE)) END"
+            ).alias("cmh_z"),
+        )
+    )
+
+
+_CMH_SQL = f"""
+WITH returned AS (
+  SELECT DISTINCT l_orderkey AS rok FROM lineitem WHERE l_returnflag = 'R'
+),
+flagged AS (
+  SELECT o.o_custkey,
+         CASE WHEN r.rok IS NOT NULL THEN 1 ELSE 0 END AS ret,
+         {h32_sql("'cmh:' || o.o_custkey::VARCHAR")} % 2 AS arm,
+         c.c_nationkey
+  FROM orders o
+  LEFT JOIN returned r ON o.o_orderkey = r.rok
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+strata AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(ret)::BIGINT AS m1,
+         sum(CASE WHEN arm = 0 THEN ret ELSE 0 END)::BIGINT AS a
+  FROM flagged GROUP BY c_nationkey
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_strata,
+         coalesce(sum(n), 0)::BIGINT AS n_orders,
+         coalesce(sum(a), 0)::BIGINT AS sum_a,
+         coalesce(sum(CASE WHEN n = 0 THEN 0 ELSE CAST(floor(
+           (CAST(n1 AS DOUBLE) * m1 / n) * 1000000) AS BIGINT) END), 0)
+           AS e_micro,
+         coalesce(sum(CASE WHEN n < 2 THEN 0 ELSE CAST(floor(
+           (CAST(n1 AS DOUBLE) * (n - n1) * m1 * (n - m1)
+            / (CAST(n AS DOUBLE) * n * (n - 1))) * 1000000) AS BIGINT) END), 0)
+           AS v_micro
+  FROM strata
+)
+SELECT n_strata, n_orders, sum_a,
+       CASE WHEN v_micro = 0 THEN NULL ELSE
+         (CAST(1000000 * sum_a - e_micro AS DOUBLE))
+         / sqrt(1000000.0 * CAST(v_micro AS DOUBLE)) END AS cmh_z
+FROM agg
+"""
+
+
 QUERIES = {
     "permutation_test_ab": permutation_test_ab,
     "bayesian_bootstrap_revenue_ci": bayesian_bootstrap_revenue_ci,
@@ -1062,6 +1184,7 @@ QUERIES = {
     "bh_fdr_nation_drift": bh_fdr_nation_drift,
     "cramers_v_nation_segment": cramers_v_nation_segment,
     "ab_power_mde_report": ab_power_mde_report,
+    "cmh_return_rate_strata": cmh_return_rate_strata,
 }
 
 ORACLES = {
@@ -1073,4 +1196,5 @@ ORACLES = {
     "bh_fdr_nation_drift": _bh_oracle(),
     "cramers_v_nation_segment": _CRAMER_SQL,
     "ab_power_mde_report": _power_oracle(),
+    "cmh_return_rate_strata": _CMH_SQL,
 }

@@ -211,8 +211,11 @@ FIXED_OUTPUT_KERNELS = [
     "jackknife_source_sensitivity",
     # rank kernel over the Kx score relation; 10 decile rows.
     "gains_curve_scorer",
-    # (cramers_v_nation_segment needs the customer table the replica
-    # dirs don't carry — prose row in SCALE.md only.)
+    # (cramers_v_nation_segment and cmh_return_rate_strata need the
+    # customer table the replica dirs don't carry — prose rows in
+    # SCALE.md only.)
+    # two range-kernel passes over Kx orders; 32 bounded probe rows.
+    "minmax_skipping_audit",
 ]
 # |parts|-row labeling: output grows exactly Kx with the replica
 # part-key offsets — rows must track K while per-row work stays flat.

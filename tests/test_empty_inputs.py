@@ -151,6 +151,9 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.stats", "daily_cross_correlation"),
         ("queries.stats", "conformal_forecast_intervals"),
         ("queries.stats", "bh_fdr_nation_drift"),
+        ("queries.audit", "minmax_skipping_audit"),
+        ("llm.curation", "jackknife_source_sensitivity"),
+        ("llm.curation", "gains_curve_scorer"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

@@ -639,6 +639,121 @@ def test_gains_curve_matches_pure_python(spark, sf_dir):
     assert got[max(exp)].cum_kept_permille == 1000
 
 
+def test_cmh_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.stats import cmh_return_rate_strata
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH returned AS (
+          SELECT DISTINCT l_orderkey FROM '{sf_dir}/lineitem.parquet'
+          WHERE l_returnflag = 'R'
+        )
+        SELECT c.c_nationkey, o.o_custkey,
+               CASE WHEN r.l_orderkey IS NOT NULL THEN 1 ELSE 0 END
+        FROM '{sf_dir}/orders.parquet' o
+        LEFT JOIN returned r ON o.o_orderkey = r.l_orderkey
+        JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    con.close()
+    strata = {}
+    for nk, ck, ret in rows:
+        n, n1, m1, a = strata.get(nk, (0, 0, 0, 0))
+        arm0 = _h32(f"cmh:{ck}") % 2 == 0
+        strata[nk] = (n + 1, n1 + arm0, m1 + ret, a + (ret if arm0 else 0))
+    sum_a = sum(v[3] for v in strata.values())
+    e_micro = sum(
+        math.floor((n1 * m1 / n) * 1_000_000)
+        for n, n1, m1, _ in strata.values()
+        if n > 0
+    )
+    v_micro = sum(
+        math.floor((n1 * (n - n1) * m1 * (n - m1) / (n * n * (n - 1))) * 1_000_000)
+        for n, n1, m1, _ in strata.values()
+        if n >= 2
+    )
+    r = cmh_return_rate_strata(spark, sf_dir).collect()[0]
+    assert (r.n_strata, r.n_orders, r.sum_a) == (
+        len(strata),
+        len(rows),
+        sum_a,
+    )
+    z = (1_000_000 * sum_a - e_micro) / math.sqrt(1_000_000 * v_micro)
+    assert abs(r.cmh_z - z) < 1e-9 * max(1.0, abs(z))
+
+
+def test_minmax_skipping_layout_asymmetry(spark, sf_dir):
+    """The whole point of the audit: each layout must skip MOST files
+    for probes on its own cluster key and (on this uncorrelated
+    data) almost none for the other key — plus a full pure-Python
+    replication of zones, probes, and overlap counts."""
+    from rdbms_metadata_manager_spark.queries.audit import (
+        SKIP_FILES,
+        SKIP_PROBES,
+        minmax_skipping_audit,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o_orderkey, o_custkey,
+                   epoch_us(o_orderdate) // 1000000 // 86400
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    con.close()
+    n = len(rows)
+    keys = {"ck": lambda r: r[1], "dy": lambda r: r[2]}
+    expected = {}
+    for layout, lcol in (("by_custkey", "ck"), ("by_date", "dy")):
+        ranked = sorted(rows, key=lambda r: (keys[lcol](r), r[0]))
+        zones = {}
+        for rk, row in enumerate(ranked, start=1):
+            f = ((rk - 1) * SKIP_FILES) // n
+            z = zones.get(f)
+            dy, ck = row[2], row[1]
+            if z is None:
+                zones[f] = [dy, dy, ck, ck]
+            else:
+                z[0], z[1] = min(z[0], dy), max(z[1], dy)
+                z[2], z[3] = min(z[2], ck), max(z[3], ck)
+        for probe_key, pcol in (("custkey", "ck"), ("date", "dy")):
+            vals = [keys[pcol](r) for r in rows]
+            lo0, hi0 = min(vals), max(vals)
+            step = max((hi0 - lo0 + 1) // SKIP_PROBES, 1)
+            for k in range(SKIP_PROBES):
+                p_lo = lo0 + k * step
+                p_hi = hi0 if k == SKIP_PROBES - 1 else lo0 + (k + 1) * step - 1
+                idx = (0, 1) if pcol == "dy" else (2, 3)
+                touched = sum(
+                    1
+                    for z in zones.values()
+                    if z[idx[1]] >= p_lo and z[idx[0]] <= p_hi
+                )
+                expected[(layout, probe_key, k)] = (len(zones), touched)
+    got = {
+        (r.layout, r.probe_key, r.probe_id): r
+        for r in minmax_skipping_audit(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for key, (ft, touched) in expected.items():
+        r = got[key]
+        assert (r.files_total, r.files_touched) == (ft, touched)
+        assert r.skip_permille == (1000 * (ft - touched)) // ft
+    # the asymmetry the audit exists to measure
+    own = [
+        r.skip_permille
+        for r in got.values()
+        if (r.layout, r.probe_key) in (("by_date", "date"), ("by_custkey", "custkey"))
+    ]
+    cross = [
+        r.skip_permille
+        for r in got.values()
+        if (r.layout, r.probe_key) in (("by_date", "custkey"), ("by_custkey", "date"))
+    ]
+    assert min(own) >= 750  # own-key probes skip >= 3/4 of files
+    assert max(cross) <= 250  # cross-key probes barely skip
+
+
 def test_global_agg_stats_on_empty_input(spark, sf_dir, tmp_path):
     """The three global-aggregate reports (permutation, bootstrap,
     ANOVA) must yield ONE row of NULL-guarded cells on an empty
@@ -649,7 +764,7 @@ def test_global_agg_stats_on_empty_input(spark, sf_dir, tmp_path):
 
     os.makedirs(d)
     con = duckdb.connect()
-    for t in ["orders", "events"]:
+    for t in ["orders", "events", "customer", "lineitem"]:
         con.execute(
             f"""COPY (SELECT * FROM '{sf_dir}/{t}.parquet' LIMIT 0)
                 TO '{d}/{t}.parquet' (FORMAT PARQUET)"""
@@ -677,3 +792,14 @@ def test_global_agg_stats_on_empty_input(spark, sf_dir, tmp_path):
     anova = anova_f_order_priority(spark, d)
     assert_matches_oracle(anova, _anova_oracle(), d)
     assert anova.collect()[0].f_stat is None
+
+    from rdbms_metadata_manager_spark.queries.stats import (
+        _CMH_SQL,
+        cmh_return_rate_strata,
+    )
+
+    cmh = cmh_return_rate_strata(spark, d)
+    assert_matches_oracle(cmh, _CMH_SQL, d)
+    r = cmh.collect()[0]
+    assert (r.n_strata, r.n_orders) == (0, 0)
+    assert r.cmh_z is None
