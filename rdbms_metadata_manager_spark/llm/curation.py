@@ -373,6 +373,28 @@ QC_W_WLEN_DEV = -1     # |mean word len − 4.5 chars| per-mille, ÷4
 QC_W_NWORDS = 6        # length reward
 QC_BIAS = -100
 
+# ONE source of truth for the scorer's weight formula and the rule
+# gate's predicate, per dialect — every consumer (scores, agreement,
+# AUC, gains curve) splices these, so a weight or bound change can't
+# silently desynchronize one face from the others while each still
+# matches its own oracle (the stats._anova_terms pattern).
+CLF_SCORE_EXPR = (
+    f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
+    f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
+    f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+)
+CLF_SCORE_SQL = (
+    f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm"
+    f" + {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) // 4)"
+    f" + {QC_W_NWORDS} * n_words + {QC_BIAS}"
+)
+# identical text in both dialects
+RULE_KEEP_PRED = (
+    f"NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}"
+    f" OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}"
+    f" OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})"
+)
+
 
 _QC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -395,9 +417,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "score",
             F.expr(
-                f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
-                f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
-                f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+                CLF_SCORE_EXPR
             ),
         )
         .select(
@@ -455,15 +475,10 @@ def quality_scorer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
     scored = feats.select(
         F.expr(
-            f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
-            f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
-            f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+            CLF_SCORE_EXPR
         ).alias("score"),
         F.expr(
-            f"CASE WHEN NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}"
-            f" OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}"
-            f" OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})"
-            f" THEN 1 ELSE 0 END"
+            f"CASE WHEN {RULE_KEEP_PRED} THEN 1 ELSE 0 END"
         ).alias("pos"),
     )
     counts = scored.groupBy("score").agg(
@@ -624,15 +639,10 @@ def gains_curve_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = feats.select(
         "doc_id",
         F.expr(
-            f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
-            f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
-            f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+            CLF_SCORE_EXPR
         ).alias("score"),
         F.expr(
-            f"CASE WHEN NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}"
-            f" OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}"
-            f" OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})"
-            f" THEN 1 ELSE 0 END"
+            f"CASE WHEN {RULE_KEEP_PRED} THEN 1 ELSE 0 END"
         ).alias("pos"),
     )
     ranked = ranged_prefix(
@@ -731,15 +741,11 @@ def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
     verdicts = feats.select(
         F.expr(
-            f"NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}"
-            f" OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}"
-            f" OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})"
+            RULE_KEEP_PRED
         ).alias("rule_keep"),
         (
             F.expr(
-                f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
-                f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
-                f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+                CLF_SCORE_EXPR
             )
             >= 0
         ).alias("clf_keep"),
@@ -913,16 +919,12 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feats.withColumn(
         "score",
         F.expr(
-            f"{QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm "
-            f"+ {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) div 4) "
-            f"+ {QC_W_NWORDS} * n_words + {QC_BIAS}"
+            CLF_SCORE_EXPR
         ),
     ).withColumn(
         "keep",
         F.expr(
-            f"NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}"
-            f" OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}"
-            f" OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM})"
+            RULE_KEEP_PRED
         ),
     )
     return (

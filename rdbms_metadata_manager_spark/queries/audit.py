@@ -670,6 +670,26 @@ def minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ck").alias("ck_min"),
         F.max("ck").alias("ck_max"),
     ).localCheckpoint(eager=False)
+    # probe spines depend only on the probe KEY, not the layout —
+    # built once and reused by both layout legs
+    probe_spines = {}
+    for probe_key, pcol in (("custkey", "ck"), ("date", "dy")):
+        probe_spines[probe_key] = tot.select(
+            F.explode(F.expr(f"sequence(0, {SKIP_PROBES} - 1)")).alias("k"),
+            F.expr(
+                f"greatest(({pcol}_max - {pcol}_min + 1)"
+                f" div {SKIP_PROBES}, 1)"
+            ).alias("_step"),
+            F.col(f"{pcol}_min").alias("_lo0"),
+            F.col(f"{pcol}_max").alias("_hi0"),
+        ).select(
+            "k",
+            F.expr("_lo0 + k * _step").alias("p_lo"),
+            F.expr(
+                f"CASE WHEN k = {SKIP_PROBES} - 1 THEN _hi0"
+                f" ELSE _lo0 + (k + 1) * _step - 1 END"
+            ).alias("p_hi"),
+        )
     probe_legs = []
     for layout, lcol in (("by_custkey", "ck"), ("by_date", "dy")):
         ranked = ranged_prefix(
@@ -694,24 +714,8 @@ def minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         for probe_key, pcol in (("custkey", "ck"), ("date", "dy")):
-            probes = tot.select(
-                F.explode(F.expr(f"sequence(0, {SKIP_PROBES} - 1)")).alias("k"),
-                F.expr(
-                    f"greatest(({pcol}_max - {pcol}_min + 1)"
-                    f" div {SKIP_PROBES}, 1)"
-                ).alias("_step"),
-                F.col(f"{pcol}_min").alias("_lo0"),
-                F.col(f"{pcol}_max").alias("_hi0"),
-            ).select(
-                "k",
-                F.expr("_lo0 + k * _step").alias("p_lo"),
-                F.expr(
-                    f"CASE WHEN k = {SKIP_PROBES} - 1 THEN _hi0"
-                    f" ELSE _lo0 + (k + 1) * _step - 1 END"
-                ).alias("p_hi"),
-            )
             probe_legs.append(
-                probes.join(F.broadcast(files))
+                probe_spines[probe_key].join(F.broadcast(files))
                 .groupBy("k", "p_lo", "p_hi")
                 .agg(
                     F.count(F.lit(1)).alias("files_total"),
@@ -757,7 +761,6 @@ SELECT '{layout}' AS layout, '{probe_key}' AS probe_key,
 FROM probes_{pcol} p CROSS JOIN files_{layout} f
 GROUP BY p.k, p.p_lo, p.p_hi"""
             )
-        _ = lcol
     union = "\nUNION ALL\n".join(legs)
     files_ctes = ", ".join(
         f"""

@@ -583,16 +583,21 @@ def conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(one_group(F.col("d"))).orderBy("e", "d")
     cal_ranked = cal.withColumn("rk", F.row_number().over(w))
     cal_stats = cal.agg(F.count(F.lit(1)).alias("n_cal"))
-    qhat = (
+    # n_cal comes from cal_stats (a global agg: always one row, 0 on
+    # an empty calibration half), NEVER first() over cal_ranked —
+    # with an empty calibration side but a non-empty eval side,
+    # first() over zero rows yields NULL where the oracle counts 0
+    # (review r7 finding: confirmed divergence on 8-9-day corpora)
+    kth = (
         cal_ranked.crossJoin(F.broadcast(cal_stats))
         .agg(
-            F.first("n_cal").alias("n_cal"),
             F.expr(
                 f"min(CASE WHEN rk = CAST((9 * (n_cal + 1) + 9) div 10 AS BIGINT)"
                 f" THEN e END)"
             ).alias("q_hat_cents"),
         )
     )
+    qhat = cal_stats.crossJoin(F.broadcast(kth))
     # groupBy on the broadcast keys (never a global agg): with no
     # forecastable days the eval side is empty and the report must be
     # empty too — exactly the oracle's GROUP BY semantics
@@ -751,7 +756,11 @@ def bh_fdr_nation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(one_group(F.col("n_name"))).orderBy(
         F.abs(F.col("z_stat")).desc(), F.col("n_name")
     )
-    th_list = ", ".join(repr(t) for t in BH_Z_THRESHOLDS)
+    # CAST each literal to DOUBLE: DuckDB types a bare float literal
+    # as DECIMAL, whose decimal->double conversion is 1 ulp off
+    # Spark's for 4 of the 25 thresholds (review r7 finding — the
+    # documented bare-float-literal trap)
+    th_list = ", ".join(f"CAST({t!r} AS DOUBLE)" for t in BH_Z_THRESHOLDS)
     ranked = scored.withColumn("bh_rank", F.row_number().over(w)).withColumn(
         "_th",
         F.expr(
@@ -782,7 +791,7 @@ def bh_fdr_nation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bh_oracle() -> str:
-    th_list = ", ".join(repr(t) for t in BH_Z_THRESHOLDS)
+    th_list = ", ".join(f"CAST({t!r} AS DOUBLE)" for t in BH_Z_THRESHOLDS)
     z_expr = (
         "CASE WHEN t1 = 0 OR t2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE"
         " CASE WHEN CAST(n_first + n_second AS DOUBLE) / (t1 + t2) <= 0.0"
@@ -860,6 +869,14 @@ def cramers_v_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent — the lever that makes a float χ² portable
     (a per-cell double sum would be aggregation-order-dependent).
     V = sqrt(χ²/(N·min(R−1,C−1))) is then one identical IEEE DAG.
+
+    Audit wall (documented, like theil_sen's int64 wall): the squared
+    deviation times 10⁶ needs ~4·log₁₀(N)+6 digits, so DECIMAL(38,0)
+    /HUGEINT overflow — LOUDLY, on both engines (Spark ANSI raises,
+    DuckDB raises) — once a cell's |o·N − r·c| exceeds ~3·10¹⁵
+    (N ≳ 10⁸ customers with strong skew). Past that, drop the micro
+    factor to 10³ or pre-aggregate per segment; never a silent
+    divergence.
 
     Scale: one customer scan → one (nation, segment) rollup; margins
     and cells all live on the ≤R·C bounded relation."""
@@ -1005,9 +1022,11 @@ def ab_power_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast(d38) * F.col("x")).alias("ss"),
         F.sum((F.col("arm") == 0).cast("bigint")).alias("n_a"),
     )
+    # CAST the design constants to DOUBLE (the bare-float-literal
+    # DECIMAL trap — see BH_Z_THRESHOLDS)
     mde = (
         f"CASE WHEN n < 2 OR n_a = 0 OR n - n_a = 0 THEN NULL ELSE"
-        f" ({Z_ALPHA2!r} + {Z_BETA!r})"
+        f" (CAST({Z_ALPHA2!r} AS DOUBLE) + CAST({Z_BETA!r} AS DOUBLE))"
         f" * sqrt(((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)"
         f"          / (n - 1))"
         f"        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / (n - n_a))) END"
@@ -1027,7 +1046,7 @@ def ab_power_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _power_oracle() -> str:
     mde = (
         f"CASE WHEN n < 2 OR n_a = 0 OR n - n_a = 0 THEN NULL ELSE"
-        f" ({Z_ALPHA2!r} + {Z_BETA!r})"
+        f" (CAST({Z_ALPHA2!r} AS DOUBLE) + CAST({Z_BETA!r} AS DOUBLE))"
         f" * sqrt(((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)"
         f"          / (n - 1))"
         f"        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / (n - n_a))) END"

@@ -274,6 +274,30 @@ def test_conformal_known_band_and_coverage(spark, tmp_path):
     assert r.nominal_permille == 900
 
 
+def test_conformal_empty_calibration_half_reports_zero(spark, tmp_path):
+    """Review r7 finding (confirmed divergence): exactly 8
+    consecutive order days give ONE residual day, an EMPTY
+    calibration half, and one eval row — n_cal must be 0 on both
+    engines (it comes from the always-one-row calibration count, not
+    a first() over zero ranked rows, which yielded NULL)."""
+    from rdbms_metadata_manager_spark.queries.stats import (
+        _CONFORMAL_SQL,
+        conformal_forecast_intervals,
+    )
+
+    d = tmp_path / "conf8"
+    d.mkdir()
+    _orders(
+        d,
+        [(i, i, 10.0 + i, f"1995-01-{i:02d}", "3-MEDIUM") for i in range(1, 9)],
+    )
+    df = conformal_forecast_intervals(spark, str(d))
+    assert_matches_oracle(df, _CONFORMAL_SQL, str(d))
+    r = df.collect()[0]
+    assert (r.n_cal, r.n_eval) == (0, 1)
+    assert r.q_hat_cents is None and r.coverage_permille is None
+
+
 def test_conformal_too_few_days_is_empty(spark, tmp_path):
     """Fewer than 8 distinct days -> no forecastable day -> the
     report contracts to ZERO rows on both engines (the GROUP BY
