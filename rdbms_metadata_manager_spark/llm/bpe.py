@@ -30,6 +30,8 @@ merges broadcast); the corpus agg is computed once.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..memo import register_memo
 from pyspark.sql import functions as F
 
 from ..queries.base import load
@@ -110,7 +112,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
-_TRAIN_CACHE: dict[tuple[str, str], tuple[list[tuple], DataFrame]] = {}
+_TRAIN_CACHE: dict[tuple[str, str], tuple[list[tuple], DataFrame]] = register_memo({})
 
 
 def _trained(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:

@@ -21,6 +21,8 @@ graph diameter, and near-dup graphs are overwhelmingly tiny cliques
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..memo import register_memo
 from pyspark.sql import functions as F
 
 from ..queries.base import load
@@ -209,7 +211,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CC_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,8 @@ reference has no counterpart for:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..memo import register_memo
 from pyspark.sql import functions as F
 
 from ..queries.base import load_spread
@@ -396,7 +398,7 @@ RULE_KEEP_PRED = (
 )
 
 
-_QC_CACHE: dict[tuple[str, str], DataFrame] = {}
+_QC_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,8 +737,11 @@ def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     2(ad-bc) / ((a+b)(b+d) + (a+c)(c+d)); products ride
     DECIMAL(38,0)/HUGEINT (counts at 100 TB overflow an int64
     product), and the per-mille division splits sign from magnitude
-    because Spark's ``div`` truncates toward zero while DuckDB's
-    ``//`` floors — they disagree exactly on negative kappa.
+    defensively. Integer-division semantics (the canonical statement
+    for this repo, verified r7): Spark ``div`` and DuckDB ``//`` BOTH
+    truncate toward zero (DuckDB ``-7 // 3 = -2``), so the engines
+    agree even on negative kappa; the sign/magnitude split simply
+    makes the expression convention-independent.
     """
     feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
     verdicts = feats.select(
@@ -895,10 +900,14 @@ ORDER BY doc_id
 
 
 CAL_BIN_WIDTH = 200
-CAL_SHIFT = 1_000_000  # keeps the binned quantity positive so integer
-#                        division floors identically in both engines
-#                        (Spark div truncates toward zero, DuckDB //
-#                        floors — they differ only below zero)
+CAL_SHIFT = 1_000_000  # keeps the binned quantity positive so bin
+#                        edges are uniform regardless of division
+#                        convention. NOTE (verified r7): Spark div and
+#                        DuckDB // BOTH truncate toward zero (DuckDB
+#                        -7 // 3 = -2); see the canonical statement in
+#                        quality_scorer_agreement's docstring. The
+#                        shift is kept as a defensive invariant, not
+#                        a cross-engine necessity.
 
 
 def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:

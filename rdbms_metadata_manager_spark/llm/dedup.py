@@ -23,6 +23,8 @@ Scale design (the 100 TB story):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..memo import register_memo
 from pyspark.sql import functions as F
 
 from ..queries.base import load, load_spread
@@ -85,7 +87,7 @@ ORDER BY keeper_doc_id
 """
 
 
-_SHINGLED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLED_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,18 +107,72 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
-    words = F.split(F.col("text"), " ")
-    shingles = word_shingles(words)
-    out = (
-        docs.select(
-            "doc_id",
-            F.array_distinct(F.transform(shingles, h32)).alias("hashes"),
-        )
-        .filter(F.size("hashes") > 0)
-        .localCheckpoint(eager=True)
-    )
+    out = shingle_hashes(docs).localCheckpoint(eager=True)
     _SHINGLED_CACHE[key] = out
     return out
+
+
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, hashes) over an ARBITRARY ``(doc_id, text, …)``
+    relation — the stateless core of ``_shingled`` (which adds the
+    per-corpus memo and the load_spread input on top). Exposed so the
+    streaming ingest face (``streaming/minhash_ingest.py``) can shingle
+    a micro-batch with EXPRESSIONS IDENTICAL to the batch pipeline —
+    per-doc only (no corpus-level df cap), so a batch-local computation
+    equals the global one and the stream/batch equality test is exact.
+    Docs with no shingles (< 3 words) are excluded, mirroring the
+    ``len >= 3`` filter in ``_SHINGLED_SQL``."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.array_distinct(F.transform(word_shingles(words), h32)).alias("hashes"),
+    ).filter(F.size("hashes") > 0)
+
+
+def minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig) MinHash-16 signatures from (doc_id, hashes).
+    Explode + 16 groupBy-min aggregates, not array_min(transform(…)):
+    projection collapsing inlines the md5-heavy hashes expression into
+    every usage and the mega-expression took ~10 s of Janino compile
+    per session; the aggregate form is 16 trivial mins with map-side
+    combine — compiles instantly, same values (see
+    ``_minhash_candidate_stats``, which shares this helper)."""
+    ex = sh.select("doc_id", F.explode("hashes").alias("h"))
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return (
+        ex.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"s{i}") for i in range(MINHASH_K)]).alias("sig"))
+    )
+
+
+def minhash_band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band keys from (doc_id, sig): each
+    band's MINHASH_ROWS signature slice md5-hashed into a bucket key —
+    the 16-byte-per-(doc, band) index a production dedup service
+    maintains incrementally. Shared by the batch candidate pipeline
+    and the streaming ingest face."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * MINHASH_ROWS + 1, MINHASH_ROWS),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 _SHINGLED_SQL = f"""
@@ -129,7 +185,7 @@ WHERE len(string_split(text, ' ')) >= 3
 """
 
 
-_PAIR_COUNTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIR_COUNTS_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _capped_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +252,7 @@ common AS (
 )"""
 
 
-_JACCARD_CACHE: dict[tuple[str, str], DataFrame] = {}
+_JACCARD_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,12 +302,12 @@ ORDER BY doc_a, doc_b
 """
 
 
-_MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 COS2_THRESHOLD_PM = 500  # cos² ≥ 0.5  ⇔  cos ≥ ~0.707
 
-_TF_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TF_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _capped_tf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,7 +550,7 @@ FROM pairs
 """
 
 
-_MINHASH_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_STATS_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _minhash_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,41 +572,9 @@ def _minhash_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _MINHASH_STATS_CACHE.get(key)
     if cached is not None:
         return cached
-    # Signatures as explode + 16 groupBy-min aggregates rather than 16
-    # array_min(transform(...)) expressions over the hashes column:
-    # projection collapsing inlines the (md5-heavy) hashes expression
-    # into every usage, and the resulting mega-expression took ~10 s
-    # of Janino compile per session. The aggregate form is 16 trivial
-    # mins with map-side combine — compiles instantly, same values.
     sh = _shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("hashes").alias("h"))
-    mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"s{i}")
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    sig = (
-        ex.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"s{i}") for i in range(MINHASH_K)]).alias("sig"))
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("sig"), b * MINHASH_ROWS + 1, MINHASH_ROWS),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias("bucket"),
-        )
-        for b in range(MINHASH_BANDS)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    sig = minhash_sigs(sh)
+    bands = minhash_band_keys(sig)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from ..memo import register_memo
 from pyspark.sql import functions as F
 
 from ..queries.base import load_spread
@@ -87,7 +89,7 @@ def _fingerprints(docs: DataFrame) -> DataFrame:
 # the overlap SELF-join previously re-ran the kernel on both sides
 # (fresh lineage was required to dodge the shared-lambda self-join
 # trap — a checkpoint sidesteps it by materializing instead).
-_FP_CACHE: dict[tuple[str, str], DataFrame] = {}
+_FP_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _fingerprints_for(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,8 @@ iterations are driver-controlled with checkpointed lineage.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..memo import register_memo
 from pyspark.sql import functions as F
 
 from ..queries.base import load_spread
@@ -64,7 +66,7 @@ def _update(assigned: DataFrame) -> DataFrame:
 # probe it from every consumer" lifecycle a production IVF index has.
 # Collected doubles round-trip bit-exactly (Python float IS the IEEE
 # double Spark computed), so a memo hit changes nothing downstream.
-_CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+_CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = register_memo({})
 
 
 def trained_assignments(

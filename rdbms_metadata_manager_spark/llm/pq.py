@@ -46,6 +46,8 @@ top-k plans as TakeOrderedAndProject.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..memo import register_memo
 from pyspark.sql import functions as F
 
 from ..queries.base import load_spread
@@ -116,7 +118,7 @@ def _pq_update(assigned: DataFrame) -> DataFrame:
 # nothing downstream). Rebuilt via object-dtype pandas so the
 # non-Arrow createDataFrame verifier accepts it (round-2 failure
 # class; catalog/fixtures.py).
-_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
+_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = register_memo({})
 
 
 def _train_codebook(sv: DataFrame, cache_key: str | None = None) -> DataFrame:

@@ -32,6 +32,8 @@ rank loop's cost is independent of corpus size.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..memo import register_memo
 from pyspark.sql import functions as F
 
 from .base import load, tables
@@ -43,7 +45,7 @@ INIT_RANK = 0.04  # 1 / N_NATIONS
 ITERATIONS = 3
 
 
-_TRADE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TRADE_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

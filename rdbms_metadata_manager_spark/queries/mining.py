@@ -36,6 +36,8 @@ counterpart for, each expressed shuffle-minimally:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..memo import register_memo
 from pyspark.sql import functions as F
 
 from .base import load
@@ -51,7 +53,7 @@ MAX_BASKET = 50  # a-priori fanout guard: C(50,2) ≈ 1.2k pairs max per order
 # whose context died from being served to a new session. The value is
 # an eagerly localCheckpoint-ed DataFrame — deterministic content, so
 # a hit changes nothing downstream.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +96,7 @@ def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EDGES_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +119,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _edge_triangle_triples(e: DataFrame) -> DataFrame:
@@ -944,7 +946,7 @@ LIMIT {TOP_RULES}
 BFS_ROUNDS = 3
 
 
-_ADJ_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+_ADJ_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = register_memo({})
 
 
 def _bidir_adjacency(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:

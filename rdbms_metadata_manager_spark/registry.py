@@ -6,6 +6,18 @@ themselves via their QUERIES/ORACLES dicts; names must be globally
 unique. Queries whose semantics aren't SQL-expressible (streaming
 state, approximate ops) appear in QUERIES without an ORACLES entry —
 the driver then records a rows-only check.
+
+Execution contract (ADVICE r7 #4): registered callables are normally
+LAZY — calling ``fn(spark, sf_dir)`` builds a plan and runs nothing.
+A small documented set of driver-guided kernels is EAGER by design:
+constructing their DataFrame runs Spark jobs and bakes collected
+scalars into the returned plan (``theil_sen_daily_trend``'s histogram
+refinement, the k-means/PQ/BPE training memos, and anything riding a
+``localCheckpoint(eager=True)`` memo). Consequences for tooling:
+(a) plan-only inspection of those queries pays real computation, and
+(b) the returned plan snapshots the corpus at construction time — if
+the corpus is rewritten in place afterwards, rebuild the query (and
+see ``memo.clear_memos`` for the cache side of the same contract).
 """
 
 from __future__ import annotations

@@ -172,8 +172,16 @@ def test_replay_artifact_matches_registry():
     import json
     import os
 
+    import re
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    paths = sorted(glob.glob(os.path.join(repo, "REPLAY_FULL_r*.json")))
+    # Sort by the PARSED round number, not lexically (ADVICE r7 #3:
+    # 'r100' < 'r99' lexically, so a lexical max would silently let an
+    # old artifact govern from round 100 on).
+    paths = sorted(
+        glob.glob(os.path.join(repo, "REPLAY_FULL_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
     assert paths, "no committed full-registry replay artifact"
     with open(paths[-1]) as fh:  # newest round's artifact governs
         d = json.load(fh)
