@@ -743,6 +743,14 @@ def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree even on negative kappa; the sign/magnitude split simply
     makes the expression convention-independent.
     """
+    return _kappa_projection(_scorer_cells(spark, sf_dir))
+
+
+def _scorer_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row 2x2 confusion table between the rule cascade and the
+    linear classifier — one projection over one corpus pass, shared by
+    the kappa face and the McNemar face (so the verdict definitions
+    can never drift between the two agreement statistics)."""
     feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
     verdicts = feats.select(
         F.expr(
@@ -755,14 +763,51 @@ def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0
         ).alias("clf_keep"),
     )
-    cells = verdicts.agg(
+    return verdicts.agg(
         F.count("*").alias("n_docs"),
         F.count_if(F.col("rule_keep") & F.col("clf_keep")).alias("both_keep"),
         F.count_if(F.col("rule_keep") & ~F.col("clf_keep")).alias("rule_only"),
         F.count_if(~F.col("rule_keep") & F.col("clf_keep")).alias("clf_only"),
         F.count_if(~F.col("rule_keep") & ~F.col("clf_keep")).alias("both_drop"),
     )
-    return _kappa_projection(cells)
+
+
+def mcnemar_scorer_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on the SAME 2x2 table
+    [[quality_scorer_agreement]] reads — the question kappa does NOT
+    answer: is the disagreement between the two filters SYMMETRIC, or
+    does one systematically keep documents the other drops? Only the
+    off-diagonal cells matter (b = rule-keeps-clf-drops, c = the
+    reverse); χ² = (b−c)²/(b+c), plus the Edwards continuity-corrected
+    variant (|b−c|−1)²/(b+c) — the small-sample form a reviewer will
+    ask for. A filter swap is "safe in volume" when kappa is high AND
+    McNemar is insignificant; high kappa with a lopsided McNemar means
+    the swap silently shifts the corpus toward one filter's bias.
+
+    Exactness: all-integer cells; both statistics are exact per-mille
+    floor divisions (truncating div — identical in both engines, see
+    quality_scorer_agreement's canonical statement); b + c = 0 yields
+    NULL, |b−c| ≤ 1 pins the corrected form to 0 exactly.
+
+    Scale: rides the same one-pass projection as the kappa face —
+    the McNemar add-on is arithmetic on a 1-row relation."""
+    return _scorer_cells(spark, sf_dir).select(
+        "n_docs",
+        F.col("rule_only").alias("b_rule_only"),
+        F.col("clf_only").alias("c_clf_only"),
+        F.expr(
+            "CASE WHEN rule_only + clf_only = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE (1000 * (rule_only - clf_only) * (rule_only - clf_only))"
+            "      div (rule_only + clf_only) END"
+        ).alias("chi2_pm"),
+        F.expr(
+            "CASE WHEN rule_only + clf_only = 0 THEN CAST(NULL AS BIGINT)"
+            " WHEN abs(rule_only - clf_only) <= 1 THEN CAST(0 AS BIGINT)"
+            " ELSE (1000 * (abs(rule_only - clf_only) - 1)"
+            "       * (abs(rule_only - clf_only) - 1))"
+            "      div (rule_only + clf_only) END"
+        ).alias("chi2_cc_pm"),
+    )
 
 
 def _kappa_projection(cells: DataFrame) -> DataFrame:
@@ -1249,7 +1294,28 @@ ORDER BY p.source
 """
 
 
+# McNemar rides the kappa face's CTE chain verbatim: split
+# _AGREEMENT_SQL at its FINAL projection (the last top-level SELECT)
+# and swap in the off-diagonal test — one definition of the verdicts
+# and cells for all three agreement statistics.
+_MCNEMAR_SQL = _AGREEMENT_SQL[: _AGREEMENT_SQL.rindex("\nSELECT ")] + """
+SELECT n_docs,
+       rule_only AS b_rule_only,
+       clf_only AS c_clf_only,
+       CASE WHEN rule_only + clf_only = 0 THEN NULL
+            ELSE ((1000 * (rule_only - clf_only) * (rule_only - clf_only))
+                  // (rule_only + clf_only))::BIGINT END AS chi2_pm,
+       CASE WHEN rule_only + clf_only = 0 THEN NULL
+            WHEN abs(rule_only - clf_only) <= 1 THEN 0::BIGINT
+            ELSE ((1000 * (abs(rule_only - clf_only) - 1)
+                   * (abs(rule_only - clf_only) - 1))
+                  // (rule_only + clf_only))::BIGINT END AS chi2_cc_pm
+FROM cells
+"""
+
+
 QUERIES = {
+    "mcnemar_scorer_disagreement": mcnemar_scorer_disagreement,
     "dedup_chunk_ratio": dedup_chunk_ratio,
     "chunk_dedup_rewrite": chunk_dedup_rewrite,
     "quality_filter_gate": quality_filter_gate,
@@ -1266,6 +1332,7 @@ QUERIES = {
     "rag_chunk_overlap_stats": rag_chunk_overlap_stats,
 }
 ORACLES = {
+    "mcnemar_scorer_disagreement": _MCNEMAR_SQL,
     "dedup_chunk_ratio": _CHUNK_SQL,
     "chunk_dedup_rewrite": _CHUNK_REWRITE_SQL,
     "quality_filter_gate": _GATE_SQL,

@@ -711,7 +711,152 @@ ORDER BY event_type
 """
 
 
+ROLL_DAYS = 7  # trailing window width (inclusive of the current day)
+
+
+def rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day MEDIAN of daily order revenue — the
+    robust smoother next to [[ewma_daily_events]] (a mean-based EWMA
+    chases a single promo-day spike for a week; the rolling median
+    ignores it until spikes become the majority). SQL window frames
+    cannot express a percentile over a RANGE frame, which is exactly
+    why this is an operator and not a one-liner: the window is
+    re-expressed as a bounded self-join of the DAILY rollup against
+    its own trailing calendar week.
+
+    Exactness: daily totals are integer cents; the median is the
+    LOWER median (value at rank ⌈m/2⌉ of the ≤7 in-window days — a
+    raw daily total, never an interpolated half-cent), so both
+    engines agree bit-for-bit. Missing calendar days simply shrink
+    the window (m < 7), reported per row.
+
+    Scale: the rollup is calendar-bounded; the self-join expands it
+    ≤7x and the per-day rank runs over ≤7 rows — nothing about the
+    plan changes at 100 TB, where the only heavy stage remains the
+    one map-side-combined daily aggregate."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.expr(f"unix_timestamp(o_orderdate) div {DAY_SECONDS}").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("b.d") <= F.col("a.d")) & (F.col("b.d") > F.col("a.d") - ROLL_DAYS),
+    ).select(F.col("a.d").alias("d"), F.col("b.cents").alias("w_cents"))
+    w = Window.partitionBy("d").orderBy("w_cents")
+    return (
+        joined.withColumn("r", F.row_number().over(w))
+        .withColumn("m", F.count("*").over(Window.partitionBy("d")))
+        .groupBy("d")
+        .agg(
+            F.max("m").cast("bigint").alias("n_days_in_window"),
+            F.max(F.when(F.expr("r = (m + 1) div 2"), F.col("w_cents")))
+            .cast("bigint")
+            .alias("median_cents"),
+        )
+        .orderBy("d")
+    )
+
+
+_ROLL_MEDIAN_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS} AS d,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+windowed AS (
+  SELECT a.d, b.cents AS w_cents,
+         row_number() OVER (PARTITION BY a.d ORDER BY b.cents) AS r,
+         count(*) OVER (PARTITION BY a.d) AS m
+  FROM daily a JOIN daily b
+    ON b.d <= a.d AND b.d > a.d - {ROLL_DAYS}
+)
+SELECT d,
+       max(m)::BIGINT AS n_days_in_window,
+       max(CASE WHEN r = (m + 1) // 2 THEN w_cents END)::BIGINT AS median_cents
+FROM windowed
+GROUP BY d
+ORDER BY d
+"""
+
+
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day (the canonical
+    WAU-by-day panel) — the other aggregate SQL window frames cannot
+    express (COUNT(DISTINCT) OVER RANGE is invalid SQL in both
+    engines), and the standard workaround IS the operator: distinct
+    (day, user) pairs joined against the trailing week, then an exact
+    distinct count per anchor day.
+
+    Also reports the 1-day distinct count and the exact stickiness
+    ratio DAU/WAU in per-mille (truncating div, identical in both
+    engines) — the engagement metric this panel exists to feed.
+
+    Scale: the (day, user) distinct rollup is the only stage that
+    touches raw events (one shuffle on day+user); the trailing join
+    expands that SLIM rollup ≤7x and re-aggregates with map-side
+    combine on the day key. Skew-safe: no per-user state, no global
+    window."""
+    du = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("d"),
+            F.col("user_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    days = du.select("d").distinct()
+    a, b = days.alias("a"), du.alias("b")
+    wau = (
+        a.join(
+            b,
+            (F.col("b.d") <= F.col("a.d")) & (F.col("b.d") > F.col("a.d") - ROLL_DAYS),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.countDistinct("b.user_id").alias("wau"))
+    )
+    dau = du.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        wau.join(dau, "d")
+        .select(
+            "d",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.expr("(1000 * dau) div wau").cast("bigint").alias("stickiness_pm"),
+        )
+        .orderBy("d")
+    )
+
+
+_ROLL_DISTINCT_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS d, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+wau AS (
+  SELECT a.d, count(DISTINCT b.user_id)::BIGINT AS wau
+  FROM days a JOIN du b ON b.d <= a.d AND b.d > a.d - {ROLL_DAYS}
+  GROUP BY a.d
+),
+dau AS (SELECT d, count(DISTINCT user_id)::BIGINT AS dau FROM du GROUP BY d)
+SELECT wau.d, dau, wau, ((1000 * dau) // wau)::BIGINT AS stickiness_pm
+FROM wau JOIN dau ON wau.d = dau.d
+ORDER BY wau.d
+"""
+
+
 QUERIES = {
+    "rolling_median_daily_revenue": rolling_median_daily_revenue,
+    "rolling_distinct_users_7d": rolling_distinct_users_7d,
     "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
     "event_burstiness_fano": event_burstiness_fano,
     "ewma_daily_events": ewma_daily_events,
@@ -722,6 +867,8 @@ QUERIES = {
     "holt_trend_daily_events": holt_trend_daily_events,
 }
 ORACLES = {
+    "rolling_median_daily_revenue": _ROLL_MEDIAN_SQL,
+    "rolling_distinct_users_7d": _ROLL_DISTINCT_SQL,
     "forecast_seasonal_naive_backtest": _FORECAST_SQL,
     "event_burstiness_fano": _FANO_SQL,
     "ewma_daily_events": _EWMA_SQL,

@@ -477,7 +477,118 @@ FROM stats
 """
 
 
+AQP_RATE_PCT = 10  # deterministic ~10% per-stratum sample
+
+
+def aqp_stratified_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified approximate-query-processing estimator with its own
+    error audit — the BlinkDB/Quickstep pattern: answer "total revenue
+    by nation" from a ~10% per-stratum sample, carrying the finite-
+    population standard error, and (because this face is an AUDIT)
+    the realized error against the exact total. The sample is the
+    hash-deterministic ``md5('aqp:'||orderkey) % 100 < 10`` slice —
+    reproducible on both engines and stable under reshuffles, unlike
+    TABLESAMPLE (the [[split_train_val_test]] doctrine applied to AQP).
+
+    Exactness: the estimate N_h·Σx/n_h is an exact integer floor
+    division over DECIMAL(38,0) sums; the realized error is exact
+    per-mille; only the standard error (which carries a √) is a final
+    IEEE DAG on exact sufficient statistics — and it uses the FPC
+    form N_h²·(1−n_h/N_h)·s²_h/n_h, NULL below 2 sample rows.
+
+    Scale: ONE pass over orders computes full and sample sufficient
+    statistics together (the sample indicator is a projection, not a
+    second scan); the nation key arrives via a broadcast dim join.
+    25 strata rows do the rest."""
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    in_sample = (
+        h32(F.concat(F.lit("aqp:"), F.col("o_orderkey").cast("string"))) % 100
+        < AQP_RATE_PCT
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("in_s", in_sample)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.expr(f"sum(CAST({cents} AS DECIMAL(38,0)))").alias("s_full"),
+            F.count_if(F.col("in_s")).alias("n_s"),
+            F.expr(
+                f"sum(CASE WHEN in_s THEN CAST({cents} AS DECIMAL(38,0)) ELSE 0 END)"
+            ).alias("s_s"),
+            F.expr(
+                f"sum(CASE WHEN in_s THEN CAST({cents} AS DECIMAL(38,0)) * {cents}"
+                f" ELSE 0 END)"
+            ).alias("ss_s"),
+        )
+    )
+    return per.select(
+        "nation",
+        F.col("n_full").cast("bigint").alias("n_orders"),
+        F.col("n_s").cast("bigint").alias("n_sampled"),
+        F.expr(
+            "CASE WHEN n_s = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST((CAST(n_full AS DECIMAL(38,0)) * s_s) div n_s AS BIGINT) END"
+        ).alias("est_total_cents"),
+        F.expr("CAST(s_full AS BIGINT)").alias("true_total_cents"),
+        F.expr(
+            "CASE WHEN n_s = 0 OR s_full = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST((1000 * abs((CAST(n_full AS DECIMAL(38,0)) * s_s) div n_s"
+            "            - s_full)) div s_full AS BIGINT) END"
+        ).alias("err_pm"),
+        F.expr(
+            "CASE WHEN n_s < 2 THEN NULL ELSE"
+            " sqrt((CAST(n_full AS DOUBLE) * n_full)"
+            "      * (1.0 - CAST(n_s AS DOUBLE) / n_full)"
+            "      * ((CAST(ss_s AS DOUBLE)"
+            "          - (CAST(s_s AS DOUBLE) * CAST(s_s AS DOUBLE)) / n_s)"
+            "         / (n_s - 1))"
+            "      / n_s) END"
+        ).alias("se_cents"),
+    ).orderBy("nation")
+
+
+def _aqp_oracle() -> str:
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    in_s = f"({h32_sql(chr(39) + 'aqp:' + chr(39) + ' || o_orderkey::VARCHAR')} % 100 < {AQP_RATE_PCT})"
+    return f"""
+WITH per AS (
+  SELECT n_name AS nation,
+         count(*)::BIGINT AS n_full,
+         sum({cents}::HUGEINT) AS s_full,
+         sum(CASE WHEN {in_s} THEN 1 ELSE 0 END)::BIGINT AS n_s,
+         sum(CASE WHEN {in_s} THEN {cents}::HUGEINT ELSE 0 END) AS s_s,
+         sum(CASE WHEN {in_s} THEN {cents}::HUGEINT * {cents} ELSE 0 END) AS ss_s
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT nation, n_full AS n_orders, n_s AS n_sampled,
+       CASE WHEN n_s = 0 THEN NULL
+            ELSE ((n_full::HUGEINT * s_s) // n_s)::BIGINT END AS est_total_cents,
+       s_full::BIGINT AS true_total_cents,
+       CASE WHEN n_s = 0 OR s_full = 0 THEN NULL
+            ELSE ((1000 * abs((n_full::HUGEINT * s_s) // n_s - s_full))
+                  // s_full)::BIGINT END AS err_pm,
+       CASE WHEN n_s < 2 THEN NULL ELSE
+         sqrt((CAST(n_full AS DOUBLE) * n_full)
+              * (1.0 - CAST(n_s AS DOUBLE) / n_full)
+              * ((CAST(ss_s AS DOUBLE)
+                  - (CAST(s_s AS DOUBLE) * CAST(s_s AS DOUBLE)) / n_s)
+                 / (n_s - 1))
+              / n_s) END AS se_cents
+FROM per
+ORDER BY nation
+"""
+
+
 QUERIES = {
+    "aqp_stratified_estimate": aqp_stratified_estimate,
     "salted_join_revenue": salted_join_revenue,
     "heavy_hitter_users": heavy_hitter_users,
     "countmin_heavy_hitters": countmin_heavy_hitters,
@@ -485,6 +596,7 @@ QUERIES = {
     "bloom_filter_fpr_audit": bloom_filter_fpr_audit,
 }
 ORACLES = {
+    "aqp_stratified_estimate": _aqp_oracle(),
     "salted_join_revenue": _SALTED_SQL,
     "heavy_hitter_users": _HEAVY_SQL,
     "countmin_heavy_hitters": _CMS_SQL,

@@ -1194,7 +1194,238 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# kendall_tau_daily
+# --------------------------------------------------------------------------
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between daily event VOLUME and daily event VALUE
+    — the rank-based twin of [[daily_cross_correlation]]'s lag-0 cell
+    and [[spearman_daily_rho]]'s sibling (τ weights each discordant
+    PAIR equally; ρ squares rank gaps — run both, disagreement means
+    a few wild days carry the relationship). τ-b corrects for ties on
+    either margin, which matters here: small-count days tie on volume
+    constantly.
+
+    Exactness: concordant/discordant/tie counts are exact BIGINTs
+    (sign tests on integer differences — no float ever classifies a
+    pair); tie-pair corrections n1/n2 come from marginal COUNT
+    aggregates, never the pair join; τ-b is then ONE identical IEEE
+    DAG (nc−nd)/√((n0−n1)(n0−n2)), NULL when either factor is 0.
+
+    Scale: the pair stage is a broadcast nested-loop self-join of the
+    DAILY rollup — a calendar-bounded relation (≤ a few thousand rows
+    at ANY corpus size), so D² stays trivial at 100 TB; the tie
+    corrections are two map-side-combined aggregates over the same
+    rollup. Nothing touches raw events twice."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias("y"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pair_counts = (
+        a.join(F.broadcast(b), F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_if(
+                ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+                | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") > F.col("b.y")))
+            ).alias("nc"),
+            F.count_if(
+                ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")))
+                | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+            ).alias("nd"),
+        )
+    )
+    tx = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("n1"), F.sum("t").alias("n_days"))
+    )
+    ty = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("n2"))
+    )
+    return (
+        pair_counts.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("nc").cast("bigint").alias("concordant"),
+            F.col("nd").cast("bigint").alias("discordant"),
+            F.col("n1").cast("bigint").alias("tie_pairs_x"),
+            F.col("n2").cast("bigint").alias("tie_pairs_y"),
+            F.expr(
+                "CASE WHEN n_pairs - n1 <= 0 OR n_pairs - n2 <= 0 THEN NULL ELSE"
+                " (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))"
+                " / sqrt(CAST(n_pairs - n1 AS DOUBLE) * CAST(n_pairs - n2 AS DOUBLE))"
+                " END"
+            ).alias("tau_b"),
+        )
+    )
+
+
+_KENDALL_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS d,
+         count(*)::BIGINT AS x,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS y
+  FROM events GROUP BY 1
+),
+pair_counts AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+                  THEN 1 ELSE 0 END)::BIGINT AS nc,
+         sum(CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+                  THEN 1 ELSE 0 END)::BIGINT AS nd
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+tx AS (
+  SELECT sum(t * (t - 1) // 2)::BIGINT AS n1, sum(t)::BIGINT AS n_days
+  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY x)
+),
+ty AS (
+  SELECT sum(t * (t - 1) // 2)::BIGINT AS n2
+  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY y)
+)
+SELECT n_days,
+       nc AS concordant, nd AS discordant,
+       n1 AS tie_pairs_x, n2 AS tie_pairs_y,
+       CASE WHEN n_pairs - n1 <= 0 OR n_pairs - n2 <= 0 THEN NULL ELSE
+         (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+         / sqrt(CAST(n_pairs - n1 AS DOUBLE) * CAST(n_pairs - n2 AS DOUBLE))
+       END AS tau_b
+FROM pair_counts, tx, ty
+"""
+
+
+# --------------------------------------------------------------------------
+# brown_forsythe_priority
+# --------------------------------------------------------------------------
+
+
+def brown_forsythe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across the five
+    order-priority classes — the assumption [[anova_f_order_priority]]
+    quietly makes (equal within-group variance) gets its own referee:
+    one-way ANOVA-F on |x − median_g| (the median-centered Levene
+    variant, robust to heavy tails — the reason Brown–Forsythe beats
+    the mean-centered original on revenue-like data).
+
+    Exactness: the group centers are LOWER MEDIANS (the value at rank
+    ⌈n_g/2⌉ — a raw data cent, never an interpolated half-cent), so
+    every deviation is an exact integer and the sufficient statistics
+    ride DECIMAL(38,0)/HUGEINT exactly like the ANOVA face; F is the
+    same fixed-order IEEE DAG with the same degenerate-regime NULLs.
+
+    Scale: one rank window PARTITIONED BY the 5-value group key to
+    pick medians, then one map-side-combined aggregate over the same
+    pass's output — two shuffles total, both on the group key."""
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    w = Window.partitionBy("g").orderBy("c")
+    devs = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("g"), F.expr(cents).alias("c"))
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("n_g", F.count("*").over(Window.partitionBy("g")))
+        .withColumn(
+            "med",
+            F.max(F.when(F.expr("r = (n_g + 1) div 2"), F.col("c"))).over(
+                Window.partitionBy("g")
+            ),
+        )
+        .select("g", F.abs(F.col("c") - F.col("med")).alias("dev"))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(CAST(dev AS DECIMAL(38,0)))").alias("s"),
+        F.expr("sum(CAST(dev AS DECIMAL(38,0)) * dev)").alias("ss"),
+    ]
+    for i, prio in enumerate(_PRIORITIES, start=1):
+        aggs.append(
+            F.expr(f"sum(CASE WHEN g = '{prio}' THEN 1 ELSE 0 END)").alias(f"n_{i}")
+        )
+        aggs.append(
+            F.expr(
+                f"sum(CASE WHEN g = '{prio}' THEN CAST(dev AS DECIMAL(38,0)) ELSE 0 END)"
+            ).alias(f"s_{i}")
+        )
+    sums = devs.agg(*aggs)
+    k = " + ".join(
+        f"(CASE WHEN n_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(1, len(_PRIORITIES) + 1)
+    )
+    tb = _anova_terms("CAST")
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr(f"CAST({k} AS BIGINT)").alias("k_groups"),
+        F.expr(f"CAST(({k}) - 1 AS BIGINT)").alias("df_between"),
+        F.expr(f"CAST(n - ({k}) AS BIGINT)").alias("df_within"),
+        F.expr(
+            f"CASE WHEN n = 0 OR ({k}) < 2 OR n <= ({k})"
+            f" OR CAST(ss AS DOUBLE) - ({tb}) <= 0 THEN NULL ELSE"
+            f" ((({tb}) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)"
+            f"  / (({k}) - 1))"
+            f" / ((CAST(ss AS DOUBLE) - ({tb})) / (n - ({k}))) END"
+        ).alias("bf_stat"),
+    )
+
+
+def _bf_oracle() -> str:
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    group_cols = []
+    for i, prio in enumerate(_PRIORITIES, start=1):
+        group_cols.append(f"sum(CASE WHEN g = '{prio}' THEN 1 ELSE 0 END) AS n_{i}")
+        group_cols.append(
+            f"sum(CASE WHEN g = '{prio}' THEN dev::HUGEINT ELSE 0 END) AS s_{i}"
+        )
+    k = " + ".join(
+        f"(CASE WHEN n_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(1, len(_PRIORITIES) + 1)
+    )
+    tb = _anova_terms("CAST")
+    return f"""
+WITH ranked AS (
+  SELECT o_orderpriority AS g, {cents} AS c,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY {cents}) AS r,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n_g
+  FROM orders
+),
+meds AS (SELECT g, c AS med FROM ranked WHERE r = (n_g + 1) // 2),
+devs AS (
+  SELECT ranked.g, abs(c - med) AS dev
+  FROM ranked JOIN meds ON ranked.g = meds.g
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n, sum(dev::HUGEINT) AS s,
+         sum(dev::HUGEINT * dev) AS ss,
+         {", ".join(group_cols)}
+  FROM devs
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST({k} AS BIGINT) AS k_groups,
+       CAST(({k}) - 1 AS BIGINT) AS df_between,
+       CAST(n - ({k}) AS BIGINT) AS df_within,
+       CASE WHEN n = 0 OR ({k}) < 2 OR n <= ({k})
+            OR CAST(ss AS DOUBLE) - ({tb}) <= 0 THEN NULL ELSE
+         ((({tb}) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+          / (({k}) - 1))
+         / ((CAST(ss AS DOUBLE) - ({tb})) / (n - ({k}))) END AS bf_stat
+FROM sums
+"""
+
+
 QUERIES = {
+    "kendall_tau_daily": kendall_tau_daily,
+    "brown_forsythe_priority": brown_forsythe_priority,
     "permutation_test_ab": permutation_test_ab,
     "bayesian_bootstrap_revenue_ci": bayesian_bootstrap_revenue_ci,
     "anova_f_order_priority": anova_f_order_priority,
@@ -1207,6 +1438,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kendall_tau_daily": _KENDALL_SQL,
+    "brown_forsythe_priority": _bf_oracle(),
     "permutation_test_ab": _PERM_SQL,
     "bayesian_bootstrap_revenue_ci": _BOOT_SQL,
     "anova_f_order_priority": _anova_oracle(),
