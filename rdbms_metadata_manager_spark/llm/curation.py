@@ -1314,7 +1314,108 @@ FROM cells
 """
 
 
+DSIR_SAMPLE_DIV = 5  # target sample ≈ corpus/5
+DSIR_CUM_BUCKET = 1000  # doc_ids per prefix-sum bucket
+
+
+def dsir_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 §2: importance
+    weights are only step one — the corpus you train on is a DRAW
+    against those weights): deterministic SYSTEMATIC resampling over
+    the [[dsir_importance_weights]] scores. One stride ≈ W/m walks the
+    cumulative-weight axis; a document is selected once per stride
+    boundary inside its weight interval, so high-ratio docs can be
+    drawn multiple times (``n_copies`` — the epochs-style repetition
+    importance resampling genuinely produces) while low-ratio docs
+    drop out, with NO RNG: systematic sampling's single uniform offset
+    is pinned to 0, which keeps both engines bit-identical and the
+    draw reproducible across reruns (the md5-determinism doctrine,
+    applied to sampling).
+
+    Exactness: weights, cumulative sums, stride arithmetic — all
+    BIGINT; selection is pure integer boundary counting.
+
+    Scale: the global prefix sum is a TWO-LEVEL hierarchy (within
+    doc_id-range buckets of DSIR_CUM_BUCKET docs, plus one bounded window
+    over per-bucket totals) — never a single-partition window over
+    the corpus; at larger corpora add a level (the classic scan
+    hierarchy), each level 1000x smaller than the last."""
+    from pyspark.sql import Window
+
+    wts = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", F.col("avg_token_ratio_fp").alias("w")
+    )
+    b = wts.withColumn("bucket", F.expr(f"doc_id div {DSIR_CUM_BUCKET}"))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("local_cum", F.sum("w").over(wb))
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.sum("w").alias("bw"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bw").over(
+                    Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    totals = wts.agg(
+        F.sum("w").alias("w_total"), F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        "w_total",
+        F.expr(
+            f"greatest(CAST(1 AS BIGINT),"
+            f" w_total div greatest(CAST(1 AS BIGINT), n_docs div {DSIR_SAMPLE_DIV}))"
+        ).alias("stride"),
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "bucket")
+        .withColumn("cumw", F.col("local_cum") + F.col("offset"))
+        .crossJoin(F.broadcast(totals))
+    )
+    return (
+        cum.withColumn(
+            "n_copies", F.expr("cumw div stride - (cumw - w) div stride").cast("bigint")
+        )
+        .filter(F.col("n_copies") >= 1)
+        .select("doc_id", F.col("w").cast("bigint").alias("weight_fp"), "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+_RESAMPLE_SQL = f"""
+WITH weights AS (
+  SELECT doc_id, avg_token_ratio_fp AS w FROM ({_DSIR_SQL.replace("ORDER BY doc_id", "")})
+),
+cum AS (
+  SELECT doc_id, w,
+         sum(w) OVER (ORDER BY doc_id) AS cumw,
+         (SELECT sum(w) FROM weights) AS w_total,
+         (SELECT count(*) FROM weights) AS n_docs
+  FROM weights
+),
+strided AS (
+  SELECT doc_id, w, cumw,
+         greatest(1, w_total // greatest(1, n_docs // {DSIR_SAMPLE_DIV})) AS stride
+  FROM cum
+)
+SELECT doc_id, w::BIGINT AS weight_fp,
+       (cumw // stride - (cumw - w) // stride)::BIGINT AS n_copies
+FROM strided
+WHERE cumw // stride - (cumw - w) // stride >= 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dsir_systematic_resample": dsir_systematic_resample,
     "mcnemar_scorer_disagreement": mcnemar_scorer_disagreement,
     "dedup_chunk_ratio": dedup_chunk_ratio,
     "chunk_dedup_rewrite": chunk_dedup_rewrite,
@@ -1332,6 +1433,7 @@ QUERIES = {
     "rag_chunk_overlap_stats": rag_chunk_overlap_stats,
 }
 ORACLES = {
+    "dsir_systematic_resample": _RESAMPLE_SQL,
     "mcnemar_scorer_disagreement": _MCNEMAR_SQL,
     "dedup_chunk_ratio": _CHUNK_SQL,
     "chunk_dedup_rewrite": _CHUNK_REWRITE_SQL,

@@ -1069,7 +1069,91 @@ def _mmr_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{union}\n) ORDER BY rank"
 
 
+HUB_K = 10  # neighbourhood size for the k-occurrence count
+
+
+def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit for the embedding space (Radovanović et al.,
+    JMLR 2010): the k-occurrence N_k(x) — how many OTHER vectors list
+    x in their top-HUB_K — collapses toward a few "hub" points as
+    intrinsic dimensionality grows, which silently degrades every
+    k-NN-derived face ([[label_noise_knn_audit]] votes, [[knn_join_bruteforce]]
+    retrieval, [[semdedup_embedding_clusters]] neighbourhoods). The
+    report is the exact k-occurrence HISTOGRAM: antihubs (k_occ = 0,
+    unreachable by retrieval) at one end, hubs (k_occ ≫ k) at the
+    other; a healthy space concentrates near k_occ = HUB_K.
+
+    Exactness: neighbour ranks tie-break on vec_id over the same
+    cosine expression both engines fold identically (the
+    knn_join_bruteforce contract); the histogram and per-mille shares
+    are pure integers.
+
+    Scale: the audit is quadratic BY DEFINITION (every vector is a
+    query), so production runs it on a fixed-size sample or reuses
+    the ANN index's candidate lists; the plan itself is the
+    partition-parallel brute-force kernel with a window per query —
+    no global sort, no driver state. The left join keeps 0-occurrence
+    antihubs in the histogram (a groupBy over occurrences alone would
+    silently drop the most important bucket)."""
+    from pyspark.sql import Window
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    scored = emb.join(F.broadcast(a), F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    occ = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HUB_K)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("k_occ"))
+    )
+    per_vec = emb.select("vec_id").join(occ, "vec_id", "left").select(
+        F.coalesce(F.col("k_occ"), F.lit(0)).alias("k_occ")
+    )
+    total = per_vec.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_vec.groupBy("k_occ")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("k_occ").cast("bigint").alias("k_occ"),
+            "n_vectors",
+            F.expr("(1000 * n_vectors) div n_total").cast("bigint").alias("share_pm"),
+        )
+        .orderBy("k_occ")
+    )
+
+
+_HUBNESS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_cosine_sql("e.v", "q.v")} DESC, e.vec_id) AS rk
+  FROM e, e q WHERE e.vec_id <> q.vec_id
+),
+occ AS (
+  SELECT vec_id, count(*)::BIGINT AS k_occ
+  FROM scored WHERE rk <= {HUB_K} GROUP BY vec_id
+),
+per_vec AS (
+  SELECT coalesce(occ.k_occ, 0) AS k_occ
+  FROM e LEFT JOIN occ ON e.vec_id = occ.vec_id
+)
+SELECT k_occ::BIGINT AS k_occ, count(*)::BIGINT AS n_vectors,
+       ((1000 * count(*)) // (SELECT count(*) FROM per_vec))::BIGINT AS share_pm
+FROM per_vec
+GROUP BY k_occ
+ORDER BY k_occ
+"""
+
+
 QUERIES = {
+    "ann_hubness_audit": ann_hubness_audit,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_same_label_pairs": similarity_same_label_pairs,
@@ -1086,6 +1170,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_hubness_audit": _HUBNESS_SQL,
     "similarity_topk_bruteforce": _TOPK_SQL,
     "embedding_pair_cosine_profile": _COSINE_PROFILE_SQL,
     "similarity_ann_lsh": _ANN_SQL,

@@ -1124,204 +1124,7 @@ FROM gaps WHERE gap_days IS NOT NULL
 """
 
 
-RFM_QUINTILES = 5
-
-
-def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation over ``orders`` — the classic marketing-BI
-    rollup (recency / frequency / monetary quintile scores → named
-    segments) that completes the customer-value ladder next to
-    [[cohort_ltv_curve]] and [[pareto_revenue_concentration]].
-
-    Scores are QUANTILE-THRESHOLD based, not ntile: a global ntile
-    needs a single-partition window over every customer (the
-    anti-pattern md5_control_pairs exists to avoid), while the four
-    quintile cut points come from a cumulative count over the
-    VALUE-HISTOGRAM of each metric — recency is calendar-bounded,
-    frequency is order-count-bounded, and monetary is bucketed to
-    whole dollars (domain-bounded, the streaming-quantile argument),
-    so the histogram relation stays tiny at any corpus size. Score =
-    1 + #thresholds strictly below the value; ties share a score
-    (deterministic with NO tie-break key — strictly better than
-    ntile's arbitrary intra-tie split), so quintile populations are
-    only approximately n/5 under heavy ties, which is the standard
-    practitioner trade.
-
-    Exactness: thresholds are exact rank selections (value at
-    cumulative count ≥ ⌈q·n/5⌉); per-segment means are exact integer
-    floor divisions. Nothing floats.
-
-    Scale: one map-side-combined per-customer rollup (the only big
-    shuffle), three bounded-histogram aggregates, one broadcast of 12
-    scalar thresholds, one small groupBy over 6 segment labels."""
-    from pyspark.sql import Window
-
-    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
-    per_cust = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.max(F.expr(f"unix_timestamp(o_orderdate) div {DAY_SECONDS}")).alias(
-                "last_d"
-            ),
-            F.count(F.lit(1)).alias("freq"),
-            F.expr(f"sum({cents})").alias("mon_cents"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    max_d = per_cust.agg(F.max("last_d").alias("gmax"))
-    cust = per_cust.crossJoin(F.broadcast(max_d)).select(
-        "o_custkey",
-        (F.col("gmax") - F.col("last_d")).alias("rec_days"),
-        "freq",
-        "mon_cents",
-        F.expr("mon_cents div 100").alias("mon_dollars"),
-    )
-
-    def thresholds(metric: str, flip: bool) -> DataFrame:
-        """4 quintile cut points from the metric's value histogram;
-        ``flip`` negates so that 'better' is always 'larger'."""
-        v = F.expr(f"-{metric}") if flip else F.col(metric)
-        hist = cust.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        cum = hist.withColumn("cw", F.sum("c").over(w)).crossJoin(
-            F.broadcast(cust.agg(F.count(F.lit(1)).alias("n")))
-        )
-        aggs = [
-            F.min(
-                F.when(
-                    F.expr(f"cw >= ({q} * n + {RFM_QUINTILES} - 1) div {RFM_QUINTILES}"),
-                    F.col("v"),
-                )
-            ).alias(f"t{q}")
-            for q in range(1, RFM_QUINTILES)
-        ]
-        return cum.agg(*aggs)
-
-    def score(metric_col: str, t: str) -> str:
-        return (
-            "CAST(1 "
-            + " ".join(
-                f"+ (CASE WHEN {metric_col} > {t}_{q} THEN 1 ELSE 0 END)"
-                for q in range(1, RFM_QUINTILES)
-            )
-            + " AS BIGINT)"
-        )
-
-    tr = thresholds("rec_days", flip=True).select(
-        *[F.col(f"t{q}").alias(f"tr_{q}") for q in range(1, RFM_QUINTILES)]
-    )
-    tf = thresholds("freq", flip=False).select(
-        *[F.col(f"t{q}").alias(f"tf_{q}") for q in range(1, RFM_QUINTILES)]
-    )
-    tm = thresholds("mon_dollars", flip=False).select(
-        *[F.col(f"t{q}").alias(f"tm_{q}") for q in range(1, RFM_QUINTILES)]
-    )
-    scored = (
-        cust.crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(tf))
-        .crossJoin(F.broadcast(tm))
-        .select(
-            "o_custkey",
-            "rec_days",
-            "freq",
-            "mon_cents",
-            F.expr(score("(-rec_days)", "tr")).alias("r_score"),
-            F.expr(score("freq", "tf")).alias("f_score"),
-            F.expr(score("mon_dollars", "tm")).alias("m_score"),
-        )
-    )
-    seg = (
-        "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'"
-        " WHEN f_score >= 4 THEN 'loyal'"
-        " WHEN m_score >= 4 THEN 'big_spender'"
-        " WHEN r_score >= 4 THEN 'recent'"
-        " WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'"
-        " ELSE 'core' END"
-    )
-    return (
-        scored.groupBy(F.expr(seg).alias("segment"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.expr("sum(rec_days) div count(*)").cast("bigint").alias("mean_rec_days"),
-            F.expr("(1000 * sum(freq)) div count(*)").cast("bigint").alias("mean_freq_pm"),
-            F.expr("sum(mon_cents) div count(*)").cast("bigint").alias("mean_mon_cents"),
-        )
-        .orderBy("segment")
-    )
-
-
-def _rfm_oracle() -> str:
-    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
-    Q = RFM_QUINTILES
-
-    def thr_cte(name: str, metric: str) -> str:
-        picks = ", ".join(
-            f"min(CASE WHEN cw >= ({q} * n + {Q - 1}) // {Q} THEN v END) AS {name}_{q}"
-            for q in range(1, Q)
-        )
-        return f"""{name} AS (
-  SELECT {picks} FROM (
-    SELECT v, sum(c) OVER (ORDER BY v) AS cw, (SELECT count(*) FROM cust) AS n
-    FROM (SELECT {metric} AS v, count(*) AS c FROM cust GROUP BY 1)
-  )
-)"""
-
-    def score(metric: str, t: str) -> str:
-        return (
-            "(1 "
-            + " ".join(
-                f"+ (CASE WHEN {metric} > {t}_{q} THEN 1 ELSE 0 END)"
-                for q in range(1, Q)
-            )
-            + ")::BIGINT"
-        )
-
-    seg = (
-        "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'"
-        " WHEN f_score >= 4 THEN 'loyal'"
-        " WHEN m_score >= 4 THEN 'big_spender'"
-        " WHEN r_score >= 4 THEN 'recent'"
-        " WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'"
-        " ELSE 'core' END"
-    )
-    return f"""
-WITH per AS (
-  SELECT o_custkey,
-         max(epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS}) AS last_d,
-         count(*)::BIGINT AS freq,
-         sum({cents})::BIGINT AS mon_cents
-  FROM orders GROUP BY o_custkey
-),
-cust AS (
-  SELECT o_custkey,
-         (SELECT max(last_d) FROM per) - last_d AS rec_days,
-         freq, mon_cents, mon_cents // 100 AS mon_dollars
-  FROM per
-),
-{thr_cte("tr", "-rec_days")},
-{thr_cte("tf", "freq")},
-{thr_cte("tm", "mon_dollars")},
-scored AS (
-  SELECT o_custkey, rec_days, freq, mon_cents,
-         {score("(-rec_days)", "tr")} AS r_score,
-         {score("freq", "tf")} AS f_score,
-         {score("mon_dollars", "tm")} AS m_score
-  FROM cust, tr, tf, tm
-)
-SELECT {seg} AS segment,
-       count(*)::BIGINT AS n_customers,
-       (sum(rec_days) // count(*))::BIGINT AS mean_rec_days,
-       ((1000 * sum(freq)) // count(*))::BIGINT AS mean_freq_pm,
-       (sum(mon_cents) // count(*))::BIGINT AS mean_mon_cents
-FROM scored
-GROUP BY 1
-ORDER BY 1
-"""
-
-
 QUERIES = {
-    "rfm_customer_segments": rfm_customer_segments,
     "user_activity_streaks": user_activity_streaks,
     "ab_test_aa_calibration": ab_test_aa_calibration,
     "mann_whitney_u_test": mann_whitney_u_test,
@@ -1340,7 +1143,6 @@ QUERIES = {
     "dau_mau_stickiness": dau_mau_stickiness,
 }
 ORACLES = {
-    "rfm_customer_segments": _rfm_oracle(),
     "user_activity_streaks": _STREAKS_SQL,
     "ab_test_aa_calibration": _aa_oracle(),
     "mann_whitney_u_test": _mw_oracle(),

@@ -787,76 +787,8 @@ ORDER BY d
 """
 
 
-def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day DISTINCT active users per day (the canonical
-    WAU-by-day panel) — the other aggregate SQL window frames cannot
-    express (COUNT(DISTINCT) OVER RANGE is invalid SQL in both
-    engines), and the standard workaround IS the operator: distinct
-    (day, user) pairs joined against the trailing week, then an exact
-    distinct count per anchor day.
-
-    Also reports the 1-day distinct count and the exact stickiness
-    ratio DAU/WAU in per-mille (truncating div, identical in both
-    engines) — the engagement metric this panel exists to feed.
-
-    Scale: the (day, user) distinct rollup is the only stage that
-    touches raw events (one shuffle on day+user); the trailing join
-    expands that SLIM rollup ≤7x and re-aggregates with map-side
-    combine on the day key. Skew-safe: no per-user state, no global
-    window."""
-    du = (
-        load(spark, sf_dir, "events")
-        .select(
-            F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("d"),
-            F.col("user_id"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    days = du.select("d").distinct()
-    a, b = days.alias("a"), du.alias("b")
-    wau = (
-        a.join(
-            b,
-            (F.col("b.d") <= F.col("a.d")) & (F.col("b.d") > F.col("a.d") - ROLL_DAYS),
-        )
-        .groupBy(F.col("a.d").alias("d"))
-        .agg(F.countDistinct("b.user_id").alias("wau"))
-    )
-    dau = du.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
-    return (
-        wau.join(dau, "d")
-        .select(
-            "d",
-            F.col("dau").cast("bigint").alias("dau"),
-            F.col("wau").cast("bigint").alias("wau"),
-            F.expr("(1000 * dau) div wau").cast("bigint").alias("stickiness_pm"),
-        )
-        .orderBy("d")
-    )
-
-
-_ROLL_DISTINCT_SQL = f"""
-WITH du AS (
-  SELECT DISTINCT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS d, user_id
-  FROM events
-),
-days AS (SELECT DISTINCT d FROM du),
-wau AS (
-  SELECT a.d, count(DISTINCT b.user_id)::BIGINT AS wau
-  FROM days a JOIN du b ON b.d <= a.d AND b.d > a.d - {ROLL_DAYS}
-  GROUP BY a.d
-),
-dau AS (SELECT d, count(DISTINCT user_id)::BIGINT AS dau FROM du GROUP BY d)
-SELECT wau.d, dau, wau, ((1000 * dau) // wau)::BIGINT AS stickiness_pm
-FROM wau JOIN dau ON wau.d = dau.d
-ORDER BY wau.d
-"""
-
-
 QUERIES = {
     "rolling_median_daily_revenue": rolling_median_daily_revenue,
-    "rolling_distinct_users_7d": rolling_distinct_users_7d,
     "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
     "event_burstiness_fano": event_burstiness_fano,
     "ewma_daily_events": ewma_daily_events,
@@ -868,7 +800,6 @@ QUERIES = {
 }
 ORACLES = {
     "rolling_median_daily_revenue": _ROLL_MEDIAN_SQL,
-    "rolling_distinct_users_7d": _ROLL_DISTINCT_SQL,
     "forecast_seasonal_naive_backtest": _FORECAST_SQL,
     "event_burstiness_fano": _FANO_SQL,
     "ewma_daily_events": _EWMA_SQL,

@@ -397,7 +397,114 @@ SELECT (SELECT count(*) FROM iv)::BIGINT AS n_sessions,
 """
 
 
+WM_DELAYS_S = (0, 3600, 21600, 86400)  # candidate watermark delays
+WM_SHARDS = 32  # arrival shards (the kafka-partition model)
+WM_JITTER_S = 7200  # synthetic delivery skew bound (2 h)
+
+
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much data would each candidate watermark delay DROP? The
+    sizing study a team runs BEFORE picking the ``withWatermark``
+    horizon for the streaming faces (stream.py's documented
+    state-vs-completeness trade, stream_dedup's 36500-day choice):
+    replay the event log in arrival order and count rows whose event
+    time falls behind (running max event time − delay) — exactly the
+    late-row predicate Structured Streaming applies.
+
+    Arrival model: per-shard arrival order (``user_id % 32`` plays
+    the Kafka partition) with the watermark tracked per shard —
+    Spark's watermark is likewise computed from per-partition maxima.
+    The shipped events table carries no broker ingest timestamp (and
+    is generated already time-ordered, under which NOTHING is ever
+    late and the audit is vacuous), so arrival time is synthesized as
+    event time + md5-jitter ≤ WM_JITTER_S — the deterministic
+    delivery-skew model (in production, substitute the broker's
+    ingest timestamp column). The running max EXCLUDES the current
+    row (a watermark only advances at batch boundaries, so a row
+    never closes the gate on itself).
+
+    Exactness: pure integer epoch-seconds comparisons; the jitter is
+    the repo's md5 hash lever (identical in both engines); shares are
+    truncating per-mille divisions. No floats anywhere.
+
+    Scale: ONE ranked window per shard (partitioned — never a global
+    order), one crossJoin against a 4-row delay spine, one map-side
+    combined groupBy. At 100 TB the window shuffles on the same
+    shard key a real ingest is already partitioned by."""
+    from pyspark.sql import Window
+
+    from ..llm.hashing import h32
+
+    jitter = h32(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))) % WM_JITTER_S
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % WM_SHARDS).alias("shard"),
+        F.col("event_id"),
+        F.expr("unix_timestamp(ts)").alias("tsec"),
+    ).withColumn("atime", F.col("tsec") + jitter)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("atime", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn("runmax", F.max("tsec").over(w))
+    spine = spark.createDataFrame(
+        [(d,) for d in WM_DELAYS_S], "delay_s bigint"
+    )
+    return (
+        flagged.crossJoin(F.broadcast(spine))
+        .groupBy("delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_if(
+                F.col("runmax").isNotNull() & (F.col("tsec") < F.col("runmax") - F.col("delay_s"))
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        )
+        .select(
+            "delay_s",
+            "n_events",
+            "n_late",
+            F.expr("(1000 * n_late) div n_events").cast("bigint").alias("late_pm"),
+        )
+        .orderBy("delay_s")
+    )
+
+
+def _wm_audit_sql() -> str:
+    from ..llm.hashing import h32_sql
+
+    jitter = f"({h32_sql(chr(39) + 'arr:' + chr(39) + ' || event_id::VARCHAR')} % {WM_JITTER_S})"
+    return _WM_AUDIT_TEMPLATE.replace("__JITTER__", jitter)
+
+
+_WM_AUDIT_TEMPLATE = f"""
+WITH ev AS (
+  SELECT user_id % {WM_SHARDS} AS shard, event_id,
+         epoch_us(ts) // 1000000 AS tsec,
+         epoch_us(ts) // 1000000 + __JITTER__ AS atime
+  FROM events
+),
+flagged AS (
+  SELECT shard, tsec,
+         max(tsec) OVER (PARTITION BY shard ORDER BY atime, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+  FROM ev
+)
+SELECT delay_s::BIGINT AS delay_s,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN runmax IS NOT NULL AND tsec < runmax - delay_s
+                THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       ((1000 * sum(CASE WHEN runmax IS NOT NULL AND tsec < runmax - delay_s
+                         THEN 1 ELSE 0 END)) // count(*))::BIGINT AS late_pm
+FROM flagged, (VALUES {", ".join(f"({d})" for d in WM_DELAYS_S)}) AS t(delay_s)
+GROUP BY delay_s
+ORDER BY delay_s
+"""
+
+
 QUERIES = {
+    "watermark_lateness_audit": watermark_lateness_audit,
     "events_tumbling_hourly": events_tumbling_hourly,
     "session_pattern_abandonment": session_pattern_abandonment,
     "events_session_stats": events_session_stats,
@@ -407,6 +514,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "watermark_lateness_audit": _wm_audit_sql(),
     "events_tumbling_hourly": _TUMBLING_SQL,
     "session_pattern_abandonment": _PATTERN_SQL,
     "events_session_stats": _SESSION_SQL,

@@ -169,3 +169,270 @@ def test_stream_minhash_catches_near_dups_not_just_exact(spark, sf_dir):
     ).count()
     n_survivors = stream_survivor_spec(spark, sf_dir).count()
     assert 0 < n_survivors < n_stream
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch operators: oracle parity + independent pure-Python refs
+# ---------------------------------------------------------------------------
+
+
+def _duck(sf_dir, sql, views=("events", "orders", "documents", "embeddings",
+                              "customer", "nation", "lineitem")):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in views:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def test_kendall_tau_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.stats import (
+        _KENDALL_SQL,
+        kendall_tau_daily,
+    )
+
+    assert_matches_oracle(kendall_tau_daily(spark, sf_dir), _KENDALL_SQL, sf_dir)
+    daily = _duck(
+        sf_dir,
+        """SELECT count(*)::BIGINT, sum(CAST(floor(value*100+0.5) AS BIGINT))::BIGINT
+           FROM events GROUP BY epoch_us(ts)//1000000//86400""",
+    )
+    nc = nd = 0
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            dx = daily[i][0] - daily[j][0]
+            dy = daily[i][1] - daily[j][1]
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0 and dx != 0 and dy != 0:
+                nd += 1
+    row = kendall_tau_daily(spark, sf_dir).collect()[0]
+    assert (row["concordant"], row["discordant"]) == (nc, nd)
+    n0 = len(daily) * (len(daily) - 1) // 2
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in daily).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(y for _, y in daily).values())
+    assert (row["tie_pairs_x"], row["tie_pairs_y"]) == (n1, n2)
+    import math
+
+    want = (nc - nd) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert abs(row["tau_b"] - want) < 1e-12
+
+
+def test_brown_forsythe_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.stats import (
+        _bf_oracle,
+        brown_forsythe_priority,
+    )
+
+    assert_matches_oracle(brown_forsythe_priority(spark, sf_dir), _bf_oracle(), sf_dir)
+    rows = _duck(
+        sf_dir,
+        "SELECT o_orderpriority, CAST(floor(o_totalprice*100+0.5) AS BIGINT) FROM orders",
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, c in rows:
+        groups[g].append(c)
+    devs = []
+    for g, xs in groups.items():
+        xs.sort()
+        med = xs[(len(xs) + 1) // 2 - 1]  # lower median, rank ceil(n/2)
+        devs.extend((g, abs(x - med)) for x in xs)
+    n = len(devs)
+    k = len(groups)
+    s = sum(d for _, d in devs)
+    ss = sum(d * d for _, d in devs)
+    import math
+
+    tb = 0.0
+    for g in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"):
+        gd = [d for gg, d in devs if gg == g]
+        if gd:
+            tb += (float(sum(gd)) * float(sum(gd))) / len(gd)
+    want = ((tb - float(s) * float(s) / n) / (k - 1)) / ((float(ss) - tb) / (n - k))
+    got = brown_forsythe_priority(spark, sf_dir).collect()[0]
+    assert got["n_orders"] == n and got["k_groups"] == k
+    assert math.isclose(got["bf_stat"], want, rel_tol=1e-9)
+
+
+def test_mcnemar_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.curation import (
+        _MCNEMAR_SQL,
+        mcnemar_scorer_disagreement,
+        quality_scorer_agreement,
+    )
+
+    assert_matches_oracle(
+        mcnemar_scorer_disagreement(spark, sf_dir), _MCNEMAR_SQL, sf_dir
+    )
+    cells = quality_scorer_agreement(spark, sf_dir).collect()[0]
+    b, c = cells["rule_only"], cells["clf_only"]
+    got = mcnemar_scorer_disagreement(spark, sf_dir).collect()[0]
+    assert (got["b_rule_only"], got["c_clf_only"]) == (b, c)
+    if b + c > 0:
+        assert got["chi2_pm"] == (1000 * (b - c) * (b - c)) // (b + c)
+        d = abs(b - c)
+        want_cc = 0 if d <= 1 else (1000 * (d - 1) * (d - 1)) // (b + c)
+        assert got["chi2_cc_pm"] == want_cc
+
+
+def test_rolling_median_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.forecast import (
+        _ROLL_MEDIAN_SQL,
+        rolling_median_daily_revenue,
+    )
+
+    assert_matches_oracle(
+        rolling_median_daily_revenue(spark, sf_dir), _ROLL_MEDIAN_SQL, sf_dir
+    )
+    daily = dict(
+        _duck(
+            sf_dir,
+            """SELECT epoch_us(o_orderdate)//1000000//86400,
+                      sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT))::BIGINT
+               FROM orders GROUP BY 1""",
+        )
+    )
+    got = {r["d"]: (r["n_days_in_window"], r["median_cents"])
+           for r in rolling_median_daily_revenue(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for d in daily:
+        win = sorted(v for dd, v in daily.items() if d - 7 < dd <= d)
+        assert got[d] == (len(win), win[(len(win) + 1) // 2 - 1])
+
+
+def test_aqp_estimator_identities(spark, sf_dir):
+    """The estimate must equal N_h*Σsample/n_h exactly, the realized
+    error must be the exact per-mille, and the deterministic sample
+    must be ~10% (binomial 6-sigma band)."""
+    from rdbms_metadata_manager_spark.queries.skew import (
+        _aqp_oracle,
+        aqp_stratified_estimate,
+    )
+
+    assert_matches_oracle(aqp_stratified_estimate(spark, sf_dir), _aqp_oracle(), sf_dir)
+    rows = aqp_stratified_estimate(spark, sf_dir).collect()
+    tot_full = sum(r["n_orders"] for r in rows)
+    tot_sampled = sum(r["n_sampled"] for r in rows)
+    p = tot_sampled / tot_full
+    assert abs(p - 0.10) < 6 * (0.1 * 0.9 / tot_full) ** 0.5
+    for r in rows:
+        if r["n_sampled"] and r["true_total_cents"]:
+            assert r["err_pm"] == (
+                1000 * abs(r["est_total_cents"] - r["true_total_cents"])
+            ) // r["true_total_cents"]
+
+
+def test_hubness_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from rdbms_metadata_manager_spark.llm.similarity import (
+        _HUBNESS_SQL,
+        HUB_K,
+        ann_hubness_audit,
+    )
+
+    assert_matches_oracle(ann_hubness_audit(spark, sf_dir), _HUBNESS_SQL, sf_dir)
+    raw = _duck(sf_dir, "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id")
+    ids = np.array([r[0] for r in raw])
+    M = np.array([r[1] for r in raw], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -np.inf)
+    occ = {int(i): 0 for i in ids}
+    for qi in range(len(ids)):
+        # rank by (-cos, vec_id): stable top-K with the same tie-break
+        order = sorted(range(len(ids)), key=lambda j: (-cos[qi, j], ids[j]))
+        for j in order[:HUB_K]:
+            occ[int(ids[j])] += 1
+    from collections import Counter
+
+    want = Counter(occ.values())
+    got = {r["k_occ"]: r["n_vectors"] for r in ann_hubness_audit(spark, sf_dir).collect()}
+    assert got == dict(want)
+    assert sum(k * v for k, v in got.items()) == HUB_K * len(ids)
+
+
+def test_watermark_audit_matches_pure_python(spark, sf_dir):
+    import hashlib
+
+    from rdbms_metadata_manager_spark.streaming.events_batch import (
+        _wm_audit_sql,
+        WM_DELAYS_S,
+        WM_JITTER_S,
+        WM_SHARDS,
+        watermark_lateness_audit,
+    )
+
+    assert_matches_oracle(
+        watermark_lateness_audit(spark, sf_dir), _wm_audit_sql(), sf_dir
+    )
+    rows = _duck(
+        sf_dir,
+        "SELECT event_id, user_id, epoch_us(ts)//1000000 FROM events",
+    )
+    def jit(eid):
+        return int(hashlib.md5(f"arr:{eid}".encode()).hexdigest()[:8], 16) % WM_JITTER_S
+
+    shards = {}
+    for eid, uid, tsec in rows:
+        shards.setdefault(uid % WM_SHARDS, []).append((tsec + jit(eid), eid, tsec))
+    late = {d: 0 for d in WM_DELAYS_S}
+    for evs in shards.values():
+        evs.sort()
+        runmax = None
+        for _, _, tsec in evs:
+            if runmax is not None:
+                for d in WM_DELAYS_S:
+                    if tsec < runmax - d:
+                        late[d] += 1
+            runmax = tsec if runmax is None else max(runmax, tsec)
+    got = {r["delay_s"]: r["n_late"] for r in watermark_lateness_audit(spark, sf_dir).collect()}
+    assert got == late
+    lates = [late[d] for d in sorted(late)]
+    assert lates == sorted(lates, reverse=True), "late counts must be monotone in delay"
+
+
+def test_dsir_resample_invariants(spark, sf_dir):
+    """Boundary-counting conservation: total copies == floor(W/stride)
+    boundaries that land inside some doc's weight interval == W//stride
+    (offset 0, last boundary at W excluded iff stride divides W —
+    handled by the exact cumulative comparison below)."""
+    from rdbms_metadata_manager_spark.llm.curation import (
+        _RESAMPLE_SQL,
+        dsir_importance_weights,
+        dsir_systematic_resample,
+    )
+
+    assert_matches_oracle(
+        dsir_systematic_resample(spark, sf_dir), _RESAMPLE_SQL, sf_dir
+    )
+    wts = [
+        (r["doc_id"], r["avg_token_ratio_fp"])
+        for r in dsir_importance_weights(spark, sf_dir).collect()
+    ]
+    wts.sort()
+    W = sum(w for _, w in wts)
+    n = len(wts)
+    stride = max(1, W // max(1, n // 5))
+    cum = 0
+    want = {}
+    for doc_id, w in wts:
+        prev = cum
+        cum += w
+        copies = cum // stride - prev // stride
+        if copies >= 1:
+            want[doc_id] = copies
+    got = {r["doc_id"]: r["n_copies"] for r in dsir_systematic_resample(spark, sf_dir).collect()}
+    assert got == want
+    assert sum(got.values()) == W // stride
