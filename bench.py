@@ -206,6 +206,17 @@ HEADLINE = [
     "gains_curve_scorer",
     "cmh_return_rate_strata",
     "minmax_skipping_audit",
+    # round-8 additions (batch faces only: the two streaming faces
+    # stage their own sources per call — real operators, wrong shape
+    # for a steady-state-minimum benchmark)
+    "kendall_tau_daily",
+    "brown_forsythe_priority",
+    "mcnemar_scorer_disagreement",
+    "rolling_median_daily_revenue",
+    "aqp_stratified_estimate",
+    "watermark_lateness_audit",
+    "ann_hubness_audit",
+    "dsir_systematic_resample",
 ]
 
 

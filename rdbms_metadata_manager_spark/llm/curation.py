@@ -1414,7 +1414,82 @@ ORDER BY doc_id
 """
 
 
+def cochran_q_scorer_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE correlated binary filters — the k-way
+    generalization of [[mcnemar_scorer_disagreement]] (McNemar is
+    exactly Cochran's Q at k = 2): do the full rule cascade, the
+    linear classifier, and the bare length-window gate pass the SAME
+    documents at the same rate? A significant Q on a filter battery
+    means the battery members genuinely disagree — the check to run
+    BEFORE treating "passes 2 of 3 filters" as a quality vote.
+
+    Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) with C_j = per-filter
+    keeps, T = ΣC_j, R_i = per-document keep count — all from ONE
+    map-side-combined aggregate over the shared ``_doc_features``
+    pass (the same single-projection doctrine as the kappa face).
+
+    Exactness: every term is an exact BIGINT; Q is reported in
+    truncating per-mille; a zero denominator (all docs identical
+    across filters) yields NULL on both engines."""
+    feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
+    len_pred = f"NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS})"
+    verdicts = feats.select(
+        F.expr(RULE_KEEP_PRED).cast("int").alias("v1"),
+        (F.expr(CLF_SCORE_EXPR) >= 0).cast("int").alias("v2"),
+        F.expr(len_pred).cast("int").alias("v3"),
+    )
+    sums = verdicts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("v1").alias("c1"),
+        F.sum("v2").alias("c2"),
+        F.sum("v3").alias("c3"),
+        F.sum(F.expr("(v1 + v2 + v3) * (v1 + v2 + v3)")).alias("sum_r2"),
+    )
+    return sums.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("c1").cast("bigint").alias("keeps_rule"),
+        F.col("c2").cast("bigint").alias("keeps_clf"),
+        F.col("c3").cast("bigint").alias("keeps_len"),
+        F.lit(2).cast("bigint").alias("df"),
+        F.expr(
+            "CASE WHEN 3 * (c1 + c2 + c3) - sum_r2 = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE (1000 * 2 * (3 * (c1*c1 + c2*c2 + c3*c3)"
+            "       - (c1 + c2 + c3) * (c1 + c2 + c3)))"
+            "      div (3 * (c1 + c2 + c3) - sum_r2) END"
+        ).alias("q_pm"),
+    )
+
+
+_COCHRAN_SQL = f"""
+WITH {_DOC_FEATURES_CTES},
+v AS (
+  SELECT (NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}
+               OR mean_wlen_pm < {MIN_MWL_PM} OR mean_wlen_pm > {MAX_MWL_PM}
+               OR top_word_pm > {MAX_TOP_WORD_PM} OR stop_pm < {MIN_STOP_PM}))::INT AS v1,
+         (({QC_W_STOP} * stop_pm + {QC_W_DOMINANCE} * top_word_pm
+            + {QC_W_WLEN_DEV} * (abs(mean_wlen_pm - 4500) // 4)
+            + {QC_W_NWORDS} * n_words + {QC_BIAS}) >= 0)::INT AS v2,
+         (NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}))::INT AS v3
+  FROM scored
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(v1)::BIGINT AS c1, sum(v2)::BIGINT AS c2, sum(v3)::BIGINT AS c3,
+         sum((v1 + v2 + v3) * (v1 + v2 + v3))::BIGINT AS sum_r2
+  FROM v
+)
+SELECT n_docs, c1 AS keeps_rule, c2 AS keeps_clf, c3 AS keeps_len,
+       2::BIGINT AS df,
+       CASE WHEN 3 * (c1 + c2 + c3) - sum_r2 = 0 THEN NULL
+            ELSE ((1000 * 2 * (3 * (c1*c1 + c2*c2 + c3*c3)
+                   - (c1 + c2 + c3) * (c1 + c2 + c3)))
+                  // (3 * (c1 + c2 + c3) - sum_r2))::BIGINT END AS q_pm
+FROM sums
+"""
+
+
 QUERIES = {
+    "cochran_q_scorer_battery": cochran_q_scorer_battery,
     "dsir_systematic_resample": dsir_systematic_resample,
     "mcnemar_scorer_disagreement": mcnemar_scorer_disagreement,
     "dedup_chunk_ratio": dedup_chunk_ratio,
@@ -1433,6 +1508,7 @@ QUERIES = {
     "rag_chunk_overlap_stats": rag_chunk_overlap_stats,
 }
 ORACLES = {
+    "cochran_q_scorer_battery": _COCHRAN_SQL,
     "dsir_systematic_resample": _RESAMPLE_SQL,
     "mcnemar_scorer_disagreement": _MCNEMAR_SQL,
     "dedup_chunk_ratio": _CHUNK_SQL,

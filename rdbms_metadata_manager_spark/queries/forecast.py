@@ -787,7 +787,156 @@ ORDER BY d
 """
 
 
+CUSUM_BASE_DAYS = 14  # baseline window that sets target, slack and limit
+CUSUM_K_DIV = 20  # slack K = baseline_sum/20 (≈ half of a 10% shift)
+# decision limit H = baseline_sum (≈ 20·K, the classic h = 4–5σ regime
+# for the ~daily-count noise scale here)
+
+
+def cusum_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's one-sided CUSUM pair (C⁺/C⁻ with reset-on-alarm) over
+    the daily event rate per type — the ONLINE small-shift monitor
+    that completes the SPC family: [[spc_individuals_chart]] flags
+    single outlier days, [[changepoint_daily_events]] scans offline
+    for the single best split, CUSUM accumulates evidence day by day
+    and alarms on sustained drifts far smaller than either can see.
+
+    All-integer recursion: deviations are scaled by the baseline day
+    count (e_t = n_base·x_t − S_base), so target, slack K = S_base/20
+    and limit H = S_base are exact BIGINTs and the fold never touches
+    a float. The first CUSUM_BASE_DAYS observed days per type set the
+    baseline; monitoring starts after them. Alarms RESET the side
+    that fired (the standard restart posture).
+
+    Execution: a genuinely SEQUENTIAL fold (each state depends on the
+    previous through max(0, ·) and resets — no window frame expresses
+    it), run as an ordered in-row ``aggregate`` over the ≤days-long
+    per-type series, mirrored by DuckDB's left-to-right
+    ``list_reduce``; identical integer op sequence, so both engines
+    agree bit-for-bit (the ewma/holt doctrine, integer edition).
+
+    Scale: the sequential part runs AFTER the map-side-combined daily
+    rollup, on a calendar-bounded series — nothing about the plan
+    changes at 100 TB."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / DAY_SECONDS).alias("day_idx"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    ranked = daily.withColumn("rk", F.row_number().over(w))
+    base = ranked.filter(F.col("rk") <= CUSUM_BASE_DAYS).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum("n").alias("s_base"),
+    )
+    series = (
+        ranked.filter(F.col("rk") > CUSUM_BASE_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.array(F.col("day_idx"), F.col("n").cast("bigint")))
+            ).alias("xs"),
+            F.count(F.lit(1)).alias("n_monitored"),
+        )
+        .join(base, "event_type")
+    )
+    # state = [cplus, cminus, n_up, n_dn, first_alarm_day(0=none), max_cp, max_cm]
+    zero = F.expr("array(0L, 0L, 0L, 0L, 0L, 0L, 0L)")
+
+    def step(acc, x):
+        e = x[1] * F.col("n_base") - F.col("s_base")
+        k = F.expr(f"s_base div {CUSUM_K_DIV}")
+        h = F.col("s_base")
+        cpr = F.greatest(F.lit(0).cast("bigint"), acc[0] + e - k)
+        cmr = F.greatest(F.lit(0).cast("bigint"), acc[1] - e - k)
+        up = cpr > h
+        dn = cmr > h
+        return F.array(
+            F.when(up, F.lit(0).cast("bigint")).otherwise(cpr),
+            F.when(dn, F.lit(0).cast("bigint")).otherwise(cmr),
+            acc[2] + F.when(up, 1).otherwise(0),
+            acc[3] + F.when(dn, 1).otherwise(0),
+            F.when((acc[4] == 0) & (up | dn), x[0]).otherwise(acc[4]),
+            F.greatest(acc[5], cpr),
+            F.greatest(acc[6], cmr),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.col("n_monitored").cast("bigint").alias("n_monitored"),
+        F.col("s_base").cast("bigint").alias("s_base"),
+        F.aggregate(F.col("xs"), zero, step).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_monitored",
+        "s_base",
+        F.expr("st[2]").cast("bigint").alias("n_alarms_up"),
+        F.expr("st[3]").cast("bigint").alias("n_alarms_down"),
+        F.expr("CASE WHEN st[4] = 0 THEN CAST(NULL AS BIGINT) ELSE st[4] END").alias(
+            "first_alarm_day"
+        ),
+        F.expr("st[5]").cast("bigint").alias("max_cusum_up"),
+        F.expr("st[6]").cast("bigint").alias("max_cusum_down"),
+    ).orderBy("event_type")
+
+
+_CUSUM_CHART_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // {DAY_SECONDS} AS day_idx,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rk
+  FROM daily
+),
+base AS (
+  SELECT event_type, count(*)::BIGINT AS n_base, sum(n)::BIGINT AS s_base
+  FROM ranked WHERE rk <= {CUSUM_BASE_DAYS} GROUP BY event_type
+),
+series AS (
+  SELECT r.event_type,
+         list([r.day_idx, r.n] ORDER BY r.day_idx) AS xs,
+         count(*)::BIGINT AS n_monitored,
+         any_value(b.n_base) AS n_base, any_value(b.s_base) AS s_base
+  FROM ranked r JOIN base b USING (event_type)
+  WHERE r.rk > {CUSUM_BASE_DAYS}
+  GROUP BY r.event_type
+),
+folded AS (
+  SELECT event_type, n_monitored, s_base,
+         list_reduce(
+           list_prepend([0, 0, 0, 0, 0, 0, 0]::BIGINT[], xs),
+           (acc, x) -> [
+             CASE WHEN greatest(0, acc[1] + (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV}) > s_base
+                  THEN 0 ELSE greatest(0, acc[1] + (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV}) END,
+             CASE WHEN greatest(0, acc[2] - (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV}) > s_base
+                  THEN 0 ELSE greatest(0, acc[2] - (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV}) END,
+             acc[3] + CASE WHEN greatest(0, acc[1] + (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV}) > s_base THEN 1 ELSE 0 END,
+             acc[4] + CASE WHEN greatest(0, acc[2] - (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV}) > s_base THEN 1 ELSE 0 END,
+             CASE WHEN acc[5] = 0 AND (greatest(0, acc[1] + (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV}) > s_base
+                                       OR greatest(0, acc[2] - (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV}) > s_base)
+                  THEN x[1] ELSE acc[5] END,
+             greatest(acc[6], greatest(0, acc[1] + (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV})),
+             greatest(acc[7], greatest(0, acc[2] - (x[2] * n_base - s_base) - s_base // {CUSUM_K_DIV}))
+           ]
+         ) AS st
+  FROM series
+)
+SELECT event_type, n_monitored, s_base,
+       st[3]::BIGINT AS n_alarms_up,
+       st[4]::BIGINT AS n_alarms_down,
+       CASE WHEN st[5] = 0 THEN NULL ELSE st[5] END::BIGINT AS first_alarm_day,
+       st[6]::BIGINT AS max_cusum_up,
+       st[7]::BIGINT AS max_cusum_down
+FROM folded
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "cusum_control_chart": cusum_control_chart,
     "rolling_median_daily_revenue": rolling_median_daily_revenue,
     "forecast_seasonal_naive_backtest": forecast_seasonal_naive_backtest,
     "event_burstiness_fano": event_burstiness_fano,
@@ -799,6 +948,7 @@ QUERIES = {
     "holt_trend_daily_events": holt_trend_daily_events,
 }
 ORACLES = {
+    "cusum_control_chart": _CUSUM_CHART_SQL,
     "rolling_median_daily_revenue": _ROLL_MEDIAN_SQL,
     "forecast_seasonal_naive_backtest": _FORECAST_SQL,
     "event_burstiness_fano": _FANO_SQL,

