@@ -77,6 +77,10 @@ EMB_KERNELS = [
     # round-4: within-bucket all-pairs label vote — quadratic per
     # bucket at fixed N_PLANES, same parameter-scaling story.
     "label_noise_knn_audit",
+    # round-8: hubness is quadratic BY DEFINITION (every vector is a
+    # query) — production runs it on a fixed-size sample; measured to
+    # 3x to show the N^2 wall is the plan's declared shape.
+    "ann_hubness_audit",
 ]
 EMB_MAX_K = 3
 # Graph kernel over lineitem: replicas offset BOTH l_orderkey and
@@ -216,11 +220,36 @@ FIXED_OUTPUT_KERNELS = [
     # SCALE.md only.)
     # two range-kernel passes over Kx orders; 32 bounded probe rows.
     "minmax_skipping_audit",
+    # round-8 additions — all bounded reports:
+    # day spine constant in K -> pair join constant; 1 row out.
+    "kendall_tau_daily",
+    # per-group median window + one aggregate over Kx orders; 1 row.
+    "brown_forsythe_priority",
+    # both ride the one _doc_features pass; 1 row out each.
+    "mcnemar_scorer_disagreement",
+    "cochran_q_scorer_battery",
+    # calendar-bounded daily rollup, <=7-row windows; rows constant.
+    "rolling_median_daily_revenue",
+    # per-shard ranked replay over Kx events; 4 delay rows out.
+    "watermark_lateness_audit",
+    # daily rollup + in-row integer fold; <=|types| rows out.
+    "cusum_control_chart",
+    # 3-file stage + foreachBatch compaction over Kx lineitem;
+    # state <= CAPACITY x levels per key, 3 report rows out.
+    "streaming_quantile_state",
 ]
 # |parts|-row labeling: output grows exactly Kx with the replica
 # part-key offsets — rows must track K while per-row work stays flat.
 LINEAR_OUTPUT_KERNELS = [
     "abc_inventory_classes",
+    # round-8: systematic resample selects ~|docs|/5 rows (stride
+    # rescales with W, so per-replica draws stay proportional);
+    # rows must track K.
+    "dsir_systematic_resample",
+    # round-8: the streamed ingest's survivor list grows with the
+    # 20% split (token renaming preserves each replica's band
+    # collisions exactly, replicas share no shingles) — rows ~Kx.
+    "stream_dedup_minhash_bands",
 ]
 
 # versioned: v2 replicas added lineitem.parquet, v3 adds
