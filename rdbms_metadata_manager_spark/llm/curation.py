@@ -795,17 +795,21 @@ def mcnemar_scorer_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("rule_only").alias("b_rule_only"),
         F.col("clf_only").alias("c_clf_only"),
+        # (b-c)² products ride DECIMAL(38,0)/HUGEINT like the kappa
+        # face — counts at 100 TB overflow an int64 product (the
+        # quotient itself is ≤ 1000·max(b,c), safely BIGINT).
         F.expr(
             "CASE WHEN rule_only + clf_only = 0 THEN CAST(NULL AS BIGINT)"
-            " ELSE (1000 * (rule_only - clf_only) * (rule_only - clf_only))"
-            "      div (rule_only + clf_only) END"
+            " ELSE CAST((1000 * CAST(rule_only - clf_only AS DECIMAL(38,0))"
+            "            * (rule_only - clf_only))"
+            "      div (rule_only + clf_only) AS BIGINT) END"
         ).alias("chi2_pm"),
         F.expr(
             "CASE WHEN rule_only + clf_only = 0 THEN CAST(NULL AS BIGINT)"
             " WHEN abs(rule_only - clf_only) <= 1 THEN CAST(0 AS BIGINT)"
-            " ELSE (1000 * (abs(rule_only - clf_only) - 1)"
-            "       * (abs(rule_only - clf_only) - 1))"
-            "      div (rule_only + clf_only) END"
+            " ELSE CAST((1000 * CAST(abs(rule_only - clf_only) - 1 AS DECIMAL(38,0))"
+            "            * (abs(rule_only - clf_only) - 1))"
+            "      div (rule_only + clf_only) AS BIGINT) END"
         ).alias("chi2_cc_pm"),
     )
 
@@ -1303,11 +1307,11 @@ SELECT n_docs,
        rule_only AS b_rule_only,
        clf_only AS c_clf_only,
        CASE WHEN rule_only + clf_only = 0 THEN NULL
-            ELSE ((1000 * (rule_only - clf_only) * (rule_only - clf_only))
+            ELSE ((1000 * (rule_only - clf_only)::HUGEINT * (rule_only - clf_only))
                   // (rule_only + clf_only))::BIGINT END AS chi2_pm,
        CASE WHEN rule_only + clf_only = 0 THEN NULL
             WHEN abs(rule_only - clf_only) <= 1 THEN 0::BIGINT
-            ELSE ((1000 * (abs(rule_only - clf_only) - 1)
+            ELSE ((1000 * (abs(rule_only - clf_only) - 1)::HUGEINT
                    * (abs(rule_only - clf_only) - 1))
                   // (rule_only + clf_only))::BIGINT END AS chi2_cc_pm
 FROM cells
@@ -1451,11 +1455,16 @@ def cochran_q_scorer_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2").cast("bigint").alias("keeps_clf"),
         F.col("c3").cast("bigint").alias("keeps_len"),
         F.lit(2).cast("bigint").alias("df"),
+        # C_j² / T² products ride DECIMAL(38,0) — c_j ~ 1e10 at the
+        # 100 TB posture overflows an int64 square; the quotient is
+        # ≤ 2000·n, safely BIGINT (the kappa-face overflow doctrine).
         F.expr(
             "CASE WHEN 3 * (c1 + c2 + c3) - sum_r2 = 0 THEN CAST(NULL AS BIGINT)"
-            " ELSE (1000 * 2 * (3 * (c1*c1 + c2*c2 + c3*c3)"
-            "       - (c1 + c2 + c3) * (c1 + c2 + c3)))"
-            "      div (3 * (c1 + c2 + c3) - sum_r2) END"
+            " ELSE CAST((2000 * (3 * (CAST(c1 AS DECIMAL(38,0))*c1"
+            "                         + CAST(c2 AS DECIMAL(38,0))*c2"
+            "                         + CAST(c3 AS DECIMAL(38,0))*c3)"
+            "       - CAST(c1 + c2 + c3 AS DECIMAL(38,0)) * (c1 + c2 + c3)))"
+            "      div (3 * (c1 + c2 + c3) - sum_r2) AS BIGINT) END"
         ).alias("q_pm"),
     )
 
@@ -1481,8 +1490,8 @@ sums AS (
 SELECT n_docs, c1 AS keeps_rule, c2 AS keeps_clf, c3 AS keeps_len,
        2::BIGINT AS df,
        CASE WHEN 3 * (c1 + c2 + c3) - sum_r2 = 0 THEN NULL
-            ELSE ((1000 * 2 * (3 * (c1*c1 + c2*c2 + c3*c3)
-                   - (c1 + c2 + c3) * (c1 + c2 + c3)))
+            ELSE ((2000 * (3 * (c1::HUGEINT*c1 + c2::HUGEINT*c2 + c3::HUGEINT*c3)
+                   - (c1 + c2 + c3)::HUGEINT * (c1 + c2 + c3)))
                   // (3 * (c1 + c2 + c3) - sum_r2))::BIGINT END AS q_pm
 FROM sums
 """

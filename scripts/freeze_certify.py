@@ -144,8 +144,14 @@ def main() -> int:
         fh.write("\n".join(md) + "\n")
     print("\n".join(md[:12]))
 
-    ok = r["n_green"] == r["n_total"] and (
-        args.skip_suite or (isinstance(s, dict) and s["exit"] == 0)
+    # The replay subprocess's exit code matters independently of the
+    # artifact's counts: a crashed replay over a stale-but-green
+    # artifact must NOT certify (the exact hand-drift failure class
+    # this script exists to eliminate).
+    ok = (
+        r["exit"] == 0
+        and r["n_green"] == r["n_total"]
+        and (args.skip_suite or (isinstance(s, dict) and s["exit"] == 0))
     )
     return 0 if ok else 1
 
