@@ -33,18 +33,36 @@ def test_window_covers_reference_parity_and_llm_families():
         "schema_issues",
         "schema_issues_quirks",
         "schema_issue_summary",
-        # r7: rewritten-after-green re-proofs (VERDICT r6 item 1)
-        "theil_sen_daily_trend",
-        "approx_percentile_rank_audit",
-        "fk_inclusion_discovery",
-        # r7: code changed this round — fresh driver greens required
-        # (ADVICE r6 fixes + the tide-audit memo/plan work)
-        "quality_classifier_scores",
-        "dedup_keep_best",
-        "wald_wolfowitz_runs_test",
-        "join_cardinality_audit",
-        "formats_text_source_roundtrip",
-        # r7: streaming canaries (VERDICT r6 item 1)
+        # r8: the 14 round-7 operators the r7 window rotated past
+        # (VERDICT r7 item 1 — first hard signal)
+        "permutation_test_ab",
+        "bayesian_bootstrap_revenue_ci",
+        "anova_f_order_priority",
+        "daily_cross_correlation",
+        "conformal_forecast_intervals",
+        "bh_fdr_nation_drift",
+        "cramers_v_nation_segment",
+        "ab_power_mde_report",
+        "cmh_return_rate_strata",
+        "quality_scorer_auc",
+        "jackknife_source_sensitivity",
+        "gains_curve_scorer",
+        "mix_effective_sample_size",
+        "minmax_skipping_audit",
+        # r8: every round-8 addition rides its first window
+        "streaming_quantile_state",
+        "stream_dedup_minhash_bands",
+        "kendall_tau_daily",
+        "brown_forsythe_priority",
+        "mcnemar_scorer_disagreement",
+        "rolling_median_daily_revenue",
+        "aqp_stratified_estimate",
+        "watermark_lateness_audit",
+        "ann_hubness_audit",
+        "dsir_systematic_resample",
+        "cochran_q_scorer_battery",
+        "cusum_control_chart",
+        # streaming canaries (kept per VERDICT r7 item 1)
         "streaming_hll_distinct",
         "pyds_stream_sink_roundtrip",
     }
