@@ -217,6 +217,8 @@ HEADLINE = [
     "watermark_lateness_audit",
     "ann_hubness_audit",
     "dsir_systematic_resample",
+    "cochran_q_scorer_battery",
+    "cusum_control_chart",
 ]
 
 
