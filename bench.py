@@ -219,6 +219,18 @@ HEADLINE = [
     "dsir_systematic_resample",
     "cochran_q_scorer_battery",
     "cusum_control_chart",
+    # round-8 second-session batch: nonparametric/trend inference +
+    # the forecast-calibration trio
+    "friedman_daily_event_types",
+    "jonckheere_terpstra_priority",
+    "cochran_armitage_trend",
+    "durbin_watson_daily",
+    "welch_t_ab",
+    "mood_median_test",
+    "hodges_lehmann_shift",
+    "brier_score_decomposition",
+    "isotonic_calibration_pava",
+    "average_precision_scorer",
 ]
 
 

@@ -1,0 +1,910 @@
+"""Rank-based and trend inference — the round-8 second batch: Friedman
+repeated-measures ranks, Jonckheere–Terpstra ordered-alternative trend,
+Cochran–Armitage proportion trend, Durbin–Watson residual
+autocorrelation, Welch's unequal-variance t, Mood's median test, and
+the Hodges–Lehmann shift estimator.
+
+[beyond-reference] per SURVEY.md §2.2: the reference
+(antonylucas/rdbms-metadata-manager, app.py — a 5-rule metadata
+linter) has no statistical surface; these close the classical-test
+gaps around the existing ladder — [[kruskal_wallis_priority]] asks
+"do the groups differ?", [[jonckheere_terpstra_priority]] asks the
+sharper ordered question "do they INCREASE with priority?";
+[[brown_forsythe_priority]] referees ANOVA's variance assumption,
+[[welch_t_ab]] is the two-sample test that drops it;
+[[mann_whitney_u_test]] compares two groups' locations,
+[[mood_median_test]] extends that to k groups on counts alone and
+[[hodges_lehmann_shift]] turns the rank verdict into an estimate with
+units; [[cochran_q_scorer_battery]] handles correlated binary raters,
+[[friedman_daily_event_types]] is its graded-response twin;
+[[autocorr_daily_events]] reads raw serial correlation,
+[[durbin_watson_daily]] reads what's left of it AFTER the trend an
+OLS fit explains.
+
+Determinism doctrine (README "Correctness strategy"): sufficient
+statistics are exact integers on both engines (counts, cent sums,
+doubled midranks — 2r = 2·rank + ties − 1 keeps half-integer
+midranks integral); products ride DECIMAL(38,0)/HUGEINT; any final
+float is ONE identical IEEE scalar DAG over those exact integers
+(+,-,*,/ and correctly-rounded sqrt only — never libm), and every
+order-dependent float sum is replaced by per-term micro-flooring
+(the Cramér's V / CMH lever, [[cramers_v_nation_segment]]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..llm.hashing import h32, h32_sql
+from .base import DAY_SECONDS, load
+from .prefix import one_group, ranged_prefix
+
+CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+VCENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+PRIO_G = "CAST(substring(o_orderpriority, 1, 1) AS INT)"
+PRIO_G_SQL = "CAST(substr(o_orderpriority, 1, 1) AS INT)"
+
+
+# --------------------------------------------------------------------------
+# friedman_daily_event_types
+# --------------------------------------------------------------------------
+
+
+def friedman_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the event types keep the SAME daily
+    volume ordering day after day? Blocks = calendar days, treatments
+    = event types, response = the day's count per type (absent cells
+    count 0 — the grid is completed so every block ranks every
+    treatment). The graded-response twin of
+    [[cochran_q_scorer_battery]] (Q is Friedman on 0/1 responses) and
+    the day-blocked complement of [[drift_event_type_shares]]: shares
+    ask "did the mix move?", Friedman asks "is the ordering stable
+    enough to bet on?".
+
+    Exactness: within-day midranks are kept integral as doubled ranks
+    2r = 2·RANK + ties − 1; the tie-corrected statistic
+    χ² = (k−1)·(Σ_j R2_j² − n²k(k+1)²) / (A4 − nk(k+1)²)
+    (R2_j = per-type doubled-rank sum, A4 = Σ(2r)²) is a ratio of
+    exact DECIMAL(38,0)/HUGEINT integers reported in truncating
+    per-mille; an all-tied grid zeroes the denominator → NULL.
+
+    Scale: one (day, type)-keyed rollup over events (the only pass
+    over raw data), then windows over the DAYS×TYPES grid — a
+    calendar-bounded × small-dictionary relation, trivially
+    redistributable at 100 TB; the per-day rank window partitions on
+    the day key, never globally."""
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("d"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cell = cell.localCheckpoint(eager=False)
+    days = cell.select("d").distinct()
+    types = cell.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cell, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    r2 = grid.withColumn(
+        "r2",
+        2 * F.rank().over(Window.partitionBy("d").orderBy("cnt"))
+        + F.count(F.lit(1)).over(Window.partitionBy("d", "cnt"))
+        - 1,
+    )
+    per_type = r2.groupBy("event_type").agg(
+        F.sum(F.col("r2").cast("decimal(38,0)")).alias("r2_sum"),
+        F.sum(F.expr("CAST(r2 AS DECIMAL(38,0)) * r2")).alias("a4_j"),
+        F.count(F.lit(1)).alias("n_j"),
+    )
+    sums = per_type.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("n_j").alias("n"),
+        F.sum(F.expr("r2_sum * r2_sum")).alias("sum_r2sq"),
+        F.sum("a4_j").alias("a4"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("k").cast("bigint").alias("k_types"),
+        F.expr("CAST(k - 1 AS BIGINT)").alias("df"),
+        F.expr(
+            "CASE WHEN a4 - CAST(n AS DECIMAL(38,0)) * k * (k+1) * (k+1) <= 0"
+            " THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST((1000 * (k-1) * (sum_r2sq"
+            "        - CAST(n AS DECIMAL(38,0)) * n * k * (k+1) * (k+1)))"
+            "   div (a4 - CAST(n AS DECIMAL(38,0)) * k * (k+1) * (k+1))"
+            " AS BIGINT) END"
+        ).alias("chi2_pm"),
+    )
+
+
+_FRIEDMAN_SQL = f"""
+WITH cell AS (
+  SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS d, event_type,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT dd.d, tt.event_type, coalesce(cell.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT d FROM cell) dd
+  CROSS JOIN (SELECT DISTINCT event_type FROM cell) tt
+  LEFT JOIN cell ON cell.d = dd.d AND cell.event_type = tt.event_type
+),
+ranked AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY d ORDER BY cnt)
+           + count(*) OVER (PARTITION BY d, cnt) - 1 AS r2
+  FROM grid
+),
+pt AS (
+  SELECT event_type, sum(r2)::HUGEINT AS r2_sum,
+         sum(r2::HUGEINT * r2) AS a4_j, count(*)::BIGINT AS n_j
+  FROM ranked GROUP BY 1
+),
+s AS (
+  SELECT count(*)::BIGINT AS k, max(n_j)::BIGINT AS n,
+         sum(r2_sum * r2_sum) AS sum_r2sq, sum(a4_j) AS a4
+  FROM pt
+)
+SELECT n AS n_days, k AS k_types, CAST(k - 1 AS BIGINT) AS df,
+       CASE WHEN a4 - n::HUGEINT * k * (k+1) * (k+1) <= 0 THEN NULL ELSE
+         CAST((1000 * (k-1) * (sum_r2sq - n::HUGEINT * n * k * (k+1) * (k+1)))
+              // (a4 - n::HUGEINT * k * (k+1) * (k+1)) AS BIGINT) END AS chi2_pm
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# jonckheere_terpstra_priority
+# --------------------------------------------------------------------------
+
+
+def jonckheere_terpstra_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative trend: does order value
+    INCREASE along the priority scale 1-URGENT → 5-LOW?
+    [[kruskal_wallis_priority]] only answers "the groups differ";
+    JT spends its power on the one ordering the scale implies — it is
+    Σ over group pairs i<j of the Mann–Whitney count, so a monotone
+    drift that KW dilutes across k−1 df shows up whole here.
+
+    Exactness: pair counts come from the per-cent-value group
+    histogram — for each distinct value, concordant pairs are
+    n_g·(cumulative lower-group counts below the value) and ties
+    across groups add ½ (kept integral as doubled units, the AUC 2U
+    idiom at `llm/curation.py` quality_scorer_auc); the tie-corrected
+    moments ride exact DECIMAL(38,0)/HUGEINT sums over group sizes
+    n_i and value-tie sizes t_v, and z is ONE identical IEEE DAG
+    (the three-term Var formula with /72, /36·…, /8·… — Lehmann's
+    form) over those integers.
+
+    Scale: one groupBy(cent value) histogram (the shuffle), exclusive
+    prefix sums over the value order via the range-partitioned
+    ``ranged_prefix`` kernel — no single-partition window — and one
+    map-side-combined final rollup. Reported per-pair milli units
+    stay BIGINT at any corpus size even though raw JT grows ~n²."""
+    orders = load(spark, sf_dir, "orders")
+    conds = [
+        F.sum(F.expr(f"CASE WHEN g = {i} THEN 1 ELSE 0 END")).alias(f"n{i}")
+        for i in range(1, 6)
+    ]
+    hist = (
+        orders.select(F.expr(CENTS).alias("v"), F.expr(PRIO_G).alias("g"))
+        .groupBy("v")
+        .agg(*conds)
+    )
+    cum = ranged_prefix(hist, [F.col("v")], sum_cols=["n1", "n2", "n3", "n4"])
+    lower = {
+        2: "(cum_n1 - n1)",
+        3: "((cum_n1 - n1) + (cum_n2 - n2))",
+        4: "((cum_n1 - n1) + (cum_n2 - n2) + (cum_n3 - n3))",
+        5: "((cum_n1 - n1) + (cum_n2 - n2) + (cum_n3 - n3) + (cum_n4 - n4))",
+    }
+    tie_lower = {
+        2: "n1",
+        3: "(n1 + n2)",
+        4: "(n1 + n2 + n3)",
+        5: "(n1 + n2 + n3 + n4)",
+    }
+    jt2_expr = " + ".join(
+        f"CAST(n{g} AS DECIMAL(38,0)) * (2 * {lower[g]} + {tie_lower[g]})"
+        for g in range(2, 6)
+    )
+    t_expr = "(n1 + n2 + n3 + n4 + n5)"
+    aggs = [
+        F.sum(F.expr(jt2_expr)).alias("jt2"),
+        F.sum(F.expr(f"CAST({t_expr} AS DECIMAL(38,0)) * ({t_expr} - 1)")).alias("st2"),
+        F.sum(
+            F.expr(
+                f"CAST({t_expr} AS DECIMAL(38,0)) * ({t_expr} - 1) * ({t_expr} - 2)"
+            )
+        ).alias("st3"),
+        F.sum(
+            F.expr(
+                f"CAST({t_expr} AS DECIMAL(38,0)) * ({t_expr} - 1) * (2 * {t_expr} + 5)"
+            )
+        ).alias("stv"),
+    ] + [F.sum(f"n{i}").alias(f"m{i}") for i in range(1, 6)]
+    sums = cum.agg(*aggs)
+    n = "(m1 + m2 + m3 + m4 + m5)"
+    sumsq = " + ".join(f"CAST(m{i} AS DECIMAL(38,0)) * m{i}" for i in range(1, 6))
+    sn2 = " + ".join(f"CAST(m{i} AS DECIMAL(38,0)) * (m{i} - 1)" for i in range(1, 6))
+    sn3 = " + ".join(
+        f"CAST(m{i} AS DECIMAL(38,0)) * (m{i} - 1) * (m{i} - 2)" for i in range(1, 6)
+    )
+    snv = " + ".join(
+        f"CAST(m{i} AS DECIMAL(38,0)) * (m{i} - 1) * (2 * m{i} + 5)"
+        for i in range(1, 6)
+    )
+    mean2 = f"((CAST({n} AS DECIMAL(38,0)) * {n} - ({sumsq})) div 2)"
+    a_term = (
+        f"(CAST({n} AS DECIMAL(38,0)) * ({n} - 1) * (2 * {n} + 5)"
+        f" - ({snv}) - stv)"
+    )
+    var = (
+        f"(CAST({a_term} AS DOUBLE) / 72"
+        f" + CAST({sn3} AS DOUBLE) * CAST(st3 AS DOUBLE)"
+        f"   / (36 * CAST({n} AS DOUBLE) * ({n} - 1) * ({n} - 2))"
+        f" + CAST({sn2} AS DOUBLE) * CAST(st2 AS DOUBLE)"
+        f"   / (8 * CAST({n} AS DOUBLE) * ({n} - 1)))"
+    )
+    return sums.select(
+        F.expr(f"CAST({n} AS BIGINT)").alias("n_orders"),
+        F.expr(
+            f"CAST((1000 * jt2) div (CAST({n} AS DECIMAL(38,0)) * ({n} - 1))"
+            " AS BIGINT)"
+        ).alias("jt_milli_per_pair"),
+        F.expr(
+            f"CAST((1000 * {mean2}) div (CAST({n} AS DECIMAL(38,0)) * ({n} - 1))"
+            " AS BIGINT)"
+        ).alias("mean_milli_per_pair"),
+        F.expr(
+            f"CASE WHEN {n} < 3 OR {var} <= 0 THEN NULL ELSE"
+            f" (CAST(jt2 - {mean2} AS DOUBLE) / 2) / sqrt({var}) END"
+        ).alias("jt_z"),
+    )
+
+
+def _jt_oracle() -> str:
+    conds = ", ".join(
+        f"sum(CASE WHEN g = {i} THEN 1 ELSE 0 END)::BIGINT AS n{i}"
+        for i in range(1, 6)
+    )
+    lower = {
+        2: "(cum_n1 - n1)",
+        3: "((cum_n1 - n1) + (cum_n2 - n2))",
+        4: "((cum_n1 - n1) + (cum_n2 - n2) + (cum_n3 - n3))",
+        5: "((cum_n1 - n1) + (cum_n2 - n2) + (cum_n3 - n3) + (cum_n4 - n4))",
+    }
+    tie_lower = {2: "n1", 3: "(n1 + n2)", 4: "(n1 + n2 + n3)", 5: "(n1 + n2 + n3 + n4)"}
+    jt2 = " + ".join(
+        f"n{g}::HUGEINT * (2 * {lower[g]} + {tie_lower[g]})" for g in range(2, 6)
+    )
+    cums = ", ".join(
+        f"sum(n{i}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        f" AS cum_n{i}"
+        for i in range(1, 5)
+    )
+    t = "(n1 + n2 + n3 + n4 + n5)"
+    n = "(m1 + m2 + m3 + m4 + m5)"
+    sumsq = " + ".join(f"m{i}::HUGEINT * m{i}" for i in range(1, 6))
+    sn2 = " + ".join(f"m{i}::HUGEINT * (m{i} - 1)" for i in range(1, 6))
+    sn3 = " + ".join(f"m{i}::HUGEINT * (m{i} - 1) * (m{i} - 2)" for i in range(1, 6))
+    snv = " + ".join(
+        f"m{i}::HUGEINT * (m{i} - 1) * (2 * m{i} + 5)" for i in range(1, 6)
+    )
+    mean2 = f"(({n}::HUGEINT * {n} - ({sumsq})) // 2)"
+    a_term = f"({n}::HUGEINT * ({n} - 1) * (2 * {n} + 5) - ({snv}) - stv)"
+    var = (
+        f"(CAST({a_term} AS DOUBLE) / 72"
+        f" + CAST({sn3} AS DOUBLE) * CAST(st3 AS DOUBLE)"
+        f"   / (36 * CAST({n} AS DOUBLE) * ({n} - 1) * ({n} - 2))"
+        f" + CAST({sn2} AS DOUBLE) * CAST(st2 AS DOUBLE)"
+        f"   / (8 * CAST({n} AS DOUBLE) * ({n} - 1)))"
+    )
+    return f"""
+WITH hist AS (
+  SELECT {CENTS.replace("o_totalprice", "o_totalprice")} AS v, {conds}
+  FROM (SELECT o_totalprice, {PRIO_G_SQL} AS g FROM orders)
+  GROUP BY 1
+),
+cum AS (SELECT *, {cums} FROM hist),
+sums AS (
+  SELECT sum({jt2}) AS jt2,
+         sum({t}::HUGEINT * ({t} - 1)) AS st2,
+         sum({t}::HUGEINT * ({t} - 1) * ({t} - 2)) AS st3,
+         sum({t}::HUGEINT * ({t} - 1) * (2 * {t} + 5)) AS stv,
+         {", ".join(f"sum(n{i})::BIGINT AS m{i}" for i in range(1, 6))}
+  FROM cum
+)
+SELECT CAST({n} AS BIGINT) AS n_orders,
+       CAST((1000 * jt2) // ({n}::HUGEINT * ({n} - 1)) AS BIGINT)
+         AS jt_milli_per_pair,
+       CAST((1000 * {mean2}) // ({n}::HUGEINT * ({n} - 1)) AS BIGINT)
+         AS mean_milli_per_pair,
+       CASE WHEN {n} < 3 OR {var} <= 0 THEN NULL ELSE
+         (CAST(jt2 - {mean2} AS DOUBLE) / 2) / sqrt({var}) END AS jt_z
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# cochran_armitage_trend
+# --------------------------------------------------------------------------
+
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend in proportions: does the share of
+    FINISHED orders (o_orderstatus = 'F') drift along the ordered
+    priority scale? The proportions twin of
+    [[jonckheere_terpstra_priority]] (JT trends a continuous response,
+    CA trends a rate) and the ordered upgrade of the chi-square
+    independence reading in [[cramers_v_nation_segment]]: independence
+    tests burn df on every deviation pattern, CA spends ONE df on the
+    monotone one. Scores are the priority digits 1..5.
+
+    Exactness: the five sufficient statistics (n, successes R,
+    Σwᵢrᵢ, Σwᵢnᵢ, Σwᵢ²nᵢ) are one map-side-combined integer
+    aggregate; numerator n·Σwr − R·Σwn and variance kernel
+    R(n−R)(n·Σw²n − (Σwn)²) ride DECIMAL(38,0)/HUGEINT; z is ONE
+    identical IEEE DAG (two correctly-rounded sqrts) over them.
+    Degenerate rate (R = 0 or R = n) or constant scores → NULL.
+
+    Scale: a single aggregate over orders — no join, no window; the
+    reduction is 5 numbers regardless of corpus size."""
+    orders = load(spark, sf_dir, "orders")
+    sums = orders.select(
+        F.expr(PRIO_G).alias("w"),
+        F.expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END").alias("r"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("rr"),
+        F.sum(F.expr("w * r")).alias("swr"),
+        F.sum(F.expr("CAST(w AS BIGINT)")).alias("swn"),
+        F.sum(F.expr("CAST(w AS BIGINT) * w")).alias("sw2n"),
+    )
+    num = "(CAST(n AS DECIMAL(38,0)) * swr - CAST(rr AS DECIMAL(38,0)) * swn)"
+    den2 = (
+        "(CAST(rr AS DECIMAL(38,0)) * (n - rr)"
+        " * (CAST(n AS DECIMAL(38,0)) * sw2n - CAST(swn AS DECIMAL(38,0)) * swn))"
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("rr").cast("bigint").alias("n_finished"),
+        F.expr("CAST((1000 * rr) div n AS BIGINT)").alias("finished_rate_pm"),
+        F.expr(
+            f"CASE WHEN {den2} <= 0 THEN NULL ELSE"
+            f" CAST({num} AS DOUBLE) * sqrt(CAST(n AS DOUBLE))"
+            f" / sqrt(CAST({den2} AS DOUBLE)) END"
+        ).alias("ca_z"),
+    )
+
+
+_CA_SQL = f"""
+WITH sums AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(r)::BIGINT AS rr,
+         sum(w * r)::BIGINT AS swr,
+         sum(w)::BIGINT AS swn,
+         sum(w * w)::BIGINT AS sw2n
+  FROM (SELECT {PRIO_G_SQL} AS w,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r
+        FROM orders)
+)
+SELECT n AS n_orders, rr AS n_finished,
+       CAST((1000 * rr) // n AS BIGINT) AS finished_rate_pm,
+       CASE WHEN rr::HUGEINT * (n - rr)
+                 * (n::HUGEINT * sw2n - swn::HUGEINT * swn) <= 0 THEN NULL ELSE
+         CAST(n::HUGEINT * swr - rr::HUGEINT * swn AS DOUBLE)
+         * sqrt(CAST(n AS DOUBLE))
+         / sqrt(CAST(rr::HUGEINT * (n - rr)
+                * (n::HUGEINT * sw2n - swn::HUGEINT * swn) AS DOUBLE)) END AS ca_z
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# durbin_watson_daily
+# --------------------------------------------------------------------------
+
+
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson serial-correlation test on the residuals of the
+    daily-event-count OLS trend — [[autocorr_daily_events]] reads the
+    RAW lag-1 correlation, which a simple linear trend inflates; DW
+    reads what remains AFTER the trend [[ols_trend_per_segment]]-style
+    fit explains, the check that decides whether
+    [[theil_sen_daily_trend]]'s standard errors can be trusted at all
+    (DW ≈ 2 ⇒ independent residuals; → 0 positive, → 4 negative
+    serial correlation). Gaps in the calendar pair each day with the
+    previous OBSERVED day.
+
+    Exactness: the OLS sufficient statistics (n, Σx, Σy, Σx², Σxy)
+    are exact integers; slope, intercept, and each residual are ONE
+    identical IEEE DAG over them (projected once, reused by both the
+    lag and the square); the two quadratic-form sums are
+    order-independent because every per-day term is micro-FLOORED to
+    an integer before summation (the CMH lever) — DW is then a single
+    final ratio. slope_micro is an exact truncating DECIMAL div.
+
+    Scale: one day-keyed rollup over events; everything after runs on
+    the calendar-bounded daily relation (lag window sanctioned via
+    ``one_group``)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    sums = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sxx"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    b_expr = (
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+    )
+    resid = (
+        daily.crossJoin(F.broadcast(sums))
+        .withColumn("b", F.expr(b_expr))
+        .withColumn(
+            "e",
+            F.expr(
+                "CAST(y AS DOUBLE)"
+                " - (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+                " - b * CAST(d AS DOUBLE)"
+            ),
+        )
+        .withColumn("e_prev", F.lag("e").over(Window.partitionBy(one_group(F.col("d"))).orderBy("d")))
+    )
+    terms = resid.agg(
+        F.max("n").alias("n"),
+        F.max(F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE"
+            " CAST((1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)"
+            " END"
+        )).alias("slope_micro"),
+        F.sum(F.expr("CAST(floor(1000000 * e * e) AS BIGINT)")).alias("sse_micro"),
+        F.sum(
+            F.expr(
+                "CASE WHEN e_prev IS NULL THEN 0 ELSE"
+                " CAST(floor(1000000 * (e - e_prev) * (e - e_prev)) AS BIGINT) END"
+            )
+        ).alias("sdd_micro"),
+    )
+    return terms.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("slope_micro"),
+        F.expr(
+            "CASE WHEN n < 3 OR sse_micro <= 0 THEN NULL ELSE"
+            " CAST(sdd_micro AS DOUBLE) / CAST(sse_micro AS DOUBLE) END"
+        ).alias("dw_stat"),
+    )
+
+
+_DW_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS d, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n, sum(d::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(d::HUGEINT * d) AS sxx, sum(d::HUGEINT * y) AS sxy
+  FROM daily
+),
+resid AS (
+  SELECT n, sx, sy, sxx, sxy, d, y,
+         CAST(y AS DOUBLE)
+           - (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+           - b * CAST(d AS DOUBLE) AS e
+  FROM (
+    SELECT *,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+    FROM daily, sums
+  )
+),
+lagged AS (
+  SELECT *, lag(e) OVER (ORDER BY d) AS e_prev FROM resid
+),
+terms AS (
+  SELECT max(n) AS n,
+         max(CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+             CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                  AS BIGINT) END) AS slope_micro,
+         sum(CAST(floor(1000000 * e * e) AS BIGINT))::BIGINT AS sse_micro,
+         sum(CASE WHEN e_prev IS NULL THEN 0 ELSE
+             CAST(floor(1000000 * (e - e_prev) * (e - e_prev)) AS BIGINT)
+             END)::BIGINT AS sdd_micro
+  FROM lagged
+)
+SELECT CAST(n AS BIGINT) AS n_days, slope_micro,
+       CASE WHEN n < 3 OR sse_micro <= 0 THEN NULL ELSE
+         CAST(sdd_micro AS DOUBLE) / CAST(sse_micro AS DOUBLE) END AS dw_stat
+FROM terms
+"""
+
+
+# --------------------------------------------------------------------------
+# welch_t_ab
+# --------------------------------------------------------------------------
+
+
+def welch_t_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t on the salted-hash A/A experiment —
+    the parametric middle of the experimentation ladder: faster than
+    [[permutation_test_ab]] (no fan-out), stronger than
+    [[mann_whitney_u_test]] when means are what's billed, and honest
+    where Student's pooled t is not (arms need not share a variance —
+    the same robustness [[brown_forsythe_priority]] audits for
+    ANOVA). Arms reuse the repo's md5('cuped:'||user) % 2 assignment
+    so every A/A face reads the same experiment.
+
+    Exactness: per-arm (n, Σcents, Σcents²) are exact
+    DECIMAL(38,0)/HUGEINT aggregates; t and the Welch–Satterthwaite
+    df are ONE identical IEEE DAG over them (sample variances via the
+    ΣΣ−S²/n form, squares by explicit multiplication, never pow);
+    mean_diff_milli is an exact truncating div. Arms with n < 2 or a
+    zero variance sum → NULL t/df.
+
+    Scale: one user-keyed rollup (the per-user metric shuffle), then
+    a single map-side-combined aggregate to six numbers."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(VCENTS).alias("cents")
+    )
+    per_user = ev.groupBy("user_id").agg(F.sum("cents").alias("cents"))
+    armed = per_user.withColumn(
+        "arm",
+        h32(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))) % 2,
+    )
+    sums = armed.agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n0"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n1"),
+        F.sum(
+            F.expr("CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END")
+        ).alias("s0"),
+        F.sum(
+            F.expr("CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END")
+        ).alias("s1"),
+        F.sum(
+            F.expr(
+                "CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0)) * cents"
+                " ELSE 0 END"
+            )
+        ).alias("ss0"),
+        F.sum(
+            F.expr(
+                "CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0)) * cents"
+                " ELSE 0 END"
+            )
+        ).alias("ss1"),
+    )
+    v0 = (
+        "((CAST(ss0 AS DOUBLE)"
+        " - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+        " / (CAST(n0 AS DOUBLE) - 1))"
+    )
+    v1 = (
+        "((CAST(ss1 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) - 1))"
+    )
+    se2 = f"({v1} / CAST(n1 AS DOUBLE) + {v0} / CAST(n0 AS DOUBLE))"
+    return sums.select(
+        F.col("n0").cast("bigint").alias("n_ctrl"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.expr(
+            "CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE"
+            " CAST((1000 * s1) div n1 - (1000 * s0) div n0 AS BIGINT) END"
+        ).alias("mean_diff_milli"),
+        F.expr(
+            f"CASE WHEN n0 < 2 OR n1 < 2 OR {se2} <= 0 THEN NULL ELSE"
+            f" (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            f"  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / sqrt({se2}) END"
+        ).alias("t_stat"),
+        F.expr(
+            f"CASE WHEN n0 < 2 OR n1 < 2 OR {se2} <= 0 THEN NULL ELSE"
+            f" ({se2} * {se2})"
+            f" / (({v1} / CAST(n1 AS DOUBLE)) * ({v1} / CAST(n1 AS DOUBLE))"
+            f"     / (CAST(n1 AS DOUBLE) - 1)"
+            f"    + ({v0} / CAST(n0 AS DOUBLE)) * ({v0} / CAST(n0 AS DOUBLE))"
+            f"     / (CAST(n0 AS DOUBLE) - 1)) END"
+        ).alias("df_welch"),
+    )
+
+
+def _welch_oracle() -> str:
+    arm = h32_sql("'cuped:' || user_id::VARCHAR") + " % 2"
+    v0 = (
+        "((CAST(ss0 AS DOUBLE)"
+        " - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+        " / (CAST(n0 AS DOUBLE) - 1))"
+    )
+    v1 = (
+        "((CAST(ss1 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) - 1))"
+    )
+    se2 = f"({v1} / CAST(n1 AS DOUBLE) + {v0} / CAST(n0 AS DOUBLE))"
+    return f"""
+WITH per_user AS (
+  SELECT user_id, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+armed AS (SELECT cents, {arm} AS arm FROM per_user),
+sums AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN arm = 0 THEN cents::HUGEINT ELSE 0 END) AS s0,
+         sum(CASE WHEN arm = 1 THEN cents::HUGEINT ELSE 0 END) AS s1,
+         sum(CASE WHEN arm = 0 THEN cents::HUGEINT * cents ELSE 0 END) AS ss0,
+         sum(CASE WHEN arm = 1 THEN cents::HUGEINT * cents ELSE 0 END) AS ss1
+  FROM armed
+)
+SELECT n0 AS n_ctrl, n1 AS n_treat,
+       CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE
+         CAST((1000 * s1) // n1 - (1000 * s0) // n0 AS BIGINT) END
+         AS mean_diff_milli,
+       CASE WHEN n0 < 2 OR n1 < 2 OR {se2} <= 0 THEN NULL ELSE
+         (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / sqrt({se2}) END AS t_stat,
+       CASE WHEN n0 < 2 OR n1 < 2 OR {se2} <= 0 THEN NULL ELSE
+         ({se2} * {se2})
+         / (({v1} / CAST(n1 AS DOUBLE)) * ({v1} / CAST(n1 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) - 1)
+            + ({v0} / CAST(n0 AS DOUBLE)) * ({v0} / CAST(n0 AS DOUBLE))
+             / (CAST(n0 AS DOUBLE) - 1)) END AS df_welch
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# mood_median_test
+# --------------------------------------------------------------------------
+
+
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five priority classes: split
+    every order at the GRAND lower median of o_totalprice and ask the
+    2×5 chi-square whether the above-median share differs by class —
+    the bluntest of the k-group location tests (it only reads which
+    side of one cut each value lands on), which is exactly why it's
+    the robustness referee for [[kruskal_wallis_priority]]: KW can be
+    dragged by one class's tail shape; Mood cannot.
+
+    Exactness: the grand median is the exact rank-⌈n/2⌉ cent value
+    from the value histogram via the range-partitioned prefix kernel
+    (never a single-partition sort — the
+    [[approx_percentile_rank_audit]] lever); cell counts are exact
+    integers, and each of the 10 (O·n − rowtot·coltot)²/(n·rowtot·
+    coltot) terms is one identical IEEE DAG micro-floored to an
+    integer before the fixed-order 10-term sum (the CMH lever).
+    A degenerate split (all values on one side) or an empty class →
+    NULL chi2.
+
+    Scale: one groupBy(cent value) histogram + the B-range prefix
+    pass for the median; one conditional aggregate over orders for
+    the cells. No window ever sees more than |distinct values|/B
+    rows."""
+    orders = load(spark, sf_dir, "orders")
+    hist = (
+        orders.select(F.expr(CENTS).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = ranged_prefix(hist, [F.col("v")], sum_cols=["cnt"])
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(F.expr("cum_cnt >= (n + 1) div 2"), F.col("v"))
+            ).alias("med")
+        )
+    )
+    cells = (
+        orders.select(F.expr(CENTS).alias("c"), F.expr(PRIO_G).alias("g"))
+        .crossJoin(F.broadcast(med))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            *[
+                F.sum(
+                    F.expr(f"CASE WHEN g = {i} AND c > med THEN 1 ELSE 0 END")
+                ).alias(f"a{i}")
+                for i in range(1, 6)
+            ],
+            *[
+                F.sum(F.expr(f"CASE WHEN g = {i} THEN 1 ELSE 0 END")).alias(f"t{i}")
+                for i in range(1, 6)
+            ],
+        )
+    )
+    a_tot = "(a1 + a2 + a3 + a4 + a5)"
+    term = lambda o, rowtot, coltot: (  # noqa: E731
+        f"CAST(floor(1000000 *"
+        f" (CAST(CAST({o} AS DECIMAL(38,0)) * n"
+        f"       - CAST({rowtot} AS DECIMAL(38,0)) * {coltot} AS DOUBLE)"
+        f"  * CAST(CAST({o} AS DECIMAL(38,0)) * n"
+        f"       - CAST({rowtot} AS DECIMAL(38,0)) * {coltot} AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) * CAST({rowtot} AS DOUBLE)"
+        f"    * CAST({coltot} AS DOUBLE))) AS BIGINT)"
+    )
+    chi2 = " + ".join(
+        [term(f"a{i}", f"t{i}", a_tot) for i in range(1, 6)]
+        + [term(f"(t{i} - a{i})", f"t{i}", f"(n - {a_tot})") for i in range(1, 6)]
+    )
+    guard = (
+        f"{a_tot} = 0 OR {a_tot} = n OR t1 = 0 OR t2 = 0 OR t3 = 0"
+        " OR t4 = 0 OR t5 = 0"
+    )
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("med").cast("bigint").alias("grand_median_cents"),
+        F.lit(4).cast("bigint").alias("df"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE CAST({chi2} AS BIGINT) END"
+        ).alias("chi2_micro"),
+    )
+
+
+def _mood_oracle() -> str:
+    a_tot = "(a1 + a2 + a3 + a4 + a5)"
+
+    def term(o: str, rowtot: str, coltot: str) -> str:
+        return (
+            f"CAST(floor(1000000 *"
+            f" (CAST({o}::HUGEINT * n - {rowtot}::HUGEINT * {coltot} AS DOUBLE)"
+            f"  * CAST({o}::HUGEINT * n - {rowtot}::HUGEINT * {coltot} AS DOUBLE))"
+            f" / (CAST(n AS DOUBLE) * CAST({rowtot} AS DOUBLE)"
+            f"    * CAST({coltot} AS DOUBLE))) AS BIGINT)"
+        )
+
+    chi2 = " + ".join(
+        [term(f"a{i}", f"t{i}", a_tot) for i in range(1, 6)]
+        + [term(f"(t{i} - a{i})", f"t{i}", f"(n - {a_tot})") for i in range(1, 6)]
+    )
+    guard = (
+        f"{a_tot} = 0 OR {a_tot} = n OR t1 = 0 OR t2 = 0 OR t3 = 0"
+        " OR t4 = 0 OR t5 = 0"
+    )
+    return f"""
+WITH hist AS (
+  SELECT {CENTS} AS v, count(*)::BIGINT AS cnt FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT v, sum(cnt) OVER (ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+         (SELECT sum(cnt) FROM hist) AS n
+  FROM hist
+),
+med AS (SELECT min(CASE WHEN cum_cnt >= (n + 1) // 2 THEN v END) AS med FROM cum),
+cells AS (
+  SELECT count(*)::BIGINT AS n, max(med)::BIGINT AS med,
+         {", ".join(f"sum(CASE WHEN g = {i} AND c > med THEN 1 ELSE 0 END)::BIGINT AS a{i}" for i in range(1, 6))},
+         {", ".join(f"sum(CASE WHEN g = {i} THEN 1 ELSE 0 END)::BIGINT AS t{i}" for i in range(1, 6))}
+  FROM (SELECT {CENTS} AS c, {PRIO_G_SQL} AS g FROM orders), med
+)
+SELECT n AS n_orders, med AS grand_median_cents, 4::BIGINT AS df,
+       CASE WHEN {guard} THEN NULL ELSE CAST({chi2} AS BIGINT) END AS chi2_micro
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
+# hodges_lehmann_shift
+# --------------------------------------------------------------------------
+
+
+def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann estimate of the weekend-vs-weekday shift in
+    daily event revenue: the lower median of ALL pairwise differences
+    (weekend day − weekday day), the estimator the Mann–Whitney test
+    ([[mann_whitney_u_test]]) implicitly inverts — rank tests say
+    "the groups differ", HL says BY HOW MANY CENTS, with the same
+    immunity to a single blowout day that a difference of means does
+    not have. Weekday parity uses the engine-neutral Monday=0
+    convention (epoch_day + 3) % 7 — never dayofweek().
+
+    Exactness: daily revenues are exact cent sums; the pair
+    differences are exact integers; the lower median is the exact
+    rank-⌈m/2⌉ element of the difference multiset, selected from the
+    difference histogram by cumulative count — no interpolation, no
+    float ordering.
+
+    Scale: both day groups are calendar-bounded (≤ a few thousand
+    rows at ANY corpus size — the [[kendall_tau_daily]] doctrine), so
+    the pair stage is a broadcast nested-loop join of bounded
+    relations producing a bounded (~0.1·days²) multiset; the median
+    walk runs on its value histogram via the prefix kernel."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("d"))
+        .agg(F.sum(F.expr(VCENTS)).alias("y"))
+        .withColumn("is_we", F.expr("(d + 3) % 7 >= 5"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    we = daily.filter("is_we").select(F.col("y").alias("yw"))
+    wd = daily.filter("NOT is_we").select(F.col("y").alias("yd"))
+    counts = we.agg(F.count(F.lit(1)).alias("n_we")).crossJoin(
+        wd.agg(F.count(F.lit(1)).alias("n_wd"))
+    )
+    diffs = (
+        we.crossJoin(F.broadcast(wd))
+        .groupBy(F.expr("yw - yd").alias("diff"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = ranged_prefix(diffs, [F.col("diff")], sum_cols=["cnt"])
+    hl = (
+        cum.crossJoin(F.broadcast(counts))
+        .agg(
+            F.min(
+                F.when(
+                    F.expr("cum_cnt >= (n_we * n_wd + 1) div 2"), F.col("diff")
+                )
+            ).alias("hl")
+        )
+    )
+    return counts.crossJoin(F.broadcast(hl)).select(
+        F.col("n_we").cast("bigint").alias("n_weekend_days"),
+        F.col("n_wd").cast("bigint").alias("n_weekday_days"),
+        F.expr("CAST(n_we AS BIGINT) * n_wd").alias("n_pairs"),
+        F.col("hl").cast("bigint").alias("hl_shift_cents"),
+    )
+
+
+_HL_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS d,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+  FROM events GROUP BY 1
+),
+we AS (SELECT y AS yw FROM daily WHERE (d + 3) % 7 >= 5),
+wd AS (SELECT y AS yd FROM daily WHERE (d + 3) % 7 < 5),
+counts AS (
+  SELECT (SELECT count(*) FROM we)::BIGINT AS n_we,
+         (SELECT count(*) FROM wd)::BIGINT AS n_wd
+),
+diffs AS (
+  SELECT yw - yd AS diff, count(*)::BIGINT AS cnt
+  FROM we CROSS JOIN wd GROUP BY 1
+),
+cum AS (
+  SELECT diff, sum(cnt) OVER (ORDER BY diff
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+  FROM diffs
+),
+hl AS (
+  SELECT min(CASE WHEN cum_cnt >= (n_we * n_wd + 1) // 2 THEN diff END) AS hl
+  FROM cum, counts
+)
+SELECT n_we AS n_weekend_days, n_wd AS n_weekday_days,
+       CAST(n_we * n_wd AS BIGINT) AS n_pairs,
+       CAST(hl AS BIGINT) AS hl_shift_cents
+FROM counts, hl
+"""
+
+
+QUERIES = {
+    "friedman_daily_event_types": friedman_daily_event_types,
+    "jonckheere_terpstra_priority": jonckheere_terpstra_priority,
+    "cochran_armitage_trend": cochran_armitage_trend,
+    "durbin_watson_daily": durbin_watson_daily,
+    "welch_t_ab": welch_t_ab,
+    "mood_median_test": mood_median_test,
+    "hodges_lehmann_shift": hodges_lehmann_shift,
+}
+
+ORACLES = {
+    "friedman_daily_event_types": _FRIEDMAN_SQL,
+    "jonckheere_terpstra_priority": _jt_oracle(),
+    "cochran_armitage_trend": _CA_SQL,
+    "durbin_watson_daily": _DW_SQL,
+    "welch_t_ab": _welch_oracle(),
+    "mood_median_test": _mood_oracle(),
+    "hodges_lehmann_shift": _HL_SQL,
+}
