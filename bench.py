@@ -231,6 +231,13 @@ HEADLINE = [
     "brier_score_decomposition",
     "isotonic_calibration_pava",
     "average_precision_scorer",
+    "granger_value_leads_volume",
+    "kpss_level_daily",
+    "seasonal_mann_kendall",
+    "ansari_bradley_dispersion",
+    "partial_corr_volume_value",
+    "hilbert_curve_locality",
+    "kmins_distinct_audit",
 ]
 
 

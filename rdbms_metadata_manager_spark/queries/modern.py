@@ -751,6 +751,92 @@ ORDER BY event_type
 """
 
 
+KMINS_K = 16  # independent min-hash replicas; rsd ~ 1/sqrt(K)
+KMINS_M = 4294967296  # 32-bit hash range of llm.hashing.h32
+
+
+def kmins_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-mins (bottom-1 × K replicas) distinct-count sketch per event
+    type, audited against the exact count — the third leg of the
+    cardinality-sketch family: [[hll_sketch_partition_union]] is the
+    mergeable stochastic-averaging face, [[bitmap_distinct_users]]
+    the exact bitmap face, and K-mins is the estimator you get for
+    FREE when a MinHash signature already exists
+    ([[dedup_minhash_lsh]] keeps per-doc minima of the same md5
+    permutation family): E[min_i] = M/(D+1) over a 32-bit hash space,
+    so D̂ = K·M / Σ min_i − 1. Unlike HLL the whole state is K
+    integers and the estimate here is DETERMINISTIC cross-engine
+    (md5-derived permutations — the [[minhash_estimate_calibration]]
+    doctrine), so the oracle matches it exactly, error column and
+    all.
+
+    Exactness: per-replica minima are exact integer aggregates;
+    the estimate is one truncating div; err_pm is a truncating div
+    against the exact count computed in the same pass.
+
+    Scale: one distinct (type, user) rollup, then K min-aggregates —
+    all map-side combinable; state per group is K·8 bytes at any
+    corpus size."""
+    from ..llm.hashing import h32
+
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    mins = [
+        F.min(
+            h32(F.concat(F.lit(f"kmv{i}:"), F.col("user_id").cast("string")))
+        ).alias(f"m{i}")
+        for i in range(KMINS_K)
+    ]
+    per_type = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users"), *mins
+    )
+    summins = " + ".join(f"m{i}" for i in range(KMINS_K))
+    est = (
+        f"CAST((CAST({KMINS_K} AS DECIMAL(38,0)) * {KMINS_M})"
+        f" div ({summins}) - 1 AS BIGINT)"
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            F.expr(
+                f"CASE WHEN ({summins}) = 0 THEN NULL ELSE {est} END"
+            ).alias("kmins_est"),
+            F.expr(
+                f"CASE WHEN ({summins}) = 0 OR exact_users = 0 THEN NULL ELSE"
+                f" (1000 * ({est} - exact_users)) div exact_users END"
+            )
+            .cast("bigint")
+            .alias("err_pm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _kmins_oracle() -> str:
+    from ..llm.hashing import h32_sql
+
+    mins = ", ".join(
+        f"min({h32_sql(f''''kmv{i}:' || user_id::VARCHAR''')})::BIGINT AS m{i}"
+        for i in range(KMINS_K)
+    )
+    summins = " + ".join(f"m{i}" for i in range(KMINS_K))
+    est = f"CAST(({KMINS_K}::HUGEINT * {KMINS_M}) // ({summins}) - 1 AS BIGINT)"
+    return f"""
+WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+per_type AS (
+  SELECT event_type, count(*)::BIGINT AS exact_users, {mins}
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, exact_users,
+       CASE WHEN ({summins}) = 0 THEN NULL ELSE {est} END AS kmins_est,
+       CAST(CASE WHEN ({summins}) = 0 OR exact_users = 0 THEN NULL ELSE
+         (1000 * ({est} - exact_users)) // exact_users END AS BIGINT) AS err_pm
+FROM per_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "variant_event_props": variant_event_props,
     "pipe_syntax_order_stats": pipe_syntax_order_stats,
@@ -768,6 +854,7 @@ QUERIES = {
     "lateral_alias_packing_plan": lateral_alias_packing_plan,
     "hll_sketch_partition_union": hll_sketch_partition_union,
     "bitmap_distinct_users": bitmap_distinct_users,
+    "kmins_distinct_audit": kmins_distinct_audit,
 }
 ORACLES = {
     "variant_event_props": _VARIANT_SQL,
@@ -786,4 +873,5 @@ ORACLES = {
     "lateral_alias_packing_plan": _LATERAL_ALIAS_SQL,
     "hll_sketch_partition_union": _HLL_SQL,
     "bitmap_distinct_users": _BITMAP_SQL,
+    "kmins_distinct_audit": _kmins_oracle(),
 }

@@ -889,6 +889,566 @@ FROM counts, hl
 """
 
 
+# --------------------------------------------------------------------------
+# granger_value_leads_volume
+# --------------------------------------------------------------------------
+
+
+def _granger_final_exprs() -> dict[str, str]:
+    """Output expressions over the shared sufficient-statistic column
+    names (n, sy, sa, sb, syy, saa, sbb, say, sab, sby) — ONE text,
+    spliced into both engines, so the final IEEE DAG is bit-identical.
+    Cofactor products are formed in DOUBLE (exact integer sums cast
+    once) because adj(M) entries square corpus-sized sums — the same
+    100 TB overflow posture as the Cochran-Q DECIMAL comment."""
+    d = {c: f"CAST({c} AS DOUBLE)" for c in
+         ["n", "sy", "sa", "sb", "syy", "saa", "sbb", "say", "sab", "sby"]}
+    c11 = f"({d['saa']} * {d['sbb']} - {d['sab']} * {d['sab']})"
+    c12 = f"(-({d['sa']} * {d['sbb']} - {d['sab']} * {d['sb']}))"
+    c13 = f"({d['sa']} * {d['sab']} - {d['saa']} * {d['sb']})"
+    c22 = f"({d['n']} * {d['sbb']} - {d['sb']} * {d['sb']})"
+    c23 = f"(-({d['n']} * {d['sab']} - {d['sa']} * {d['sb']}))"
+    c33 = f"({d['n']} * {d['saa']} - {d['sa']} * {d['sa']})"
+    det_f = f"({d['n']} * {c11} + {d['sa']} * {c12} + {d['sb']} * {c13})"
+    qf = (
+        f"({d['sy']} * {d['sy']} * {c11} + {d['say']} * {d['say']} * {c22}"
+        f" + {d['sby']} * {d['sby']} * {c33}"
+        f" + 2 * {d['sy']} * {d['say']} * {c12}"
+        f" + 2 * {d['sy']} * {d['sby']} * {c13}"
+        f" + 2 * {d['say']} * {d['sby']} * {c23})"
+    )
+    qr = (
+        f"({d['saa']} * {d['sy']} * {d['sy']}"
+        f" - 2 * {d['sa']} * {d['sy']} * {d['say']}"
+        f" + {d['n']} * {d['say']} * {d['say']})"
+    )
+    rss_f = f"({d['syy']} - {qf} / {det_f})"
+    rss_r = f"({d['syy']} - {qr} / {c33})"
+    guard = f"n < 5 OR {det_f} = 0 OR {c33} = 0 OR {rss_f} <= 0"
+    return {
+        "n_days_used": "CAST(n AS BIGINT)",
+        "df_denom": "CAST(n - 3 AS BIGINT)",
+        "f_granger": (
+            f"CASE WHEN {guard} THEN NULL ELSE"
+            f" (({rss_r}) - ({rss_f})) * ({d['n']} - 3) / ({rss_f}) END"
+        ),
+    }
+
+
+def granger_value_leads_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality F (lag 1): does yesterday's event VALUE help
+    predict today's event VOLUME beyond what yesterday's volume
+    already predicts? [[daily_cross_correlation]] reads the raw lagged
+    correlation, which autocorrelation alone can fake; Granger's
+    nested-OLS F — restricted y_t ~ (1, y_{t−1}) vs full
+    y_t ~ (1, y_{t−1}, value_{t−1}) — charges the lagged value for
+    the volume's own memory first. Calendar gaps pair each day with
+    the previous OBSERVED day (the [[durbin_watson_daily]]
+    convention).
+
+    Exactness: the ten sufficient statistics are exact
+    DECIMAL(38,0)/HUGEINT aggregates; both RSS values come from the
+    closed-form normal equations (Cramer adjugate for the 3×3 Gram
+    matrix, spelled symbolically) in ONE identical IEEE DAG — no
+    iterative solver, no aggregation-order float sum anywhere.
+    Singular designs or a zero full-model RSS → NULL.
+
+    Scale: one day-keyed rollup over events, a lag window on the
+    calendar-bounded daily relation, one map-side-combined aggregate
+    to ten numbers."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("y"),
+            F.sum(F.expr(VCENTS)).alias("v"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy(one_group(F.col("d"))).orderBy("d")
+    lagged = (
+        daily.withColumn("a", F.lag("y").over(w))
+        .withColumn("b", F.lag("v").over(w))
+        .filter("a IS NOT NULL")
+    )
+    dec = "CAST({x} AS DECIMAL(38,0))"
+    sums = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(dec.format(x="y"))).alias("sy"),
+        F.sum(F.expr(dec.format(x="a"))).alias("sa"),
+        F.sum(F.expr(dec.format(x="b"))).alias("sb"),
+        F.sum(F.expr(dec.format(x="y") + " * y")).alias("syy"),
+        F.sum(F.expr(dec.format(x="a") + " * a")).alias("saa"),
+        F.sum(F.expr(dec.format(x="b") + " * b")).alias("sbb"),
+        F.sum(F.expr(dec.format(x="a") + " * y")).alias("say"),
+        F.sum(F.expr(dec.format(x="a") + " * b")).alias("sab"),
+        F.sum(F.expr(dec.format(x="b") + " * y")).alias("sby"),
+    )
+    exprs = _granger_final_exprs()
+    return sums.select(*[F.expr(e).alias(k) for k, e in exprs.items()])
+
+
+def _granger_oracle() -> str:
+    exprs = _granger_final_exprs()
+    sel = ",\n       ".join(f"{e} AS {k}" for k, e in exprs.items())
+    return f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS d,
+         count(*)::BIGINT AS y,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT y, lag(y) OVER (ORDER BY d) AS a, lag(v) OVER (ORDER BY d) AS b
+  FROM daily
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(y::HUGEINT) AS sy, sum(a::HUGEINT) AS sa, sum(b::HUGEINT) AS sb,
+         sum(y::HUGEINT * y) AS syy, sum(a::HUGEINT * a) AS saa,
+         sum(b::HUGEINT * b) AS sbb, sum(a::HUGEINT * y) AS say,
+         sum(a::HUGEINT * b) AS sab, sum(b::HUGEINT * y) AS sby
+  FROM lagged WHERE a IS NOT NULL
+)
+SELECT {sel}
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# kpss_level_daily
+# --------------------------------------------------------------------------
+
+
+def kpss_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic on daily event counts — the
+    opposite null to the trend family: [[mann_kendall_trend_test]]
+    rejects toward "there IS a trend"; KPSS rejects toward "this is
+    NOT stationary around a level". η = (1/n²)·ΣS_t²/σ̂² over the
+    partial sums S_t of demeaned counts (lag-0 / bandwidth-0 variance
+    — the short-memory simplification, documented; the HAC-bandwidth
+    refinement changes the denominator only). Large η (≳0.46 at 5%)
+    says the level wanders.
+
+    Exactness: with the partial sums scaled by n
+    (S′_t = n·C_t − t·Σy, all integers), η is the pure integer ratio
+    ΣS′_t² / (n²·(n·Σy² − (Σy)²)) reported in truncating
+    micro-units — no float exists anywhere in this statistic.
+
+    Scale: one day-keyed rollup; the running sum is a window on the
+    calendar-bounded daily relation (sanctioned via ``one_group``);
+    products ride DECIMAL(38,0)/HUGEINT."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy(one_group(F.col("d"))).orderBy("d")
+    cum = daily.select(
+        F.row_number().over(w).alias("t"),
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("sy").alias("sy"),
+        F.max("syy").alias("syy"),
+        F.sum(
+            F.expr(
+                "(CAST(n AS DECIMAL(38,0)) * c - CAST(t AS DECIMAL(38,0)) * sy)"
+                " * (CAST(n AS DECIMAL(38,0)) * c - CAST(t AS DECIMAL(38,0)) * sy)"
+            )
+        ).alias("s2sum"),
+    )
+    return terms.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "CASE WHEN n < 2 OR n * syy - sy * sy <= 0 THEN NULL ELSE"
+            " CAST((1000000 * s2sum)"
+            " div (CAST(n AS DECIMAL(38,0)) * n * (n * syy - sy * sy))"
+            " AS BIGINT) END"
+        ).alias("kpss_micro"),
+    )
+
+
+_KPSS_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS d, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT row_number() OVER (ORDER BY d) AS t,
+         sum(y) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM daily
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n, sum(y::HUGEINT) AS sy,
+         sum(y::HUGEINT * y) AS syy
+  FROM daily
+),
+terms AS (
+  SELECT max(n) AS n, max(sy) AS sy, max(syy) AS syy,
+         sum((n::HUGEINT * c - t::HUGEINT * sy)
+             * (n::HUGEINT * c - t::HUGEINT * sy)) AS s2sum
+  FROM cum, tot
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n < 2 OR n * syy - sy * sy <= 0 THEN NULL ELSE
+         CAST((1000000 * s2sum) // (n::HUGEINT * n * (n * syy - sy * sy))
+              AS BIGINT) END AS kpss_micro
+FROM terms
+"""
+
+
+# --------------------------------------------------------------------------
+# seasonal_mann_kendall
+# --------------------------------------------------------------------------
+
+
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch–Slack) on daily order revenue:
+    the MK sign statistic summed WITHIN each calendar-month stratum
+    (January days compare only to January days), so a strong annual
+    cycle cannot masquerade as — or drown — a long-run monotone
+    trend. The seasonal referee for [[mann_kendall_trend_test]]'s
+    whole-series verdict; month() on a session-UTC timestamp is the
+    one calendar extraction both engines agree on (the dayofweek trap
+    does not apply).
+
+    Exactness: S is an exact integer sign sum; Var×18 is the exact
+    per-stratum tie-corrected integer (Σ_m n_m(n_m−1)(2n_m+5) − the
+    within-stratum value-tie term), and the continuity-corrected z is
+    the one shared IEEE sqrt DAG.
+
+    Scale: the within-month pair join is strata-blocked (each month's
+    days only — smaller than the whole-series MK pair stage, same
+    calendar-bounded doctrine); tie terms are two slim rollups."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr("month(o_orderdate)").alias("m"),
+            F.expr(f"unix_timestamp(o_orderdate) div {DAY_SECONDS}").alias("d"),
+        )
+        .agg(F.sum(F.expr(CENTS)).alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_agg = a.join(
+        b, (F.col("a.m") == F.col("b.m")) & (F.col("a.d") < F.col("b.d"))
+    ).agg(
+        F.coalesce(F.sum(F.expr("CAST(sign(b.r - a.r) AS BIGINT)")), F.lit(0)).alias(
+            "s_stat"
+        )
+    )
+    per_m = daily.groupBy("m").agg(F.count(F.lit(1)).alias("nm"))
+    var_base = per_m.agg(
+        F.count(F.lit(1)).alias("n_seasons"),
+        F.sum("nm").alias("n_days"),
+        F.coalesce(
+            F.sum(
+                F.col("nm").cast("decimal(38,0)")
+                * (F.col("nm") - 1)
+                * (2 * F.col("nm") + 5)
+            ),
+            F.lit(0),
+        ).alias("base_term"),
+    )
+    ties = daily.groupBy("m", "r").agg(F.count(F.lit(1)).alias("t"))
+    tie_sum = ties.agg(
+        F.coalesce(
+            F.sum(
+                F.col("t").cast("decimal(38,0)") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ),
+            F.lit(0),
+        ).alias("tie_term")
+    )
+    stat = var_base.crossJoin(F.broadcast(s_agg)).crossJoin(F.broadcast(tie_sum))
+    return stat.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_seasons").cast("bigint").alias("n_seasons"),
+        F.col("s_stat"),
+        F.expr("CAST(base_term - tie_term AS BIGINT)").alias("var_s_x18"),
+        F.expr(
+            "CASE WHEN base_term - tie_term <= 0 THEN NULL"
+            " WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+            "   / sqrt(CAST(base_term - tie_term AS DOUBLE) / 18.0)"
+            " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+            "   / sqrt(CAST(base_term - tie_term AS DOUBLE) / 18.0)"
+            " ELSE 0.0 END"
+        ).alias("z_stat"),
+    )
+
+
+_SEASONAL_MK_SQL = f"""
+WITH daily AS (
+  SELECT month(o_orderdate) AS m,
+         epoch_us(o_orderdate) // 1000000 // {DAY_SECONDS} AS d,
+         sum({CENTS})::BIGINT AS r
+  FROM orders GROUP BY 1, 2
+),
+s_agg AS (
+  SELECT coalesce(sum(CAST(sign(b.r - a.r) AS BIGINT)), 0)::BIGINT AS s_stat
+  FROM daily a JOIN daily b ON a.m = b.m AND a.d < b.d
+),
+var_base AS (
+  SELECT count(*)::BIGINT AS n_seasons, sum(nm)::BIGINT AS n_days,
+         coalesce(sum(nm::HUGEINT * (nm - 1) * (2 * nm + 5)), 0) AS base_term
+  FROM (SELECT m, count(*)::BIGINT AS nm FROM daily GROUP BY m)
+),
+tie_sum AS (
+  SELECT coalesce(sum(t::HUGEINT * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM (SELECT m, r, count(*)::BIGINT AS t FROM daily GROUP BY m, r)
+)
+SELECT n_days, n_seasons, s_stat,
+       CAST(base_term - tie_term AS BIGINT) AS var_s_x18,
+       CASE WHEN base_term - tie_term <= 0 THEN NULL
+            WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              / sqrt(CAST(base_term - tie_term AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+              / sqrt(CAST(base_term - tie_term AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z_stat
+FROM var_base, s_agg, tie_sum
+"""
+
+
+# --------------------------------------------------------------------------
+# ansari_bradley_dispersion
+# --------------------------------------------------------------------------
+
+
+def ansari_bradley_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari–Bradley rank-dispersion test on the md5 A/A arms —
+    [[welch_t_ab]] asks whether the arms' MEANS differ; AB asks
+    whether one arm's per-user revenue is more SPREAD OUT, ranking
+    from both ends inward (extremes score low, the middle scores
+    high), with midrank scores on ties. The dispersion leg every A/B
+    readout needs before trusting a variance-pooled test.
+
+    Exactness: doubled midrank scores
+    score2 = min(2·rank2, 2(N+1) − rank2-form) stay integral; AB,
+    Σscore, and Σscore² are exact DECIMAL(38,0)/HUGEINT aggregates;
+    the permutation-null z uses the EXACT conditional moments for the
+    score multiset actually used (E = m·Σa/N,
+    Var = m·n₂(N·Σa² − (Σa)²)/(N²(N−1)) — valid for ANY fixed score
+    assignment, so the midrank convention needs no asymptotic
+    apology), in one identical IEEE DAG where the doubling cancels.
+
+    Scale: one user-keyed rollup, one cent-value histogram, the
+    range-partitioned prefix kernel for ranks — no single-partition
+    window, no pair join."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(VCENTS).alias("cents")
+    )
+    per_user = ev.groupBy("user_id").agg(F.sum("cents").alias("cents"))
+    armed = per_user.withColumn(
+        "arm",
+        h32(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))) % 2,
+    )
+    hist = armed.groupBy(F.col("cents").alias("v")).agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n0"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n1"),
+    ).withColumn("t", F.expr("n0 + n1"))
+    cum = ranged_prefix(hist, [F.col("v")], sum_cols=["t"])
+    tot = hist.agg(
+        F.coalesce(F.sum("n0"), F.lit(0)).alias("nn0"),
+        F.coalesce(F.sum("n1"), F.lit(0)).alias("nn1"),
+    )
+    score2 = (
+        "least(2 * cum_t - t + 1,"
+        " 2 * (nn0 + nn1 + 1) - (2 * cum_t - t + 1))"
+    )
+    sums = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("nn0").alias("nn0"),
+        F.max("nn1").alias("nn1"),
+        F.sum(F.expr(f"CAST(n1 AS DECIMAL(38,0)) * ({score2})")).alias("ab2"),
+        F.sum(F.expr(f"CAST(t AS DECIMAL(38,0)) * ({score2})")).alias("sa2"),
+        F.sum(
+            F.expr(f"CAST(t AS DECIMAL(38,0)) * ({score2}) * ({score2})")
+        ).alias("saa4"),
+    )
+    nN = "CAST(nn0 + nn1 AS DOUBLE)"
+    var = (
+        f"(CAST(nn1 AS DOUBLE) * CAST(nn0 AS DOUBLE)"
+        f" * ({nN} * CAST(saa4 AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sa2 AS DOUBLE))"
+        f" / ({nN} * {nN} * ({nN} - 1)))"
+    )
+    return sums.select(
+        F.col("nn0").cast("bigint").alias("n_ctrl"),
+        F.col("nn1").cast("bigint").alias("n_treat"),
+        F.expr("CAST(ab2 AS BIGINT)").alias("ab_x2"),
+        F.expr(
+            f"CASE WHEN nn0 = 0 OR nn1 = 0 OR nn0 + nn1 < 2 OR {var} <= 0"
+            f" THEN NULL ELSE"
+            f" (CAST(ab2 AS DOUBLE) - CAST(nn1 AS DOUBLE) * CAST(sa2 AS DOUBLE)"
+            f" / {nN}) / sqrt({var}) END"
+        ).alias("ab_z"),
+    )
+
+
+def _ansari_oracle() -> str:
+    arm = h32_sql("'cuped:' || user_id::VARCHAR") + " % 2"
+    score2 = (
+        "least(2 * cum_t - t + 1,"
+        " 2 * (nn0 + nn1 + 1) - (2 * cum_t - t + 1))"
+    )
+    nN = "CAST(nn0 + nn1 AS DOUBLE)"
+    var = (
+        f"(CAST(nn1 AS DOUBLE) * CAST(nn0 AS DOUBLE)"
+        f" * ({nN} * CAST(saa4 AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sa2 AS DOUBLE))"
+        f" / ({nN} * {nN} * ({nN} - 1)))"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+armed AS (SELECT cents, {arm} AS arm FROM per_user),
+hist AS (
+  SELECT cents AS v,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         count(*)::BIGINT AS t
+  FROM armed GROUP BY 1
+),
+cum AS (
+  SELECT *, sum(t) OVER (ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
+  FROM hist
+),
+tot AS (
+  SELECT coalesce(sum(n0), 0)::BIGINT AS nn0,
+         coalesce(sum(n1), 0)::BIGINT AS nn1
+  FROM hist
+),
+sums AS (
+  SELECT max(nn0) AS nn0, max(nn1) AS nn1,
+         sum(n1::HUGEINT * ({score2})) AS ab2,
+         sum(t::HUGEINT * ({score2})) AS sa2,
+         sum(t::HUGEINT * ({score2}) * ({score2})) AS saa4
+  FROM cum, tot
+)
+SELECT CAST(nn0 AS BIGINT) AS n_ctrl, CAST(nn1 AS BIGINT) AS n_treat,
+       CAST(ab2 AS BIGINT) AS ab_x2,
+       CASE WHEN nn0 = 0 OR nn1 = 0 OR nn0 + nn1 < 2 OR {var} <= 0 THEN NULL ELSE
+         (CAST(ab2 AS DOUBLE) - CAST(nn1 AS DOUBLE) * CAST(sa2 AS DOUBLE)
+          / {nN}) / sqrt({var}) END AS ab_z
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# partial_corr_volume_value
+# --------------------------------------------------------------------------
+
+
+def _partial_corr_exprs() -> dict[str, str]:
+    """Shared final-DAG text over (n, sx, sy, sz, sxx, syy, szz, sxy,
+    sxz, syz): three pairwise correlations and the first-order partial
+    r_xy·z — identical in both engines."""
+    d = {c: f"CAST({c} AS DOUBLE)" for c in
+         ["n", "sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz", "syz"]}
+
+    def r(ab, a, b, aa, bb):
+        num = f"({d['n']} * {d[ab]} - {d[a]} * {d[b]})"
+        den = (
+            f"sqrt(({d['n']} * {d[aa]} - {d[a]} * {d[a]})"
+            f" * ({d['n']} * {d[bb]} - {d[b]} * {d[b]}))"
+        )
+        return num, den
+
+    nxy, dxy = r("sxy", "sx", "sy", "sxx", "syy")
+    nxz, dxz = r("sxz", "sx", "sz", "sxx", "szz")
+    nyz, dyz = r("syz", "sy", "sz", "syy", "szz")
+    vg = (
+        f"({d['n']} * {d['sxx']} - {d['sx']} * {d['sx']}) <= 0"
+        f" OR ({d['n']} * {d['syy']} - {d['sy']} * {d['sy']}) <= 0"
+        f" OR ({d['n']} * {d['szz']} - {d['sz']} * {d['sz']}) <= 0"
+    )
+    rxy, rxz, ryz = f"({nxy} / {dxy})", f"({nxz} / {dxz})", f"({nyz} / {dyz})"
+    pden = f"((1 - {rxz} * {rxz}) * (1 - {ryz} * {ryz}))"
+    return {
+        "n_days": "CAST(n AS BIGINT)",
+        "r_xy": f"CASE WHEN {vg} THEN NULL ELSE {rxy} END",
+        "r_xz": f"CASE WHEN {vg} THEN NULL ELSE {rxz} END",
+        "r_yz": f"CASE WHEN {vg} THEN NULL ELSE {ryz} END",
+        "partial_r_xy_given_day": (
+            f"CASE WHEN {vg} OR {pden} <= 0 THEN NULL ELSE"
+            f" ({rxy} - {rxz} * {ryz}) / sqrt({pden}) END"
+        ),
+    }
+
+
+def partial_corr_volume_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of daily event VOLUME and
+    daily event VALUE, controlling for the day index — is the
+    volume↔value relationship [[daily_cross_correlation]] reports
+    real co-movement, or two series independently drifting with time?
+    The classic spurious-correlation referee: r_xy·t strips the shared
+    linear time trend from both series before correlating what's
+    left.
+
+    Exactness: all ten sufficient statistics are exact integer
+    aggregates; the three Pearson r's and the partial are ONE shared
+    IEEE DAG text spliced into both engines (correctly-rounded sqrt
+    only). Degenerate variances or |r| = 1 legs → NULL.
+
+    Scale: one day-keyed rollup, one aggregate — the same two-job
+    shape as [[durbin_watson_daily]]."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(f"unix_timestamp(ts) div {DAY_SECONDS}").alias("z")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.expr(VCENTS)).alias("y"),
+    )
+    dec = "CAST({a} AS DECIMAL(38,0))"
+    sums = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(dec.format(a="x"))).alias("sx"),
+        F.sum(F.expr(dec.format(a="y"))).alias("sy"),
+        F.sum(F.expr(dec.format(a="z"))).alias("sz"),
+        F.sum(F.expr(dec.format(a="x") + " * x")).alias("sxx"),
+        F.sum(F.expr(dec.format(a="y") + " * y")).alias("syy"),
+        F.sum(F.expr(dec.format(a="z") + " * z")).alias("szz"),
+        F.sum(F.expr(dec.format(a="x") + " * y")).alias("sxy"),
+        F.sum(F.expr(dec.format(a="x") + " * z")).alias("sxz"),
+        F.sum(F.expr(dec.format(a="y") + " * z")).alias("syz"),
+    )
+    exprs = _partial_corr_exprs()
+    return sums.select(*[F.expr(e).alias(k) for k, e in exprs.items()])
+
+
+def _partial_corr_oracle() -> str:
+    exprs = _partial_corr_exprs()
+    sel = ",\n       ".join(f"{e} AS {k}" for k, e in exprs.items())
+    return f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 1000000 // {DAY_SECONDS} AS z,
+         count(*)::BIGINT AS x,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+  FROM events GROUP BY 1
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy, sum(z::HUGEINT) AS sz,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(z::HUGEINT * z) AS szz, sum(x::HUGEINT * y) AS sxy,
+         sum(x::HUGEINT * z) AS sxz, sum(y::HUGEINT * z) AS syz
+  FROM daily
+)
+SELECT {sel}
+FROM sums
+"""
+
+
 QUERIES = {
     "friedman_daily_event_types": friedman_daily_event_types,
     "jonckheere_terpstra_priority": jonckheere_terpstra_priority,
@@ -897,6 +1457,11 @@ QUERIES = {
     "welch_t_ab": welch_t_ab,
     "mood_median_test": mood_median_test,
     "hodges_lehmann_shift": hodges_lehmann_shift,
+    "granger_value_leads_volume": granger_value_leads_volume,
+    "kpss_level_daily": kpss_level_daily,
+    "seasonal_mann_kendall": seasonal_mann_kendall,
+    "ansari_bradley_dispersion": ansari_bradley_dispersion,
+    "partial_corr_volume_value": partial_corr_volume_value,
 }
 
 ORACLES = {
@@ -907,4 +1472,9 @@ ORACLES = {
     "welch_t_ab": _welch_oracle(),
     "mood_median_test": _mood_oracle(),
     "hodges_lehmann_shift": _HL_SQL,
+    "granger_value_leads_volume": _granger_oracle(),
+    "kpss_level_daily": _KPSS_SQL,
+    "seasonal_mann_kendall": _SEASONAL_MK_SQL,
+    "ansari_bradley_dispersion": _ansari_oracle(),
+    "partial_corr_volume_value": _partial_corr_oracle(),
 }

@@ -44,6 +44,13 @@ _CALIB = [
     "isotonic_calibration_pava",
     "average_precision_scorer",
 ]
+_NONPARAM2 = [
+    "granger_value_leads_volume",
+    "kpss_level_daily",
+    "seasonal_mann_kendall",
+    "ansari_bradley_dispersion",
+    "partial_corr_volume_value",
+]
 
 
 @pytest.mark.parametrize("name", _NONPARAM)
@@ -58,6 +65,27 @@ def test_calibration_matches_oracle(spark, sf_dir, name):
     from rdbms_metadata_manager_spark.llm import calibration as C
 
     assert_matches_oracle(C.QUERIES[name](spark, sf_dir), C.ORACLES[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", _NONPARAM2)
+def test_nonparam2_matches_oracle(spark, sf_dir, name):
+    from rdbms_metadata_manager_spark.queries import nonparam as N
+
+    assert_matches_oracle(N.QUERIES[name](spark, sf_dir), N.ORACLES[name], sf_dir)
+
+
+@pytest.mark.parametrize(
+    "mod_path, name",
+    [
+        ("rdbms_metadata_manager_spark.queries.profiling", "hilbert_curve_locality"),
+        ("rdbms_metadata_manager_spark.queries.modern", "kmins_distinct_audit"),
+    ],
+)
+def test_layout_sketch_matches_oracle(spark, sf_dir, mod_path, name):
+    import importlib
+
+    mod = importlib.import_module(mod_path)
+    assert_matches_oracle(mod.QUERIES[name](spark, sf_dir), mod.ORACLES[name], sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -412,3 +440,246 @@ def test_brier_decomposition_recompute(spark, sf_dir):
     lhs = got["brier_micro"]
     rhs = got["reliability_micro"] - got["resolution_micro"] + got["uncertainty_micro"]
     assert abs(lhs - rhs) <= 2 * 1000 * BIN_W + BIN_W * BIN_W + 10
+
+
+# ---------------------------------------------------------------------------
+# second-session batch 2 — independent recomputes
+# ---------------------------------------------------------------------------
+
+
+def _daily_counts(sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT epoch_us(ts)//1000000//86400 AS d, count(*),"
+        " sum(CAST(floor(value*100+0.5) AS BIGINT)) FROM events"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_granger_recompute(spark, sf_dir):
+    """Closed-form Cramer RSS vs numpy least-squares — two entirely
+    different solution paths must land on the same F."""
+    import numpy as np
+
+    from rdbms_metadata_manager_spark.queries.nonparam import (
+        granger_value_leads_volume,
+    )
+
+    daily = _daily_counts(sf_dir)
+    y = np.array([r[1] for r in daily], dtype=float)
+    v = np.array([float(r[2]) for r in daily])
+    yt, a, b = y[1:], y[:-1], v[:-1]
+    n = len(yt)
+
+    def rss(X):
+        beta, *_ = np.linalg.lstsq(X, yt, rcond=None)
+        r = yt - X @ beta
+        return float(r @ r)
+
+    ones = np.ones(n)
+    rss_r = rss(np.column_stack([ones, a]))
+    rss_f = rss(np.column_stack([ones, a, b]))
+    f_want = (rss_r - rss_f) * (n - 3) / rss_f
+    got = granger_value_leads_volume(spark, sf_dir).collect()[0]
+    assert got["n_days_used"] == n
+    assert got["df_denom"] == n - 3
+    assert got["f_granger"] == pytest.approx(f_want, rel=1e-6, abs=1e-9)
+
+
+def test_kpss_recompute(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.nonparam import kpss_level_daily
+
+    daily = _daily_counts(sf_dir)
+    ys = [r[1] for r in daily]
+    n = len(ys)
+    sy = sum(ys)
+    syy = sum(y * y for y in ys)
+    c = 0
+    s2sum = 0
+    for t, y in enumerate(ys, start=1):
+        c += y
+        st = n * c - t * sy
+        s2sum += st * st
+    want = (1000000 * s2sum) // (n * n * (n * syy - sy * sy))
+    got = kpss_level_daily(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n
+    assert got["kpss_micro"] == want
+
+
+def test_seasonal_mk_brute(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.nonparam import seasonal_mann_kendall
+
+    con = _con(sf_dir)
+    daily = con.execute(
+        "SELECT month(o_orderdate), epoch_us(o_orderdate)//1000000//86400,"
+        " sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) FROM orders"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    con.close()
+    s = 0
+    strata: dict[int, list[int]] = {}
+    for m, d, r in daily:
+        strata.setdefault(m, []).append(r)
+    for vals in strata.values():
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+    var18 = 0
+    for vals in strata.values():
+        nm = len(vals)
+        var18 += nm * (nm - 1) * (2 * nm + 5)
+        cnt: dict[int, int] = {}
+        for r in vals:
+            cnt[r] = cnt.get(r, 0) + 1
+        var18 -= sum(t * (t - 1) * (2 * t + 5) for t in cnt.values())
+    got = seasonal_mann_kendall(spark, sf_dir).collect()[0]
+    assert got["n_days"] == len(daily)
+    assert got["n_seasons"] == len(strata)
+    assert got["s_stat"] == s
+    assert got["var_s_x18"] == var18
+
+
+def test_ansari_bradley_recompute(spark, sf_dir):
+    """Scores recomputed POSITIONALLY (sorted list, min-from-both-ends
+    midrank scores) — validates the histogram/prefix derivation of
+    2·cum − t + 1 and the doubled-score moments."""
+    from rdbms_metadata_manager_spark.queries.nonparam import (
+        ansari_bradley_dispersion,
+    )
+
+    con = _con(sf_dir)
+    rows = con.execute(
+        "SELECT ('0x' || substr(md5('cuped:' || user_id::VARCHAR), 1, 8))::BIGINT % 2,"
+        " sum(CAST(floor(value*100+0.5) AS BIGINT))"
+        " FROM events GROUP BY user_id"
+    ).fetchall()
+    con.close()
+    vals = sorted(set(c for _, c in rows))
+    from collections import Counter
+
+    c0 = Counter(c for a, c in rows if a == 0)
+    c1 = Counter(c for a, c in rows if a == 1)
+    N = len(rows)
+    ab2 = sa2 = saa4 = 0
+    p = 0
+    for v in vals:
+        t = c0[v] + c1[v]
+        midrank2 = 2 * p + t + 1
+        score2 = min(midrank2, 2 * (N + 1) - midrank2)
+        ab2 += c1[v] * score2
+        sa2 += t * score2
+        saa4 += t * score2 * score2
+        p += t
+    m, n2c = sum(c1.values()), sum(c0.values())
+    e = m * sa2 / N
+    var = m * n2c * (N * saa4 - sa2 * sa2) / (N * N * (N - 1))
+    got = ansari_bradley_dispersion(spark, sf_dir).collect()[0]
+    assert (got["n_ctrl"], got["n_treat"]) == (n2c, m)
+    assert got["ab_x2"] == ab2
+    assert got["ab_z"] == pytest.approx((ab2 - e) / var**0.5, rel=1e-9)
+
+
+def test_partial_corr_recompute(spark, sf_dir):
+    from rdbms_metadata_manager_spark.queries.nonparam import (
+        partial_corr_volume_value,
+    )
+
+    daily = _daily_counts(sf_dir)
+    xs = [r[1] for r in daily]
+    ys = [float(r[2]) for r in daily]
+    zs = [r[0] for r in daily]
+    n = len(daily)
+
+    def corr(a, b):
+        sa, sb = sum(a), sum(b)
+        sab = sum(x * y for x, y in zip(a, b))
+        saa = sum(x * x for x in a)
+        sbb = sum(y * y for y in b)
+        return (n * sab - sa * sb) / ((n * saa - sa * sa) * (n * sbb - sb * sb)) ** 0.5
+
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    want = (rxy - rxz * ryz) / ((1 - rxz**2) * (1 - ryz**2)) ** 0.5
+    got = partial_corr_volume_value(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n
+    assert got["r_xy"] == pytest.approx(rxy, rel=1e-9)
+    assert got["partial_r_xy_given_day"] == pytest.approx(want, rel=1e-9)
+
+
+def test_hilbert_bijective_and_beats_zorder(spark, sf_dir):
+    """(a) The unrolled SQL Hilbert stages are a bijection of the full
+    256x256 grid (DuckDB evaluates the exact expression text shared
+    with Spark); (b) on the fixture, Hilbert curve segments touch
+    fewer distinct key values than Morton segments — the property the
+    report exists to price."""
+    import duckdb
+
+    from rdbms_metadata_manager_spark.queries.profiling import (
+        HILBERT_N,
+        _hilbert_scales,
+        _hilbert_stage_exprs,
+        hilbert_curve_locality,
+    )
+
+    inner = (
+        f"SELECT x AS ka, y AS kb, x, y, 0 AS d"
+        f" FROM range({HILBERT_N}) g1(x), range({HILBERT_N}) g2(y)"
+    )
+    for s in _hilbert_scales():
+        d_new, x_new, y_new = _hilbert_stage_exprs(s)
+        inner = (
+            f"SELECT ka, kb, {d_new} AS d, {x_new} AS x, {y_new} AS y"
+            f" FROM ({inner})"
+        )
+    n_distinct, lo, hi = duckdb.connect().execute(
+        f"SELECT count(DISTINCT d), min(d), max(d) FROM ({inner})"
+    ).fetchall()[0]
+    assert (n_distinct, lo, hi) == (HILBERT_N * HILBERT_N, 0, HILBERT_N * HILBERT_N - 1)
+
+    rows = {r["layout"]: r for r in hilbert_curve_locality(spark, sf_dir).collect()}
+    h, z = rows["hilbert"], rows["zorder"]
+    assert h["n_buckets"] == z["n_buckets"]
+    assert (
+        h["avg_custkeys_milli"] + h["avg_days_milli"]
+        < z["avg_custkeys_milli"] + z["avg_days_milli"]
+    )
+
+
+def test_kmins_exact_recompute(spark, sf_dir):
+    import hashlib
+
+    from rdbms_metadata_manager_spark.queries.modern import (
+        KMINS_K,
+        KMINS_M,
+        kmins_distinct_audit,
+    )
+
+    con = _con(sf_dir)
+    pairs = con.execute(
+        "SELECT DISTINCT event_type, user_id FROM events"
+    ).fetchall()
+    con.close()
+    per_type: dict[str, list[int]] = {}
+    for et, uid in pairs:
+        mins = per_type.setdefault(et, [KMINS_M] * (KMINS_K + 1))
+        mins[KMINS_K] = 0  # slot reused as exact counter
+    for et, uid in pairs:
+        mins = per_type[et]
+        mins[KMINS_K] += 1
+        for i in range(KMINS_K):
+            h = int(hashlib.md5(f"kmv{i}:{uid}".encode()).hexdigest()[:8], 16)
+            if h < mins[i]:
+                mins[i] = h
+    got = {r["event_type"]: r for r in kmins_distinct_audit(spark, sf_dir).collect()}
+    assert set(got) == set(per_type)
+    for et, mins in per_type.items():
+        exact = mins[KMINS_K]
+        summins = sum(mins[:KMINS_K])
+        est = (KMINS_K * KMINS_M) // summins - 1
+        assert got[et]["exact_users"] == exact
+        assert got[et]["kmins_est"] == est
+        assert got[et]["err_pm"] == (1000 * (est - exact)) // exact
+        # deterministic but unbiased-ish: the estimate should be in the
+        # right ballpark (rsd ~ 1/sqrt(K) = 25%; allow 3x that)
+        assert abs(got[et]["err_pm"]) < 750
