@@ -238,6 +238,8 @@ HEADLINE = [
     "partial_corr_volume_value",
     "hilbert_curve_locality",
     "kmins_distinct_audit",
+    "ndcg_at_10_eval",
+    "burrows_delta_sources",
 ]
 
 

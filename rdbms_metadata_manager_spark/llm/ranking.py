@@ -235,14 +235,152 @@ ORDER BY query_id
 """
 
 
+# nDCG discounts 1/log2(i+1) for ranks 1..EVAL_K, generated ONCE in
+# Python and embedded as the same literals in both engines' query
+# text (the BH-threshold lever: engine-side log/ln is libm-dependent;
+# a shared literal cannot drift). IDCG prefix sums likewise.
+_NDCG_DISCOUNTS = [1.0 / __import__("math").log2(i + 1) for i in range(1, EVAL_K + 1)]
+_IDCG_PREFIX = [0.0]
+for _d in _NDCG_DISCOUNTS:
+    _IDCG_PREFIX.append(_IDCG_PREFIX[-1] + _d)
+
+
+def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 for the same labelled retrieval setup as
+    [[retrieval_eval_metrics]] — the rank-POSITION-weighted metric
+    that precision@K cannot see: a relevant hit at rank 1 is worth
+    ~3.3× one at rank 10 (1/log2(r+1) gain discounting, Järvelin &
+    Kekäläinen 2002). The scorecard column every RAG/retrieval
+    dashboard adds next to recall.
+
+    Exactness: the ten discount constants and the eleven ideal-DCG
+    prefix sums are Python-generated literals CAST AS DOUBLE in both
+    engines (never an engine-side log — the libm ban); DCG is a
+    FIXED-ORDER ten-term dot product over per-rank indicator
+    aggregates (max(CASE WHEN rk = i ...)), so no aggregation-order
+    float sum exists; the rank cut reuses the deterministic cosine
+    fold and (cosine DESC, vec_id) total order.
+
+    Scale: identical plan class to the metrics face — one broadcast
+    query batch over a streamed corpus, a K-row window cut
+    (WindowGroupLimit), per-query constant-width aggregates."""
+    from .similarity import _as_double, _cosine
+
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_EVAL_QUERIES)
+    label_totals = corpus.groupBy("label").agg(F.count(F.lit(1)).alias("n_relevant"))
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (F.col("label") == F.col("qlabel")).cast("long").alias("relevant"),
+        _cosine(F.col("v"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    rank_aggs = [
+        F.max(F.expr(f"CASE WHEN rk = {i} THEN relevant ELSE 0 END")).alias(f"r{i}")
+        for i in range(1, EVAL_K + 1)
+    ]
+    per_q = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= EVAL_K)
+        .groupBy("query_id")
+        .agg(*rank_aggs)
+    )
+    dcg_safe = " + ".join(
+        f"coalesce(r{i}, 0) * CAST({_NDCG_DISCOUNTS[i - 1]!r} AS DOUBLE)"
+        for i in range(1, EVAL_K + 1)
+    )
+    idcg_cases = " ".join(
+        f"WHEN {j} THEN CAST({_IDCG_PREFIX[j]!r} AS DOUBLE)"
+        for j in range(1, EVAL_K + 1)
+    )
+    idcg = f"(CASE least(coalesce(n_relevant, 0), {EVAL_K}) {idcg_cases} ELSE NULL END)"
+    return (
+        q.select("query_id", "qlabel")
+        .join(F.broadcast(label_totals), q["qlabel"] == label_totals["label"], "left")
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_relevant"), F.lit(0)).cast("long").alias("n_relevant"),
+            F.expr(
+                "CAST("
+                + " + ".join(f"coalesce(r{i}, 0)" for i in range(1, EVAL_K + 1))
+                + " AS BIGINT)"
+            ).alias("hits"),
+            F.expr(
+                f"CASE WHEN {idcg} IS NULL THEN NULL ELSE"
+                f" ({dcg_safe}) / {idcg} END"
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ndcg_oracle() -> str:
+    from .similarity import _cosine_sql
+
+    rank_aggs = ", ".join(
+        f"max(CASE WHEN rk = {i} THEN relevant ELSE 0 END) AS r{i}"
+        for i in range(1, EVAL_K + 1)
+    )
+    dcg = " + ".join(
+        f"coalesce(r{i}, 0) * CAST({_NDCG_DISCOUNTS[i - 1]!r} AS DOUBLE)"
+        for i in range(1, EVAL_K + 1)
+    )
+    hits = " + ".join(f"coalesce(r{i}, 0)" for i in range(1, EVAL_K + 1))
+    idcg_cases = " ".join(
+        f"WHEN {j} THEN CAST({_IDCG_PREFIX[j]!r} AS DOUBLE)"
+        for j in range(1, EVAL_K + 1)
+    )
+    idcg = f"(CASE least(coalesce(n_relevant, 0), {EVAL_K}) {idcg_cases} ELSE NULL END)"
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+      WHERE vec_id < {N_EVAL_QUERIES}),
+corpus AS (SELECT * FROM e WHERE vec_id >= {N_EVAL_QUERIES}),
+label_totals AS (SELECT label, count(*) AS n_relevant FROM corpus GROUP BY label),
+scored AS (
+  SELECT query_id, c.vec_id,
+         CASE WHEN c.label = qlabel THEN 1 ELSE 0 END AS relevant,
+         {_cosine_sql("c.v", "qv")} AS cosine
+  FROM corpus c, q
+),
+ranked AS (
+  SELECT query_id, relevant,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored QUALIFY rk <= {EVAL_K}
+),
+per_q AS (
+  SELECT query_id, {rank_aggs}
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id,
+       CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+       CAST({hits} AS BIGINT) AS hits,
+       CASE WHEN {idcg} IS NULL THEN NULL ELSE ({dcg}) / {idcg} END AS ndcg_at_10
+FROM q LEFT JOIN label_totals ON qlabel = label
+       LEFT JOIN per_q USING (query_id)
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "embedding_centroids": embedding_centroids,
     "retrieval_eval_metrics": retrieval_eval_metrics,
+    "ndcg_at_10_eval": ndcg_at_10_eval,
 }
 
 ORACLES = {
     "tfidf_top_terms": _TFIDF_SQL,
     "embedding_centroids": _CENTROIDS_SQL,
     "retrieval_eval_metrics": _retrieval_eval_oracle(),
+    "ndcg_at_10_eval": _ndcg_oracle(),
 }

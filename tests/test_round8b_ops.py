@@ -683,3 +683,152 @@ def test_kmins_exact_recompute(spark, sf_dir):
         # deterministic but unbiased-ish: the estimate should be in the
         # right ballpark (rsd ~ 1/sqrt(K) = 25%; allow 3x that)
         assert abs(got[et]["err_pm"]) < 750
+
+
+# ---------------------------------------------------------------------------
+# batch 3 — nDCG@10 and Burrows' Delta
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_matches_oracle(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm import ranking as R
+
+    assert_matches_oracle(
+        R.QUERIES["ndcg_at_10_eval"](spark, sf_dir),
+        R.ORACLES["ndcg_at_10_eval"],
+        sf_dir,
+    )
+
+
+def test_burrows_matches_oracle(spark, sf_dir):
+    from rdbms_metadata_manager_spark.llm import text as T
+
+    assert_matches_oracle(
+        T.QUERIES["burrows_delta_sources"](spark, sf_dir),
+        T.ORACLES["burrows_delta_sources"],
+        sf_dir,
+    )
+
+
+def test_ndcg_consistent_with_retrieval_metrics(spark, sf_dir):
+    """Same queries, same rank cut: the nDCG face's hits column must
+    equal the metrics face's hits, and nDCG must respect its bounds —
+    0 when hits = 0, 1 only when every top slot the ideal ranking
+    could fill is filled from the top."""
+    import math
+
+    from rdbms_metadata_manager_spark.llm.ranking import (
+        EVAL_K,
+        ndcg_at_10_eval,
+        retrieval_eval_metrics,
+    )
+
+    nd = {r["query_id"]: r for r in ndcg_at_10_eval(spark, sf_dir).collect()}
+    mt = {r["query_id"]: r for r in retrieval_eval_metrics(spark, sf_dir).collect()}
+    assert set(nd) == set(mt)
+    for qid in nd:
+        assert nd[qid]["hits"] == mt[qid]["hits"]
+        assert nd[qid]["n_relevant"] == mt[qid]["n_relevant"]
+        v = nd[qid]["ndcg_at_10"]
+        if nd[qid]["n_relevant"] == 0:
+            assert v is None
+        else:
+            assert 0.0 <= v <= 1.0 + 1e-12
+            if nd[qid]["hits"] == 0:
+                assert v == 0.0
+    # exact recompute from the oracle's own ranked relevance sequence
+    import duckdb
+
+    from rdbms_metadata_manager_spark.llm.ranking import N_EVAL_QUERIES
+    from rdbms_metadata_manager_spark.llm.similarity import _cosine_sql
+
+    con = _con(sf_dir)
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    rows = con.execute(f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+      WHERE vec_id < {N_EVAL_QUERIES}),
+corpus AS (SELECT * FROM e WHERE vec_id >= {N_EVAL_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id,
+         CASE WHEN c.label = qlabel THEN 1 ELSE 0 END AS relevant,
+         {_cosine_sql("c.v", "qv")} AS cosine
+  FROM corpus c, q
+)
+SELECT query_id, relevant,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+FROM scored QUALIFY rk <= {EVAL_K}
+""").fetchall()
+    con.close()
+    rels: dict[int, dict[int, int]] = {}
+    for qid, rel, rk in rows:
+        rels.setdefault(qid, {})[rk] = rel
+    for qid, byrank in rels.items():
+        dcg = sum(
+            byrank.get(i, 0) / math.log2(i + 1) for i in range(1, EVAL_K + 1)
+        )
+        r_eff = min(nd[qid]["n_relevant"], EVAL_K)
+        if r_eff == 0:
+            continue
+        idcg = sum(1.0 / math.log2(i + 1) for i in range(1, r_eff + 1))
+        assert nd[qid]["ndcg_at_10"] == pytest.approx(dcg / idcg, rel=1e-12)
+
+
+def test_burrows_recompute_and_symmetry(spark, sf_dir):
+    """Exact integer recompute (parts-per-million freqs, floored
+    per-word terms) from raw word counts, plus the matrix facts: one
+    row per unordered source pair, delta >= 0."""
+    import math
+
+    from rdbms_metadata_manager_spark.llm.text import (
+        BURROWS_TOP_WORDS,
+        burrows_delta_sources,
+    )
+
+    con = _con(sf_dir)
+    swc = con.execute(
+        "SELECT source, w, count(*) FROM (SELECT source,"
+        " unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    from collections import Counter, defaultdict
+
+    per_src: dict[str, Counter] = defaultdict(Counter)
+    corpus = Counter()
+    for s, w, c in swc:
+        per_src[s][w] += c
+        corpus[w] += c
+    top = [w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:BURROWS_TOP_WORDS]]
+    sources = sorted(per_src)
+    tot = {s: sum(per_src[s].values()) for s in sources}
+    f = {
+        (s, w): (1000000 * per_src[s][w]) // tot[s] for s in sources for w in top
+    }
+    S = len(sources)
+    want = {}
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1:]:
+            tsum = 0
+            k = 0
+            for w in top:
+                sf = sum(f[(s, w)] for s in sources)
+                sff = sum(f[(s, w)] ** 2 for s in sources)
+                if S * sff - sf * sf <= 0:
+                    continue
+                k += 1
+                tsum += math.floor(
+                    1000000
+                    * abs(f[(sa, w)] - f[(sb, w)])
+                    * math.sqrt(S * (S - 1))
+                    / math.sqrt(S * sff - sf * sf)
+                )
+            want[(sa, sb)] = (k, (tsum // 1000) // k)
+    got = {
+        (r["source_a"], r["source_b"]): (r["k_words"], r["delta_milli"])
+        for r in burrows_delta_sources(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) == S * (S - 1) // 2
+    assert all(d >= 0 for _, d in got.values())
