@@ -13,6 +13,8 @@ stream — shuffles on (doc, word) and word respectively; N is a
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -239,7 +241,7 @@ ORDER BY query_id
 # Python and embedded as the same literals in both engines' query
 # text (the BH-threshold lever: engine-side log/ln is libm-dependent;
 # a shared literal cannot drift). IDCG prefix sums likewise.
-_NDCG_DISCOUNTS = [1.0 / __import__("math").log2(i + 1) for i in range(1, EVAL_K + 1)]
+_NDCG_DISCOUNTS = [1.0 / math.log2(i + 1) for i in range(1, EVAL_K + 1)]
 _IDCG_PREFIX = [0.0]
 for _d in _NDCG_DISCOUNTS:
     _IDCG_PREFIX.append(_IDCG_PREFIX[-1] + _d)

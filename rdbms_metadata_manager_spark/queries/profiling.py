@@ -900,35 +900,41 @@ def hilbert_curve_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ka", "kb", "z", f"{d_new} AS d", f"{x_new} AS x", f"{y_new} AS y"
         )
     base = base.withColumn("h", F.expr(f"d div {HILBERT_SEG_W}"))
-    legs = []
-    for layout, bucket in (
-        ("custkey_sort", "ka"),
-        ("date_sort", "kb"),
-        ("hilbert", "h"),
-        ("zorder", "z"),
-    ):
-        per_bucket = base.groupBy(F.col(bucket).alias("bkt")).agg(
-            F.countDistinct("ka").alias("n_cust"),
-            F.countDistinct("kb").alias("n_days"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        legs.append(
-            per_bucket.agg(
-                F.lit(layout).alias("layout"),
-                F.count(F.lit(1)).alias("n_buckets"),
-                F.expr("CAST((1000 * sum(n_cust)) DIV count(1) AS BIGINT)").alias(
-                    "avg_custkeys_milli"
-                ),
-                F.expr("CAST((1000 * sum(n_days)) DIV count(1) AS BIGINT)").alias(
-                    "avg_days_milli"
-                ),
-                F.sum("n_rows").alias("total_rows"),
+    # ONE scan, ONE shuffle: explode each row into its four
+    # (layout, bucket) memberships and aggregate the whole grid in a
+    # single (layout, bkt)-keyed pass — the 4-leg union shape re-reads
+    # the scan per leg (8 parquet scan nodes in the formatted plan).
+    exploded = base.select(
+        F.explode(
+            F.expr(
+                "array(struct('custkey_sort' AS layout, ka AS bkt),"
+                "      struct('date_sort' AS layout, kb AS bkt),"
+                "      struct('hilbert' AS layout, h AS bkt),"
+                "      struct('zorder' AS layout, z AS bkt))"
             )
+        ).alias("m"),
+        "ka",
+        "kb",
+    ).select(F.col("m.layout").alias("layout"), F.col("m.bkt").alias("bkt"), "ka", "kb")
+    per_bucket = exploded.groupBy("layout", "bkt").agg(
+        F.countDistinct("ka").alias("n_cust"),
+        F.countDistinct("kb").alias("n_days"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        per_bucket.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.expr("CAST((1000 * sum(n_cust)) DIV count(1) AS BIGINT)").alias(
+                "avg_custkeys_milli"
+            ),
+            F.expr("CAST((1000 * sum(n_days)) DIV count(1) AS BIGINT)").alias(
+                "avg_days_milli"
+            ),
+            F.sum("n_rows").alias("total_rows"),
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionAll(leg)
-    return out.orderBy("layout")
+        .orderBy("layout")
+    )
 
 
 def _hilbert_oracle() -> str:

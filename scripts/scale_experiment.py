@@ -112,6 +112,31 @@ FIXED_OUTPUT_KERNELS = [
     "bpe_train_merges",
     "source_signature_chisq",
     "language_id_confusion",
+    # round-8 second-session additions: all bounded-row reports —
+    # 1-row stats over calendar-bounded daily rollups (replicas keep
+    # the day spine, per-day mass grows Kx), ≤11-bin calibration
+    # tables, the 4-row layout report, |sources|²/2 = 190 Delta
+    # pairs, 16 eval queries, 5 sketch rows. Work grows Kx in the
+    # scan/rollup stage only; rows must stay flat.
+    "friedman_daily_event_types",
+    "jonckheere_terpstra_priority",
+    "cochran_armitage_trend",
+    "durbin_watson_daily",
+    "welch_t_ab",
+    "mood_median_test",
+    "hodges_lehmann_shift",
+    "brier_score_decomposition",
+    "isotonic_calibration_pava",
+    "average_precision_scorer",
+    "granger_value_leads_volume",
+    "kpss_level_daily",
+    "seasonal_mann_kendall",
+    "ansari_bradley_dispersion",
+    "partial_corr_volume_value",
+    "hilbert_curve_locality",
+    "kmins_distinct_audit",
+    "ndcg_at_10_eval",
+    "burrows_delta_sources",
     # round-4 fixed-output additions: the query batches are the
     # original (un-offset) vec_ids, so only the corpus side grows —
     # 24 / 10 / 16 / 8 rows regardless of K.
