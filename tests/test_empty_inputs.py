@@ -154,6 +154,14 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
         ("queries.audit", "minmax_skipping_audit"),
         ("llm.curation", "jackknife_source_sensitivity"),
         ("llm.curation", "gains_curve_scorer"),
+        # round-8 second-session additions that contract to ZERO rows
+        # (the 1-row global-aggregate stats are covered by
+        # test_round8b_ops.test_global_agg_stats_on_empty_input)
+        ("llm.calibration", "isotonic_calibration_pava"),
+        ("queries.profiling", "hilbert_curve_locality"),
+        ("queries.modern", "kmins_distinct_audit"),
+        ("llm.ranking", "ndcg_at_10_eval"),
+        ("llm.text", "burrows_delta_sources"),
     ],
 )
 def test_empty_input_yields_empty_output(spark, empty_dir, mod_name, query):

@@ -776,6 +776,43 @@ FROM scored QUALIFY rk <= {EVAL_K}
         assert nd[qid]["ndcg_at_10"] == pytest.approx(dcg / idcg, rel=1e-12)
 
 
+def test_global_agg_stats_on_empty_input(spark, tmp_path):
+    """The fourteen 1-row global-aggregate reports must survive a
+    zero-row corpus with their schema intact, zero counts, and NULL
+    statistics — never a throw (the round-7 convention)."""
+    d = str(tmp_path / "empty_sf")
+    for t in ["orders", "documents", "events", "embeddings"]:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .write.parquet(f"{d}/{t}.parquet")
+        )
+    from rdbms_metadata_manager_spark.llm import calibration as C
+    from rdbms_metadata_manager_spark.queries import nonparam as N
+
+    cases = {
+        "friedman_daily_event_types": (N, "n_days", "chi2_pm"),
+        "jonckheere_terpstra_priority": (N, "n_orders", "jt_z"),
+        "cochran_armitage_trend": (N, "n_orders", "ca_z"),
+        "durbin_watson_daily": (N, "n_days", "dw_stat"),
+        "welch_t_ab": (N, "n_ctrl", "t_stat"),
+        "mood_median_test": (N, "n_orders", "chi2_micro"),
+        "hodges_lehmann_shift": (N, "n_pairs", "hl_shift_cents"),
+        "granger_value_leads_volume": (N, "n_days_used", "f_granger"),
+        "kpss_level_daily": (N, "n_days", "kpss_micro"),
+        "seasonal_mann_kendall": (N, "n_days", "z_stat"),
+        "ansari_bradley_dispersion": (N, "n_ctrl", "ab_z"),
+        "partial_corr_volume_value": (N, "n_days", "partial_r_xy_given_day"),
+        "brier_score_decomposition": (C, "n_docs", "brier_micro"),
+        "average_precision_scorer": (C, "n_docs", "ap_micro"),
+    }
+    for name, (mod, count_col, stat_col) in cases.items():
+        rows = mod.QUERIES[name](spark, d).collect()
+        assert len(rows) == 1, name
+        assert (rows[0][count_col] or 0) == 0, name
+        assert rows[0][stat_col] is None, name
+
+
 def test_burrows_recompute_and_symmetry(spark, sf_dir):
     """Exact integer recompute (parts-per-million freqs, floored
     per-word terms) from raw word counts, plus the matrix facts: one
