@@ -64,20 +64,13 @@ def main() -> int:
         "registry": n_registry,
     }
 
-    # 1. full suite
-    if args.skip_suite:
-        report["suite"] = "SKIPPED BY FLAG"
-    else:
-        rc, out = _run([sys.executable, "-m", "pytest", "tests/", "-q"], 3600)
-        m = re.search(r"(\d+) passed(?:.*?(\d+) skipped)?", out.replace(",", ""))
-        report["suite"] = {
-            "passed": int(m.group(1)) if m else None,
-            "skipped": int(m.group(2)) if m and m.group(2) else 0,
-            "exit": rc,
-            "tail": out.strip().splitlines()[-1],
-        }
-
-    # 2. full-registry pristine replay (regenerates the gate artifact)
+    # 1. full-registry pristine replay (regenerates the gate artifact)
+    # — BEFORE the suite: tests/test_registry.py's drift gate asserts
+    # the newest replay artifact covers exactly the current registry,
+    # so certifying a freeze that GREW the registry must refresh the
+    # artifact first or stage 2 reports the gate doing its job as a
+    # spurious freeze failure (bit round 8: 1 failed / 1092 passed
+    # with a 362-entry artifact against a 381-query registry).
     replay_path = os.path.join(_REPO, f"REPLAY_FULL_r{rn:02d}.json")
     rc, out = _run(
         [sys.executable, "scripts/replay_window.py", "--n", str(n_registry),
@@ -89,6 +82,19 @@ def main() -> int:
     report["replay"] = {
         "n_green": rep["n_green"], "n_total": rep["n_total"], "exit": rc,
     }
+
+    # 2. full suite (sees the fresh replay artifact)
+    if args.skip_suite:
+        report["suite"] = "SKIPPED BY FLAG"
+    else:
+        rc, out = _run([sys.executable, "-m", "pytest", "tests/", "-q"], 3600)
+        m = re.search(r"(\d+) passed(?:.*?(\d+) skipped)?", out.replace(",", ""))
+        report["suite"] = {
+            "passed": int(m.group(1)) if m else None,
+            "skipped": int(m.group(2)) if m and m.group(2) else 0,
+            "exit": rc,
+            "tail": out.strip().splitlines()[-1],
+        }
 
     # 3. bench at sf0.1
     if args.skip_bench:
