@@ -1340,11 +1340,16 @@ def dsir_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT; selection is pure integer boundary counting.
 
     Scale: the global prefix sum is a TWO-LEVEL hierarchy (within
-    doc_id-range buckets of DSIR_CUM_BUCKET docs, plus one bounded window
-    over per-bucket totals) — never a single-partition window over
-    the corpus; at larger corpora add a level (the classic scan
-    hierarchy), each level 1000x smaller than the last."""
+    doc_id-range buckets of DSIR_CUM_BUCKET docs, plus the
+    ``ranged_prefix`` range kernel over the |docs|/DSIR_CUM_BUCKET
+    per-bucket totals) — never a single-partition window at EITHER
+    level (ADVICE r8 #2: the second level previously used an
+    unpartitioned Window.orderBy over the totals, which grows with
+    the corpus; routing it through ranged_prefix makes the scan
+    hierarchy a plan property, not a comment)."""
     from pyspark.sql import Window
+
+    from ..queries.prefix import ranged_prefix
 
     wts = dsir_importance_weights(spark, sf_dir).select(
         "doc_id", F.col("avg_token_ratio_fp").alias("w")
@@ -1356,20 +1361,12 @@ def dsir_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = b.withColumn("local_cum", F.sum("w").over(wb))
-    offsets = (
-        b.groupBy("bucket")
-        .agg(F.sum("w").alias("bw"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("bw").over(
-                    Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "offset")
-    )
+    # exclusive offset = inclusive range-kernel cumsum minus own total
+    offsets = ranged_prefix(
+        b.groupBy("bucket").agg(F.sum("w").alias("bw")),
+        [F.col("bucket")],
+        sum_cols=["bw"],
+    ).select("bucket", (F.col("cum_bw") - F.col("bw")).alias("offset"))
     totals = wts.agg(
         F.sum("w").alias("w_total"), F.count(F.lit(1)).alias("n_docs")
     ).select(

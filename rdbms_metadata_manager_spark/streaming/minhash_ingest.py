@@ -28,8 +28,10 @@ earlier batch" coincides with "smaller doc_id", so the stream output
 equals a pure batch spec with NO order dependence: a stream doc
 survives iff none of its band buckets appears in the corpus index and
 it is the minimum doc_id among stream docs for EVERY bucket it has.
-The DuckDB oracle states exactly that spec; ``n_batches`` pins that
-the redelivery file really arrived as its own (fully deduped) batch.
+The DuckDB oracle states exactly that spec; ``n_files_ingested`` pins
+— from the checkpoint's committed source log, not from foreachBatch
+firing (ADVICE r8 #4) — that the redelivery file really was admitted
+by the stream (its rows all deduped away).
 Seen-state accumulates SEEN docs, not accepted ones — the first-claim
 rule (min doc_id per bucket, accepted or not) is what keeps the
 online rule equal to the order-free spec.
@@ -214,10 +216,30 @@ def stream_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _drain(q, "stream_dedup_minhash_bands")
 
-        n_batches = len([p for p in os.listdir(state_root) if p.startswith("state_v")])
+        # ADVICE r8 #4: the old pin counted state_v files, which
+        # relies on Spark SCHEDULING a foreachBatch for the final
+        # micro-batch that dropDuplicatesWithinWatermark empties
+        # completely — version-sensitive behaviour, not a contract.
+        # The contract is the SOURCE log: the checkpoint's
+        # sources/0/<batch> files each list the staged files that
+        # batch admitted, and all N_STREAM_FILES + 1 staged files
+        # (terciles + the redelivery file) must appear there no
+        # matter how the engine batches or skips downstream-empty
+        # work. n_files_ingested pins that; the redelivery batch's
+        # emptiness is separately pinned by the survivor set itself
+        # (a re-emitted survivor would duplicate a doc_id and break
+        # the hash compare).
+        n_files = _count_source_files(ckpt)
+        n_state = len([p for p in os.listdir(state_root) if p.startswith("state_v")])
+        if not (N_STREAM_FILES <= n_state <= N_STREAM_FILES + 1):
+            raise AssertionError(
+                f"expected {N_STREAM_FILES} or {N_STREAM_FILES + 1} processed "
+                f"micro-batches (redelivery batch may be skipped when fully "
+                f"deduped), got {n_state}"
+            )
         result = (
             spark.read.parquet(out)
-            .select("doc_id", F.lit(n_batches).cast("bigint").alias("n_batches"))
+            .select("doc_id", F.lit(n_files).cast("bigint").alias("n_files_ingested"))
             .orderBy("doc_id")
             # materialize before the staging dir is deleted
             .localCheckpoint(eager=True)
@@ -225,6 +247,27 @@ def stream_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return result
+
+
+def _count_source_files(ckpt: str) -> int:
+    """Total staged files admitted by the FileStreamSource, read from
+    the checkpoint's committed source log (``sources/0/<batchId>`` —
+    one JSON entry per admitted file after the ``v1`` header line)."""
+    import json
+
+    src_log = os.path.join(ckpt, "sources", "0")
+    n = 0
+    # batch log files are named by their integer batch id; skip CRC
+    # sidecars / compaction artifacts
+    for name in os.listdir(src_log):
+        if not name.isdigit():
+            continue
+        with open(os.path.join(src_log, name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("{") and "path" in json.loads(line):
+                    n += 1
+    return n
 
 
 def _bump_mtimes(src: str, k: int) -> None:
@@ -266,7 +309,7 @@ dropped AS (
                 WHERE cl.band = sb.band AND cl.bucket = sb.bucket
                   AND cl.first_id < sb.doc_id)
 )
-SELECT doc_id, 4::BIGINT AS n_batches
+SELECT doc_id, 4::BIGINT AS n_files_ingested
 FROM (SELECT DISTINCT doc_id FROM stream_bands)
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 ORDER BY doc_id

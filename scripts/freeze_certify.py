@@ -13,11 +13,15 @@ fresh as the replay artifact (which it also regenerates):
 4. environment probes (mysqld, protobuf) → blocked/available
 
 Usage:
-    python scripts/freeze_certify.py --round 8 [--skip-suite] [--skip-bench]
+    python scripts/freeze_certify.py --round 9 [--skip-suite] [--skip-bench]
 
 Each stage shells out to the exact command a human would run; nothing
 is cached between stages. Exit code 0 only if suite green AND replay
-all-green.
+all-green. Stage crashes (replay subprocess dying before its artifact
+exists, a _run timeout) are RECORDED in the report and still produce a
+FREEZE_r{N}.md with a failed status instead of a bare traceback
+(ADVICE r8 #3) — exit stays nonzero either way, so no false
+certification is possible.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ import re
 import shutil
 import subprocess
 import sys
+import traceback
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -64,6 +69,13 @@ def main() -> int:
         "registry": n_registry,
     }
 
+    def _stage_error(exc: BaseException) -> dict[str, object]:
+        return {
+            "failed": True,
+            "error": f"{type(exc).__name__}: {exc}",
+            "traceback": traceback.format_exc(limit=3),
+        }
+
     # 1. full-registry pristine replay (regenerates the gate artifact)
     # — BEFORE the suite: tests/test_registry.py's drift gate asserts
     # the newest replay artifact covers exactly the current registry,
@@ -72,46 +84,55 @@ def main() -> int:
     # spurious freeze failure (bit round 8: 1 failed / 1092 passed
     # with a 362-entry artifact against a 381-query registry).
     replay_path = os.path.join(_REPO, f"REPLAY_FULL_r{rn:02d}.json")
-    rc, out = _run(
-        [sys.executable, "scripts/replay_window.py", "--n", str(n_registry),
-         "--json-out", os.path.basename(replay_path)],
-        7200,
-    )
-    with open(replay_path) as fh:
-        rep = json.load(fh)
-    report["replay"] = {
-        "n_green": rep["n_green"], "n_total": rep["n_total"], "exit": rc,
-    }
+    try:
+        rc, out = _run(
+            [sys.executable, "scripts/replay_window.py", "--n", str(n_registry),
+             "--json-out", os.path.basename(replay_path)],
+            7200,
+        )
+        with open(replay_path) as fh:
+            rep = json.load(fh)
+        report["replay"] = {
+            "n_green": rep["n_green"], "n_total": rep["n_total"], "exit": rc,
+        }
+    except Exception as exc:  # crashed subprocess / missing artifact / timeout
+        report["replay"] = _stage_error(exc)
 
     # 2. full suite (sees the fresh replay artifact)
     if args.skip_suite:
         report["suite"] = "SKIPPED BY FLAG"
     else:
-        rc, out = _run([sys.executable, "-m", "pytest", "tests/", "-q"], 3600)
-        m = re.search(r"(\d+) passed(?:.*?(\d+) skipped)?", out.replace(",", ""))
-        report["suite"] = {
-            "passed": int(m.group(1)) if m else None,
-            "skipped": int(m.group(2)) if m and m.group(2) else 0,
-            "exit": rc,
-            "tail": out.strip().splitlines()[-1],
-        }
+        try:
+            rc, out = _run([sys.executable, "-m", "pytest", "tests/", "-q"], 3600)
+            m = re.search(r"(\d+) passed(?:.*?(\d+) skipped)?", out.replace(",", ""))
+            report["suite"] = {
+                "passed": int(m.group(1)) if m else None,
+                "skipped": int(m.group(2)) if m and m.group(2) else 0,
+                "exit": rc,
+                "tail": out.strip().splitlines()[-1],
+            }
+        except Exception as exc:
+            report["suite"] = _stage_error(exc)
 
     # 3. bench at sf0.1
     if args.skip_bench:
         report["bench"] = "SKIPPED BY FLAG"
     else:
-        rc, out = _run([sys.executable, "bench.py"], 3600)
-        with open(os.path.join(_REPO, "BENCH_FULL.json")) as fh:
-            bf = json.load(fh)
-        suspects = {
-            q: bf["queries"].get(q)
-            for q in ("ktruss_copurchase_edges", "scan_structural_similarity",
-                      "ivfpq_residual_search", "gopher_repetition_profile")
-        }
-        report["bench"] = {
-            "total_sec": bf["value"], "n_queries": len(bf["queries"]),
-            "sf": bf["sf"], "tide_suspects": suspects, "exit": rc,
-        }
+        try:
+            rc, out = _run([sys.executable, "bench.py"], 3600)
+            with open(os.path.join(_REPO, "BENCH_FULL.json")) as fh:
+                bf = json.load(fh)
+            suspects = {
+                q: bf["queries"].get(q)
+                for q in ("ktruss_copurchase_edges", "scan_structural_similarity",
+                          "ivfpq_residual_search", "gopher_repetition_profile")
+            }
+            report["bench"] = {
+                "total_sec": bf["value"], "n_queries": len(bf["queries"]),
+                "sf": bf["sf"], "tide_suspects": suspects, "exit": rc,
+            }
+        except Exception as exc:
+            report["bench"] = _stage_error(exc)
 
     # 4. environment probes
     report["env"] = {
@@ -120,25 +141,40 @@ def main() -> int:
         if importlib.util.find_spec("google") else False,
     }
 
-    md = [f"# FREEZE r{rn} — regenerated at HEAD {head}"
-          + (" (DIRTY TREE — rerun after committing)" if dirty else ""), ""]
-    md.append(f"- registry: **{n_registry}** queries, all with oracles")
+    def _ok_stage(v: object) -> bool:
+        return isinstance(v, dict) and not v.get("failed")
+
+    r = report["replay"]
     s = report["suite"]
-    if isinstance(s, dict):
+    ok = (
+        _ok_stage(r)
+        and r["exit"] == 0
+        and r["n_green"] == r["n_total"]
+        and (args.skip_suite or (_ok_stage(s) and s["exit"] == 0))
+    )
+    report["certified"] = bool(ok)
+
+    md = [f"# FREEZE r{rn} — regenerated at HEAD {head}"
+          + (" (DIRTY TREE — rerun after committing)" if dirty else "")
+          + ("" if ok else " — **FAILED, NOT CERTIFIED**"), ""]
+    md.append(f"- registry: **{n_registry}** queries, all with oracles")
+    if _ok_stage(s):
         md.append(f"- suite: **{s['passed']} passed + {s['skipped']} skipped**"
                   f" (exit {s['exit']}; `{s['tail']}`)")
     else:
-        md.append(f"- suite: {s}")
-    r = report["replay"]
-    md.append(f"- pristine replay: **{r['n_green']}/{r['n_total']} green**"
-              f" (REPLAY_FULL_r{rn:02d}.json)")
+        md.append(f"- suite: {s if isinstance(s, str) else 'STAGE FAILED: ' + str(s.get('error'))}")
+    if _ok_stage(r):
+        md.append(f"- pristine replay: **{r['n_green']}/{r['n_total']} green**"
+                  f" (REPLAY_FULL_r{rn:02d}.json)")
+    else:
+        md.append(f"- pristine replay: STAGE FAILED: {r.get('error')}")
     b = report["bench"]
-    if isinstance(b, dict):
+    if _ok_stage(b):
         md.append(f"- bench sf0.1: **{b['total_sec']} s over {b['n_queries']}"
                   f" queries** (BENCH_FULL.json)")
         md.append(f"  - tide suspects: {json.dumps(b['tide_suspects'])}")
     else:
-        md.append(f"- bench: {b}")
+        md.append(f"- bench: {b if isinstance(b, str) else 'STAGE FAILED: ' + str(b.get('error'))}")
     env = report["env"]
     md.append(f"- env blocks: mysqld={'available' if env['mysqld'] else 'ABSENT'},"
               f" protobuf={'available' if env['protobuf'] else 'ABSENT'}")
@@ -154,11 +190,6 @@ def main() -> int:
     # artifact's counts: a crashed replay over a stale-but-green
     # artifact must NOT certify (the exact hand-drift failure class
     # this script exists to eliminate).
-    ok = (
-        r["exit"] == 0
-        and r["n_green"] == r["n_total"]
-        and (args.skip_suite or (isinstance(s, dict) and s["exit"] == 0))
-    )
     return 0 if ok else 1
 
 

@@ -1273,3 +1273,42 @@ def test_round7_auc_rides_prefix_kernel(spark, sf_dir):
         assert ("ASC" not in head) and ("DESC" not in head), (
             "unpartitioned window: " + m.group(0)
         )
+
+
+def test_hubness_broadcast_is_bounded_sample(spark, sf_dir):
+    """ann_hubness_audit (VERDICT r8 item 2): the query side of the
+    pair join must be the TakeOrdered-bounded HUB_SAMPLE_Q-row md5
+    sample — NEVER the whole embeddings relation. Every
+    BroadcastExchange subtree must therefore contain a limit
+    (TakeOrderedAndProject for the sample, or a HashAggregate for the
+    1-row corpus total); a bare parquet scan directly under a
+    broadcast is the r8 scale-killer this test pins closed."""
+    from rdbms_metadata_manager_spark.llm.similarity import ann_hubness_audit
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(ann_hubness_audit(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    subs = _broadcast_subtrees(plan)
+    assert subs, plan  # the sample must still broadcast (explicit hint)
+    for sub in subs:
+        assert "TakeOrderedAndProject" in sub or "HashAggregate" in sub, plan
+
+
+def test_dsir_resample_has_no_unpartitioned_window(spark, sf_dir):
+    """dsir_systematic_resample (ADVICE r8 #2): both prefix levels —
+    per-bucket local cumsums AND the bucket-totals offsets — must run
+    as partitioned windows (bucket / the range kernel's _pid), never
+    an unpartitioned Window.orderBy that grows with the corpus."""
+    import re
+
+    from rdbms_metadata_manager_spark.llm.curation import dsir_systematic_resample
+
+    plan = physical_plan(dsir_systematic_resample(spark, sf_dir))
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = m.group(1).split(",")[0]
+        assert ("ASC" not in head) and ("DESC" not in head), (
+            "unpartitioned window: " + m.group(0)
+        )
