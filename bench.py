@@ -240,6 +240,15 @@ HEADLINE = [
     "kmins_distinct_audit",
     "ndcg_at_10_eval",
     "burrows_delta_sources",
+    # round-9 additions: distribution-shift battery + corpus-drift faces
+    "cramer_von_mises_weekend",
+    "bhattacharyya_weekend_overlap",
+    "ljung_box_daily_events",
+    "page_trend_weekly_events",
+    "grubbs_outlier_daily_revenue",
+    "wasserstein_source_length_drift",
+    "rbo_scorer_rankings",
+    "vocab_gini_concentration",
 ]
 
 

@@ -137,6 +137,20 @@ FIXED_OUTPUT_KERNELS = [
     "kmins_distinct_audit",
     "ndcg_at_10_eval",
     "burrows_delta_sources",
+    # round-9 additions: daily/weekly rollups (ljung-box, page,
+    # grubbs), price-domain value histograms (cvm, bhattacharyya),
+    # the length-domain grid (wasserstein), two TakeOrdered top-D
+    # passes (rbo), and the token-keyed vocab rollup + range-kernel
+    # rank (vocab gini — vocabulary grows Kx under the token-rename
+    # replicas, the one genuinely growing relation).
+    "cramer_von_mises_weekend",
+    "bhattacharyya_weekend_overlap",
+    "ljung_box_daily_events",
+    "page_trend_weekly_events",
+    "grubbs_outlier_daily_revenue",
+    "wasserstein_source_length_drift",
+    "rbo_scorer_rankings",
+    "vocab_gini_concentration",
     # round-4 fixed-output additions: the query batches are the
     # original (un-offset) vec_ids, so only the corpus side grows —
     # 24 / 10 / 16 / 8 rows regardless of K.

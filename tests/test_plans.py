@@ -1312,3 +1312,26 @@ def test_dsir_resample_has_no_unpartitioned_window(spark, sf_dir):
         assert ("ASC" not in head) and ("DESC" not in head), (
             "unpartitioned window: " + m.group(0)
         )
+
+
+def test_round9_ops_have_no_unpartitioned_windows(spark, sf_dir):
+    """The round-9 battery must keep every window partitioned (day /
+    week / source / the range kernel's _pid / the one_group constant
+    for documented-bounded relations) — never a bare global
+    Window.orderBy that grows with the corpus — and no op may fall
+    back to a cartesian or corpus-sized nested-loop join (the RBO
+    depth-spine theta join runs on the bounded 20-row top-D lists
+    under an explicit broadcast)."""
+    import re
+
+    from rdbms_metadata_manager_spark.llm.drift import QUERIES as DRIFT_Q
+    from rdbms_metadata_manager_spark.queries.distshift import QUERIES as DS_Q
+
+    for name, fn in {**DS_Q, **DRIFT_Q}.items():
+        plan = physical_plan(fn(spark, sf_dir))
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = m.group(1).split(",")[0]
+            assert ("ASC" not in head) and ("DESC" not in head), (
+                name + " unpartitioned window: " + m.group(0)
+            )
+        assert "CartesianProduct" not in plan, name + ":\n" + plan

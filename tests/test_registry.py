@@ -33,35 +33,30 @@ def test_window_covers_reference_parity_and_llm_families():
         "schema_issues",
         "schema_issues_quirks",
         "schema_issue_summary",
-        # r8: the 14 round-7 operators the r7 window rotated past
-        # (VERDICT r7 item 1 — first hard signal)
-        "permutation_test_ab",
-        "bayesian_bootstrap_revenue_ci",
-        "anova_f_order_priority",
-        "daily_cross_correlation",
-        "conformal_forecast_intervals",
-        "bh_fdr_nation_drift",
-        "cramers_v_nation_segment",
-        "ab_power_mde_report",
-        "cmh_return_rate_strata",
-        "quality_scorer_auc",
-        "jackknife_source_sensitivity",
-        "gains_curve_scorer",
-        "mix_effective_sample_size",
-        "minmax_skipping_audit",
-        # r8: every round-8 addition rides its first window
-        "streaming_quantile_state",
-        "stream_dedup_minhash_bands",
-        "kendall_tau_daily",
-        "brown_forsythe_priority",
-        "mcnemar_scorer_disagreement",
-        "rolling_median_daily_revenue",
-        "aqp_stratified_estimate",
-        "watermark_lateness_audit",
-        "ann_hubness_audit",
-        "dsir_systematic_resample",
-        "cochran_q_scorer_battery",
-        "cusum_control_chart",
+        # r9: every round-9 addition rides its first window
+        # (VERDICT r8 item 3 — the in-window doctrine)
+        "cramer_von_mises_weekend",
+        "bhattacharyya_weekend_overlap",
+        "ljung_box_daily_events",
+        "page_trend_weekly_events",
+        "grubbs_outlier_daily_revenue",
+        "wasserstein_source_length_drift",
+        "rbo_scorer_rankings",
+        "vocab_gini_concentration",
+        # r9: pool drain (VERDICT r8 item 1) — spot-pin a spread of
+        # the 37 never-driver-checked rotation names
+        "text_fingerprint",
+        "text_char_entropy",
+        "bigram_lm_doc_scores",
+        "multimodal_frame_sample",
+        "ivf_kmeans_search",
+        "leakage_safe_split",
+        "shard_packing_nextfit",
+        "embedding_quantize_int8",
+        "dsir_importance_weights",
+        "score_calibration_bins",
+        "crossmodal_dup_audit",
+        "pq_adc_search",
         # streaming canaries (kept per VERDICT r7 item 1)
         "streaming_hll_distinct",
         "pyds_stream_sink_roundtrip",
