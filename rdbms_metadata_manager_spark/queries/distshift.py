@@ -117,7 +117,7 @@ def cramer_von_mises_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CVM_SQL = f"""
 WITH o AS (
-  SELECT {CENTS.replace("AS BIGINT", "AS BIGINT")} AS v, {ODAY_SQL} AS d
+  SELECT {CENTS} AS v, {ODAY_SQL} AS d
   FROM orders
 ),
 hist AS (
