@@ -109,69 +109,96 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the key domain. Products widen to DECIMAL(38,0)
     (c_R·c_S summed across keys reaches the true join size, which is
     the quantity being audited precisely because it can explode)."""
-    parts = []
+    # Single-pass melt (the fk_inclusion_discovery doctrine): the 5
+    # edges audit 9 (table, key) columns across 6 tables, 3 of them on
+    # lineitem — the old shape ran 9 scans, 10 rollup exchanges, a
+    # checkpoint per rollup and three stitched aggregates per edge
+    # (51 Spark jobs per invocation; at scale, lineitem read 3 times).
+    # Now: ONE scan per table emits (col_id, key) pairs, ONE groupBy
+    # on the raw key computes all 9 per-key counts as conditional sums
+    # (map-side partial agg keeps the shuffle at distinct-key volume),
+    # and ONE global aggregate folds every edge's five statistics —
+    # Σ c_R(k)·c_S(k), n, d — in the same pass. Keys from unrelated
+    # domains sharing an integer value simply cohabit a group; products
+    # are only ever taken between each edge's own two columns.
+    # Output rows/types are identical (guide §2.3/§2.4/§6: scan once,
+    # shuffle once, never re-stitch single-row aggregates with joins).
+    col_ids: dict[tuple[str, str], int] = {}
+    for _jname, lt, lk, rt, rk in _JOIN_SPEC:
+        for t, c in ((lt, lk), (rt, rk)):
+            col_ids.setdefault((t, c), len(col_ids))
+    per_table: dict[str, list[tuple[str, int]]] = {}
+    for (t, c), cid in col_ids.items():
+        per_table.setdefault(t, []).append((c, cid))
+    melted = None
+    for t, key_cols in per_table.items():
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"), F.col(c).cast("long").alias("k")
+                )
+                for c, cid in key_cols
+            ]
+        )
+        part = (
+            load(spark, sf_dir, t)
+            .select(F.explode(entries).alias("e"))
+            .select("e.cid", "e.k")
+            .filter(F.col("k").isNotNull())
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    per_key = melted.groupBy("k").agg(
+        *[
+            F.sum(F.when(F.col("cid") == cid, F.lit(1))).alias(f"c{cid}")
+            for cid in range(len(col_ids))
+        ]
+    )
+    edge_aggs = []
     for jname, lt, lk, rt, rk in _JOIN_SPEC:
-        lroll = (
-            load(spark, sf_dir, lt)
-            .select(F.col(lk).cast("long").alias("k"))
-            .filter(F.col("k").isNotNull())
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("ln"))
-            .localCheckpoint(eager=False)
-        )
-        rroll = (
-            load(spark, sf_dir, rt)
-            .select(F.col(rk).cast("long").alias("k"))
-            .filter(F.col("k").isNotNull())
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("rn"))
-            .localCheckpoint(eager=False)
-        )
-        lstat = lroll.agg(
-            F.coalesce(F.sum("ln"), F.lit(0)).alias("n_left"),
-            F.count(F.lit(1)).alias("d_left"),
-        )
-        rstat = rroll.agg(
-            F.coalesce(F.sum("rn"), F.lit(0)).alias("n_right"),
-            F.count(F.lit(1)).alias("d_right"),
-        )
-        actual = lroll.join(rroll, "k").agg(
+        li_, ri_ = col_ids[(lt, lk)], col_ids[(rt, rk)]
+        edge_aggs += [
+            F.coalesce(F.sum(f"c{li_}"), F.lit(0)).alias(f"nl_{jname}"),
+            F.count(f"c{li_}").alias(f"dl_{jname}"),
+            F.coalesce(F.sum(f"c{ri_}"), F.lit(0)).alias(f"nr_{jname}"),
+            F.count(f"c{ri_}").alias(f"dr_{jname}"),
             F.coalesce(
-                F.sum(F.col("ln").cast("decimal(38,0)") * F.col("rn")), F.lit(0)
-            ).alias("actual"),
+                F.sum(F.col(f"c{li_}").cast("decimal(38,0)") * F.col(f"c{ri_}")),
+                F.lit(0),
+            ).alias(f"act_{jname}"),
+        ]
+    stats = per_key.agg(*edge_aggs)
+    per_edge = [
+        F.struct(
+            F.lit(jname).alias("join_name"),
+            F.col(f"nl_{jname}").cast("bigint").alias("n_left"),
+            F.col(f"dl_{jname}").cast("bigint").alias("d_left"),
+            F.col(f"nr_{jname}").cast("bigint").alias("n_right"),
+            F.col(f"dr_{jname}").cast("bigint").alias("d_right"),
+            F.expr(f"CAST(act_{jname} AS BIGINT)").alias("actual_rows"),
+            F.expr(
+                f"CASE WHEN greatest(dl_{jname}, dr_{jname}) = 0 THEN 0 ELSE"
+                f" CAST((CAST(nl_{jname} AS DECIMAL(38,0)) * nr_{jname})"
+                f" div greatest(dl_{jname}, dr_{jname}) AS BIGINT) END"
+            ).alias("est_rows"),
         )
-        parts.append(
-            lstat.crossJoin(F.broadcast(rstat))
-            .crossJoin(F.broadcast(actual))
-            .select(
-                F.lit(jname).alias("join_name"),
-                F.col("n_left").cast("bigint").alias("n_left"),
-                F.col("d_left").cast("bigint").alias("d_left"),
-                F.col("n_right").cast("bigint").alias("n_right"),
-                F.col("d_right").cast("bigint").alias("d_right"),
-                F.expr("CAST(actual AS BIGINT)").alias("actual_rows"),
-                F.expr(
-                    "CASE WHEN greatest(d_left, d_right) = 0 THEN 0 ELSE"
-                    " CAST((CAST(n_left AS DECIMAL(38,0)) * n_right)"
-                    " div greatest(d_left, d_right) AS BIGINT) END"
-                ).alias("est_rows"),
-            )
-            .withColumn(
-                # a RATIO (1000 = perfect estimate), deliberately named
-                # apart from capture_recapture_users' SIGNED est_err_pm
-                # (0 = perfect) — ADVICE r6 #2
-                "actual_vs_est_pm",
-                F.expr(
-                    "CASE WHEN est_rows = 0 THEN NULL ELSE"
-                    " CAST((1000 * CAST(actual_rows AS DECIMAL(38,0)))"
-                    " div est_rows AS BIGINT) END"
-                ),
-            )
+        for jname, lt, lk, rt, rk in _JOIN_SPEC
+    ]
+    return (
+        stats.select(F.explode(F.array(*per_edge)).alias("e"))
+        .select("e.*")
+        .withColumn(
+            # a RATIO (1000 = perfect estimate), deliberately named
+            # apart from capture_recapture_users' SIGNED est_err_pm
+            # (0 = perfect) — ADVICE r6 #2
+            "actual_vs_est_pm",
+            F.expr(
+                "CASE WHEN est_rows = 0 THEN NULL ELSE"
+                " CAST((1000 * CAST(actual_rows AS DECIMAL(38,0)))"
+                " div est_rows AS BIGINT) END"
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("join_name")
+        .orderBy("join_name")
+    )
 
 
 def _join_audit_oracle() -> str:
@@ -257,68 +284,97 @@ def approx_percentile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     cum = ranged_prefix(hist, [F.col("tick")], sum_cols=["n_t"])
-    tot = hist.agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("n_rows"))
-    exact_aggs = [F.first("n_rows").alias("n_rows")]
-    for q in _PCT_QS:
-        exact_aggs.append(
-            F.expr(
-                f"min(CASE WHEN cum_n_t >="
-                f" CAST(({q} * n_rows + 999) div 1000 AS BIGINT)"
-                f" THEN tick END)"
-            ).alias(f"x_{q}")
-        )
-    exacts = cum.crossJoin(F.broadcast(tot)).agg(*exact_aggs)
     # the sketch itself aggregates distributively (partial sketches
-    # merge) — it is the op under audit AND the scalable path
+    # merge) — it is the op under audit AND the scalable path. n_rows
+    # rides the same scan (count == Σ n_t over hist, the old separate
+    # `tot` aggregate — one corpus pass and one job fewer).
     one = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         *[
             F.expr(f"approx_percentile(tick, {q / 1000}, {_PCT_ACC})").alias(
                 f"a_{q}"
             )
             for q in _PCT_QS
-        ]
-    ).crossJoin(F.broadcast(exacts))
-    counts = li.crossJoin(F.broadcast(one)).agg(
-        *[
-            F.sum((F.col("tick") < F.col(f"a_{q}")).cast("bigint")).alias(f"lt_{q}")
-            for q in _PCT_QS
-        ],
-        *[
-            F.sum((F.col("tick") <= F.col(f"a_{q}")).cast("bigint")).alias(
-                f"le_{q}"
-            )
-            for q in _PCT_QS
         ],
     )
-    rows = []
-    for q in _PCT_QS:
-        rows.append(
-            one.crossJoin(F.broadcast(counts)).select(
-                F.lit(q).alias("q_permille"),
-                F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
-                F.col(f"x_{q}").alias("exact_tick"),
-                F.expr(
-                    # the approx value's exact-rank interval [lt+1, le]
-                    # must intersect the integer-rank band
-                    # [ceil(q*n - n/ACC) - 1, ceil(q*n + n/ACC) + 1]:
-                    # the formal q*n ± n/ACC band widened by EXACTLY one
-                    # rank per end, deliberately (ADVICE r6 #4) — the
-                    # engine's target-rank convention (q*n vs ceil(q*n)
-                    # vs 1+floor(q*(n-1))) is itself a <1-rank
-                    # ambiguity, so the audited guarantee is n/ACC + 1
-                    # ranks. Empty input passes vacuously.
-                    f"CASE WHEN coalesce(n_rows, 0) = 0 THEN TRUE ELSE"
-                    f" le_{q} >= CAST(ceil({q / 1000} * n_rows"
-                    f"   - CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT) - 1"
-                    f" AND lt_{q} < CAST(ceil({q / 1000} * n_rows"
-                    f"   + CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT) + 1 END"
-                ).alias("rank_in_bound"),
-            )
+    exact_aggs = [F.first("n_rows").alias("n_rows")] + [
+        F.expr(
+            f"min(CASE WHEN cum_n_t >="
+            f" CAST(({q} * n_rows + 999) div 1000 AS BIGINT)"
+            f" THEN tick END)"
+        ).alias(f"x_{q}")
+        for q in _PCT_QS
+    ]
+    exacts = cum.crossJoin(F.broadcast(one)).agg(*exact_aggs)
+    # Rank counts from the (checkpointed) tick histogram, not a third
+    # corpus scan: Σ n_t over tick < / <= a_q equals the row counts
+    # exactly (guide §1.2 — the minimum is two passes: the sketch
+    # under audit and the exact histogram; everything else is
+    # tick-domain work).
+    counts = (
+        hist.crossJoin(F.broadcast(one))
+        .agg(
+            # coalesce(…, 0): the old row-level sum of cast(bool)
+            # returned 0 (not NULL) when no row satisfied the
+            # predicate; only the n_rows = 0 CASE arm may see the
+            # empty-input NULL, and it never reads these columns.
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("tick") < F.col(f"a_{q}"), F.col("n_t"))),
+                    F.lit(0),
+                ).cast("bigint").alias(f"lt_{q}")
+                for q in _PCT_QS
+            ],
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("tick") <= F.col(f"a_{q}"), F.col("n_t"))),
+                    F.lit(0),
+                ).cast("bigint").alias(f"le_{q}")
+                for q in _PCT_QS
+            ],
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("q_permille")
+        .crossJoin(F.broadcast(exacts))
+    )
+    # One row per probe via a literal-array explode over the SINGLE
+    # combined 1-row relation. The previous shape unioned 6 branches,
+    # each crossJoining `one` and `counts` — Catalyst treats every
+    # branch as an independent subtree, so the full-scan sketch
+    # aggregate and the rank-count scan each ran SIX times (54 Spark
+    # jobs per invocation, ~0.06 s dispatch floor each locally; at
+    # scale, 10 redundant corpus passes). The explode evaluates each
+    # aggregate exactly once; output rows/types are identical
+    # (guide §1.2: remove passes that recompute what is already known).
+    per_q = [
+        F.struct(
+            F.lit(q).alias("q_permille"),
+            F.col(f"x_{q}").alias("exact_tick"),
+            F.expr(
+                # the approx value's exact-rank interval [lt+1, le]
+                # must intersect the integer-rank band
+                # [ceil(q*n - n/ACC) - 1, ceil(q*n + n/ACC) + 1]:
+                # the formal q*n ± n/ACC band widened by EXACTLY one
+                # rank per end, deliberately (ADVICE r6 #4) — the
+                # engine's target-rank convention (q*n vs ceil(q*n)
+                # vs 1+floor(q*(n-1))) is itself a <1-rank
+                # ambiguity, so the audited guarantee is n/ACC + 1
+                # ranks. Empty input passes vacuously.
+                f"CASE WHEN coalesce(n_rows, 0) = 0 THEN TRUE ELSE"
+                f" le_{q} >= CAST(ceil({q / 1000} * n_rows"
+                f"   - CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT) - 1"
+                f" AND lt_{q} < CAST(ceil({q / 1000} * n_rows"
+                f"   + CAST(n_rows AS DOUBLE) / {_PCT_ACC}) AS BIGINT) + 1 END"
+            ).alias("rank_in_bound"),
+        )
+        for q in _PCT_QS
+    ]
+    return (
+        counts.select(
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.explode(F.array(*per_q)).alias("e"),
+        )
+        .select("e.q_permille", "n_rows", "e.exact_tick", "e.rank_in_bound")
+        .orderBy("q_permille")
+    )
 
 
 def _pct_audit_oracle() -> str:

@@ -529,84 +529,75 @@ def fk_inclusion_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality any FK validation pays at 100 TB."""
     from .base import load
 
-    child_cols, parent_cols = _inclusion_sides()
-
-    # ONE scan + melt per table covering both sides' columns, ONE
-    # distinct shuffle over the union — the per-side relations are
-    # then cheap filters on the shared memo (columns used by both
-    # sides, like c_custkey, are melted and deduplicated once).
-    union_cols: dict[str, list[str]] = {}
-    for side in (child_cols, parent_cols):
-        for tbl, cols in side.items():
-            union_cols.setdefault(tbl, [])
-            union_cols[tbl] += [c for c in cols if c not in union_cols[tbl]]
-    parts = []
-    for tbl in sorted(union_cols):
+    # Flags-per-value kernel (shared doctrine with
+    # join_cardinality_audit): ONE scan + melt per table covering
+    # every audited (table, column) pair, ONE groupBy on the raw value
+    # computing a presence flag per pair (map-side partial aggregation
+    # collapses duplicates, so the DISTINCT is subsumed), then ONE
+    # global aggregate folding every spec pair's containment/coverage
+    # counts — |C∩P| = Σ_v child_flag·parent_flag. The previous shape
+    # shuffled two distinct relations and ran a 3-part string-keyed
+    # fact join per invocation (18 Spark jobs, extra exchanges
+    # carrying the table/column names on every row); this is 2
+    # exchanges total and no string keys leave the driver
+    # (guide §2.3/§2.4: shuffle a few bytes of flags, not name-tagged
+    # payload rows; decide everything in one aggregate).
+    col_ids: dict[tuple[str, str], int] = {}
+    for ct, cc, pt, pc in _INCLUSION_SPEC:
+        for t, c in ((ct, cc), (pt, pc)):
+            col_ids.setdefault((t, c), len(col_ids))
+    per_table: dict[str, list[tuple[str, int]]] = {}
+    for (t, c), cid in col_ids.items():
+        per_table.setdefault(t, []).append((c, cid))
+    melted = None
+    for tbl in sorted(per_table):
         entries = F.array(
             *[
-                F.struct(F.lit(c).alias("col"), F.col(c).cast("long").alias("v"))
-                for c in union_cols[tbl]
+                F.struct(
+                    F.lit(cid).alias("cid"), F.col(c).cast("long").alias("v")
+                )
+                for c, cid in per_table[tbl]
             ]
         )
-        parts.append(
+        part = (
             load(spark, sf_dir, tbl)
-            .select(F.lit(tbl).alias("tbl"), F.explode(entries).alias("e"))
-            .select("tbl", F.col("e.col").alias("col"), F.col("e.v").alias("v"))
+            .select(F.explode(entries).alias("e"))
+            .select("e.cid", "e.v")
             .filter(F.col("v").isNotNull())
         )
-    melted = parts[0]
-    for p in parts[1:]:
-        melted = melted.unionAll(p)
-    melted = melted.distinct().localCheckpoint(eager=False)
-
-    def side_filter(side: dict[str, list[str]]) -> F.Column:
-        cond = F.lit(False)
-        for tbl, cols in side.items():
-            cond = cond | ((F.col("tbl") == tbl) & F.col("col").isin(cols))
-        return cond
-
-    child_long = melted.filter(side_filter(child_cols))
-    parent_long = melted.filter(side_filter(parent_cols))
-    spec = spark.createDataFrame(
-        _INCLUSION_SPEC,
-        "child_table string, child_col string, parent_table string, parent_col string",
+        melted = part if melted is None else melted.unionAll(part)
+    flags = melted.groupBy("v").agg(
+        *[
+            F.max(F.when(F.col("cid") == cid, F.lit(1))).alias(f"f{cid}")
+            for cid in range(len(col_ids))
+        ]
     )
-    pairs = child_long.join(
-        F.broadcast(spec),
-        (child_long.tbl == spec.child_table) & (child_long.col == spec.child_col),
-    ).select("child_table", "child_col", "parent_table", "parent_col", "v")
-    pl = parent_long.select(
-        F.col("tbl").alias("p_tbl"),
-        F.col("col").alias("p_col"),
-        F.col("v").alias("pv"),
-        F.lit(1).alias("hit"),
-    )
-    contained = (
-        pairs.join(
-            pl,
-            (pairs.parent_table == pl.p_tbl)
-            & (pairs.parent_col == pl.p_col)
-            & (pairs.v == pl.pv),
-            "left",
+    spec_aggs = []
+    for i, (ct, cc, pt, pc) in enumerate(_INCLUSION_SPEC):
+        ci, pi = col_ids[(ct, cc)], col_ids[(pt, pc)]
+        spec_aggs += [
+            F.count(f"f{ci}").alias(f"nc_{i}"),
+            F.count(f"f{pi}").alias(f"np_{i}"),
+            F.count(
+                F.when((F.col(f"f{ci}") == 1) & (F.col(f"f{pi}") == 1), F.lit(1))
+            ).alias(f"cont_{i}"),
+        ]
+    stats = flags.agg(*spec_aggs)
+    per_pair = [
+        F.struct(
+            F.lit(ct).alias("child_table"),
+            F.lit(cc).alias("child_col"),
+            F.lit(pt).alias("parent_table"),
+            F.lit(pc).alias("parent_col"),
+            F.col(f"nc_{i}").alias("n_child_distinct"),
+            F.col(f"np_{i}").alias("n_parent_distinct"),
+            F.col(f"cont_{i}").alias("n_contained"),
         )
-        .groupBy("child_table", "child_col", "parent_table", "parent_col")
-        .agg(
-            F.count(F.lit(1)).alias("n_child_distinct"),
-            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contained"),
-        )
-    )
-    pcnt = parent_long.groupBy("tbl", "col").agg(
-        F.count(F.lit(1)).alias("n_parent_distinct")
-    )
-    keys = ["child_table", "child_col", "parent_table", "parent_col"]
+        for i, (ct, cc, pt, pc) in enumerate(_INCLUSION_SPEC)
+    ]
     return (
-        spec.join(F.broadcast(contained), keys, "left")
-        .join(
-            F.broadcast(pcnt),
-            (F.col("parent_table") == F.col("tbl"))
-            & (F.col("parent_col") == F.col("col")),
-            "left",
-        )
+        stats.select(F.explode(F.array(*per_pair)).alias("e"))
+        .select("e.*")
         .select(
             F.expr("child_table || '.' || child_col").alias("child_ref"),
             F.expr("parent_table || '.' || parent_col").alias("parent_ref"),

@@ -1378,46 +1378,70 @@ def ktruss_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("src", "dst", "w", F.col("c.a").alias("a"), F.col("c.b").alias("b"))
 
     # Running per-edge support; edges not present have support 0.
+    # LAZY checkpoint: every consumer below lands in the ONE collect
+    # action at the end, and a lazy localCheckpoint still computes
+    # exactly once inside that action — the eager variant (plus a
+    # separate .count() per round and an eager per-round support
+    # checkpoint) ran 4+ sequential driver actions / 17 Spark jobs per
+    # invocation, each paying the dispatch floor (guide §1.2: don't
+    # serialize the driver on counts the final aggregate can fold).
     sup = (
         tri_edges(tri)
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("sup"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_prev = _copurchase_edges(spark, sf_dir).count()
-    rows = []
-    for r in range(1, TRUSS_ROUNDS + 1):
-        if r > 1:
-            # Edges peeled LAST round that carried support — the only
-            # ones that can invalidate a triangle.
-            peeled = sup.filter(F.col("sup") < k_min).select("a", "b")
-            dead = (
-                tri_edges(tri)
-                .join(F.broadcast(peeled), ["a", "b"])
-                .select("src", "dst", "w")
-                .distinct()
+    # Per-round alive counts as lazy 1-row aggregates, folded into one
+    # action. The round-2 incremental dead-triangle subtraction is
+    # unchanged — it is just built lazily on top of the checkpointed
+    # support relation instead of being re-materialized per round.
+    # (TRUSS_ROUNDS is a small fixed constant; with a deep round count
+    # the per-round checkpoints would return to bound the plan.)
+    count_aggs = [
+        _copurchase_edges(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_e"))
+    ]
+    sup_r = sup
+    for r in range(2, TRUSS_ROUNDS + 1):
+        # Edges peeled LAST round that carried support — the only
+        # ones that can invalidate a triangle.
+        peeled = sup_r.filter(F.col("sup") < k_min).select("a", "b")
+        dead = (
+            tri_edges(tri)
+            .join(F.broadcast(peeled), ["a", "b"])
+            .select("src", "dst", "w")
+            .distinct()
+        )
+        dead_credits = (
+            tri_edges(dead).groupBy("a", "b").agg(F.count(F.lit(1)).alias("dead_n"))
+        )
+        sup_next = (
+            sup_r.filter(F.col("sup") >= k_min)
+            .join(dead_credits, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                (F.col("sup") - F.coalesce(F.col("dead_n"), F.lit(0))).alias("sup"),
             )
-            dead_credits = (
-                tri_edges(dead).groupBy("a", "b").agg(F.count(F.lit(1)).alias("dead_n"))
-            )
-            sup = (
-                sup.filter(F.col("sup") >= k_min)
-                .join(dead_credits, ["a", "b"], "left")
-                .select(
-                    "a",
-                    "b",
-                    (F.col("sup") - F.coalesce(F.col("dead_n"), F.lit(0))).alias("sup"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            if r < TRUSS_ROUNDS:
-                # Surviving triangles feed the next round's dead scan.
-                tri = tri.join(
-                    F.broadcast(dead), ["src", "dst", "w"], "left_anti"
-                ).localCheckpoint(eager=True)
-        n_alive = sup.filter(F.col("sup") >= k_min).count()
-        rows.append((r, n_prev, n_prev - n_alive))
-        n_prev = n_alive
+        )
+        if r < TRUSS_ROUNDS:
+            # Surviving triangles feed the next round's dead scan.
+            tri = tri.join(F.broadcast(dead), ["src", "dst", "w"], "left_anti")
+            sup_next = sup_next.localCheckpoint(eager=False)
+        count_aggs.append(
+            sup_r.filter(F.col("sup") >= k_min).agg(F.count(F.lit(1)).alias(f"alive_{r - 1}"))
+        )
+        sup_r = sup_next
+    count_aggs.append(
+        sup_r.filter(F.col("sup") >= k_min).agg(
+            F.count(F.lit(1)).alias(f"alive_{TRUSS_ROUNDS}")
+        )
+    )
+    combined = count_aggs[0]
+    for c in count_aggs[1:]:
+        combined = combined.crossJoin(F.broadcast(c))
+    vals = combined.collect()[0]
+    alive = [vals["n_e"]] + [vals[f"alive_{r}"] for r in range(1, TRUSS_ROUNDS + 1)]
+    rows = [(r, alive[r - 1], alive[r - 1] - alive[r]) for r in range(1, TRUSS_ROUNDS + 1)]
     return spark.createDataFrame(
         rows, "round long, n_edges_before long, n_peeled long"
     ).orderBy("round")

@@ -1136,11 +1136,12 @@ def test_join_cardinality_audit_joins_only_rollups(spark, sf_dir):
 
 
 def test_fk_inclusion_fact_sides_never_broadcast(spark, sf_dir):
-    """The containment join hash-partitions on (table, col, value):
-    fact-sized melted relations must never sit on a broadcast build
-    side — every BroadcastExchange subtree must be the literal spec
-    (LocalTableScan) or a per-pair aggregate, and the value join must
-    be a shuffle join."""
+    """The r9 flags-per-value kernel removed every join from the
+    plan: the melt feeds ONE groupBy(v) with per-column presence
+    flags and ONE global aggregate — so the contract tightens from
+    "the value join must be a shuffle join with no fact broadcast"
+    to "no join (and hence no broadcast of anything fact-sized)
+    exists at all", with the two aggregation levels plan-asserted."""
     from rdbms_metadata_manager_spark.queries.metadata import fk_inclusion_discovery
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1150,19 +1151,13 @@ def test_fk_inclusion_fact_sides_never_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "CartesianProduct" not in plan, plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
-    for sub in _broadcast_subtrees(plan):
-        # allowed build sides: the literal spec (createDataFrame ->
-        # Scan ExistingRDD over the 4 spec columns) and the per-pair
-        # aggregates (whose subtrees legitimately contain the melt
-        # scans BELOW the aggregate). Illegal: a parquet scan
-        # broadcast with no aggregation above it.
-        if "Scan parquet" in sub:
-            assert "HashAggregate" in sub, "fact-sized broadcast subtree:\n" + sub
-        else:
-            assert ("HashAggregate" in sub) or ("child_table#" in sub), (
-                "unexpected broadcast subtree:\n" + sub
-            )
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "BroadcastExchange"):
+        assert node not in plan, f"{node} in joinless kernel plan:\n" + plan
+    # the melt (explode), the per-value flag rollup, and the global
+    # spec fold — two aggregation levels over one generator
+    assert "Generate explode" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 levels
 
 
 def test_bipartite_hits_broadcasts_type_degrees_only(spark, sf_dir):
