@@ -202,29 +202,42 @@ def gopher_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to catch shrink their own shuffle volume.
     """
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    # `words` is projected ONCE per document before the generator; the
+    # previous form inlined split(text, ' ') inside the nested lambda,
+    # where codegen re-split the document per (n, i) gram — ~9 splits
+    # per corpus word. The short-doc guard gram (the greatest(…, 1)
+    # sentinel) is likewise dropped on the precomputed word count
+    # instead of re-splitting every GRAM STRING to measure its length
+    # (guide §1.2: per-task work — don't recompute what a projection
+    # can carry).
     grams = (
         docs.select(
             "doc_id",
             F.length("text").alias("doc_chars"),
-            F.explode(
-                F.expr(
-                    f"flatten(transform(sequence(2, {GOPHER_MAX_N}), n ->"
-                    " transform(sequence(1, greatest(size(split(text, ' ')) - n + 1, 1)),"
-                    " i -> struct(n AS n, array_join(slice(split(text, ' '), i, n), ' ') AS gram))))"
-                )
-            ).alias("g"),
+            F.split(F.col("text"), " ").alias("words"),
         )
-        .select("doc_id", "doc_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-        # the greatest(..., 1) guard emits one short gram for docs
-        # with fewer than n words; drop it (DuckDB's range() lateral
-        # is empty there by construction)
-        .filter(F.expr("size(split(gram, ' ')) = n"))
         .select(
             "doc_id",
             "doc_chars",
-            "n",
-            h32(F.col("gram")).alias("h"),
-            F.length("gram").alias("len"),
+            F.size("words").alias("n_words"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(2, {GOPHER_MAX_N}), n ->"
+                    " transform(sequence(1, greatest(size(words) - n + 1, 1)),"
+                    " i -> struct(n AS n, array_join(slice(words, i, n), ' ') AS gram))))"
+                )
+            ).alias("g"),
+        )
+        # the guard emits exactly one short gram (i = 1) for docs with
+        # fewer than n words; n_words >= n keeps precisely the grams
+        # DuckDB's empty range() lateral produces
+        .filter(F.col("n_words") >= F.col("g.n"))
+        .select(
+            "doc_id",
+            "doc_chars",
+            F.col("g.n").alias("n"),
+            h32(F.col("g.gram")).alias("h"),
+            F.length("g.gram").alias("len"),
         )
     )
     counts = grams.groupBy("doc_id", "doc_chars", "n", "h", "len").agg(
