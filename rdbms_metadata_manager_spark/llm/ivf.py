@@ -229,12 +229,29 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
-    centroids = _centroid_arrays(emb)
-    assigned = _assignments(emb, centroids).localCheckpoint(eager=False)
-    qs = assigned.filter(F.col("vec_id") < RECALL_Q).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # The 10-row centroid relation is the ONE lazily-checkpointed
+    # subtree: it is referenced twice (assignment + query cell
+    # ranking) and the checkpoint truncates the plan there, so the
+    # centroid pass runs once and driver-side re-planning stays
+    # small. The query-side relations (qs / qcell / n_queries) read a
+    # vec_id < RECALL_Q pushdown scan DIRECTLY — assignment attaches
+    # a cell but never changes vec_id/v, so qs from the raw scan is
+    # value-identical, and at scale the pushed filter prunes to a
+    # handful of row groups instead of forcing the full assignment
+    # relation to materialize for 16 rows. `assigned` then has
+    # exactly one consumer (the corpus side) and needs no checkpoint:
+    # the corpus is scanned once by construction (2 full passes
+    # total: centroid training + assignment — the floor for an IVF
+    # audit that must both train and assign).
+    centroids = _centroid_arrays(emb).localCheckpoint(eager=False)
+    qs = (
+        load_spread(spark, sf_dir, "embeddings", "vec_id")
+        .filter(F.col("vec_id") < RECALL_Q)
+        .select(
+            F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+        )
     )
-    corpus = assigned.filter(F.col("vec_id") >= RECALL_Q)
+    corpus = _assignments(emb, centroids).filter(F.col("vec_id") >= RECALL_Q)
     wq = Window.partitionBy("query_id").orderBy(F.col("qscore").desc(), "c_label")
     qcell = (
         qs.crossJoin(F.broadcast(centroids))
@@ -259,42 +276,68 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cosine(F.col("v"), F.col("qv")).alias("cosine"),
             "crank",
         )
-        .localCheckpoint(eager=False)
+        # no checkpoint: the single window pass below is sc's only
+        # consumer now, so a checkpoint would be a pure extra
+        # materialization (and its eager driver-side planning cost)
     )
+    # ONE window pass over the shared scored relation replaces the
+    # old exact leg + four per-probe legs (each a separate window
+    # sort, an ann∩exact join, and a 1-row aggregate — 27 Spark jobs
+    # per invocation; at scale, five sorted passes over sc). Both
+    # membership tests are ranks in the SAME (cosine DESC, vec_id)
+    # order: exact = global row_number ≤ K, and ann@p = rank WITHIN
+    # the crank ≤ p subset ≤ K, which a conditional running count
+    # over the identical window frame computes without re-sorting —
+    # all five window expressions share one shuffle+sort (guide
+    # §2.4: operations keyed/ordered the same way share one
+    # exchange). sc has one row per (query_id, vec_id), so
+    # |ann@p ∩ exact| folds to a conditional count in ONE global
+    # aggregate, and the 4 output rows come from a literal-array
+    # explode instead of a union of single-row subtrees.
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
-    exact = (
-        sc.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=False)
+    wrun = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = sc.select(
+        "crank",
+        F.row_number().over(wr).alias("rk"),
+        *[
+            F.count(F.when(F.col("crank") <= p, F.lit(1)))
+            .over(wrun)
+            .alias(f"cnt_{p}")
+            for p in PROBE_SWEEP
+        ],
     )
     nq = qs.agg(F.count(F.lit(1)).alias("n_queries"))
-    legs = []
-    for p in PROBE_SWEEP:
-        ann = (
-            sc.filter(F.col("crank") <= p)
-            .withColumn("rk", F.row_number().over(wr))
-            .filter(F.col("rk") <= TOP_K)
-            .select("query_id", "vec_id")
+    stats = ranked.agg(
+        *[
+            F.count(
+                F.when(
+                    (F.col("rk") <= TOP_K)
+                    & (F.col("crank") <= p)
+                    & (F.col(f"cnt_{p}") <= TOP_K),
+                    F.lit(1),
+                )
+            ).alias(f"hits_{p}")
+            for p in PROBE_SWEEP
+        ]
+    )
+    per_probe = [
+        F.struct(
+            F.lit(p).cast("bigint").alias("nprobe"),
+            F.col(f"hits_{p}").alias("hits"),
         )
-        legs.append(
-            ann.join(exact, ["query_id", "vec_id"])
-            .agg(F.count(F.lit(1)).alias("hits"))
-            .select(F.lit(p).cast("bigint").alias("nprobe"), "hits")
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionAll(leg)
+        for p in PROBE_SWEEP
+    ]
     return (
-        out.crossJoin(F.broadcast(nq))
+        stats.crossJoin(F.broadcast(nq))
+        .select("n_queries", F.explode(F.array(*per_probe)).alias("e"))
         .select(
-            "nprobe",
+            F.col("e.nprobe").alias("nprobe"),
             "n_queries",
             F.lit(TOP_K).cast("bigint").alias("k_top"),
-            "hits",
+            F.col("e.hits").alias("hits"),
             F.expr(
-                "CASE WHEN n_queries = 0 THEN NULL ELSE"
-                " CAST((1000 * hits) div (n_queries * k_top) AS BIGINT) END"
+                f"CASE WHEN n_queries = 0 THEN NULL ELSE"
+                f" CAST((1000 * e.hits) div (n_queries * {TOP_K}) AS BIGINT) END"
             ).alias("recall_pm"),
         )
         .orderBy("nprobe")
