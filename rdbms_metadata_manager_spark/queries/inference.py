@@ -68,7 +68,6 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "r_x2"
             ),
         )
-        .localCheckpoint(eager=False)
     )
     tie = ticks.agg(
         F.sum(
@@ -76,11 +75,23 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n_t")
         ).alias("tie_sum")
     )
-    stat = (
-        per_grp.groupBy()
-        .agg(
-            F.sum("n_g").alias("n_total"),
-            F.count(F.lit(1)).alias("k_groups"),
+    # Global terms as WINDOW aggregates over the k≤5 group rows (the
+    # sanctioned one_group bounded case) instead of a checkpointed
+    # per_grp + separate 1-row stat aggregate + crossJoin stitch: one
+    # subtree, no second lazy checkpoint (whose Catalyst planning at
+    # build time was most of this query's local cost — exec was
+    # 0.33 s), and the identical scalar DAG evaluated per row on the
+    # same exact inputs, so every double hash-matches. The fold still
+    # runs over sort_array(collect_list(...)) — aggregation order
+    # stays canonical.
+    wg = Window.partitionBy(one_group(F.col("grp")))
+    return (
+        per_grp.select(
+            "grp",
+            "n_g",
+            "r_x2",
+            F.sum("n_g").over(wg).alias("n_total"),
+            F.count(F.lit(1)).over(wg).alias("k_groups"),
             F.sort_array(
                 F.collect_list(
                     F.struct(
@@ -88,11 +99,14 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_g"),
                         F.col("r_x2").cast("double").alias("r_x2_d"),
                     )
-                )
+                ).over(wg)
             ).alias("arr"),
         )
         .crossJoin(F.broadcast(tie))
         .select(
+            "grp",
+            "n_g",
+            "r_x2",
             "n_total",
             "k_groups",
             F.expr(
@@ -103,6 +117,9 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(tie_sum AS DOUBLE)").alias("tie_d"),
         )
         .select(
+            "grp",
+            "n_g",
+            "r_x2",
             "n_total",
             "k_groups",
             F.expr(
@@ -115,18 +132,6 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tie_c"),
         )
         .select(
-            "n_total",
-            "k_groups",
-            "h_stat",
-            F.expr(
-                "CASE WHEN h_stat IS NULL OR tie_c = 0.0 THEN NULL"
-                " ELSE h_stat / tie_c END"
-            ).alias("h_tie_adj"),
-        )
-    )
-    return (
-        per_grp.crossJoin(F.broadcast(stat))
-        .select(
             "grp",
             "n_g",
             F.col("r_x2").cast("bigint").alias("rank_sum_x2"),
@@ -134,7 +139,10 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
             "k_groups",
             "h_stat",
-            "h_tie_adj",
+            F.expr(
+                "CASE WHEN h_stat IS NULL OR tie_c = 0.0 THEN NULL"
+                " ELSE h_stat / tie_c END"
+            ).alias("h_tie_adj"),
         )
         .orderBy("grp")
     )

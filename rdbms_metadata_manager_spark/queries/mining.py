@@ -995,7 +995,7 @@ def _bfs_visited(adj, src, rounds: int, n_nodes: int):
     are actions on already-checkpointed relations, ~free. The layer
     sets are identical to the oracle's unrolled chain either way —
     skipped rounds could only ever add zero rows."""
-    first = src.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    first = src.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=False)
     layers = [first]
     frontier = first.select("node")
     visited_count = 1
@@ -1022,12 +1022,17 @@ def _bfs_visited(adj, src, rounds: int, n_nodes: int):
             .join(first.select("node"), "node", "left_anti")
             .distinct()
         )
+        # lazy checkpoint + count = ONE action: the count() below is
+        # the first job over the marked RDD, so it materializes the
+        # checkpoint as a side effect — the eager variant paid a
+        # separate materialization job before the count (two driver
+        # barriers per round instead of one; guide §1.2).
         new = (
             n1.select("node", F.lit(1).alias("dist"))
             .unionAll(n2.select("node", F.lit(2).alias("dist")))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         for r in (1, 2):
             layers.append(
@@ -1044,12 +1049,15 @@ def _bfs_visited(adj, src, rounds: int, n_nodes: int):
         visited_nodes = layers[0].select("node")
         for l in layers[1:]:
             visited_nodes = visited_nodes.unionAll(l.select("node"))
+        # same lazy-checkpoint+count fusion as the fold above; the
+        # horizon round (r == rounds) has no count at all — its
+        # materialization rides the consumer's action
         frontier = (
             adj.join(frontier.withColumnRenamed("node", "src"), "src")
             .select(F.explode("nbrs").alias("node"))
             .join(visited_nodes, "node", "left_anti")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         layers.append(frontier.select("node", F.lit(r).alias("dist")))
         if r < rounds:
@@ -1156,7 +1164,8 @@ def diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = _bfs_visited(adj, hub, DIAMETER_ROUNDS, n_nodes)
     far = (
         v1.orderBy(F.desc("dist"), "node").limit(1).select("node")
-        .localCheckpoint(eager=True)
+        # lazy: materializes inside sweep 2's first count action
+        .localCheckpoint(eager=False)
     )
     v2 = _bfs_visited(adj, far, DIAMETER_ROUNDS, n_nodes)
     ecc1 = v1.agg(F.max("dist").alias("hub_ecc"))
