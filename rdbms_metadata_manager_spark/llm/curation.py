@@ -638,6 +638,10 @@ def gains_curve_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.prefix import one_group, ranged_prefix
 
     feats = _doc_features(load_spread(spark, sf_dir, "documents", "doc_id"))
+    # lazy checkpoint: BOTH consumers (the rank kernel and the totals
+    # aggregate) otherwise re-run the whole _doc_features scan — the
+    # narrow (doc_id, score, pos) projection materializes once and the
+    # corpus pays a single feature pass (guide §1.2 / §5 caching note)
     v = feats.select(
         "doc_id",
         F.expr(
@@ -646,7 +650,7 @@ def gains_curve_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CASE WHEN {RULE_KEEP_PRED} THEN 1 ELSE 0 END"
         ).alias("pos"),
-    )
+    ).localCheckpoint(eager=False)
     ranked = ranged_prefix(
         v, [F.col("score").desc(), F.col("doc_id")], rank_col="rk"
     )
@@ -898,10 +902,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     token key. At 100 TB both shuffles are token-keyed and the vocab
     side is the thin one; nothing is driver-side."""
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    # lazy checkpoint: doc_tok feeds BOTH the vocabulary rollup and
+    # the ratio join-back — without it the explode+groupBy corpus scan
+    # runs twice per evaluation (guide §1.2: don't recompute what you
+    # already shuffled; the (doc,token) rollup is the thin proxy)
     doc_tok = (
         docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "lang", "token")
         .agg(F.count("*").alias("n_t"))
+        .localCheckpoint(eager=False)
     )
     vocab = doc_tok.groupBy("token").agg(
         F.sum("n_t").alias("c_raw"),
@@ -1351,8 +1360,14 @@ def dsir_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..queries.prefix import ranged_prefix
 
-    wts = dsir_importance_weights(spark, sf_dir).select(
-        "doc_id", F.col("avg_token_ratio_fp").alias("w")
+    # lazy checkpoint: the weights relation has THREE consumers (the
+    # bucket-local windows, the bucket-totals kernel input, and the
+    # stride aggregate) — each would re-run the entire importance-
+    # weights chain, itself a multi-shuffle corpus pass (guide §1.2)
+    wts = (
+        dsir_importance_weights(spark, sf_dir)
+        .select("doc_id", F.col("avg_token_ratio_fp").alias("w"))
+        .localCheckpoint(eager=False)
     )
     b = wts.withColumn("bucket", F.expr(f"doc_id div {DSIR_CUM_BUCKET}"))
     wb = (

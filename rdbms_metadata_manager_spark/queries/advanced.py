@@ -598,40 +598,44 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("touch_us"),
     )
     win_us = ATTRIB_WINDOW_DAYS * 86400 * 1_000_000
+    # ONE pass over the user-keyed range join: LEFT join keeps
+    # conversions with no preceding touch as a single null-touch row,
+    # so the '(none)' leg no longer RE-RUNS the whole join as an
+    # anti-join probe (the previous union's untouched branch was a
+    # second full evaluation of the pairs subtree — guide §1.2). The
+    # window count switches to count(touch_id), which ignores the
+    # null-touch rows, so n and the remainder assignment are
+    # unchanged for every conversion that has touches; a no-touch
+    # conversion takes the whole value on its single row, exactly the
+    # old '(none)' branch.
     pairs = conv.join(
         touch,
         (F.col("user_id") == F.col("t_user"))
         & (F.col("touch_us") < F.col("conv_us"))
         & (F.col("touch_us") >= F.col("conv_us") - F.lit(win_us)),
+        "left",
     ).select("conv_id", "value_cents", "channel", "touch_us", "touch_id")
     wn = Window.partitionBy("conv_id")
     wr = Window.partitionBy("conv_id").orderBy(
         F.desc("touch_us"), F.desc("touch_id")
     )
     attributed = (
-        pairs.withColumn("n", F.count(F.lit(1)).over(wn))
+        pairs.withColumn("n", F.count("touch_id").over(wn))
         .withColumn("rk", F.row_number().over(wr))
         .select(
-            "channel",
-            (
+            F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel"),
+            F.when(F.col("touch_id").isNull(), F.col("value_cents"))
+            .otherwise(
                 F.expr("value_cents div n")
                 + F.when(
                     F.col("rk") == 1, F.expr("value_cents - n * (value_cents div n)")
                 ).otherwise(F.lit(0))
-            ).alias("cents"),
+            )
+            .alias("cents"),
         )
-    )
-    untouched = (
-        conv.join(
-            pairs.select("conv_id").distinct(),
-            "conv_id",
-            "left_anti",
-        )
-        .select(F.lit("(none)").alias("channel"), F.col("value_cents").alias("cents"))
     )
     return (
-        attributed.unionAll(untouched)
-        .groupBy("channel")
+        attributed.groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_touchpoints"),
             F.sum("cents").alias("attributed_cents"),

@@ -96,7 +96,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = (
         edges.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("wout")).alias("p"))
-        .localCheckpoint(eager=True)
+        # lazy: materializes inside iteration 1's inflow job and is
+        # reused by the later iterations (one fewer driver barrier)
+        .localCheckpoint(eager=False)
     )
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     ranks = nodes.select("node", F.lit(INIT_RANK).alias("r"))
@@ -114,7 +116,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(BASE) + F.lit(DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0)), 6
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: each ranks relation is consumed exactly once (the
+            # next iteration's broadcast build, or the final join) —
+            # the eager variant paid a separate materialization job
+            # per iteration (guide §1.2)
+            .localCheckpoint(eager=False)
         )
     return (
         nation.join(ranks, F.col("node") == F.col("n_nationkey"))

@@ -643,10 +643,19 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shrinks, and rounds at 100 TB are the same count of jobs —
     the classic Pregel-style loop without needing a graph library."""
     e = _copurchase_edges(spark, sf_dir)
-    n_edges = e.count()
-    n_nodes = (
-        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n"))).distinct().count()
+    # ONE action for both starting stats: each edge contributes
+    # exactly two endpoint rows, so count(1) div 2 is the edge count
+    # and countDistinct the node count — the separate count() +
+    # distinct().count() pair paid two driver barriers (guide §1.2)
+    st = (
+        e.select(F.explode(F.array("a", "b")).alias("n"))
+        .agg(
+            F.expr("count(1) div 2").alias("ne"),
+            F.countDistinct("n").alias("nn"),
+        )
+        .collect()[0]
     )
+    n_edges, n_nodes = int(st.ne), int(st.nn)
     # half the mean degree, integer-exact in both engines:
     # ceil(E/N) = (E + N - 1) div N. Above ~3/4 of the mean this
     # graph's core cascades to empty (measured); half-mean keeps a
@@ -662,11 +671,15 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k_core).select("n")
+        # lazy checkpoint + count = ONE action per round (the count
+        # materializes the checkpoint as a side effect — the eager
+        # variant paid a separate job first; same fusion as the BFS
+        # kernels, guide §1.2)
         e2 = (
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n2 = e2.count()
         e = e2

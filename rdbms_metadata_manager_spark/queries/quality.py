@@ -452,12 +452,23 @@ def constraint_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         parent = load(spark, sf_dir, parent_t).select(F.col(parent_c).alias("k")).distinct()
-        contained = child.join(F.broadcast(parent), "k", "left_semi").agg(
-            F.count(F.lit(1)).alias("n_in")
+        # ONE scan of the distinct child keys: a broadcast LEFT join
+        # with a parent-side marker computes containment and total in
+        # the same aggregate — the previous semi-join + separate total
+        # evaluated the child distinct twice and stitched two 1-row
+        # relations with a join (guide §1.2). count("hit") counts
+        # non-NULL rows = matched keys, exactly the semi-join count
+        # (parent is distinct, so the left join never multiplies).
+        contained = (
+            child.join(
+                F.broadcast(parent.withColumn("hit", F.lit(1))), "k", "left"
+            ).agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count("hit").alias("n_in"),
+            )
         )
-        total = child.agg(F.count(F.lit(1)).alias("n_child"))
         legs.append(
-            contained.join(total).select(
+            contained.select(
                 F.lit("foreign_key").alias("kind"),
                 F.lit(f"{child_t}.{child_c}").alias("subject"),
                 F.lit(f"{parent_t}.{parent_c}").alias("target"),
@@ -570,20 +581,31 @@ def fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parent_counts[1:]:
         np_df = np_df.unionByName(p)
 
-    matched = child_keys.join(parents, ["e", "k"])
-    prof = matched.groupBy("e").agg(
-        F.sum("cnt").alias("n_matched_children"),
-        F.count(F.lit(1)).alias("n_referenced_parents"),
-        F.min("cnt").alias("min_fanout"),
-        F.max("cnt").alias("max_fanout"),
+    # ONE pass over the melted (edge, key, count) rollup: a LEFT join
+    # against the parent keys with a marker lets the same aggregate
+    # produce the matched-side profile AND the per-edge child totals —
+    # the previous inner-join + separate totals groupBy evaluated the
+    # child_keys subtree (including the full lineitem scan) twice
+    # (guide §1.2). Parent keys are the parent tables' primary keys,
+    # so the left join never multiplies rows; the conditional
+    # aggregates over "hit" reproduce the inner-join profile exactly.
+    hit = child_keys.join(
+        parents.withColumn("hit", F.lit(1)), ["e", "k"], "left"
     )
-    totals = child_keys.groupBy("e").agg(F.sum("cnt").alias("n_children"))
+    prof = hit.groupBy("e").agg(
+        F.sum(F.when(F.col("hit").isNotNull(), F.col("cnt"))).alias(
+            "n_matched_children"
+        ),
+        F.count("hit").alias("n_referenced_parents"),
+        F.min(F.when(F.col("hit").isNotNull(), F.col("cnt"))).alias("min_fanout"),
+        F.max(F.when(F.col("hit").isNotNull(), F.col("cnt"))).alias("max_fanout"),
+        F.sum("cnt").alias("n_children"),
+    )
     labels = spark.createDataFrame(
         [(i, e[0]) for i, e in enumerate(_FANOUT_EDGES)], "e long, edge string"
     )
     return (
         labels.join(F.broadcast(np_df), "e")
-        .join(F.broadcast(totals), "e")
         .join(F.broadcast(prof), "e")
         .select(
             "edge",
