@@ -651,8 +651,10 @@ def gains_curve_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {RULE_KEEP_PRED} THEN 1 ELSE 0 END"
         ).alias("pos"),
     ).localCheckpoint(eager=False)
+    # freeze_input=False: v is already a lazy checkpoint
     ranked = ranged_prefix(
-        v, [F.col("score").desc(), F.col("doc_id")], rank_col="rk"
+        v, [F.col("score").desc(), F.col("doc_id")], rank_col="rk",
+        freeze_input=False,
     )
     tot = v.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1377,10 +1379,12 @@ def dsir_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = b.withColumn("local_cum", F.sum("w").over(wb))
     # exclusive offset = inclusive range-kernel cumsum minus own total
+    # freeze_input=False: the bucket totals re-aggregate checkpointed wts
     offsets = ranged_prefix(
         b.groupBy("bucket").agg(F.sum("w").alias("bw")),
         [F.col("bucket")],
         sum_cols=["bw"],
+        freeze_input=False,
     ).select("bucket", (F.col("cum_bw") - F.col("bw")).alias("offset"))
     totals = wts.agg(
         F.sum("w").alias("w_total"), F.count(F.lit(1)).alias("n_docs")

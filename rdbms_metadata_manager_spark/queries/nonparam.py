@@ -838,7 +838,8 @@ def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.expr("yw - yd").alias("diff"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cum = ranged_prefix(diffs, [F.col("diff")], sum_cols=["cnt"])
+    # freeze_input=False: diffs re-aggregates the checkpointed day relations
+    cum = ranged_prefix(diffs, [F.col("diff")], sum_cols=["cnt"], freeze_input=False)
     hl = (
         cum.crossJoin(F.broadcast(counts))
         .agg(

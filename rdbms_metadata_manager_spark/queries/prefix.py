@@ -62,6 +62,7 @@ def ranged_prefix(
     sum_cols: list[str] = (),
     rank_col: str | None = None,
     buckets: int = PREFIX_RANGES,
+    freeze_input: bool = True,
 ) -> DataFrame:
     """``df`` plus exact global running sums (``cum_<c>`` for each of
     ``sum_cols``) and, if ``rank_col`` is given, the exact global
@@ -72,6 +73,20 @@ def ranged_prefix(
     rows equal on all order columns could straddle a range boundary
     and receive arbitrary relative ranks.
     """
+    # Pre-exchange checkpoint (freeze_input): repartitionByRange plans
+    # a RANGE partitioner, and Spark sizes its boundaries with a
+    # SAMPLING JOB that executes the whole child plan — so a raw
+    # rolled-up input (the common caller shape: one groupBy over the
+    # corpus) was being computed TWICE per cycle, once to sample and
+    # once to exchange (guide §1.2: remove redundant passes). Freezing
+    # the rollup first makes the sampling pass a cheap re-read of
+    # materialized rows. Callers whose input is ALREADY a checkpoint
+    # (or a trivial re-aggregation of one) pass freeze_input=False:
+    # for them the extra copy is pure overhead, not a saved pass.
+    # The post-exchange checkpoint below is unchanged — it is what
+    # keeps the _pid assignment consistent across the two consumers.
+    if freeze_input:
+        df = df.localCheckpoint(eager=False)
     part = (
         df.repartitionByRange(buckets, *order_cols)
         .withColumn("_pid", F.spark_partition_id())

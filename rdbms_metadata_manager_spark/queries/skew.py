@@ -51,11 +51,17 @@ def two_path_skew_join(
     keys hotter than ``threshold`` on the probe side. Returns the
     union of the plain-joined tail and the salted hot slice —
     row-identical to the unsalted inner join."""
+    # Lazy checkpoint: the hot-key relation (tiny by definition) feeds
+    # TWO broadcast builds (probe-named and build-named) — without it,
+    # each broadcast re-runs the full probe-side pre-aggregate, i.e.
+    # two extra corpus passes per cycle (the rename defeats exchange
+    # reuse; guide §1.2: don't recompute what a materialization holds).
     hot = (
         probe.groupBy(probe_key)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > threshold)
         .select(probe_key)
+        .localCheckpoint(eager=False)
     )
     hot_p = F.broadcast(hot)
     hot_b = F.broadcast(hot.withColumnRenamed(probe_key, build_key))

@@ -578,23 +578,30 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     >90 days from order to last ship, blame the supplier(s) whose
     line carries that last ship date (EXISTS another supplier /
     NOT EXISTS a later shipper — expressed via per-order window max
-    and distinct-supplier count)."""
+    and distinct-supplier count).
+
+    Plan: the per-order max/distinct-count ride ONE window over the
+    single lineitem exchange (the old groupBy-then-self-join shape
+    scanned and shuffled lineitem twice — guide §2.4: an aggregation
+    and a window keyed the same way should share the exchange); the
+    lineitem-only blame predicates filter BEFORE the orders join so
+    only last-ship lines of multi-supplier orders reach it."""
     li = load(spark, sf_dir, "lineitem")
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+    w = Window.partitionBy("l_orderkey")
+    lw = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
     )
     df = (
-        li.join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        lw.filter(
+            (F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship"))
+        )
         .join(
             load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .filter(
-            (F.col("n_supp") >= 2)
-            & (F.col("l_shipdate") == F.col("max_ship"))
-            & (F.datediff("max_ship", "o_orderdate") > 90)
-        )
+        .filter(F.datediff("max_ship", "o_orderdate") > 90)
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
