@@ -59,11 +59,17 @@ def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
-    centroids = _centroid_arrays(emb)
+    # lazy checkpoint: the centroid rollup (a full posexplode pass over
+    # the corpus) feeds TWO broadcast builds (assignment scoring and
+    # q_cells) — each otherwise re-runs the pass (guide §1.2). ≤|labels|
+    # rows. Same fix ivf_nprobe_recall_curve already carries.
+    centroids = _centroid_arrays(emb).localCheckpoint(eager=False)
     assigned = _assignments(emb, centroids)
 
-    # Query vector and its nprobe nearest cells.
-    q = assigned.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    # Query vector read via a vec_id-pushdown scan — `v` passes through
+    # the assignment window unchanged, so filtering `assigned` paid the
+    # whole corpus-wide scoring chain a second time just to fetch it.
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     q_cells = (
         emb.filter(F.col("vec_id") == 0)
         .join(F.broadcast(centroids))

@@ -119,6 +119,33 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_DEGREES_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
+
+
+def _node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree ``(n, deg)`` of the full co-purchase edge list,
+    materialized once per (corpus, Spark app). Six graph reports
+    (triangle summary, clustering coefficients, degree histogram,
+    SCAN similarity, assortativity, rich club) each rebuilt this
+    union+groupBy over the memoized edges — and several consume it
+    through TWO renamed broadcast builds per cycle, so the aggregate
+    ran up to three times per invocation (guide §1.2). ~|V| rows."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _DEGREES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = _copurchase_edges(spark, sf_dir)
+    out = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    _DEGREES_CACHE[key] = out
+    return out
+
+
 _TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
@@ -216,12 +243,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection pass runs once per corpus, not once per report."""
     e = _copurchase_edges(spark, sf_dir)
     tri = _triangle_triples(spark, sf_dir)
-    deg_nodes = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg_nodes = _node_degrees(spark, sf_dir)
     n_nodes = deg_nodes.agg(F.count("*").alias("c"))
     n_edges = e.agg(F.count("*").alias("c"))
     n_tri = tri.agg(F.count(F.lit(1)).alias("c"))
@@ -278,12 +300,7 @@ def local_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast carries Σ|N+| = |E| longs — on a graph too big for
     that, the same plan runs as two O(E)-row shuffle joins."""
     e = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg = _node_degrees(spark, sf_dir)
     corners = _triangle_triples(spark, sf_dir)
     charges = (
         corners.select(F.col("src").alias("v"))
@@ -370,12 +387,7 @@ def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized basket-pair kernel + one groupBy; the bucket edges are a
     literal integer CASE chain (no libm log2)."""
     e = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg = _node_degrees(spark, sf_dir)
     edges = list(DEG_BUCKETS)
     bucket = F.lit(edges[-1])
     for lo, hi in zip(reversed(edges[:-1]), reversed(edges[1:])):
@@ -670,7 +682,14 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k_core).select("n")
+        # lazy checkpoint: keep feeds TWO semi-join builds (a-side,
+        # b-side rename) — each otherwise re-runs the round's degree
+        # aggregate over the surviving edges (guide §1.2)
+        keep = (
+            deg.filter(F.col("deg") >= k_core)
+            .select("n")
+            .localCheckpoint(eager=False)
+        )
         # lazy checkpoint + count = ONE action per round (the count
         # materializes the checkpoint as a side effect — the eager
         # variant paid a separate job first; same fusion as the BFS
@@ -1553,12 +1572,7 @@ def scan_structural_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
     )
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = _node_degrees(spark, sf_dir)
     return (
         e.join(sup, ["a", "b"], "left")
         .na.fill({"common_neighbors": 0})
@@ -1643,12 +1657,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|V|-row degree relation (broadcast at this SF, key-shuffle at
     cluster scale) — no wedge or pair materialization anywhere."""
     e = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = _node_degrees(spark, sf_dir)
     paired = e.join(
         F.broadcast(deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))), "a"
     ).join(
@@ -1727,12 +1736,7 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same ~|V|-row broadcast the assortativity face uses). All
     integer; truncated per-mille; classes with N_k < 2 report NULL."""
     e = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = _node_degrees(spark, sf_dir)
     paired = e.join(
         F.broadcast(deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))), "a"
     ).join(
