@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..memo import register_memo
+
 TABLE_NAMES = [
     "region",
     "nation",
@@ -34,7 +36,26 @@ TABLE_NAMES = [
 DAY_SECONDS = 24 * 3600
 
 
+# Resolved-plan memo: ``spark.read.parquet`` costs ~90-130 ms of
+# DRIVER time per call (file listing + footer schema read + analysis
+# round-trips), and most queries call ``load`` 1-4 times per build —
+# pure per-build constant overhead at any scale. The memo holds the
+# LAZY analyzed DataFrame only (no data, no cache): every
+# materialization still scans the parquet from disk, so this is plan
+# reuse (what a catalog/metastore gives a real deployment — schema
+# resolved once per session, not per query), not result caching.
+# Keyed by applicationId so a fresh session (e.g. the pristine replay
+# harness, or different session confs such as nanosAsLong) re-reads
+# the footer; the immutable-corpus contract in ``memo.py`` covers
+# in-place rewrites (call ``clear_memos`` first).
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = register_memo({})
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
@@ -54,6 +75,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # standardizes on TIMESTAMP. Session tz is pinned UTC, so
             # the cast is an exact identity on the stored micros.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _LOAD_CACHE[key] = df
     return df
 
 
