@@ -348,14 +348,16 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score, "query_id long, vec_id long, dim long, cos double"
     )
     w = Window.partitionBy("query_id", "dim").orderBy(F.col("cos").desc(), "vec_id")
-    # materialize once: both sides of the overlap join read picks
-    # (|queries|·|dims|·K rows) — without this barrier the Arrow
-    # scoring pass is planned twice.
+    # materialize once (LAZY): both sides of the overlap join read
+    # picks (|queries|·|dims|·K rows) — without this barrier the Arrow
+    # scoring pass is planned twice; lazy fuses the materialization
+    # into the consuming job instead of paying a separate build-time
+    # action (guide §1.2 — the r9 eager→lazy doctrine).
     picks = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= MAT_K)
         .select("query_id", "vec_id", "dim")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     full = picks.filter(F.col("dim") == PROJ_DIM).select("query_id", "vec_id")
     hits = (

@@ -87,7 +87,11 @@ def cramer_von_mises_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cum = ranged_prefix(hist, [F.col("v")], sum_cols=["a", "b"])
-    totals = hist.agg(
+    # totals from `cum`, not `hist`: the kernel freezes its input, but
+    # a separate hist consumer re-runs the raw orders rollup — reading
+    # the kernel output instead re-uses the materialized histogram
+    # (guide §1.2; same values, Σa/Σb are order-free integer sums).
+    totals = cum.agg(
         F.sum("a").cast("long").alias("n_we"), F.sum("b").cast("long").alias("n_wd")
     )
     diff = (

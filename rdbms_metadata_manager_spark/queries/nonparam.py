@@ -689,14 +689,26 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass for the median; one conditional aggregate over orders for
     the cells. No window ever sees more than |distinct values|/B
     rows."""
+    # ONE raw pass: the (value, group) histogram feeds the median
+    # kernel AND the 2×5 cells (previously the cells re-scanned and
+    # re-aggregated the full orders table, and the ungrouped `tot`
+    # re-ran the histogram rollup a second time — guide §1.2). The
+    # per-group counts n1..n5 make a_i/t_i exact rollups of the same
+    # ≤|distinct cents| relation: a_i = Σ_{v>med} n_i, t_i = Σ n_i —
+    # integer-identical to the per-row conditional counts.
     orders = load(spark, sf_dir, "orders")
+    conds = [
+        F.sum(F.expr(f"CASE WHEN g = {i} THEN 1 ELSE 0 END")).alias(f"n{i}")
+        for i in range(1, 6)
+    ]
     hist = (
-        orders.select(F.expr(CENTS).alias("v"))
+        orders.select(F.expr(CENTS).alias("v"), F.expr(PRIO_G).alias("g"))
         .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(*conds)
+        .withColumn("cnt", F.expr("n1 + n2 + n3 + n4 + n5"))
     )
     cum = ranged_prefix(hist, [F.col("v")], sum_cols=["cnt"])
-    tot = hist.agg(F.sum("cnt").alias("n"))
+    tot = cum.agg(F.sum("cnt").alias("n"))
     med = (
         cum.crossJoin(F.broadcast(tot))
         .agg(
@@ -706,21 +718,17 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cells = (
-        orders.select(F.expr(CENTS).alias("c"), F.expr(PRIO_G).alias("g"))
-        .crossJoin(F.broadcast(med))
+        cum.crossJoin(F.broadcast(med))
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").alias("n"),
             F.max("med").alias("med"),
             *[
                 F.sum(
-                    F.expr(f"CASE WHEN g = {i} AND c > med THEN 1 ELSE 0 END")
+                    F.expr(f"CASE WHEN v > med THEN n{i} ELSE 0 END")
                 ).alias(f"a{i}")
                 for i in range(1, 6)
             ],
-            *[
-                F.sum(F.expr(f"CASE WHEN g = {i} THEN 1 ELSE 0 END")).alias(f"t{i}")
-                for i in range(1, 6)
-            ],
+            *[F.sum(f"n{i}").alias(f"t{i}") for i in range(1, 6)],
         )
     )
     a_tot = "(a1 + a2 + a3 + a4 + a5)"
@@ -1258,7 +1266,11 @@ def ansari_bradley_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n1"),
     ).withColumn("t", F.expr("n0 + n1"))
     cum = ranged_prefix(hist, [F.col("v")], sum_cols=["t"])
-    tot = hist.agg(
+    # totals from `cum`, not `hist`: the kernel freezes its input, but
+    # a separate hist consumer re-runs the whole events→per-user→arm
+    # rollup chain a second time per cycle (guide §1.2; same integer
+    # sums — cum carries every hist column unchanged).
+    tot = cum.agg(
         F.coalesce(F.sum("n0"), F.lit(0)).alias("nn0"),
         F.coalesce(F.sum("n1"), F.lit(0)).alias("nn1"),
     )
