@@ -86,11 +86,15 @@ def cramer_von_mises_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CASE WHEN we THEN 0 ELSE 1 END")).alias("b"),
         )
     )
-    cum = ranged_prefix(hist, [F.col("v")], sum_cols=["a", "b"])
     # totals from `cum`, not `hist`: the kernel freezes its input, but
     # a separate hist consumer re-runs the raw orders rollup — reading
     # the kernel output instead re-uses the materialized histogram
     # (guide §1.2; same values, Σa/Σb are order-free integer sums).
+    # cum itself is checkpointed so its two consumers (totals, the
+    # final rollup) share one window+offset-join evaluation.
+    cum = ranged_prefix(hist, [F.col("v")], sum_cols=["a", "b"]).localCheckpoint(
+        eager=False
+    )
     totals = cum.agg(
         F.sum("a").cast("long").alias("n_we"), F.sum("b").cast("long").alias("n_wd")
     )

@@ -707,7 +707,11 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*conds)
         .withColumn("cnt", F.expr("n1 + n2 + n3 + n4 + n5"))
     )
-    cum = ranged_prefix(hist, [F.col("v")], sum_cols=["cnt"])
+    # cum now has THREE consumers (tot, med, cells) — checkpoint it so
+    # the kernel's window+offset-join evaluates once, not per consumer
+    cum = ranged_prefix(hist, [F.col("v")], sum_cols=["cnt"]).localCheckpoint(
+        eager=False
+    )
     tot = cum.agg(F.sum("cnt").alias("n"))
     med = (
         cum.crossJoin(F.broadcast(tot))
@@ -1265,11 +1269,15 @@ def ansari_bradley_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n0"),
         F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n1"),
     ).withColumn("t", F.expr("n0 + n1"))
-    cum = ranged_prefix(hist, [F.col("v")], sum_cols=["t"])
     # totals from `cum`, not `hist`: the kernel freezes its input, but
     # a separate hist consumer re-runs the whole events→per-user→arm
     # rollup chain a second time per cycle (guide §1.2; same integer
-    # sums — cum carries every hist column unchanged).
+    # sums — cum carries every hist column unchanged). cum itself is
+    # checkpointed so its two consumers (tot, sums) share one
+    # window+offset-join evaluation.
+    cum = ranged_prefix(hist, [F.col("v")], sum_cols=["t"]).localCheckpoint(
+        eager=False
+    )
     tot = cum.agg(
         F.coalesce(F.sum("n0"), F.lit(0)).alias("nn0"),
         F.coalesce(F.sum("n1"), F.lit(0)).alias("nn1"),
