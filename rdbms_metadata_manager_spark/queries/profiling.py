@@ -1185,10 +1185,14 @@ def grouped_mad_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     price range, so the histogram stays ~100 bands per group at any
     row count). Integer cents end to end; the oracle is the plain
     nested percentile_disc."""
+    # lazy checkpoint: the slim (grp, tick) projection feeds FIVE
+    # passes per cycle (round-A histogram + rank pass, the deviation
+    # derivation, round-B histogram + rank pass) — each otherwise
+    # re-scans the orders parquet (guide §1.2)
     li = load(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("tick"),
-    )
+    ).localCheckpoint(eager=False)
     from collections import defaultdict
 
     from pyspark.sql import Window
@@ -1223,11 +1227,12 @@ def grouped_mad_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     meds = _grouped_lower_median(li, "tick").localCheckpoint(eager=False)
+    # dev feeds round B's histogram AND rank pass — checkpoint it too
     dev = li.join(
         F.broadcast(meds.select("grp", F.col("med").alias("median_cents"))), "grp"
     ).select(
         "grp", F.abs(F.col("tick") - F.col("median_cents")).alias("dtick")
-    )
+    ).localCheckpoint(eager=False)
     mads = _grouped_lower_median(dev, "dtick").select(
         "grp", F.col("med").alias("mad_cents")
     )
