@@ -1380,6 +1380,12 @@ def dsir_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = b.withColumn("local_cum", F.sum("w").over(wb))
     # exclusive offset = inclusive range-kernel cumsum minus own total
     # freeze_input=False: the bucket totals re-aggregate checkpointed wts
+    # (r10 note: deriving `totals` from a checkpointed bucket rollup —
+    # Σ bucket sums == table sum exactly — was tried to drop the third
+    # wts consumer; interleaved A/B read 1.09x against a 0.8x control
+    # bias, i.e. a real local loss from the extra materialization
+    # barrier, and the wts re-read is a scan of already-checkpointed
+    # rows, so it was reverted.)
     offsets = ranged_prefix(
         b.groupBy("bucket").agg(F.sum("w").alias("bw")),
         [F.col("bucket")],

@@ -82,6 +82,17 @@ def md5_control_pairs(df, id_col: str):
     the same rows)."""
     from pyspark.sql import Window
 
+    # ONE window pass: rank and the partner row's columns (lead(1) in
+    # the same (bucket, rank) order) come out of the same WindowExec —
+    # the previous odd/even split-and-self-join form evaluated the
+    # window chain twice (the two filter branches share no subtree
+    # after a column rename) and paid a (bucket, rank) join exchange
+    # carrying the full payload on both sides (guide §2.4: remove the
+    # shuffle outright — an adjacent-rank join IS lead()). Pair set is
+    # identical: row at odd rank r pairs with rank r+1 in its bucket
+    # iff that row exists; a NULL _h_next marks the dropped odd tail
+    # (lead never crosses the partition = bucket boundary).
+    w = Window.partitionBy("_bkt").orderBy(F.col("_h"), F.col(id_col))
     ranked = df.withColumn(
         "_h", F.md5(F.concat(F.lit("ctl:"), F.col(id_col)))
     ).withColumn(
@@ -90,23 +101,16 @@ def md5_control_pairs(df, id_col: str):
             F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint"),
             F.lit(CONTROL_PAIR_BUCKETS),
         ),
-    ).withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy("_bkt").orderBy(F.col("_h"), F.col(id_col))
-        ),
     )
-    a = ranked.filter(F.col("_rk") % 2 == 1).select(
-        F.col("_bkt").alias("_bkt2"),
-        (F.col("_rk") + 1).alias("_rk2"),
+    paired = ranked.select(
+        F.row_number().over(w).alias("_rk"),
+        F.lead("_h", 1).over(w).alias("_h_next"),
         *[F.col(c).alias(f"a_{c}") for c in df.columns],
+        *[F.lead(c, 1).over(w).alias(f"b_{c}") for c in df.columns],
     )
-    b = ranked.filter(F.col("_rk") % 2 == 0).select(
-        F.col("_bkt").alias("_bkt2"),
-        F.col("_rk").alias("_rk2"),
-        *[F.col(c).alias(f"b_{c}") for c in df.columns],
-    )
-    return a.join(b, ["_bkt2", "_rk2"]).drop("_bkt2", "_rk2")
+    return paired.filter(
+        (F.col("_rk") % 2 == 1) & F.col("_h_next").isNotNull()
+    ).drop("_rk", "_h_next")
 
 
 def md5_control_pairs_ctes(source_sql: str, id_col: str) -> str:

@@ -50,6 +50,19 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+# NOTE (r10, measured and REVERTED): an argmin-over-LITERAL-centroids
+# projection (least over K (d2, cid) structs, one fold per centroid
+# inline) was tried here to remove the K-way broadcast-join blowup and
+# the per-vec_id window. Interleaved A/B at local[32], sf0.1: every
+# consumer REGRESSED ~2x (kmeans_clusters 0.42->0.83, silhouette
+# 0.52->0.89, semdedup 0.86->1.21, ivf_kmeans_search 0.61->0.99) — the
+# K inline zip_with/aggregate folds are interpreted (HOFs don't
+# codegen) and evaluating all K per row in one projection loses to the
+# join form's one-fold-per-row over K-duplicated rows, which keeps the
+# fold count identical but lets the join/window machinery run in
+# codegen. The broadcast-join + window form stays.
+
+
 def _update(assigned: DataFrame) -> DataFrame:
     dims = assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
     per_dim = dims.groupBy("cluster", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
@@ -82,10 +95,13 @@ def trained_assignments(
     ``cache_key`` (the corpus dir), the trained centroids are memoized
     process-wide and later consumers skip straight to assignment."""
     centroids = None
+    memo_rows = None
     if cache_key is not None and cache_key in _CENTROID_CACHE:
+        memo_rows = _CENTROID_CACHE[cache_key]
+    if memo_rows is not None:
         import pandas as pd
 
-        rows = _CENTROID_CACHE[cache_key]
+        rows = memo_rows
         # object dtype: pandas would otherwise freeze cid as numpy
         # int64, which the NON-Arrow createDataFrame verifier rejects
         # (the round-2 fixtures failure class; catalog/fixtures.py)
@@ -107,10 +123,11 @@ def trained_assignments(
         for _ in range(ITERATIONS):
             centroids = _update(_assign(emb, centroids)).localCheckpoint(eager=True)
         if cache_key is not None:
-            _CENTROID_CACHE[cache_key] = [
+            memo_rows = [
                 (int(r["cid"]), [float(x) for x in r["centroid"]])
                 for r in centroids.collect()
             ]
+            _CENTROID_CACHE[cache_key] = memo_rows
     assigned = _assign(emb, centroids)
     if checkpoint_assigned:
         assigned = assigned.localCheckpoint(eager=True)

@@ -72,20 +72,27 @@ def _sub_fold(a, b):
     )
 
 
-def _subvectors(emb: DataFrame) -> DataFrame:
-    """(vec_id, sub, sv): the corpus cut into M_SUB subvectors."""
+def _subvectors(emb: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id[, extra], sub, sv): the corpus cut into M_SUB
+    subvectors. ``extra`` columns ride along unchanged (e.g. the IVF
+    cell id, so the encoder never has to join it back on)."""
     return emb.select(
         "vec_id",
+        *extra,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {M_SUB - 1}),"
                 f" s -> struct(s AS sub, slice(v, s * {SUBDIM} + 1, {SUBDIM}) AS sv))"
             )
         ).alias("e"),
-    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    ).select(
+        "vec_id", *extra, F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv")
+    )
 
 
-def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
+def _pq_assign(
+    sv: DataFrame, codebook: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
     scored = sv.join(F.broadcast(codebook), "sub").withColumn(
         "d2", _sub_fold(F.col("sv"), F.col("centroid"))
     )
@@ -93,8 +100,19 @@ def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "sub", "sv", F.col("cid").alias("code"))
+        .select("vec_id", *extra, "sub", "sv", F.col("cid").alias("code"))
     )
+
+
+# NOTE (r10, measured and REVERTED): encoding via the memoized LITERAL
+# codebook (per-sub CASE dispatching a `least` over 16 inline (d2, cid)
+# fold structs) was tried to remove the 16x broadcast-join blowup and
+# the (vec_id, sub) window. Interleaved A/B at local[32], sf0.1:
+# catastrophic — pq_adc_search 0.67 -> 5.7-23.8 s, ivfpq 1.45 -> 6.9 s.
+# The 128 inline zip_with/aggregate folds are interpreted (HOFs don't
+# codegen) and the giant expression tree defeats whole-stage codegen
+# around them; the join form evaluates the same number of folds but one
+# per row inside a codegen pipeline. The window form stays.
 
 
 def _pq_update(assigned: DataFrame) -> DataFrame:
@@ -295,7 +313,11 @@ def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    centroids, assigned = trained_assignments(emb, cache_key=sf_dir)
+    # assigned has exactly ONE consumer below (resid) — skip the eager
+    # per-build checkpoint the default posture pays (guide §1.2)
+    centroids, assigned = trained_assignments(
+        emb, checkpoint_assigned=False, cache_key=sf_dir
+    )
     resid = (
         assigned.join(F.broadcast(centroids), assigned.cluster == centroids.cid)
         .select(
@@ -304,13 +326,15 @@ def ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("v", "centroid", lambda x, c: x - c).alias("v"),
         )
     )
-    rsv = _subvectors(resid.select("vec_id", "v"))
+    # cluster rides the subvector explode so the encoder never joins
+    # the corpus-sized assignment relation back on vec_id (guide §2.4)
+    rsv = _subvectors(resid, extra=("cluster",))
     cached = f"{sf_dir}#residual" in _CODEBOOK_CACHE
     if not cached:
         rsv = rsv.localCheckpoint(eager=True)
     codebook = _train_codebook(rsv, cache_key=f"{sf_dir}#residual")
-    codes = _pq_assign(rsv, codebook).select("vec_id", "sub", "code").join(
-        assigned.select("vec_id", "cluster"), "vec_id"
+    codes = _pq_assign(rsv, codebook, extra=("cluster",)).select(
+        "vec_id", "cluster", "sub", "code"
     )
     q_cells = (
         emb.filter(F.col("vec_id") == 0)

@@ -45,6 +45,16 @@ def _plane_table(spark: SparkSession) -> DataFrame:
     )
 
 
+# NOTE (r10, measured and REVERTED): an Arrow mapInPandas int64-matmul
+# kernel (ticks @ W.T, the gram.py shape) was tried here to replace the
+# 16x posexplode+broadcast-join row blowup. Interleaved A/B at
+# local[32], sf0.1: 0.67 -> 0.84 s (1.25x) — the relational form's
+# blowup runs entirely inside one whole-stage-codegen pipeline with
+# map-side partial aggregation (the exchange carries only |vecs|x16
+# partial sums), while the kernel pays the full JVM->Arrow->Python
+# round trip of the corpus. Consistent with the module docstring's
+# earlier measurement; the escape hatch only pays once P*D grows to
+# real matrix sizes.
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", F.col("embedding").alias("v")

@@ -44,15 +44,18 @@ DAY_SECONDS = 24 * 3600
 # materialization still scans the parquet from disk, so this is plan
 # reuse (what a catalog/metastore gives a real deployment — schema
 # resolved once per session, not per query), not result caching.
-# Keyed by applicationId so a fresh session (e.g. the pristine replay
-# harness, or different session confs such as nanosAsLong) re-reads
-# the footer; the immutable-corpus contract in ``memo.py`` covers
-# in-place rewrites (call ``clear_memos`` first).
-_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = register_memo({})
+# Keyed by (session, applicationId) so a fresh session re-reads the
+# footer — ADVICE r9 #1: applicationId alone is shared by sibling
+# sessions from newSession(), whose different confs (e.g. nanosAsLong)
+# must not be served another session's analyzed plan. id(spark) is
+# disambiguated by the applicationId alongside it; the
+# immutable-corpus contract in ``memo.py`` covers in-place rewrites
+# (call ``clear_memos`` first).
+_LOAD_CACHE: dict[tuple[int, str, str, str], DataFrame] = register_memo({})
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached

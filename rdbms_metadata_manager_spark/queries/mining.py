@@ -673,12 +673,10 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph's core cascades to empty (measured); half-mean keeps a
     # non-trivial core at every SF while still peeling the sparse rim.
     k_core = (n_edges + n_nodes - 1) // n_nodes if n_nodes else 0
-    for _ in range(K_CORE_ROUNDS):
-        if n_edges == 0:
-            break
+    def peel(edges: DataFrame) -> DataFrame:
         deg = (
-            e.select(F.col("a").alias("n"))
-            .unionAll(e.select(F.col("b").alias("n")))
+            edges.select(F.col("a").alias("n"))
+            .unionAll(edges.select(F.col("b").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -690,21 +688,48 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n")
             .localCheckpoint(eager=False)
         )
-        # lazy checkpoint + count = ONE action per round (the count
-        # materializes the checkpoint as a side effect — the eager
-        # variant paid a separate job first; same fusion as the BFS
-        # kernels, guide §1.2)
-        e2 = (
-            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+        return (
+            edges.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
-        n2 = e2.count()
-        e = e2
-        if n2 == n_edges:  # fixpoint: later rounds are no-ops
+
+    # BATCHED peeling (VERDICT r9 item 7): TWO rounds built lazily per
+    # driver action, both alive-counts folded into ONE tagged-union
+    # collect — halves the per-round driver barriers (each lazy
+    # checkpoint still computes exactly once inside that action; round
+    # B reads round A's checkpointed rows). Peeling is monotone, so a
+    # round computed past the fixpoint removes nothing and the batched
+    # edge relation is row-identical to the one-round-at-a-time loop's;
+    # the early exits below compare the same counts the old loop did.
+    r = 0
+    while r < K_CORE_ROUNDS and n_edges:
+        rounds = min(2, K_CORE_ROUNDS - r)
+        step_edges, legs = [], []
+        cur = e
+        for j in range(rounds):
+            cur = peel(cur)
+            step_edges.append(cur)
+            legs.append(
+                cur.agg(F.count(F.lit(1)).alias("c")).select(
+                    F.lit(j).alias("i"), "c"
+                )
+            )
+        combined = legs[0]
+        for leg in legs[1:]:
+            combined = combined.unionAll(leg)
+        counts = {int(row["i"]): int(row["c"]) for row in combined.collect()}
+        stable = None  # first round index whose count repeats = fixpoint
+        if counts[0] == n_edges:
+            stable = 0
+        elif rounds == 2 and counts[1] == counts[0]:
+            stable = 1
+        if stable is not None:
+            e, n_edges = step_edges[stable], counts[stable]
             break
-        n_edges = n2
+        e, n_edges = step_edges[rounds - 1], counts[rounds - 1]
+        r += rounds
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -1439,7 +1464,9 @@ def ktruss_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (TRUSS_ROUNDS is a small fixed constant; with a deep round count
     # the per-round checkpoints would return to bound the plan.)
     count_aggs = [
-        _copurchase_edges(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_e"))
+        _copurchase_edges(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(0).alias("i"), "c")
     ]
     sup_r = sup
     for r in range(2, TRUSS_ROUNDS + 1):
@@ -1469,19 +1496,28 @@ def ktruss_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             tri = tri.join(F.broadcast(dead), ["src", "dst", "w"], "left_anti")
             sup_next = sup_next.localCheckpoint(eager=False)
         count_aggs.append(
-            sup_r.filter(F.col("sup") >= k_min).agg(F.count(F.lit(1)).alias(f"alive_{r - 1}"))
+            sup_r.filter(F.col("sup") >= k_min)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(r - 1).alias("i"), "c")
         )
         sup_r = sup_next
     count_aggs.append(
-        sup_r.filter(F.col("sup") >= k_min).agg(
-            F.count(F.lit(1)).alias(f"alive_{TRUSS_ROUNDS}")
-        )
+        sup_r.filter(F.col("sup") >= k_min)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(TRUSS_ROUNDS).alias("i"), "c")
     )
+    # Tagged UNION instead of crossJoin(broadcast(...)) stitching: each
+    # broadcast of a 1-row aggregate was its own sequential Spark job
+    # (a BroadcastExchange materializes before the consuming plan
+    # runs); the union folds every count into the ONE collect action,
+    # and the lazy `sup` checkpoint still computes once across the
+    # union legs (guide §1.2: don't serialize the driver on counts one
+    # action can fold).
     combined = count_aggs[0]
     for c in count_aggs[1:]:
-        combined = combined.crossJoin(F.broadcast(c))
-    vals = combined.collect()[0]
-    alive = [vals["n_e"]] + [vals[f"alive_{r}"] for r in range(1, TRUSS_ROUNDS + 1)]
+        combined = combined.unionAll(c)
+    vals = {int(r["i"]): int(r["c"]) for r in combined.collect()}
+    alive = [vals[r] for r in range(TRUSS_ROUNDS + 1)]
     rows = [(r, alive[r - 1], alive[r - 1] - alive[r]) for r in range(1, TRUSS_ROUNDS + 1)]
     return spark.createDataFrame(
         rows, "round long, n_edges_before long, n_peeled long"

@@ -701,11 +701,14 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"CASE WHEN g = {i} THEN 1 ELSE 0 END")).alias(f"n{i}")
         for i in range(1, 6)
     ]
+    # cnt stays count(*) (ADVICE r9 #2): the oracle's histogram counts
+    # every order, so the median must too — n1..n5 alone would drop a
+    # row whose PRIO_G is NULL/out-of-range (exact on TPC-H shape, but
+    # a data-dependent divergence on malformed priorities).
     hist = (
         orders.select(F.expr(CENTS).alias("v"), F.expr(PRIO_G).alias("g"))
         .groupBy("v")
-        .agg(*conds)
-        .withColumn("cnt", F.expr("n1 + n2 + n3 + n4 + n5"))
+        .agg(F.count(F.lit(1)).alias("cnt"), *conds)
     )
     # cum now has THREE consumers (tot, med, cells) — checkpoint it so
     # the kernel's window+offset-join evaluates once, not per consumer
