@@ -103,7 +103,12 @@ def main() -> int:
         report["suite"] = "SKIPPED BY FLAG"
     else:
         try:
-            rc, out = _run([sys.executable, "-m", "pytest", "tests/", "-q"], 3600)
+            # FULL suite: override the default fast-tier deselection
+            # (pytest.ini -m "not slow") — certification runs everything
+            rc, out = _run(
+                [sys.executable, "-m", "pytest", "tests/", "-q", "-m", "slow or not slow"],
+                5400,
+            )
             m = re.search(r"(\d+) passed(?:.*?(\d+) skipped)?", out.replace(",", ""))
             report["suite"] = {
                 "passed": int(m.group(1)) if m else None,
