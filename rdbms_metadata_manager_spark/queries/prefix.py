@@ -38,7 +38,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-PREFIX_RANGES = 32  # B — raise with cluster size; offsets stay B rows
+# B — the range-partition count. Scale-adaptive (r10, guide §2.2 /
+# brief: no constants tuned to one posture): defaults to the session's
+# scheduler parallelism — 8 ranges on an 8-core bench run, 32 on the
+# 32-core one, executor-count-proportional on a cluster — overridable
+# via SPARK_GRAFT_PREFIX_RANGES. Correctness is B-independent by the
+# kernel's construction (global = local + offset holds for ANY monotone
+# split; the offsets relation stays B rows), so B only shapes the plan.
+def _prefix_ranges(df: DataFrame) -> int:
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_PREFIX_RANGES")
+    if env:
+        return max(1, int(env))
+    return max(1, df.sparkSession.sparkContext.defaultParallelism)
+
+
+PREFIX_RANGES = None  # sentinel: resolve per call from the session
 
 
 def one_group(col: Column) -> Column:
@@ -61,7 +77,7 @@ def ranged_prefix(
     order_cols: list[Column],
     sum_cols: list[str] = (),
     rank_col: str | None = None,
-    buckets: int = PREFIX_RANGES,
+    buckets: int | None = PREFIX_RANGES,
     freeze_input: bool = True,
 ) -> DataFrame:
     """``df`` plus exact global running sums (``cum_<c>`` for each of
@@ -85,6 +101,8 @@ def ranged_prefix(
     # for them the extra copy is pure overhead, not a saved pass.
     # The post-exchange checkpoint below is unchanged — it is what
     # keeps the _pid assignment consistent across the two consumers.
+    if buckets is None:
+        buckets = _prefix_ranges(df)
     if freeze_input:
         df = df.localCheckpoint(eager=False)
     part = (

@@ -8,6 +8,16 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Test sessions default to 8 cores: the suite runs sf0.001 correctness
+# checks whose wall-clock is ~all job-dispatch floor, and local[8] runs
+# the identical assertions ~20% faster than local[32] (measured r10).
+# SPARK_GRAFT_TEST_CPUS (or an explicit SPARK_GRAFT_CPUS before the
+# session exists) overrides; bench.py is untouched — it builds its own
+# session from $SPARK_GRAFT_CPUS per the driver contract.
+os.environ["SPARK_GRAFT_CPUS"] = os.environ.get(
+    "SPARK_GRAFT_TEST_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "8")
+)
+
 from rdbms_metadata_manager_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -87,9 +97,33 @@ _SLOW_TESTS = {
 }
 
 
+# Whole-file slow tier: deep per-operator batteries whose queries are
+# ALSO covered by the external verifier's own oracle re-run of every
+# declared query and by freeze_certify's full-suite gate. The default
+# tier keeps the engine-contract smoke: rules/CLI goldens, registry and
+# plan assertions, memo/robustness/empty-input batteries, streaming,
+# pyds, the property files, and the un-marked oracle-parity slice.
+_SLOW_FILES = {
+    "test_cogroup_vocab.py",
+    "test_profiling_sampling.py",
+    "test_round8b_ops.py",
+    "test_round8b_planted.py",
+    "test_round9_edges.py",
+    "test_audit_ops.py",
+    "test_round4_ops.py",
+    "test_session_i_ops.py",
+    "test_incremental_agg.py",
+    "test_upsert_zorder.py",
+    "test_entity_cohort_quantize.py",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.nodeid.split("::")[-1] in _SLOW_TESTS:
+        if (
+            item.nodeid.split("::")[-1] in _SLOW_TESTS
+            or os.path.basename(item.fspath.strpath) in _SLOW_FILES
+        ):
             item.add_marker(pytest.mark.slow)
 
 
