@@ -240,6 +240,12 @@ HEADLINE = [
     "kmins_distinct_audit",
     "ndcg_at_10_eval",
     "burrows_delta_sources",
+    # round-10 additions (additions-only per the bench contract): the
+    # two IVF faces that were not yet benched — both ride the r10
+    # label-centroid memo, so the round that changed them also starts
+    # tracking them
+    "ivf_cell_stats",
+    "ivf_kmeans_search",
     # round-9 additions: distribution-shift battery + corpus-drift faces
     "cramer_von_mises_weekend",
     "bhattacharyya_weekend_overlap",
